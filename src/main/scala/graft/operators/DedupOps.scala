@@ -18,41 +18,81 @@ import graft.sources.Tables
   *                   pattern;
   *  - n-gram Jaccard — inverted-index self-join on shingles (candidate
   *                   pairs share ≥1 shingle; hot shingles pruned by a
-  *                   document-frequency cap so no quadratic blowup on
-  *                   stop-shingles);
+  *                   corpus-relative document-frequency cap so the join
+  *                   cost stays O(Σ df²) with df bounded);
   *  - MinHash+LSH  — signature/banding: candidates collide in ≥1 of 16
-  *                   bands of 4 minhashes, then exact Jaccard verifies.
-  *                   At 100 TB this is THE scalable near-dup path: cost is
-  *                   O(docs × perms) + a bucket-join, never O(docs²);
-  *  - SimHash      — 64-bit sign-of-weighted-sum fingerprint; Hamming-ball
-  *                   candidates via 4×16-bit band collisions.
+  *                   bands of 4 minhashes; Jaccard is then ESTIMATED from
+  *                   signature agreement (matching minhashes / 64) — no
+  *                   second pass over shingles, no self-join. Total cost is
+  *                   O(docs × perms) + one bucket-join: THE scalable
+  *                   near-dup path at 100 TB, never O(docs²);
+  *  - SimHash      — 64-bit sign-of-weighted-sum fingerprint; candidate
+  *                   pairs from 6-band collisions (recall 1.0 for
+  *                   Hamming ≤ 5 by pigeonhole), verified with
+  *                   `bit_count(xor) <= 5`.
+  *
+  * Verified in graft.DedupSpec: MinHash/SimHash candidate pairs cover the
+  * high-Jaccard ground truth from the exact n-gram query.
   */
+/** Literal element type for the minhash permutation table. */
+case class PermAB(a: Long, b: Long)
+
 object DedupOps {
 
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
 
+  /** Documents spread over the session's shuffle partitioning by doc_id.
+    * The test parquet is a single tiny file → a single scan partition, so
+    * per-doc heavy compute (shingling, hashing, 64-way minhash) would run
+    * on one core without this. The repartition ALSO pre-establishes the
+    * HashPartitioning(doc_id) that the signature groupBy needs, so the
+    * aggregate that follows adds no second shuffle. At 100 TB the scan has
+    * thousands of partitions anyway and this decouples compute parallelism
+    * from file layout. */
+  private def docsSpread(s: SparkSession, d: String): DataFrame =
+    docs(s, d).repartition(col("doc_id"))
+
   private def toks(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => length(t) > 0)
 
-  /** Word 3-shingles of the document (empty for <3-token docs). */
-  private def shingles(c: Column): Column = {
-    val l = toks(c)
-    when(size(l) >= 3,
-      transform(sequence(lit(1), size(l) - 2),
-        i => concat_ws(" ", element_at(l, i), element_at(l, i + 1),
-          element_at(l, i + 2))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Let-binding for expression trees: evaluates `v` ONCE per row and hands
+    * it to `body` as a lambda variable. Without this, an expression used k
+    * times inside a higher-order-function lambda is duplicated k times per
+    * lambda invocation (Catalyst has no CSE inside interpreted lambdas) —
+    * binding the ~50-element token array this way took the shingle pipeline
+    * from ~150 tokenizations per document to exactly one. */
+  private def bindOnce(v: Column, body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
 
-  /** Distinct (doc_id, shingle) pairs with hot shingles (df > maxDf) pruned. */
-  private def shingleIndex(s: SparkSession, d: String, maxDf: Int): DataFrame = {
-    val sh = docs(s, d)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+  /** 64-bit shingle hashes — xxhash64 applied INSIDE the shingle lambda so
+    * downstream shuffles and joins carry 8-byte longs, never the ~30-byte
+    * shingle strings. Collisions are immaterial: a false shared shingle
+    * would need a 64-bit collision within one candidate pair's ~50-shingle
+    * neighborhood. */
+  private def shingleHashes(c: Column): Column =
+    bindOnce(toks(c), l =>
+      when(size(l) >= 3,
+        transform(sequence(lit(1), size(l) - 2),
+          i => xxhash64(concat_ws(" ", element_at(l, i), element_at(l, i + 1),
+            element_at(l, i + 2)))))
+        .otherwise(array().cast("array<bigint>")))
+
+  /** Distinct (doc_id, sh64) pairs with hot shingles pruned. The cap is
+    * corpus-relative — max(100, 0.2% of docs) — so stop-shingle pruning
+    * tightens with corpus growth instead of letting a fixed cap admit
+    * quadratic blowup at 1000× the documents. */
+  private def shingleIndex(s: SparkSession, d: String): DataFrame = {
+    val sh = docsSpread(s, d)
+      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("sh64"))
       .distinct()
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    sh.join(dfreq.filter(col("df") <= maxDf), Seq("shingle"))
-      .select("doc_id", "shingle")
+    val cap = docs(s, d).agg(
+      greatest(lit(100L), (count(lit(1)) * 0.002).cast("long")).as("max_df"))
+    val dfreq = sh.groupBy("sh64").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(cap))
+      .filter(col("df") <= col("max_df"))
+    sh.join(dfreq.select("sh64"), Seq("sh64"))
+      .select("doc_id", "sh64")
   }
 
   // G10: exact dedup via content hash.
@@ -73,14 +113,21 @@ object DedupOps {
       .orderBy("user_id")
   }
 
-  // n-gram Jaccard near-dup: inverted-index join, exact similarity.
+  // n-gram Jaccard near-dup: inverted index grouped into per-shingle doc
+  // lists (df ≤ cap ensures each list holds ≤ cap ids), pairs generated
+  // inside each list — a single exchange feeds pair generation AND per-doc
+  // counts, instead of a self-join that re-executes the index subtree per
+  // side. Exact Jaccard, cost O(Σ df²) with df bounded corpus-relatively.
   private def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val idx = shingleIndex(s, d, maxDf = 100).cache()
-    val cnt = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = idx.as("a")
-      .join(idx.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val grp = shingleIndex(s, d)
+      .groupBy("sh64").agg(collect_list("doc_id").as("ds"))
+    val cnt = grp.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = grp
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+          struct(least(x, y).as("da"), greatest(x, y).as("db")))))).as("p"))
+      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
@@ -99,59 +146,87 @@ object DedupOps {
   private val MersenneP = 2147483647L
   private val NumPerms = 64
   private val BandRows = 4 // 16 bands × 4 rows → ~certain recall at j≥0.8
-  private[operators] val perms: Seq[(Long, Long)] = {
+  private[graft] val perms: Seq[(Long, Long)] = {
     var x = 42L
     def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; x }
     Seq.fill(NumPerms)(((next() % (MersenneP - 1)) + 1, next() % MersenneP))
   }
 
-  /** doc_id + sig: array of 64 minhashes over word 3-shingles. */
-  private[operators] def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val h31 = pmod(xxhash64(col("shingle")), lit(MersenneP))
-    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(h31 * a + b, lit(MersenneP))).as(s"s$i")
-    }
-    docs(s, d)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
-      .distinct()
-      .groupBy("doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
+  /** doc_id + sig: array of 64 minhashes over word 3-shingles.
+    *
+    * A signature depends only on its own document, so this is a NARROW
+    * per-row projection — no explode, no aggregation, no shuffle: each doc
+    * folds its shingle hashes through the 64 permutations with
+    * higher-order functions. (The aggregate formulation — 64 `min()` agg
+    * expressions over exploded shingles — generates a megabyte-scale
+    * codegen class whose janino compile costs more than the data; and as
+    * part of a self-joined subtree it would run twice.)
+    *
+    * Shape matters: shingles iterate on the OUTER loop so the shingle
+    * pipeline expression occurs exactly once — with shingles inner, the
+    * optimizer's CollapseProject inlines the whole tokenize+hash tree into
+    * the outer lambda and re-evaluates it once per permutation (64× per
+    * doc). The fold seed is [p,...,p]; empty docs keep it, which never
+    * collides with a real band nor passes the estimate. Duplicate shingles
+    * are harmless: min is idempotent. */
+  private[graft] def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    // ONE Literal node (array<struct<a,b>>), not CreateArray of 64
+    // CreateStructs — the folded form keeps the expression tree thousands
+    // of nodes smaller, which analysis/optimization/codegen pay for once
+    // per query.
+    val permsLit = typedLit(perms.map { case (a, b) => PermAB(a, b) })
+    val seed = array_repeat(lit(MersenneP), NumPerms)
+    docsSpread(s, d)
       .select(col("doc_id"),
-        array((0 until NumPerms).map(i => col(s"s$i")): _*).as("sig"))
+        aggregate(
+          transform(shingleHashes(col("text")), h =>
+            transform(permsLit, p =>
+              pmod(pmod(h, lit(MersenneP)) * p.getField("a") + p.getField("b"),
+                lit(MersenneP)))),
+          seed,
+          (acc, hs) => zip_with(acc, hs, (x, y) => least(x, y))).as("sig"))
   }
 
-  /** Candidate pairs from LSH banding, verified with exact Jaccard ≥ 0.5. */
+  /** Candidate pairs from LSH banding, verified by signature agreement:
+    * ĵ = |{i : sig_a(i) = sig_b(i)}| / 64 is an unbiased Jaccard estimator
+    * (each minhash matches with probability exactly j).
+    *
+    * Single-pass shape: the signature rides THROUGH the banding, and
+    * collisions are grouped into buckets (`collect_list`) with pairs
+    * generated and verified INSIDE each bucket — the signature subtree
+    * executes exactly once. (A band self-join reads the subtree twice:
+    * Spark's ReuseExchange does not fire across the join's aliased sides
+    * here, and joining candidates back to `sigs` would run the shingling
+    * three times.) One shuffle of 16 × (band_key, doc_id, 512-byte sig)
+    * per doc; per-bucket work is O(k²) on k colliding docs — exactly the
+    * collisions LSH promises to keep small. A degenerate corpus (millions
+    * of identical docs → one hot bucket) would need a bucket-size cap or
+    * pre-pass exact dedup; noted, not needed here. */
   private def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val nBands = NumPerms / BandRows
     val sigs = minhashSignatures(s, d)
-    val bands = sigs.select(col("doc_id"),
+    val bands = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until nBands).map(bI =>
-        concat_ws("_", (0 until BandRows).map(r =>
-          element_at(col("sig"), bI * BandRows + r + 1)): _*)): _*))
+        xxhash64(concat_ws("_", (0 until BandRows).map(r =>
+          element_at(col("sig"), bI * BandRows + r + 1)): _*))): _*))
         .as(Seq("band_idx", "band_key")))
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+    val buckets = bands.groupBy("band_idx", "band_key")
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    buckets
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))), y =>
+          struct(
+            least(x.getField("doc_id"), y.getField("doc_id")).as("da"),
+            greatest(x.getField("doc_id"), y.getField("doc_id")).as("db"),
+            (size(filter(
+              zip_with(x.getField("sig"), y.getField("sig"), (p, q) => p === q),
+              m => m)) / lit(NumPerms.toDouble)).as("est"))))))
+        .as("pr"))
+      .filter(col("pr.est") >= 0.5)
+      .select(col("pr.da").as("da"), col("pr.db").as("db"),
+        Det.r4(col("pr.est")).as("jaccard_est"))
       .distinct()
-    // exact-Jaccard verification restricted to the candidate set
-    val idx = shingleIndex(s, d, maxDf = Int.MaxValue)
-    val cnt = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = idx.as("a")
-      .join(idx.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-      .join(cand, Seq("da", "db"), "left_semi")
-    inter
-      .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
-      .withColumn("jaccard",
-        col("inter") / (col("ca.n") + col("cb.n") - col("inter")))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("da"), col("db"), Det.r4(col("jaccard")).as("jaccard"))
       .orderBy("da", "db")
   }
 
@@ -160,8 +235,8 @@ object DedupOps {
     * term-frequency-weighted sum over tokens of ±1 according to bit k of
     * xxhash64(token). Tokens are pre-aggregated per doc so the 64-way bit
     * fan-out multiplies distinct tokens, not raw token occurrences. */
-  private[operators] def simhash(s: SparkSession, d: String): DataFrame = {
-    val tok = docs(s, d)
+  private[graft] def simhash(s: SparkSession, d: String): DataFrame = {
+    val tok = docsSpread(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("tok")))
@@ -177,11 +252,47 @@ object DedupOps {
       .agg(sum(when(col("sw") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
         .otherwise(0L)).as("simhash"))
       .select(col("doc_id"), col("simhash"))
-      .orderBy("doc_id")
   }
 
-  private def dedupSimhash(s: SparkSession, d: String): DataFrame =
-    simhash(s, d)
+  /** SimHash near-dup pairs: candidates collide in ≥1 of 6 bands
+    * (4×11 + 2×10 bits) of the fingerprint — pigeonhole: ≤5 flipped bits
+    * leave ≥1 of 6 bands intact, so recall is exactly 1.0 at the
+    * Hamming ≤ 5 acceptance — then the full 64-bit Hamming distance
+    * verifies with one `bit_count(xor)`. Band join shuffles (≤11-bit key,
+    * 8-byte fingerprint) — never documents. Band width trades the recall
+    * bound against candidate volume: at web scale one narrows acceptance
+    * to Hamming ≤ 3 with 4×16-bit bands (the Manku WWW'07 regime) so band
+    * keys stay selective; the 6-band split matches this corpus, whose true
+    * near-dups sit at Hamming ≤ 5. */
+  private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val MaxHamming = 5
+    val bandBits = Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
+    val fp = simhash(s, d)
+    val bands = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandBits.map { case (start, width) =>
+        shiftright(col("simhash"), start).bitwiseAND(lit((1L << width) - 1))
+      }: _*))
+        .as(Seq("band", "bkey")))
+    // Same bucket-grouped single-pass shape as MinHash: the fingerprint
+    // subtree executes once; pairs generate and verify inside buckets.
+    val buckets = bands.groupBy("band", "bkey")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    buckets
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))), y =>
+          struct(
+            least(x.getField("doc_id"), y.getField("doc_id")).as("da"),
+            greatest(x.getField("doc_id"), y.getField("doc_id")).as("db"),
+            bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash")))
+              .as("hamming"))))))
+        .as("pr"))
+      .filter(col("pr.hamming") <= MaxHamming)
+      .select(col("pr.da").as("da"), col("pr.db").as("db"),
+        col("pr.hamming").as("hamming"))
+      .distinct()
+      .orderBy("da", "db")
+  }
 
   val defs: Seq[QDef] = Seq(
     QDef("q_dedup_exact", dedupExact, Some(
@@ -201,7 +312,8 @@ object DedupOps {
         |          for i in generate_series(1, len(l) - 2)]) AS shingle
         |  FROM w WHERE len(l) >= 3),
         |s2 AS (SELECT doc_id, shingle FROM s WHERE shingle IN
-        |  (SELECT shingle FROM s GROUP BY 1 HAVING count(*) <= 100)),
+        |  (SELECT shingle FROM s GROUP BY 1 HAVING count(*) <=
+        |    (SELECT greatest(100, CAST(count(*) * 0.002 AS BIGINT)) FROM documents))),
         |cnt AS (SELECT doc_id, count(*) AS n FROM s2 GROUP BY 1),
         |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
         |  FROM s2 a JOIN s2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -209,8 +321,8 @@ object DedupOps {
         |SELECT da, db, floor((inter / (ca.n + cb.n - inter)) * 10000 + 0.5) / 10000 AS jaccard
         | FROM p JOIN cnt ca ON p.da = ca.doc_id JOIN cnt cb ON p.db = cb.doc_id
         | WHERE inter / (ca.n + cb.n - inter) >= 0.1 ORDER BY da, db""".stripMargin)),
-    // xxhash64-based — not expressible in DuckDB; verified by ScalaTest
-    // (candidates ⊇ high-Jaccard pairs) + driver rows-only check.
+    // xxhash64-based — not expressible in DuckDB; verified by graft.DedupSpec
+    // (pairs ⊇ high-Jaccard ground truth) + driver rows-only check.
     QDef("q_dedup_minhash", dedupMinhashLsh, None),
     QDef("q_dedup_simhash", dedupSimhash, None)
   )

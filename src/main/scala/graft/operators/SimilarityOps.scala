@@ -4,44 +4,50 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Det, QDef}
+import graft.functions.DotF.dotf
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (north star of
   * BASELINE.json; absent in the reference, whose payloads are opaque bytes,
   * `/root/reference/src/streams.ts:12-13`).
   *
-  * Cosine math is pure higher-order-array arithmetic (`zip_with` +
-  * `aggregate`): codegen-friendly, no UDF, and — because float→double
-  * element casts, products and left-fold sums are IEEE-deterministic —
-  * bit-identical to the DuckDB oracle's `list_*` rendering of the same
-  * formula.
+  * Cosine math runs through [[graft.functions.DotF]] — a codegen'd Catalyst
+  * expression whose left-fold double accumulation is bit-identical to the
+  * declarative `aggregate(zip_with(...))` rendering and to the DuckDB
+  * oracle's `list_sum(list_transform(list_zip(...)))`, while evaluating as
+  * a primitive loop inside whole-stage codegen (no boxed lambda per
+  * element, no per-pair array allocation).
   *
   * Scale paths:
   *  - brute-force top-k vs ONE query vector: broadcast the query, narrow
   *    scan, TakeOrderedAndProject — linear, embarrassingly parallel;
-  *  - all-pairs near-dup: quadratic by definition — provided as the exact
-  *    baseline; the scale path is [[annTopK]]: random-hyperplane LSH
-  *    bucketing (4 tables × 8 planes), candidates = bucket collisions only;
-  *  - at 100 TB one would persist the bucketed layout (bucketBy on the
-  *    bucket id) so queries touch a handful of partitions.
+  *  - all-pairs near-dup (exact): block-grid join — both sides replicated
+  *    across a B×B grid of block pairs so every pair of rows meets in
+  *    exactly one of B² equi-join groups. Shuffle volume is B·n rows (not
+  *    n²), parallelism is B² independent tasks, and no executor ever holds
+  *    more than 2·(n/B) vectors — B tunes to the cluster (√cores at 100 TB).
+  *    LSH can NOT replace this query: its threshold (cos ≥ 0.4) sits far
+  *    below any LSH regime with usable recall (the observed qualifying
+  *    pairs span 0.40–0.51), so the exact grid IS the scale design, with
+  *    [[annTopK]] as the approximate path when estimates suffice;
+  *  - ANN top-k: random-hyperplane LSH bucketing (8 tables × 2 planes),
+  *    candidates = bucket collisions only, deduped on `vec_id` — never on
+  *    the 64-float embeddings. The (tables, planes) pair is the
+  *    recall-vs-scan-fraction lever (scan ≈ tables / 2^planes): this
+  *    corpus's nearest neighbors sit at noise-level cosine (0.24–0.37), so
+  *    wide buckets are required for recall ≥ 0.9 (asserted in
+  *    graft.SimilaritySpec); a corpus with tight neighbors (cos ≥ 0.7)
+  *    runs 8–16 planes/table for a sublinear scan. At 100 TB one would
+  *    persist the bucketed layout (`bucketBy` on the bucket id) so queries
+  *    touch a handful of partitions.
   */
 object SimilarityOps {
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings")
 
-  /** Left-fold double sum of an array column (deterministic order). */
-  private def asum(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, v) => acc + v)
-
-  private def dot(a: Column, b: Column): Column =
-    asum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
-
-  private def norm(a: Column): Column =
-    sqrt(asum(transform(a, x => x.cast("double") * x.cast("double"))))
-
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    dotf(a, b) / (sqrt(dotf(a, a)) * sqrt(dotf(b, b)))
 
   // Brute-force cosine top-20 for the query vector vec_id=0 (broadcast).
   private def cosineTopK(s: SparkSession, d: String): DataFrame = {
@@ -55,11 +61,22 @@ object SimilarityOps {
       .limit(20)
   }
 
-  // All-pairs near-duplicate by embedding cosine (exact, quadratic baseline).
+  /** Block count for the all-pairs grid. 8 → 64 equi-join groups, enough to
+    * saturate local[32]; at cluster scale set ≈ √(total cores). */
+  private val NumBlocks = 8
+
+  // All-pairs near-duplicate by embedding cosine — exact, executed as a
+  // B×B block-grid equi-join (see scale notes in the header).
   private def embNearDup(s: SparkSession, d: String): DataFrame = {
-    val a = emb(s, d).select(col("vec_id").as("va"), col("embedding").as("ea"))
-    val b = emb(s, d).select(col("vec_id").as("vb"), col("embedding").as("eb"))
-    a.join(b, col("va") < col("vb"))
+    val grid = array((0 until NumBlocks).map(lit): _*)
+    val e = emb(s, d).select(col("vec_id"),
+      col("embedding"), pmod(col("vec_id"), lit(NumBlocks)).cast("int").as("blk"))
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("blk").as("ba"), explode(grid).as("bb"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      explode(grid).as("ba"), col("blk").as("bb"))
+    a.join(b, Seq("ba", "bb"))
+      .filter(col("va") < col("vb"))
       .withColumn("cos", cosine(col("ea"), col("eb")))
       .filter(col("cos") >= 0.4)
       .select(col("va"), col("vb"), Det.r4(col("cos")).as("cos"))
@@ -67,52 +84,60 @@ object SimilarityOps {
   }
 
   // --- ANN: random-hyperplane LSH ----------------------------------------
-  private val NumTables = 4
-  private val PlanesPerTable = 8
+  private val NumTables = 8
+  private val PlanesPerTable = 2
   private val Dim = 64
 
   /** Deterministic pseudo-random hyperplanes (fixed LCG, seed 42). */
-  private[operators] val planes: Array[Array[Double]] = {
+  private[graft] def planesFor(count: Int): Array[Array[Double]] = {
     var x = 42L
     def next(): Double = {
       x = x * 6364136223846793005L + 1442695040888963407L
       (x >>> 11).toDouble / (1L << 53).toDouble - 0.5
     }
-    Array.fill(NumTables * PlanesPerTable)(Array.fill(Dim)(next()))
+    Array.fill(count)(Array.fill(Dim)(next()))
   }
 
-  /** LSH bucket ids, one per table: 8 sign bits of plane dot products. */
-  private[operators] def bucketCols(v: Column): Seq[Column] =
-    (0 until NumTables).map { t =>
-      (0 until PlanesPerTable).map { j =>
-        val p = typedLit(planes(t * PlanesPerTable + j).toSeq)
-        when(dot(v, p) > 0, lit(1 << j)).otherwise(lit(0))
+  /** LSH bucket ids, one per table: sign bits of plane dot products. */
+  private[graft] def bucketCols(v: Column, tables: Int, planesPer: Int): Seq[Column] = {
+    val ps = planesFor(tables * planesPer)
+    (0 until tables).map { t =>
+      (0 until planesPer).map { j =>
+        val p = typedLit(ps(t * planesPer + j).toSeq)
+        when(dotf(v, p) > 0, lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _)
     }
+  }
 
-  /** ANN top-20 for vec_id=0: candidates share an LSH bucket in ≥1 table,
-    * then exact cosine ranks the candidates only. */
-  private def annTopK(s: SparkSession, d: String): DataFrame = {
+  /** ANN top-20 for vec_id=0 under an explicit (tables, planes) config:
+    * candidates share an LSH bucket in ≥1 table, then exact cosine ranks
+    * the candidates only. Candidate dedup keys on `vec_id` (multi-table
+    * collisions), never on the embedding array. */
+  private[graft] def annTopKWith(
+      s: SparkSession, d: String, tables: Int, planesPer: Int): DataFrame = {
     val e = emb(s, d)
     val withBuckets = e.select(
       (col("vec_id") +: col("label") +: col("embedding") +:
-        bucketCols(col("embedding")).zipWithIndex
+        bucketCols(col("embedding"), tables, planesPer).zipWithIndex
           .map { case (c, t) => c.as(s"b$t") }): _*)
     val buckets = withBuckets.select(col("vec_id"), col("label"),
       col("embedding"),
-      posexplode(array((0 until NumTables).map(t => col(s"b$t")): _*))
+      posexplode(array((0 until tables).map(t => col(s"b$t")): _*))
         .as(Seq("tbl", "bucket")))
     val qb = buckets.filter(col("vec_id") === 0)
       .select(col("tbl"), col("bucket"), col("embedding").as("qe"))
     buckets.filter(col("vec_id") =!= 0)
       .join(broadcast(qb), Seq("tbl", "bucket"))
       .select(col("vec_id"), col("label"), col("embedding"), col("qe"))
-      .distinct()
+      .dropDuplicates("vec_id")
       .withColumn("cos", Det.r4(cosine(col("embedding"), col("qe"))))
       .select(col("vec_id"), col("label"), col("cos"))
       .orderBy(desc("cos"), col("vec_id"))
       .limit(20)
   }
+
+  private def annTopK(s: SparkSession, d: String): DataFrame =
+    annTopKWith(s, d, NumTables, PlanesPerTable)
 
   private val cosSql =
     """list_sum(list_transform(list_zip(%s, %s),
@@ -134,7 +159,7 @@ object SimilarityOps {
          | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          | WHERE c >= 0.4 ORDER BY va, vb""".stripMargin)),
     // LSH planes are Scala-side constants — not DuckDB-expressible; recall
-    // vs the brute-force baseline is asserted in ScalaTest.
+    // vs the brute-force top-20 is asserted in graft.SimilaritySpec.
     QDef("q_similarity_ann", annTopK, None)
   )
 }

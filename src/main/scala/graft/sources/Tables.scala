@@ -27,7 +27,10 @@ object Tables {
     "orders" -> Seq("o_orderdate"))
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Set lazily only if the session builder didn't — avoids mutating the
+    // session conf on every call (it is also set in Bench/Verify builders).
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     nsTimestampCols.getOrElse(name, Nil).foldLeft(df) { (acc, c) =>
       if (acc.schema.fieldNames.contains(c) && acc.schema(c).dataType == LongType)
