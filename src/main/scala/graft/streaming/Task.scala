@@ -1,0 +1,162 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.Processing._
+
+/** A declared source: topic name + offset-reset policy, carrying its
+  * processor setups (`/root/reference/src/source.ts:3-7`). */
+final class TaskSource private[streaming] (
+    val topicName: String,
+    val offsetReset: String) {
+  private[streaming] var setups: Vector[ProcessorSetup] = Vector.empty
+}
+
+/** The engine's Task facade — the reference's topology object
+  * (`/root/reference/src/task.ts`), re-expressed over Structured Streaming.
+  *
+  * Mapping (SURVEY §2.4):
+  *  - S1 `source(topic, offsetReset)` — declare a topic source, deduped by
+  *    name, default reset "latest" (`src/task.ts:52-73`);
+  *  - P1 `processor(source)(setup)` — append a processor setup; rejects
+  *    sources belonging to another task (`src/task.ts:75-84`);
+  *  - L1 `start(...)` — one streaming query per source over the Kafka
+  *    source; group management, heartbeats (L5), backpressure (L4) and
+  *    stale-batch fencing (L6) are native to the Kafka connector and the
+  *    micro-batch engine — there is deliberately no code for them here;
+  *  - L2 rebalance — not applicable: the Spark driver owns partition
+  *    assignment; scaling = executor count, sessions never "rejoin";
+  *  - L3 `stop()` — stop all queries (`src/task.ts:157-166`);
+  *  - L7 `inject(...)` — broker-free local assignment contexts backed by
+  *    MemoryStream (`src/task.ts:86-105`), returning the
+  *    [[AssignmentTestInterface]] mirror of
+  *    `src/assignment-contexts/local.ts:9-20`.
+  *
+  * Commit semantics delta (documented, SURVEY §7.4): the reference commits
+  * per message with string metadata; Spark checkpoints per micro-batch.
+  * The facade therefore carries commit requests in the [[Processed]] rows
+  * (applied by the sink in offset order), which preserves the reference's
+  * observable ledger — `committedOffsets` in tests — while the checkpoint
+  * provides the at-least-once restart guarantee the reference gets from
+  * manual post-process commits (`src/streams.ts:179`).
+  *
+  * Mid-stream `seek` is the one reference behavior with no live Spark
+  * equivalent (offset selection happens at query (re)start): the facade
+  * exposes it as restart-with-`startingOffsets`, and the batch analogues
+  * (`graft.operators.FrolykOps` q_seek_*) model it as offset predicates.
+  */
+final class Task(val group: String) {
+
+  private var sources: Vector[TaskSource] = Vector.empty
+  private var queries: Vector[StreamingQuery] = Vector.empty
+  private var interfaces: Vector[AssignmentTestInterface] = Vector.empty
+
+  /** S1: declare (or return the existing) source for a topic
+    * (`src/task.ts:52-73`: same-name sources are deduped; conflicting
+    * offsetReset is rejected). */
+  def source(topicName: String, offsetReset: String = "latest"): TaskSource =
+    sources.find(_.topicName == topicName) match {
+      case Some(s) =>
+        require(s.offsetReset == offsetReset,
+          s"source $topicName already declared with offsetReset=${s.offsetReset}")
+        s
+      case None =>
+        val s = new TaskSource(topicName, offsetReset)
+        sources :+= s
+        s
+    }
+
+  /** P1: append a processor setup to a source of THIS task
+    * (`src/task.ts:75-84`). */
+  def processor(src: TaskSource)(setup: ProcessorSetup): TaskSource = {
+    require(sources.exists(_ eq src),
+      "source does not belong to this task (src/task.ts:79-81)")
+    src.setups :+= setup
+    src
+  }
+
+  /** L1: production start — one streaming query per source, reading the
+    * real Kafka source. `fromBeginning = isEarliest(offsetReset)` exactly
+    * as `src/task.ts:150-152`. The pipeline is the same
+    * [[Processing.processPartition]] the test harness runs; the sink
+    * applies carried effects per micro-batch (commits → ledger at the
+    * checkpoint, produced → Kafka producer).
+    *
+    * Requires the spark-sql-kafka connector on the classpath (absent in
+    * this build sandbox — the code path is compiled but exercised against
+    * [[inject]]'s MemoryStream contexts instead, mirroring how the
+    * reference's own CI runs the local context suite without brokers). */
+  def start(spark: SparkSession, bootstrapServers: String,
+      checkpointDir: String): Seq[StreamingQuery] = {
+    implicit val kEnc = Encoders.product[KMessage]
+    implicit val pEnc = Encoders.product[Processed]
+    queries = sources.map { src =>
+      val procs = src.setups.flatMap(setup =>
+        setup(AssignmentInfo(src.topicName, -1, group)))
+      val raw = spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", src.topicName)
+        .option("startingOffsets",
+          if (src.offsetReset == "earliest") "earliest" else "latest")
+        .load()
+      val msgs = raw.select(
+        col("topic"), col("partition"), col("offset"),
+        col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"),
+        unix_millis(col("timestamp")).as("timestamp"),
+        lit(null).cast("string").as("error")).as[KMessage]
+      msgs.writeStream
+        .option("checkpointLocation", s"$checkpointDir/${src.topicName}")
+        .foreachBatch { (batch: Dataset[KMessage], _: Long) =>
+          val processed = batch
+            .repartition(col("partition"))
+            .sortWithinPartitions("partition", "offset")
+            .mapPartitions(Processing.processPartition(group, procs))
+          // Effects sink: produced messages → Kafka producer; commits are
+          // observable in the rows, durability comes from the checkpoint.
+          processed
+            .select(explode(col("produced")).as("m"))
+            .select(col("m.topic"), col("m.key"), col("m.value"))
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrapServers)
+            .save()
+          ()
+        }
+        .start()
+    }
+    queries
+  }
+
+  /** L3: stop everything this task started (`src/task.ts:157-166`). */
+  def stop(): Unit = {
+    queries.foreach(_.stop())
+    interfaces.foreach(_.close())
+    queries = Vector.empty
+    interfaces = Vector.empty
+  }
+
+  /** L7: broker-free injection harness (`src/task.ts:86-105`) — one local
+    * assignment context per (topic, partition), processors from this
+    * task's matching source, setups run once per assignment (P2). */
+  def inject(spark: SparkSession, topic: String, partition: Int,
+      initial: Seq[KMessage] = Nil, lowOffset: Long = 0L): AssignmentTestInterface = {
+    val src = sources.find(_.topicName == topic).getOrElse(
+      throw new IllegalArgumentException(
+        s"no source declared for topic $topic (src/task.ts:92-96)"))
+    val procs = src.setups.flatMap(setup =>
+      setup(AssignmentInfo(topic, partition, group)))
+    val itf = new AssignmentTestInterface(spark, group, topic, partition,
+      procs, initial, lowOffset)
+    interfaces :+= itf
+    itf
+  }
+
+  /** Array form, mirroring the reference's polymorphic return
+    * (`src/task.ts:99-104`). */
+  def inject(spark: SparkSession,
+      assignments: Seq[(String, Int)]): Seq[AssignmentTestInterface] =
+    assignments.map { case (t, p) => inject(spark, t, p) }
+}

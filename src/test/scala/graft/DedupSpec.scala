@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps
+
+/** Semantic checks for the no-oracle dedup queries (VERDICT r1 items 1-3):
+  * the LSH paths must cover the exact ground truth their doc comments
+  * promise. Ground truth = `q_dedup_ngram_jaccard` (oracle-verified
+  * against DuckDB by the driver). */
+class DedupSpec extends SparkSpec {
+
+  private def pairs(q: String, minCol: Option[(String, Double)] = None): Set[(Long, Long)] = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    val f = minCol.map { case (c, v) => df.filter(col(c) >= v) }.getOrElse(df)
+    f.select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash LSH pairs cover ALL ngram-jaccard pairs at j >= 0.8") {
+    val gt = pairs("q_dedup_ngram_jaccard", Some(("jaccard", 0.8)))
+    val mh = pairs("q_dedup_minhash")
+    assert(gt.nonEmpty, "ground truth must not be vacuous")
+    assert((gt -- mh).isEmpty,
+      s"minhash missed ${(gt -- mh).size} of ${gt.size} ground-truth pairs")
+  }
+
+  test("minhash signature agreement estimates Jaccard within 0.15 of exact") {
+    val gt = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+      .select(col("da"), col("db"), col("jaccard"))
+    val est = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+    val joined = gt.join(est, Seq("da", "db"))
+      .select(abs(col("jaccard") - col("jaccard_est")).as("err"))
+      .collect().map(_.getDouble(0))
+    assert(joined.nonEmpty)
+    assert(joined.max <= 0.15,
+      f"max |j - ĵ| = ${joined.max}%.3f exceeds the 64-perm sampling bound")
+  }
+
+  test("simhash bands find every pair at Hamming <= 5 (pigeonhole recall = 1.0)") {
+    // brute-force ground truth over the fingerprints themselves
+    val fp = DedupOps.simhash(spark, sf)
+    val a = fp.select(col("doc_id").as("da"), col("simhash").as("ha"))
+    val b = fp.select(col("doc_id").as("db"), col("simhash").as("hb"))
+    val truth = a.join(b, col("da") < col("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("ham"))
+      .filter(col("ham") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = pairs("q_dedup_simhash")
+    assert(truth.nonEmpty, "ground truth must not be vacuous")
+    assert(found == truth,
+      s"banding must find exactly the Hamming<=5 pairs: missed ${(truth -- found).size}, extra ${(found -- truth).size}")
+  }
+
+  test("simhash pairs cover >= 90% of ngram-jaccard pairs at j >= 0.9") {
+    val gt = pairs("q_dedup_ngram_jaccard", Some(("jaccard", 0.9)))
+    val sh = pairs("q_dedup_simhash")
+    assert(gt.nonEmpty)
+    val covered = (gt & sh).size.toDouble / gt.size
+    assert(covered >= 0.9,
+      f"simhash covered only ${covered * 100}%.0f%% of near-identical docs")
+  }
+
+  test("exact dedup groups match distinct text count") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val distinctTexts = docs.select("text").distinct().count()
+    val groups = SparkEntry.queries("q_dedup_exact")(spark, sf).count()
+    assert(groups == distinctTexts)
+  }
+}

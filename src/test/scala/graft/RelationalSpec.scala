@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Accuracy check for the one no-oracle relational query: HLL++ approx
+  * distinct (rsd = 0.01) against the oracle-verified exact counts. */
+class RelationalSpec extends SparkSpec {
+
+  test("approx_count_distinct within 2% of exact per event_type") {
+    val exact = SparkEntry.queries("q_distinct_users")(spark, sf)
+    val approx = SparkEntry.queries("q_distinct_users_approx")(spark, sf)
+    val joined = exact.join(approx, "event_type")
+      .select(col("event_type"), col("n_users"), col("n_users_approx"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val e = r.getLong(1).toDouble
+      val a = r.getLong(2).toDouble
+      assert(math.abs(a - e) / e <= 0.02,
+        s"${r.getString(0)}: approx $a vs exact $e off by ${math.abs(a - e) / e}")
+    }
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.DotF.dotf
+
+/** Semantic checks for the similarity family: ANN recall against the
+  * oracle-verified brute force, block-grid equivalence, and bit-identity
+  * of the codegen'd dot product with its declarative rendering. */
+class SimilaritySpec extends SparkSpec {
+
+  test("ANN top-20 recall >= 0.9 vs brute-force cosine top-20") {
+    val bf = SparkEntry.queries("q_similarity_cosine")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ann = SparkEntry.queries("q_similarity_ann")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(bf.size == 20)
+    val recall = (bf & ann).size / 20.0
+    assert(recall >= 0.9, f"ANN recall@20 = $recall%.2f < 0.9")
+  }
+
+  test("block-grid near-dup equals the naive all-pairs join exactly") {
+    val e = graft.sources.Tables(spark, sf, "embeddings")
+    def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      dotf(a, b) / (sqrt(dotf(a, a)) * sqrt(dotf(b, b)))
+    val naive = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")),
+        col("va") < col("vb"))
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.4)
+      .select(col("va"), col("vb"), Det.r4(col("cos")).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val grid = SparkEntry.queries("q_embed_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(naive.nonEmpty)
+    assert(grid == naive)
+  }
+
+  test("DotF is bit-identical to the declarative aggregate/zip_with fold") {
+    val e = graft.sources.Tables(spark, sf, "embeddings").limit(200)
+    val hof = aggregate(
+      zip_with(col("embedding"), col("q"), (x, y) =>
+        x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val both = e.crossJoin(broadcast(q))
+      .select(dotf(col("embedding"), col("q")).as("native"), hof.as("declarative"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"bit mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
+  test("DotF handles length mismatch and SQL registration") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0, 4.0, 5.0))).toDF("a", "b")
+    assert(df.select(dotf(col("a"), col("b"))).collect().head.isNullAt(0))
+    // registered via GraftExtensions (spark.sql.extensions)
+    val viaSql = spark.sql("SELECT dotf(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(viaSql == 11.0)
+  }
+}
