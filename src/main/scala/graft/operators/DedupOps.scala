@@ -233,25 +233,29 @@ object DedupOps {
   // --- SimHash ----------------------------------------------------------
   /** 64-bit SimHash per doc: bit k of the fingerprint is the sign of the
     * term-frequency-weighted sum over tokens of ±1 according to bit k of
-    * xxhash64(token). Tokens are pre-aggregated per doc so the 64-way bit
-    * fan-out multiplies distinct tokens, not raw token occurrences. */
+    * xxhash64(token) — computed as the equivalent plain sum over token
+    * OCCURRENCES (tf · ±1 over distinct tokens ≡ ±1 summed per
+    * occurrence).
+    *
+    * Like [[minhashSignatures]], a fingerprint depends only on its own
+    * document, so this is a narrow per-row fold — no explode, no
+    * aggregation, no shuffle (the earlier exploded formulation shuffled a
+    * 64-way bit fan-out, tokens × 64 rows, through two aggregations).
+    * Bit tests use a literal mask array because the Column API has no
+    * variable-distance shift; the final fold ORs the masks of positive
+    * counters together (bit-or cannot overflow under ANSI arithmetic). */
   private[graft] def simhash(s: SparkSession, d: String): DataFrame = {
-    val tok = docsSpread(s, d)
-      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("tok")))
-    tok
-      .select(col("doc_id"), col("cnt"), col("h"),
-        explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("w",
-        when(expr("(shiftright(h, bit) & 1) = 1"), col("cnt"))
-          .otherwise(-col("cnt")))
-      .groupBy("doc_id", "bit")
-      .agg(sum("w").as("sw"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("sw") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-        .otherwise(0L)).as("simhash"))
-      .select(col("doc_id"), col("simhash"))
+    val masks = typedLit((0 until 64).map(k => 1L << k))
+    val counts = aggregate(
+      transform(toks(col("text")), t => xxhash64(t)),
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        transform(masks, m => when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)),
+        (a, b) => a + b))
+    docsSpread(s, d)
+      .select(col("doc_id"),
+        aggregate(zip_with(counts, masks, (v, m) => when(v > 0, m).otherwise(0L)),
+          lit(0L), (fp, b) => fp.bitwiseOR(b)).as("simhash"))
   }
 
   /** SimHash near-dup pairs: candidates collide in ≥1 of 6 bands

@@ -50,7 +50,8 @@ final class AssignmentTestInterface private[streaming] (
     val partition: Int,
     procs: Seq[Processor],
     initial: Seq[KMessage],
-    lowOffset: Long) {
+    lowOffset: Long,
+    offsetReset: String) {
 
   private implicit val kEnc = Encoders.product[KMessage]
   private implicit val pEnc = Encoders.product[Processed]
@@ -63,6 +64,15 @@ final class AssignmentTestInterface private[streaming] (
   private val offsets = mutable.Buffer.empty[Long]
   private val produced = mutable.Buffer.empty[NewMessage]
   private val commits = mutable.Buffer.empty[CommitReq]
+
+  /** Full retained log (the local context's in-memory log,
+    * local.ts:52-67) — the replay source for backward seeks. */
+  private val log = mutable.Buffer.empty[KMessage]
+
+  /** Seek fence: messages below it are discarded at the sink before the
+    * pipeline runs — the Spark rendering of the reference's SeekOp
+    * stale-batch fencing (`src/streams.ts:28-36,64-78`). */
+  @volatile private var fence: Long = Long.MinValue
 
   private val stream = MemoryStream[KMessage](spark)
 
@@ -78,8 +88,10 @@ final class AssignmentTestInterface private[streaming] (
       } else nextOffset
     nextOffset = off + 1
     clock += 1
-    m.copy(topic = topic, partition = partition, offset = off,
+    val stamped = m.copy(topic = topic, partition = partition, offset = off,
       timestamp = if (m.timestamp > 0) m.timestamp else clock)
+    log += stamped
+    stamped
   }
 
   /** Messages seeded from initial state (local.ts `initialMessages`). */
@@ -97,7 +109,9 @@ final class AssignmentTestInterface private[streaming] (
       // and capture this (non-serializable) interface into the task.
       val g = group
       val ps = procs
+      val f = fence
       val done = batch
+        .filter(col("offset") >= f) // stale-batch fencing (streams.ts:64-78)
         .coalesce(1)
         .sortWithinPartitions("offset")
         .mapPartitions(Processing.processPartition(g, ps))
@@ -146,6 +160,45 @@ final class AssignmentTestInterface private[streaming] (
     * StreamingQueryException if a processor threw or an error was
     * injected. */
   def await(): Unit = query.processAllAvailable()
+
+  // --- seek (O6/O7) ------------------------------------------------------
+
+  /** O6: absolute seek (local.ts:156-181). Forward: not-yet-processed
+    * messages below the target are fenced out (skip). Backward: processed
+    * messages from the target on are re-enqueued from the retained log
+    * (replay) — both land in the same micro-batch as any pending
+    * originals, and the sink's offset sort restores consumption order.
+    * Out-of-range targets clamp per the source's offsetReset policy: low
+    * for `earliest`, high for `latest` (local.ts:162-173). */
+  def seek(target: Long): Unit = {
+    val replay = lock.synchronized {
+      val low = lowOffset
+      val high = nextOffset
+      val t =
+        if (target < low || target > high)
+          if (offsetReset == "earliest") low else high
+        else target
+      // next unprocessed offset: processing is in-order, so everything
+      // below max(processed)+1 has been consumed
+      val p = if (offsets.isEmpty) low else offsets.max + 1
+      fence = t
+      if (t < p) log.filter(m => m.offset >= t && m.offset < p).toSeq
+      else Seq.empty
+    }
+    if (replay.nonEmpty) stream.addData(replay)
+  }
+
+  /** O7: logical seek — resolve the reference's six aliases + two enum
+    * names to the low/high watermark (`src/offsets.ts:1-39`), then seek. */
+  def seek(logical: String): Unit = logical.toLowerCase match {
+    case "earliest" | "beginning" | "smallest" | "-2" =>
+      seek(lock.synchronized(lowOffset))
+    case "latest" | "end" | "largest" | "-1" =>
+      seek(lock.synchronized(nextOffset))
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown logical offset '$other' (src/offsets.ts:1-17)")
+  }
 
   /** End the log and await processing (local.ts:280-283). */
   def end(): Unit = {

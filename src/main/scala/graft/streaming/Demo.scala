@@ -46,6 +46,12 @@ object Demo {
       s"watermarks=${itf.watermarks()}")
     println("last results: " + itf.processingResults.takeRight(3).mkString(" | "))
     println("produced to window-counts: " + itf.producedMessages.size)
+
+    // rewind and replay the last window (O6 seek — backward replay)
+    itf.seek(20L)
+    itf.await()
+    println(s"after seek(20): processed ${itf.processedOffsets.size} " +
+      s"(replayed ${itf.processedOffsets.size - 25})")
     task.stop()
     spark.stop()
   }

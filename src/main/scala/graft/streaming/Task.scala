@@ -149,7 +149,7 @@ final class Task(val group: String) {
     val procs = src.setups.flatMap(setup =>
       setup(AssignmentInfo(topic, partition, group)))
     val itf = new AssignmentTestInterface(spark, group, topic, partition,
-      procs, initial, lowOffset)
+      procs, initial, lowOffset, src.offsetReset)
     interfaces :+= itf
     itf
   }

@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twins of the batch window/state layer (SURVEY §2.5 G1/G4):
+  * event-time tumbling aggregation under a watermark, and the
+  * store-in-closure pattern as `mapGroupsWithState` — the reference's
+  * windowing/store goals (`/root/reference/README.md:78-79`) on the
+  * micro-batch engine, not just their batch analogues. */
+class StreamingWindowSpec extends SparkSpec {
+
+  test("G1 streaming: tumbling event-time count with watermark") {
+    val s = spark
+    import s.implicits._
+    val in = MemoryStream[(Timestamp, String)](s)
+    val counts = in.toDS()
+      .toDF("ts", "event_type")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .count()
+    val q = counts.writeStream
+      .format("memory").queryName("g1_tumbling")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      def t(sec: Int) = new Timestamp(sec * 1000L)
+      in.addData((t(5), "click"), (t(10), "click"), (t(65), "view"))
+      q.processAllAvailable()
+      val rows = s.table("g1_tumbling")
+        .select(unix_timestamp(col("window.start")).as("w"), col("event_type"), col("count"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set((0L, "click", 2L), (60L, "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("G4 streaming: running count per key via mapGroupsWithState") {
+    val s = spark
+    import s.implicits._
+    val in = MemoryStream[(String, Int)](s)
+    val running = in.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, values: Iterator[(String, Int)], state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + values.size
+          state.update(next)
+          (key, next)
+      }
+    val q = running.writeStream
+      .format("memory").queryName("g4_running")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      in.addData(("u1", 1), ("u1", 1), ("u2", 1))
+      q.processAllAvailable()
+      in.addData(("u1", 1))
+      q.processAllAvailable()
+      val last = s.table("g4_running").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(last == Map("u1" -> 3L, "u2" -> 1L))
+    } finally q.stop()
+  }
+}
