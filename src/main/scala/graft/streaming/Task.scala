@@ -92,9 +92,12 @@ final class Task(val group: String) {
       checkpointDir: String): Seq[StreamingQuery] = {
     implicit val kEnc = Encoders.product[KMessage]
     implicit val pEnc = Encoders.product[Processed]
+    // Hoisted local: referencing the `group` field inside the closures
+    // below would capture `this` (a non-serializable Task) into the task.
+    val g = group
     queries = sources.map { src =>
       val procs = src.setups.flatMap(setup =>
-        setup(AssignmentInfo(src.topicName, -1, group)))
+        setup(AssignmentInfo(src.topicName, -1, g)))
       val raw = spark.readStream
         .format("kafka")
         .option("kafka.bootstrap.servers", bootstrapServers)
@@ -114,7 +117,7 @@ final class Task(val group: String) {
           val processed = batch
             .repartition(col("partition"))
             .sortWithinPartitions("partition", "offset")
-            .mapPartitions(Processing.processPartition(group, procs))
+            .mapPartitions(Processing.processPartition(g, procs))
           // Effects sink: produced messages → Kafka producer; commits are
           // observable in the rows, durability comes from the checkpoint.
           processed
