@@ -56,14 +56,7 @@ object DedupOps {
   private def toks(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => length(t) > 0)
 
-  /** Let-binding for expression trees: evaluates `v` ONCE per row and hands
-    * it to `body` as a lambda variable. Without this, an expression used k
-    * times inside a higher-order-function lambda is duplicated k times per
-    * lambda invocation (Catalyst has no CSE inside interpreted lambdas) —
-    * binding the ~50-element token array this way took the shingle pipeline
-    * from ~150 tokenizations per document to exactly one. */
-  private def bindOnce(v: Column, body: Column => Column): Column =
-    element_at(transform(array(v), body), 1)
+  import graft.functions.bindOnce
 
   /** 64-bit shingle hashes — xxhash64 applied INSIDE the shingle lambda so
     * downstream shuffles and joins carry 8-byte longs, never the ~30-byte

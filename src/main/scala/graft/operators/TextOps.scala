@@ -100,22 +100,24 @@ object TextOps {
   // Document fingerprint: min-hash over word 3-shingles (one 128-bit hash
   // per shingle, keep the lexicographic min) — an order-invariant,
   // locality-insensitive content fingerprint; md5(text) fallback for
-  // sub-3-token docs.
-  private def fingerprint(s: SparkSession, d: String): DataFrame = {
-    val l = toks(col("text"))
+  // sub-3-token docs. The token array is bound once per row
+  // (graft.functions.bindOnce) — inlined references inside the shingle
+  // lambda would re-tokenize per index — and documents are spread across
+  // the shuffle partitioning because the test parquet is one file → one
+  // scan partition.
+  private def fingerprint(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .select(col("doc_id"), col("text"), l.as("l"))
-      .withColumn("fp", coalesce(
-        when(size(col("l")) >= 3,
-          array_min(transform(sequence(lit(1), size(col("l")) - 2),
-            i => md5(concat_ws(" ",
-              element_at(col("l"), i),
-              element_at(col("l"), i + 1),
-              element_at(col("l"), i + 2)).cast("binary"))))),
-        md5(col("text").cast("binary"))))
-      .select("doc_id", "fp")
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), graft.functions.bindOnce(toks(col("text")), l =>
+        coalesce(
+          when(size(l) >= 3,
+            array_min(transform(sequence(lit(1), size(l) - 2),
+              i => md5(concat_ws(" ",
+                element_at(l, i),
+                element_at(l, i + 1),
+                element_at(l, i + 2)).cast("binary"))))),
+          md5(col("text").cast("binary")))).as("fp"))
       .orderBy("doc_id")
-  }
 
   private val oracleToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
