@@ -4,21 +4,34 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.DotF
+import graft.functions.{DotF, MinHashSig64, ShingleHashes64, SimHash64}
 
 /** Session extensions for the engine's native expressions.
   *
-  * Registers `dotf(array, array) -> double` so SQL users (and
-  * `call_function`) get the codegen'd dot product. Activate with
+  * Registers `dotf(array, array) -> double` plus the text kernels
+  * (`shingle_hashes64`, `minhash_sig64`, `simhash64`) so SQL users (and
+  * `call_function`) get the codegen'd paths. Activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`; the
-  * Column-level API ([[graft.functions.DotF.dotf]]) works without it.
+  * Column-level APIs (graft.functions._) work without it.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    type Expr = org.apache.spark.sql.catalyst.expressions.Expression
     ext.injectFunction((
       FunctionIdentifier("dotf"),
       new ExpressionInfo(classOf[DotF].getName, "dotf"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotF(children(0), children(1))))
+      (children: Seq[Expr]) => DotF(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes64"),
+      new ExpressionInfo(classOf[ShingleHashes64].getName, "shingle_hashes64"),
+      (children: Seq[Expr]) => ShingleHashes64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig64"),
+      new ExpressionInfo(classOf[MinHashSig64].getName, "minhash_sig64"),
+      (children: Seq[Expr]) => MinHashSig64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expr]) => SimHash64(children.head)))
   }
 }

@@ -1,0 +1,166 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernels for the hot per-document text paths (shingling, MinHash,
+  * SimHash). Each is a single tight JVM pass over the document invoked via
+  * one generated static call inside whole-stage codegen.
+  *
+  * Why: the declarative formulations evaluate interpreted higher-order
+  * lambdas per element — tokens × permutations ≈ 3–7k boxed evaluations
+  * per document (tens of millions per million documents). Semantics are
+  * kept EXACTLY equal to the declarative rendering (asserted in
+  * graft.KernelSpec):
+  *  - tokenization = `filter(split(lower(text), "\s+"), length > 0)`:
+  *    UTF8String.toLowerCase + java regex split, Spark's own machinery;
+  *  - shingle hash = `xxhash64(concat_ws(" ", t_i, t_i+1, t_i+2))` (XXH64,
+  *    seed 42, over the UTF-8 bytes — via [[XxHash64Function]]);
+  *  - MinHash permutation = `pmod(pmod(h, p) * a + b, p)` with the same
+  *    fixed LCG-derived (a, b) table, p = 2^31 - 1;
+  *  - SimHash = sign of per-bit ±1 sums over token occurrences.
+  */
+object TextKernels {
+
+  val MersenneP: Long = 2147483647L
+  val NumPerms: Int = 64
+
+  /** Fixed LCG-derived universal-hash parameters (seed 42) — the minhash
+    * permutation table, reproducible across runs and cluster sizes. */
+  val perms: Array[(Long, Long)] = {
+    var x = 42L
+    def next(): Long = {
+      x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; x
+    }
+    Array.fill(NumPerms)(((next() % (MersenneP - 1)) + 1, next() % MersenneP))
+  }
+
+  private val WS = Pattern.compile("\\s+")
+
+  private def tokens(s: UTF8String): Array[String] =
+    WS.split(s.toLowerCase.toString, -1).filter(_.nonEmpty)
+
+  private def hashString(s: String): Long =
+    XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
+
+  private def shingleLongs(s: UTF8String): Array[Long] = {
+    val t = tokens(s)
+    if (t.length < 3) Array.emptyLongArray
+    else {
+      val out = new Array[Long](t.length - 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = hashString(t(i) + " " + t(i + 1) + " " + t(i + 2))
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Codegen entry: word-3-shingle xxhash64 array. */
+  def shingleArray(s: UTF8String): GenericArrayData =
+    new GenericArrayData(shingleLongs(s))
+
+  /** Codegen entry: 64-permutation MinHash signature over the shingle set
+    * (seed = [p,...,p] for <3-token docs, like the declarative fold). */
+  def minhashSig(s: UTF8String): GenericArrayData = {
+    val hs = shingleLongs(s)
+    val sig = Array.fill(NumPerms)(MersenneP)
+    var i = 0
+    while (i < hs.length) {
+      val h31 = java.lang.Math.floorMod(hs(i), MersenneP)
+      var k = 0
+      while (k < NumPerms) {
+        val (a, b) = perms(k)
+        val v = java.lang.Math.floorMod(h31 * a + b, MersenneP)
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Codegen entry: 64-bit SimHash (sign of per-bit ±1 sums over token
+    * occurrences; bit k of xxhash64(token) votes on bit k). */
+  def simhash(s: UTF8String): Long = {
+    val t = tokens(s)
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < t.length) {
+      val h = hashString(t(i))
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) acc(k) += 1 else acc(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 64) {
+      if (acc(k) > 0) fp |= (1L << k)
+      k += 1
+    }
+    fp
+  }
+
+  def shingleHashes64(text: Column): Column =
+    graftshim.toColumn(ShingleHashes64(graftshim.toExpression(text)))
+  def minhashSig64(text: Column): Column =
+    graftshim.toColumn(MinHashSig64(graftshim.toExpression(text)))
+  def simHash64(text: Column): Column =
+    graftshim.toColumn(SimHash64(graftshim.toExpression(text)))
+}
+
+/** Base for string → kernel expressions: one generated static call. */
+sealed trait TextKernelExpr extends UnaryExpression {
+  protected def kernelMethod: String
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.$kernelMethod($c)")
+}
+
+case class ShingleHashes64(child: Expression) extends TextKernelExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes64"
+  override protected def kernelMethod: String = "shingleArray"
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.shingleArray(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): ShingleHashes64 =
+    copy(child = c)
+}
+
+case class MinHashSig64(child: Expression) extends TextKernelExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig64"
+  override protected def kernelMethod: String = "minhashSig"
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.minhashSig(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): MinHashSig64 =
+    copy(child = c)
+}
+
+case class SimHash64(child: Expression) extends TextKernelExpr {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def kernelMethod: String = "simhash"
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.simhash(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}

@@ -34,9 +34,6 @@ import graft.sources.Tables
   * Verified in graft.DedupSpec: MinHash/SimHash candidate pairs cover the
   * high-Jaccard ground truth from the exact n-gram query.
   */
-/** Literal element type for the minhash permutation table. */
-case class PermAB(a: Long, b: Long)
-
 object DedupOps {
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -53,23 +50,16 @@ object DedupOps {
   private def docsSpread(s: SparkSession, d: String): DataFrame =
     docs(s, d).repartition(col("doc_id"))
 
-  private def toks(c: Column): Column =
-    filter(split(lower(c), "\\s+"), t => length(t) > 0)
-
-  import graft.functions.bindOnce
-
-  /** 64-bit shingle hashes — xxhash64 applied INSIDE the shingle lambda so
-    * downstream shuffles and joins carry 8-byte longs, never the ~30-byte
-    * shingle strings. Collisions are immaterial: a false shared shingle
-    * would need a 64-bit collision within one candidate pair's ~50-shingle
-    * neighborhood. */
+  /** 64-bit shingle hashes — hashing happens AT the shingle so downstream
+    * shuffles and joins carry 8-byte longs, never the ~30-byte shingle
+    * strings; collisions are immaterial (a false shared shingle needs a
+    * 64-bit collision inside one candidate pair's ~50-shingle
+    * neighborhood). Computed by the native single-pass kernel
+    * [[graft.functions.TextKernels]] — graft.KernelSpec asserts it equals
+    * the declarative `transform(...)/xxhash64(concat_ws(...))` rendering
+    * element for element. */
   private def shingleHashes(c: Column): Column =
-    bindOnce(toks(c), l =>
-      when(size(l) >= 3,
-        transform(sequence(lit(1), size(l) - 2),
-          i => xxhash64(concat_ws(" ", element_at(l, i), element_at(l, i + 1),
-            element_at(l, i + 2)))))
-        .otherwise(array().cast("array<bigint>")))
+    graft.functions.TextKernels.shingleHashes64(c)
 
   /** Distinct (doc_id, sh64) pairs with hot shingles pruned. The cap is
     * corpus-relative — max(100, 0.2% of docs) — so stop-shingle pruning
@@ -135,50 +125,24 @@ object DedupOps {
   // --- MinHash + LSH ---------------------------------------------------
   // Universal-hash family over 31-bit shingle hashes: h_i(x) = (a_i x + b_i)
   // mod p, p = 2^31 - 1 (Mersenne prime); a,b from a fixed LCG so the
-  // signature is reproducible across runs and cluster sizes.
-  private val MersenneP = 2147483647L
-  private val NumPerms = 64
+  // signature is reproducible across runs and cluster sizes
+  // (the permutation table lives in graft.functions.TextKernels).
+  private val NumPerms = graft.functions.TextKernels.NumPerms
   private val BandRows = 4 // 16 bands × 4 rows → ~certain recall at j≥0.8
-  private[graft] val perms: Seq[(Long, Long)] = {
-    var x = 42L
-    def next(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; x }
-    Seq.fill(NumPerms)(((next() % (MersenneP - 1)) + 1, next() % MersenneP))
-  }
 
   /** doc_id + sig: array of 64 minhashes over word 3-shingles.
     *
     * A signature depends only on its own document, so this is a NARROW
-    * per-row projection — no explode, no aggregation, no shuffle: each doc
-    * folds its shingle hashes through the 64 permutations with
-    * higher-order functions. (The aggregate formulation — 64 `min()` agg
-    * expressions over exploded shingles — generates a megabyte-scale
-    * codegen class whose janino compile costs more than the data; and as
-    * part of a self-joined subtree it would run twice.)
-    *
-    * Shape matters: shingles iterate on the OUTER loop so the shingle
-    * pipeline expression occurs exactly once — with shingles inner, the
-    * optimizer's CollapseProject inlines the whole tokenize+hash tree into
-    * the outer lambda and re-evaluates it once per permutation (64× per
-    * doc). The fold seed is [p,...,p]; empty docs keep it, which never
-    * collides with a real band nor passes the estimate. Duplicate shingles
-    * are harmless: min is idempotent. */
-  private[graft] def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    // ONE Literal node (array<struct<a,b>>), not CreateArray of 64
-    // CreateStructs — the folded form keeps the expression tree thousands
-    // of nodes smaller, which analysis/optimization/codegen pay for once
-    // per query.
-    val permsLit = typedLit(perms.map { case (a, b) => PermAB(a, b) })
-    val seed = array_repeat(lit(MersenneP), NumPerms)
+    * per-row projection — no explode, no aggregation, no shuffle — and the
+    * whole tokenize→shingle→hash→64-permutation-min pass is ONE native
+    * kernel call ([[graft.functions.TextKernels.minhashSig64]]); the
+    * declarative fold evaluated ~3.3k interpreted lambdas per document.
+    * The seed is [p,...,p]: empty docs keep it, which never collides with
+    * a real band nor passes the estimate. */
+  private[graft] def minhashSignatures(s: SparkSession, d: String): DataFrame =
     docsSpread(s, d)
       .select(col("doc_id"),
-        aggregate(
-          transform(shingleHashes(col("text")), h =>
-            transform(permsLit, p =>
-              pmod(pmod(h, lit(MersenneP)) * p.getField("a") + p.getField("b"),
-                lit(MersenneP)))),
-          seed,
-          (acc, hs) => zip_with(acc, hs, (x, y) => least(x, y))).as("sig"))
-  }
+        graft.functions.TextKernels.minhashSig64(col("text")).as("sig"))
 
   /** Candidate pairs from LSH banding, verified by signature agreement:
     * ĵ = |{i : sig_a(i) = sig_b(i)}| / 64 is an unbiased Jaccard estimator
@@ -231,25 +195,16 @@ object DedupOps {
     * occurrence).
     *
     * Like [[minhashSignatures]], a fingerprint depends only on its own
-    * document, so this is a narrow per-row fold — no explode, no
-    * aggregation, no shuffle (the earlier exploded formulation shuffled a
-    * 64-way bit fan-out, tokens × 64 rows, through two aggregations).
-    * Bit tests use a literal mask array because the Column API has no
-    * variable-distance shift; the final fold ORs the masks of positive
-    * counters together (bit-or cannot overflow under ANSI arithmetic). */
-  private[graft] def simhash(s: SparkSession, d: String): DataFrame = {
-    val masks = typedLit((0 until 64).map(k => 1L << k))
-    val counts = aggregate(
-      transform(toks(col("text")), t => xxhash64(t)),
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc,
-        transform(masks, m => when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)),
-        (a, b) => a + b))
+    * document: a narrow per-row projection through the native single-pass
+    * kernel ([[graft.functions.TextKernels.simHash64]]) — no explode, no
+    * aggregation, no shuffle (the first formulation shuffled a 64-way bit
+    * fan-out, tokens × 64 rows, through two aggregations; the declarative
+    * fold that replaced it still evaluated ~7k interpreted lambdas per
+    * document). */
+  private[graft] def simhash(s: SparkSession, d: String): DataFrame =
     docsSpread(s, d)
       .select(col("doc_id"),
-        aggregate(zip_with(counts, masks, (v, m) => when(v > 0, m).otherwise(0L)),
-          lit(0L), (fp, b) => fp.bitwiseOR(b)).as("simhash"))
-  }
+        graft.functions.TextKernels.simHash64(col("text")).as("simhash"))
 
   /** SimHash near-dup pairs: candidates collide in ≥1 of 6 bands
     * (4×11 + 2×10 bits) of the fingerprint — pigeonhole: ≤5 flipped bits

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextKernels
+import graft.functions.bindOnce
+
+/** The native text kernels must be EXACTLY equal to the declarative
+  * higher-order-function formulations they replaced — same tokenizer
+  * (`filter(split(lower(text), "\s+"), length > 0)`), same xxhash64 (seed
+  * 42), same permutation table, same sign rule — asserted row by row over
+  * the corpus. */
+class KernelSpec extends SparkSpec {
+
+  private def toks(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+
+  /** Declarative reference: shingle hashes via HOFs. */
+  private def shingleHashesHof(c: Column): Column =
+    bindOnce(toks(c), l =>
+      when(size(l) >= 3,
+        transform(sequence(lit(1), size(l) - 2),
+          i => xxhash64(concat_ws(" ", element_at(l, i), element_at(l, i + 1),
+            element_at(l, i + 2)))))
+        .otherwise(array().cast("array<bigint>")))
+
+  /** Declarative reference: 64-perm minhash fold. */
+  private def minhashSigHof(c: Column): Column = {
+    val p = TextKernels.MersenneP
+    val permsLit = array(TextKernels.perms.map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b")) }.toSeq: _*)
+    aggregate(
+      transform(shingleHashesHof(c), h =>
+        transform(permsLit, pr =>
+          pmod(pmod(h, lit(p)) * pr.getField("a") + pr.getField("b"), lit(p)))),
+      array_repeat(lit(p), TextKernels.NumPerms),
+      (acc, hs) => zip_with(acc, hs, (x, y) => least(x, y)))
+  }
+
+  /** Declarative reference: simhash sign-of-sums fold. */
+  private def simhashHof(c: Column): Column = {
+    val masks = typedLit((0 until 64).map(k => 1L << k))
+    val counts = aggregate(
+      transform(toks(c), t => xxhash64(t)),
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        transform(masks, m => when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)),
+        (a, b) => a + b))
+    aggregate(zip_with(counts, masks, (v, m) => when(v > 0, m).otherwise(0L)),
+      lit(0L), (fp, b) => fp.bitwiseOR(b))
+  }
+
+  private def docs = graft.sources.Tables(spark, sf, "documents")
+
+  test("ShingleHashes64 equals the declarative shingle pipeline on every doc") {
+    val bad = docs.select(
+      TextKernels.shingleHashes64(col("text")).as("native"),
+      shingleHashesHof(col("text")).as("hof"))
+      .filter(not(col("native") === col("hof")))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("MinHashSig64 equals the declarative 64-perm fold on every doc") {
+    val bad = docs.select(
+      TextKernels.minhashSig64(col("text")).as("native"),
+      minhashSigHof(col("text")).as("hof"))
+      .filter(not(col("native") === col("hof")))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("SimHash64 equals the declarative sign-of-sums fold on every doc") {
+    val bad = docs.select(
+      TextKernels.simHash64(col("text")).as("native"),
+      simhashHof(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("kernels are SQL-callable via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT simhash64('a b c') AS s, size(minhash_sig64('a b c d e')) AS n")
+      .collect().head
+    assert(r.getLong(0) != 0L && r.getInt(1) == 64)
+  }
+}
