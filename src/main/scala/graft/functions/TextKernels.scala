@@ -69,6 +69,21 @@ object TextKernels {
   def shingleArray(s: UTF8String): GenericArrayData =
     new GenericArrayData(shingleLongs(s))
 
+  /** Codegen entry: DISTINCT word-3-shingle hashes, sorted — the per-doc
+    * shingle SET. Exploding this equals `explode(shingleArray).distinct()`
+    * per (doc, shingle) without the global distinct's shuffle. */
+  def shingleSet(s: UTF8String): GenericArrayData = {
+    val hs = shingleLongs(s)
+    java.util.Arrays.sort(hs)
+    var n = 0
+    var i = 0
+    while (i < hs.length) {
+      if (i == 0 || hs(i) != hs(i - 1)) { hs(n) = hs(i); n += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, n))
+  }
+
   /** Codegen entry: 64-permutation MinHash signature over the shingle set
     * (seed = [p,...,p] for <3-token docs, like the declarative fold). */
   def minhashSig(s: UTF8String): GenericArrayData = {
@@ -115,6 +130,8 @@ object TextKernels {
 
   def shingleHashes64(text: Column): Column =
     graftshim.toColumn(ShingleHashes64(graftshim.toExpression(text)))
+  def shingleSet64(text: Column): Column =
+    graftshim.toColumn(ShingleSet64(graftshim.toExpression(text)))
   def minhashSig64(text: Column): Column =
     graftshim.toColumn(MinHashSig64(graftshim.toExpression(text)))
   def simHash64(text: Column): Column =
@@ -142,6 +159,16 @@ case class ShingleHashes64(child: Expression) extends TextKernelExpr {
   override def nullSafeEval(v: Any): Any =
     TextKernels.shingleArray(v.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(c: Expression): ShingleHashes64 =
+    copy(child = c)
+}
+
+case class ShingleSet64(child: Expression) extends TextKernelExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_set64"
+  override protected def kernelMethod: String = "shingleSet"
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.shingleSet(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): ShingleSet64 =
     copy(child = c)
 }
 

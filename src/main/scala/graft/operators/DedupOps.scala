@@ -50,32 +50,31 @@ object DedupOps {
   private def docsSpread(s: SparkSession, d: String): DataFrame =
     docs(s, d).repartition(col("doc_id"))
 
-  /** 64-bit shingle hashes — hashing happens AT the shingle so downstream
-    * shuffles and joins carry 8-byte longs, never the ~30-byte shingle
-    * strings; collisions are immaterial (a false shared shingle needs a
-    * 64-bit collision inside one candidate pair's ~50-shingle
-    * neighborhood). Computed by the native single-pass kernel
-    * [[graft.functions.TextKernels]] — graft.KernelSpec asserts it equals
-    * the declarative `transform(...)/xxhash64(concat_ws(...))` rendering
-    * element for element. */
-  private def shingleHashes(c: Column): Column =
-    graft.functions.TextKernels.shingleHashes64(c)
+  // Shingles travel as 64-bit hashes (native kernels in
+  // graft.functions.TextKernels, parity-asserted in graft.KernelSpec):
+  // downstream shuffles and joins carry 8-byte longs, never the ~30-byte
+  // shingle strings. Collisions are immaterial — a false shared shingle
+  // needs a 64-bit collision inside one candidate pair's ~50-shingle
+  // neighborhood.
 
-  /** Distinct (doc_id, sh64) pairs with hot shingles pruned. The cap is
+  /** Per-shingle buckets `(sh64, df, ds = list of docs containing it)`
+    * with hot shingles pruned. One shuffle total: per-doc shingle SETS
+    * come out of the native kernel (no global distinct needed — distinct
+    * per (doc, shingle) IS per-doc dedup), and document frequency + the
+    * doc list are one aggregation (no separate dfreq join). The cap is
     * corpus-relative — max(100, 0.2% of docs) — so stop-shingle pruning
     * tightens with corpus growth instead of letting a fixed cap admit
     * quadratic blowup at 1000× the documents. */
-  private def shingleIndex(s: SparkSession, d: String): DataFrame = {
+  private def shingleBuckets(s: SparkSession, d: String): DataFrame = {
     val sh = docsSpread(s, d)
-      .select(col("doc_id"), explode(shingleHashes(col("text"))).as("sh64"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(graft.functions.TextKernels.shingleSet64(col("text"))).as("sh64"))
     val cap = docs(s, d).agg(
       greatest(lit(100L), (count(lit(1)) * 0.002).cast("long")).as("max_df"))
-    val dfreq = sh.groupBy("sh64").agg(count(lit(1)).as("df"))
+    sh.groupBy("sh64")
+      .agg(count(lit(1)).as("df"), collect_list("doc_id").as("ds"))
       .crossJoin(broadcast(cap))
       .filter(col("df") <= col("max_df"))
-    sh.join(dfreq.select("sh64"), Seq("sh64"))
-      .select("doc_id", "sh64")
   }
 
   // G10: exact dedup via content hash.
@@ -102,8 +101,7 @@ object DedupOps {
   // counts, instead of a self-join that re-executes the index subtree per
   // side. Exact Jaccard, cost O(Σ df²) with df bounded corpus-relatively.
   private def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val grp = shingleIndex(s, d)
-      .groupBy("sh64").agg(collect_list("doc_id").as("ds"))
+    val grp = shingleBuckets(s, d)
     val cnt = grp.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = grp

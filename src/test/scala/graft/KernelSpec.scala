@@ -62,6 +62,15 @@ class KernelSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("ShingleSet64 equals sorted array_distinct of the shingle pipeline") {
+    val bad = docs.select(
+      TextKernels.shingleSet64(col("text")).as("native"),
+      array_sort(array_distinct(shingleHashesHof(col("text")))).as("hof"))
+      .filter(not(col("native") === col("hof")))
+      .count()
+    assert(bad == 0)
+  }
+
   test("MinHashSig64 equals the declarative 64-perm fold on every doc") {
     val bad = docs.select(
       TextKernels.minhashSig64(col("text")).as("native"),
