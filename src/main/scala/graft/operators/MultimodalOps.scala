@@ -66,6 +66,53 @@ object MultimodalOps {
           .otherwise("webp").as("format"))
       .orderBy("doc_id")
 
+  // Resize to fit a 224×224 box preserving aspect ratio — the standard
+  // vision-model preprocessing step. Pure integer metadata arithmetic
+  // (the pixel resample itself is the stubbed codec step); at scale this
+  // is a narrow projection over the metadata columns, blob untouched.
+  private def multimodalResize(s: SparkSession, d: String): DataFrame =
+    multimodalMeta(s, d)
+      .withColumn("out_w",
+        when(col("width") >= col("height"), 224L)
+          .otherwise(floor(col("width") * 224 / col("height"))))
+      .withColumn("out_h",
+        when(col("width") >= col("height"),
+          floor(col("height") * 224 / col("width"))).otherwise(224L))
+      .select("doc_id", "width", "height", "out_w", "out_h")
+      .orderBy("doc_id")
+
+  // Frame sampling: 8 evenly-spaced byte offsets per asset (the frame
+  // decode at each offset is the stubbed codec step). The explode is the
+  // real plumbing: one row per (asset, frame) with offset + chunk length,
+  // partition-preserving, no shuffle.
+  private def multimodalFrames(s: SparkSession, d: String): DataFrame =
+    assets(s, d)
+      .select(col("doc_id"), length(col("blob")).cast("long").as("n_bytes"))
+      .select(col("doc_id"), col("n_bytes"),
+        explode(sequence(lit(0L), lit(7L))).as("frame_idx"))
+      .withColumn("byte_offset", floor(col("frame_idx") * col("n_bytes") / 8))
+      .withColumn("chunk_len", floor(col("n_bytes") / 8))
+      .orderBy("doc_id", "frame_idx")
+
+  // Feature extraction: 4 pseudo-features in [0, 1) derived from the
+  // content hash (the real embedding model call is the stubbed step; the
+  // hash keeps it deterministic and cross-engine checkable). Narrow
+  // projection — the shape a mapInPandas/mapPartitions model-inference
+  // stage plugs into.
+  private def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    val h = md5(col("blob"))
+    def f(k: Int) =
+      graft.Det.r4(conv(substring(h, 1 + 8 * k, 8), 16, 10).cast("long") /
+        lit(4294967296.0))
+    assets(s, d)
+      .select(col("doc_id"), f(0).as("f0"), f(1).as("f1"), f(2).as("f2"),
+        f(3).as("f3"))
+      .orderBy("doc_id")
+  }
+
+  private val featuresSqlF: Int => String = k =>
+    graft.Det.r4Sql(s"CAST(('0x' || substr(md5(text), ${1 + 8 * k}, 8)) AS BIGINT) / 4294967296.0")
+
   val defs: Seq[QDef] = Seq(
     QDef("q_multimodal_meta", multimodalMeta, Some(
       """SELECT doc_id, n_bytes, n_bytes % 640 + 1 AS width,
@@ -73,6 +120,28 @@ object MultimodalOps {
         | CASE n_bytes % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
         |  ELSE 'webp' END AS format
         | FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes
-        |       FROM documents) ORDER BY doc_id""".stripMargin))
+        |       FROM documents) ORDER BY doc_id""".stripMargin)),
+    QDef("q_multimodal_resize", multimodalResize, Some(
+      """SELECT doc_id, width, height,
+        | CASE WHEN width >= height THEN 224
+        |  ELSE CAST(floor(width * 224 / height) AS BIGINT) END AS out_w,
+        | CASE WHEN width >= height THEN CAST(floor(height * 224 / width) AS BIGINT)
+        |  ELSE 224 END AS out_h
+        | FROM (SELECT doc_id, n_bytes % 640 + 1 AS width,
+        |        (n_bytes * 7) % 480 + 1 AS height FROM
+        |        (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes
+        |         FROM documents))
+        | ORDER BY doc_id""".stripMargin)),
+    QDef("q_multimodal_frames", multimodalFrames, Some(
+      """SELECT doc_id, n_bytes, frame_idx,
+        | CAST(floor(frame_idx * n_bytes / 8) AS BIGINT) AS byte_offset,
+        | CAST(floor(n_bytes / 8) AS BIGINT) AS chunk_len
+        | FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |        unnest(generate_series(0, 7)) AS frame_idx FROM documents)
+        | ORDER BY doc_id, frame_idx""".stripMargin)),
+    QDef("q_multimodal_features", multimodalFeatures, Some(
+      s"""SELECT doc_id, ${featuresSqlF(0)} AS f0, ${featuresSqlF(1)} AS f1,
+         | ${featuresSqlF(2)} AS f2, ${featuresSqlF(3)} AS f3
+         | FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
