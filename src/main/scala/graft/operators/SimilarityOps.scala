@@ -66,18 +66,22 @@ object SimilarityOps {
   private val NumBlocks = 8
 
   // All-pairs near-duplicate by embedding cosine — exact, executed as a
-  // B×B block-grid equi-join (see scale notes in the header).
+  // B×B block-grid equi-join (see scale notes in the header). Norms are
+  // computed once per VECTOR before the join — per pair they'd be n²
+  // sqrt-of-self-dots for the same values (bit-identical either way:
+  // sqrt(dotf(e,e)) is deterministic per vector).
   private def embNearDup(s: SparkSession, d: String): DataFrame = {
     val grid = array((0 until NumBlocks).map(lit): _*)
-    val e = emb(s, d).select(col("vec_id"),
-      col("embedding"), pmod(col("vec_id"), lit(NumBlocks)).cast("int").as("blk"))
+    val e = emb(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"),
+      pmod(col("vec_id"), lit(NumBlocks)).cast("int").as("blk"))
     val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
-      col("blk").as("ba"), explode(grid).as("bb"))
+      col("nrm").as("na"), col("blk").as("ba"), explode(grid).as("bb"))
     val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-      explode(grid).as("ba"), col("blk").as("bb"))
+      col("nrm").as("nb"), explode(grid).as("ba"), col("blk").as("bb"))
     a.join(b, Seq("ba", "bb"))
       .filter(col("va") < col("vb"))
-      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .withColumn("cos", dotf(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= 0.4)
       .select(col("va"), col("vb"), Det.r4(col("cos")).as("cos"))
       .orderBy("va", "vb")
