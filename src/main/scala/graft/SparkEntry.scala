@@ -16,8 +16,8 @@ object SparkEntry {
   /** Every operator of the inventory, in SURVEY.md §2 order. */
   val all: Seq[QDef] =
     FrolykOps.defs ++ RelationalOps.defs ++ WindowOps.defs ++
-      DedupOps.defs ++ TextOps.defs ++ SimilarityOps.defs ++
-      MultimodalOps.defs
+      TemporalOps.defs ++ DedupOps.defs ++ TextOps.defs ++
+      SimilarityOps.defs ++ MultimodalOps.defs
 
   /** Flagship query on sf=0.001 (the reference's motivating example,
     * /root/reference/examples/introduction.ts:12-27: tumbling-window

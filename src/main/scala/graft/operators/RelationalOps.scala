@@ -104,6 +104,90 @@ object RelationalOps {
       .agg(approx_count_distinct("user_id", 0.01).as("n_users_approx"))
       .orderBy("event_type")
 
+  // Top-k per group: the windowed top-N pattern (rank inside each group,
+  // keep k) — per-partition partial sort, one shuffle on the group key,
+  // never a global sort.
+  private def topKPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    t(s, d, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rk")
+  }
+
+  // Pivot: event_type sums fanned out to columns. Explicit pivot values —
+  // no distinct-values inference job, deterministic column order.
+  private def pivotEvents(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val e = t(s, d, "events").withColumn("part", (col("user_id") % 8).as("part"))
+    e.groupBy("part")
+      .pivot("event_type", types)
+      .agg(Det.dsum(col("value")))
+      .select(col("part") +: types.map(ty => col(ty).as(s"sum_$ty")): _*)
+      .orderBy("part")
+  }
+
+  // Rollup: hierarchical subtotals region → nation → total, computed as a
+  // CASCADE — aggregate once at the finest grain, then re-aggregate the
+  // (tiny) result upward. At 100 TB this beats `rollup()`'s Expand plan,
+  // which replicates every input row once per grouping level through the
+  // shuffle. Intermediate sums stay DECIMAL so every level equals the
+  // direct exact sum over raw rows (a double cascade would accumulate
+  // rounding that the DuckDB ROLLUP oracle does not have); group markers
+  // surface as '(all)' so both engines order identically.
+  private def rollupRevenue(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("rn"), col("n_name").as("nn"),
+        col("o_totalprice"))
+    val detail = base.groupBy("rn", "nn")
+      .agg(Det.decSum(col("o_totalprice")).as("rev_dec"), count(lit(1)).as("n"))
+    val byRegion = detail.groupBy("rn")
+      .agg(sum("rev_dec").as("rev_dec"), sum("n").as("n"))
+      .withColumn("nn", lit(null).cast("string"))
+    val total = byRegion
+      .agg(sum("rev_dec").as("rev_dec"), sum("n").as("n"))
+      .withColumn("rn", lit(null).cast("string"))
+      .withColumn("nn", lit(null).cast("string"))
+    detail.unionByName(byRegion).unionByName(total)
+      .select(coalesce(col("rn"), lit("(all)")).as("r_name"),
+        coalesce(col("nn"), lit("(all)")).as("n_name"),
+        col("rev_dec").cast("double").as("revenue"), col("n"))
+      .orderBy("r_name", "n_name")
+  }
+
+  // Exact quantiles per group (sort-based `percentile`, linear
+  // interpolation — the oracle-checkable path). The at-scale variant is
+  // quantilesApprox below.
+  private def quantiles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      // ONE percentile call with an array of fractions: a call per
+      // fraction buffers the whole group once per call
+      .agg(percentile(col("l_extendedprice"),
+        array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("qs"))
+      .select(col("l_returnflag"),
+        Det.r4(element_at(col("qs"), 1)).as("q25"),
+        Det.r4(element_at(col("qs"), 2)).as("q50"),
+        Det.r4(element_at(col("qs"), 3)).as("q75"),
+        Det.r4(element_at(col("qs"), 4)).as("q95"))
+      .orderBy("l_returnflag")
+
+  // Quantiles at scale: percentile_approx (GK sketch — bounded memory, one
+  // pass, mergeable across partitions). Rank-error bound vs the exact
+  // quantiles is asserted in RelationalSpec.
+  private def quantilesApprox(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("q50_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("q95_approx"))
+      .orderBy("l_returnflag")
+
   val defs: Seq[QDef] = Seq(
     QDef("q_agg_hash", aggHash, Some(
       s"""SELECT l_returnflag, l_linestatus,
@@ -142,6 +226,39 @@ object RelationalOps {
     QDef("q_distinct_users", distinctUsers, Some(
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
-    QDef("q_distinct_users_approx", distinctUsersApprox, None)
+    QDef("q_distinct_users_approx", distinctUsersApprox, None),
+    QDef("q_topk_per_group", topKPerGroup, Some(
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders) WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin)),
+    QDef("q_pivot_events", pivotEvents, Some(
+      s"""SELECT user_id % 8 AS part,
+         | ${Det.dsumSql("CASE WHEN event_type = 'click' THEN value END")} AS sum_click,
+         | ${Det.dsumSql("CASE WHEN event_type = 'error' THEN value END")} AS sum_error,
+         | ${Det.dsumSql("CASE WHEN event_type = 'purchase' THEN value END")} AS sum_purchase,
+         | ${Det.dsumSql("CASE WHEN event_type = 'signup' THEN value END")} AS sum_signup,
+         | ${Det.dsumSql("CASE WHEN event_type = 'view' THEN value END")} AS sum_view
+         | FROM events GROUP BY 1 ORDER BY part""".stripMargin)),
+    QDef("q_rollup_revenue", rollupRevenue, Some(
+      s"""SELECT coalesce(r_name, '(all)') AS r_name,
+         | coalesce(n_name, '(all)') AS n_name,
+         | ${Det.dsumSql("o_totalprice")} AS revenue, count(*) AS n
+         | FROM orders
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         | GROUP BY ROLLUP (r_name, n_name) ORDER BY r_name, n_name""".stripMargin)),
+    QDef("q_quantiles", quantiles, Some(
+      s"""SELECT l_returnflag,
+         | ${Det.r4Sql("quantile_cont(l_extendedprice, 0.25)")} AS q25,
+         | ${Det.r4Sql("quantile_cont(l_extendedprice, 0.5)")} AS q50,
+         | ${Det.r4Sql("quantile_cont(l_extendedprice, 0.75)")} AS q75,
+         | ${Det.r4Sql("quantile_cont(l_extendedprice, 0.95)")} AS q95
+         | FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // GK sketch internals differ across engines → ScalaTest rank-error
+    // bound vs the exact quantiles (RelationalSpec).
+    QDef("q_quantiles_approx", quantilesApprox, None)
   )
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.sources.Tables
+
+/** Temporal join operators — as-of and range joins over the event log.
+  *
+  * Neither exists in the reference (its only join surface is Kafka topic
+  * routing); both are core to training-data pipelines (point-in-time
+  * feature joins, windowed correlation). Both are built by COMPOSING
+  * existing Spark operators into shapes that scale — no custom strategy
+  * needed, and crucially no inequality join that would plan as a
+  * BroadcastNestedLoopJoin:
+  *
+  *  - as-of: union the state stream (purchases) and the query stream
+  *    (clicks), one window over (user, time) carries the latest state
+  *    forward — a SINGLE shuffle, no join operator at all. This is the
+  *    standard log-structured point-in-time join: at 100 TB it shuffles
+  *    each row once and never materializes candidate pairs;
+  *  - range: map both sides onto fixed-width time bins, the interval side
+  *    replicated to each bin it can reach (2 bins for window ≤ bin width),
+  *    equi-join on (key, bin), then the exact interval predicate filters.
+  *    Each qualifying pair meets in exactly one bin (the probe's own), so
+  *    no dedup pass is needed. Replication factor = window/bin + 1 —
+  *    the knob that trades shuffle volume against join fan-in.
+  */
+object TemporalOps {
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+
+  /** As-of join: each click paired with the user's latest purchase at or
+    * before the click (inner semantics — unmatched clicks drop, like
+    * DuckDB's ASOF JOIN). State rows sort before query rows at equal
+    * timestamps, giving the inclusive `click.ts >= purchase.ts` bound. */
+  private def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), lit(0).as("kind"),
+        col("event_id"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), lit(1).as("kind"),
+        col("event_id"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "kind", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("purch_id",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("purch_ts_us",
+        last(when(col("kind") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .withColumn("purch_value",
+        last(when(col("kind") === 0, col("value")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("purch_id").isNotNull)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_us").as("click_ts_us"), col("purch_id"),
+        col("purch_ts_us"), col("purch_value"))
+      .orderBy("click_id")
+  }
+
+  private val WindowUs = 3600000000L // 1 hour
+
+  /** Range join: (purchase, click) pairs of the same user with the click
+    * inside [purchase, purchase + 1h]. Binned to the window width: the
+    * purchase is replicated to its bin and the next; the click probes its
+    * own bin only — each qualifying pair meets exactly once. */
+  private def joinRange(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purch_id"),
+        col("ts_us").as("purch_ts_us"),
+        explode(array(floor(col("ts_us") / WindowUs),
+          floor(col("ts_us") / WindowUs) + 1)).as("bin"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("click_ts_us"),
+        floor(col("ts_us") / WindowUs).as("bin"))
+    purchases.join(clicks, Seq("user_id", "bin"))
+      .filter(col("click_ts_us") >= col("purch_ts_us") &&
+        col("click_ts_us") <= col("purch_ts_us") + WindowUs)
+      .select(col("user_id"), col("purch_id"), col("click_id"),
+        (col("click_ts_us") - col("purch_ts_us")).as("lag_us"))
+      .orderBy("purch_id", "click_id")
+  }
+
+  val defs: Seq[QDef] = Seq(
+    QDef("q_join_asof", joinAsof, Some(
+      """SELECT a.event_id AS click_id, a.user_id, epoch_us(a.ts) AS click_ts_us,
+        | b.event_id AS purch_id, epoch_us(b.ts) AS purch_ts_us,
+        | b.value AS purch_value
+        | FROM (SELECT * FROM events WHERE event_type = 'click') a
+        | ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts
+        | ORDER BY click_id""".stripMargin)),
+    QDef("q_join_range", joinRange, Some(
+      """SELECT a.user_id, a.event_id AS purch_id, b.event_id AS click_id,
+        | epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+        | FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+        | JOIN (SELECT * FROM events WHERE event_type = 'click') b
+        |  ON a.user_id = b.user_id
+        |  AND epoch_us(b.ts) >= epoch_us(a.ts)
+        |  AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
+        | ORDER BY purch_id, click_id""".stripMargin))
+  )
+}

@@ -6,6 +6,21 @@ import org.apache.spark.sql.functions._
   * distinct (rsd = 0.01) against the oracle-verified exact counts. */
 class RelationalSpec extends SparkSpec {
 
+  test("percentile_approx within 1% relative error of exact per returnflag") {
+    val exact = SparkEntry.queries("q_quantiles")(spark, sf)
+      .select("l_returnflag", "q50", "q95")
+    val approx = SparkEntry.queries("q_quantiles_approx")(spark, sf)
+    val joined = exact.join(approx, "l_returnflag").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val pairs = Seq((r.getDouble(1), r.getDouble(3)), (r.getDouble(2), r.getDouble(4)))
+      pairs.foreach { case (e, a) =>
+        assert(math.abs(a - e) / e <= 0.01,
+          s"${r.getString(0)}: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("approx_count_distinct within 2% of exact per event_type") {
     val exact = SparkEntry.queries("q_distinct_users")(spark, sf)
     val approx = SparkEntry.queries("q_distinct_users_approx")(spark, sf)
