@@ -119,6 +119,62 @@ object TextOps {
           md5(col("text").cast("binary")))).as("fp"))
       .orderBy("doc_id")
 
+  // TF-IDF: corpus document frequency + per-doc term frequency → top-3
+  // terms per doc. Two shuffles (tf groupBy, df groupBy) + a broadcast of
+  // the doc count; idf uses ln — identical IEEE input → identical bits in
+  // both engines, r4-rounded for the hash compare anyway.
+  private def tfidf(s: SparkSession, d: String): DataFrame = {
+    val tf = docs(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        Det.r4(col("tf") * log(col("n_docs") / col("df"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rk")
+  }
+
+  // Deterministic train/val/test split: md5-hash bucketing on doc_id — the
+  // reproducible split every training pipeline needs (no RNG, no seed
+  // drift across engines/runs; a doc's split never changes when the corpus
+  // grows). 90/5/5 by the first 8 hex digits of md5(doc_id).
+  private def dataSplit(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), Det.dsum(length(col("text"))).as("n_chars"))
+      .orderBy("split")
+
+  // Edit-distance verification of the near-dup ground truth: exact
+  // levenshtein over the candidate pairs ONLY (never all pairs — the
+  // O(len²) DP is why edit distance can't be the discovery mechanism at
+  // scale; LSH finds candidates, levenshtein verifies).
+  private def editDistance(s: SparkSession, d: String): DataFrame = {
+    val pairs = DedupOps.defs.find(_.name == "q_dedup_ngram_jaccard").get
+      .build(s, d).select("da", "db")
+    val t = docs(s, d).select(col("doc_id"), col("text"))
+    pairs
+      .join(t.select(col("doc_id").as("da"), col("text").as("ta")), Seq("da"))
+      .join(t.select(col("doc_id").as("db"), col("text").as("tb")), Seq("db"))
+      .select(col("da"), col("db"),
+        levenshtein(col("ta"), col("tb")).as("edit_dist"),
+        greatest(length(col("ta")), length(col("tb"))).as("max_len"))
+      .orderBy("da", "db")
+  }
+
   private val oracleToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
 
@@ -165,6 +221,40 @@ object TextOps {
          |  len(regexp_extract_all(lower(text), '$enStop')) AS n_stop
          | FROM documents)
          | WHERE n_tok > 0 AND len > 0 ORDER BY doc_id""".stripMargin)),
+    QDef("q_tfidf", tfidf, Some(
+      s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+         |  SELECT doc_id, unnest($oracleToks) AS term FROM documents)
+         |  GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, rk, term, tf, df, score FROM (
+         | SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |  ${Det.r4Sql("tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df)")} AS score,
+         |  ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+         |   ORDER BY ${Det.r4Sql("tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df)")} DESC,
+         |            tf.term) AS rk
+         | FROM tf JOIN df USING (term), n)
+         | WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+    QDef("q_data_split", dataSplit, Some(
+      s"""SELECT split, count(*) AS n_docs, ${Det.dsumSql("length(text)")} AS n_chars
+         | FROM (SELECT text,
+         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+         |   ELSE 'test' END AS split
+         |  FROM (SELECT text,
+         |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+         |   FROM documents))
+         | GROUP BY 1 ORDER BY split""".stripMargin)),
+    QDef("q_text_editdist", editDistance, Some {
+      // candidate pairs = the (oracle-verified) ngram-jaccard query
+      val pairSql = DedupOps.defs.find(_.name == "q_dedup_ngram_jaccard").get.oracle.get
+      s"""WITH pairs AS (SELECT da, db FROM ($pairSql))
+         |SELECT p.da, p.db, levenshtein(a.text, b.text) AS edit_dist,
+         | greatest(length(a.text), length(b.text)) AS max_len
+         | FROM pairs p
+         | JOIN documents a ON p.da = a.doc_id
+         | JOIN documents b ON p.db = b.doc_id
+         | ORDER BY da, db""".stripMargin
+    }),
     QDef("q_fingerprint", fingerprint, Some(
       s"""SELECT doc_id,
          | CASE WHEN len(l) >= 3 THEN
