@@ -244,6 +244,63 @@ object DedupOps {
       .orderBy("da", "db")
   }
 
+  /** Near-dup CLUSTERS: connected components over the (exact) pair list,
+    * each doc labeled with the smallest doc_id in its component — the step
+    * that turns pairwise similarity into an actual keep/drop decision.
+    *
+    * Distributed min-label propagation to fixpoint: every iteration each
+    * vertex takes the min of its own label and its neighbors' labels; the
+    * driver loop only checks a convergence COUNT (one scalar per round,
+    * never data) and runs O(component diameter) rounds — near-dup
+    * components are tiny cliques, so 2-3 rounds in practice; the
+    * 20-round bound is a runaway guard. This is the simple variant of the
+    * large-star/small-star connected-components algorithm. */
+  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val edges = dedupNgramJaccard(s, d).select(col("da"), col("db"))
+    val sym = edges.unionByName(
+      edges.select(col("db").as("da"), col("da").as("db")))
+    var labels = sym.select(col("da").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint(eager = true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val next = sym.join(labels, col("db") === col("v"))
+        .groupBy(col("da").as("nv")).agg(min("label").as("nbr"))
+        .join(labels, col("nv") === col("v"))
+        .select(col("v"), least(col("label"), col("nbr")).as("label"))
+        .localCheckpoint(eager = true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("v"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select(col("v").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB rendering of the n-gram Jaccard query (shared by the
+    * edit-distance and cluster oracles, which consume its pairs). */
+  private[operators] val ngramOracleSql: String =
+    """WITH w AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS l
+      |  FROM documents),
+      |s AS (SELECT DISTINCT doc_id,
+      |  unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+      |          for i in generate_series(1, len(l) - 2)]) AS shingle
+      |  FROM w WHERE len(l) >= 3),
+      |s2 AS (SELECT doc_id, shingle FROM s WHERE shingle IN
+      |  (SELECT shingle FROM s GROUP BY 1 HAVING count(*) <=
+      |    (SELECT greatest(100, CAST(count(*) * 0.002 AS BIGINT)) FROM documents))),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM s2 GROUP BY 1),
+      |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM s2 a JOIN s2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da, db, floor((inter / (ca.n + cb.n - inter)) * 10000 + 0.5) / 10000 AS jaccard
+      | FROM p JOIN cnt ca ON p.da = ca.doc_id JOIN cnt cb ON p.db = cb.doc_id
+      | WHERE inter / (ca.n + cb.n - inter) >= 0.1 ORDER BY da, db""".stripMargin
+
   val defs: Seq[QDef] = Seq(
     QDef("q_dedup_exact", dedupExact, Some(
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -253,27 +310,23 @@ object DedupOps {
         | SELECT user_id, event_id, event_type,
         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin)),
-    QDef("q_dedup_ngram_jaccard", dedupNgramJaccard, Some(
-      """WITH w AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS l
-        |  FROM documents),
-        |s AS (SELECT DISTINCT doc_id,
-        |  unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
-        |          for i in generate_series(1, len(l) - 2)]) AS shingle
-        |  FROM w WHERE len(l) >= 3),
-        |s2 AS (SELECT doc_id, shingle FROM s WHERE shingle IN
-        |  (SELECT shingle FROM s GROUP BY 1 HAVING count(*) <=
-        |    (SELECT greatest(100, CAST(count(*) * 0.002 AS BIGINT)) FROM documents))),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM s2 GROUP BY 1),
-        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-        |  FROM s2 a JOIN s2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT da, db, floor((inter / (ca.n + cb.n - inter)) * 10000 + 0.5) / 10000 AS jaccard
-        | FROM p JOIN cnt ca ON p.da = ca.doc_id JOIN cnt cb ON p.db = cb.doc_id
-        | WHERE inter / (ca.n + cb.n - inter) >= 0.1 ORDER BY da, db""".stripMargin)),
+    QDef("q_dedup_ngram_jaccard", dedupNgramJaccard, Some(ngramOracleSql)),
     // xxhash64-based — not expressible in DuckDB; verified by graft.DedupSpec
     // (pairs ⊇ high-Jaccard ground truth) + driver rows-only check.
     QDef("q_dedup_minhash", dedupMinhashLsh, None),
-    QDef("q_dedup_simhash", dedupSimhash, None)
+    QDef("q_dedup_simhash", dedupSimhash, None),
+    QDef("q_dedup_clusters", dedupClusters, Some {
+      val pairSql = ngramOracleSql
+      s"""WITH RECURSIVE sym AS (
+         |  SELECT da AS a, db AS b FROM ($pairSql)
+         |  UNION ALL
+         |  SELECT db, da FROM ($pairSql)),
+         |reach(v, r) AS (
+         |  SELECT DISTINCT a, a FROM sym
+         |  UNION
+         |  SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.v)
+         |SELECT v AS doc_id, min(r) AS cluster_rep FROM reach
+         | GROUP BY 1 ORDER BY 1""".stripMargin
+    })
   )
 }

@@ -57,6 +57,18 @@ class PlanSpec extends SparkSpec {
       s"expected an equi-join on (ba, bb):\n$p")
   }
 
+  test("q_join_range plans as an equi-join on (user, bin) — not a nested loop") {
+    val p = plan("q_join_range")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"binned range join must not degrade to a nested loop:\n$p")
+  }
+
+  test("q_join_asof plans with no join operator at all (single window pass)") {
+    val p = plan("q_join_asof")
+    assert(!p.contains("Join"), s"as-of is a union + window, not a join:\n$p")
+    assert(p.contains("Window"), s"expected a window operator:\n$p")
+  }
+
   test("scan-shaped queries read parquet exactly once") {
     // single-pass guarantees from the r2 rewrites: the LSH dedup queries
     // must not re-execute their signature/fingerprint subtrees
