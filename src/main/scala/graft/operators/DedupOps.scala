@@ -257,8 +257,12 @@ object DedupOps {
     * large-star/small-star connected-components algorithm. */
   private def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val edges = dedupNgramJaccard(s, d).select(col("da"), col("db"))
+    // materialize the edge list once — it is consumed every propagation
+    // round, and lazily it would re-execute the whole n-gram query per
+    // round (and per convergence check)
     val sym = edges.unionByName(
       edges.select(col("db").as("da"), col("da").as("db")))
+      .localCheckpoint(eager = true)
     var labels = sym.select(col("da").as("v")).distinct()
       .withColumn("label", col("v"))
       .localCheckpoint(eager = true)
