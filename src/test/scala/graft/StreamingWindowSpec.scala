@@ -37,6 +37,31 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G1 streaming: rows behind the watermark are dropped (late data)") {
+    val s = spark
+    import s.implicits._
+    val in = MemoryStream[(Timestamp, String)](s)
+    val counts = in.toDS()
+      .toDF("ts", "event_type")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .count()
+    val q = counts.writeStream
+      .format("memory").queryName("g1_late")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      def t(sec: Int) = new Timestamp(sec * 1000L)
+      in.addData((t(300), "click"))
+      q.processAllAvailable() // watermark advances to ~290s
+      in.addData((t(5), "stale")) // far behind the watermark → dropped
+      q.processAllAvailable()
+      val types = s.table("g1_late").select("event_type")
+        .collect().map(_.getString(0)).toSet
+      assert(types == Set("click"), s"late row leaked into the result: $types")
+    } finally q.stop()
+  }
+
   test("G4 streaming: running count per key via mapGroupsWithState") {
     val s = spark
     import s.implicits._
