@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotF, MinHashSig64, ShingleHashes64, SimHash64}
+import graft.functions.{DotF, MinHashSig64, ShingleHashes64, ShingleSet64, SimHash64}
 
 /** Session extensions for the engine's native expressions.
   *
@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_hashes64"),
       new ExpressionInfo(classOf[ShingleHashes64].getName, "shingle_hashes64"),
       (children: Seq[Expr]) => ShingleHashes64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_set64"),
+      new ExpressionInfo(classOf[ShingleSet64].getName, "shingle_set64"),
+      (children: Seq[Expr]) => ShingleSet64(children.head)))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig64"),
       new ExpressionInfo(classOf[MinHashSig64].getName, "minhash_sig64"),

@@ -61,16 +61,26 @@ object DedupOps {
     * with hot shingles pruned. One shuffle total: per-doc shingle SETS
     * come out of the native kernel (no global distinct needed — distinct
     * per (doc, shingle) IS per-doc dedup), and document frequency + the
-    * doc list are one aggregation (no separate dfreq join). The cap is
-    * corpus-relative — max(100, 0.2% of docs) — so stop-shingle pruning
-    * tightens with corpus growth instead of letting a fixed cap admit
-    * quadratic blowup at 1000× the documents. */
+    * doc list are one aggregation (no separate dfreq join).
+    *
+    * Cap policy — clamp(0.2% of docs, 100, 1000): the relative region
+    * keeps small corpora exact (no real shingle is pruned below ~50k
+    * docs), while the ABSOLUTE ceiling is the cost bound — per-shingle
+    * pair generation is O(df²) and a collect_list row is O(df), so an
+    * uncapped relative cap would let one stop-shingle produce a
+    * million-entry bucket at 1B docs. Above the ceiling, pruning a
+    * shingle shared by 1000+ documents costs no fidelity: it carries no
+    * discriminative signal for near-dup detection. `floor` is explicit
+    * because Spark's double→long cast truncates while DuckDB's CAST
+    * rounds — the oracle mirrors the same floor. */
   private def shingleBuckets(s: SparkSession, d: String): DataFrame = {
     val sh = docsSpread(s, d)
       .select(col("doc_id"),
         explode(graft.functions.TextKernels.shingleSet64(col("text"))).as("sh64"))
     val cap = docs(s, d).agg(
-      greatest(lit(100L), (count(lit(1)) * 0.002).cast("long")).as("max_df"))
+      least(lit(1000L),
+        greatest(lit(100L), floor(count(lit(1)) * 0.002).cast("long")))
+        .as("max_df"))
     sh.groupBy("sh64")
       .agg(count(lit(1)).as("df"), collect_list("doc_id").as("ds"))
       .crossJoin(broadcast(cap))
@@ -159,7 +169,11 @@ object DedupOps {
     * pre-pass exact dedup; noted, not needed here. */
   private def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val nBands = NumPerms / BandRows
+    // Sub-3-token docs keep the [p,...,p] seed signature; without this
+    // guard any two of them would band-collide and "verify" at ĵ = 1.0.
     val sigs = minhashSignatures(s, d)
+      .filter(element_at(col("sig"), 1) =!=
+        graft.functions.TextKernels.MersenneP)
     val bands = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until nBands).map(bI =>
         xxhash64(concat_ws("_", (0 until BandRows).map(r =>
@@ -217,7 +231,9 @@ object DedupOps {
   private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val MaxHamming = 5
     val bandBits = Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
-    val fp = simhash(s, d)
+    // Token-less docs all hash to fingerprint 0 and would pair with each
+    // other at Hamming 0 (a real doc hits 0 with probability 2^-64).
+    val fp = simhash(s, d).filter(col("simhash") =!= 0L)
     val bands = fp.select(col("doc_id"), col("simhash"),
       posexplode(array(bandBits.map { case (start, width) =>
         shiftright(col("simhash"), start).bitwiseAND(lit((1L << width) - 1))
@@ -268,7 +284,8 @@ object DedupOps {
       .localCheckpoint(eager = true)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    val MaxRounds = 50 // >> any near-dup component diameter
+    while (!converged && rounds < MaxRounds) {
       val next = sym.join(labels, col("db") === col("v"))
         .groupBy(col("da").as("nv")).agg(min("label").as("nbr"))
         .join(labels, col("nv") === col("v"))
@@ -280,6 +297,10 @@ object DedupOps {
       converged = changed == 0
       rounds += 1
     }
+    // wrong labels must never be returned silently — a component with
+    // diameter > MaxRounds means the input is not a near-dup graph
+    require(converged,
+      s"label propagation did not converge in $MaxRounds rounds")
     labels.select(col("v").as("doc_id"), col("label").as("cluster_rep"))
       .orderBy("doc_id")
   }
@@ -296,7 +317,8 @@ object DedupOps {
       |  FROM w WHERE len(l) >= 3),
       |s2 AS (SELECT doc_id, shingle FROM s WHERE shingle IN
       |  (SELECT shingle FROM s GROUP BY 1 HAVING count(*) <=
-      |    (SELECT greatest(100, CAST(count(*) * 0.002 AS BIGINT)) FROM documents))),
+      |    (SELECT least(1000, greatest(100, CAST(floor(count(*) * 0.002) AS BIGINT)))
+      |     FROM documents))),
       |cnt AS (SELECT doc_id, count(*) AS n FROM s2 GROUP BY 1),
       |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
       |  FROM s2 a JOIN s2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

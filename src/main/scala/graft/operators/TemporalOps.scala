@@ -38,7 +38,10 @@ object TemporalOps {
   /** As-of join: each click paired with the user's latest purchase at or
     * before the click (inner semantics — unmatched clicks drop, like
     * DuckDB's ASOF JOIN). State rows sort before query rows at equal
-    * timestamps, giving the inclusive `click.ts >= purchase.ts` bound. */
+    * timestamps, giving the inclusive `click.ts >= purchase.ts` bound;
+    * among purchases tied on (user, ts) — impossible here, timestamps are
+    * distinct microseconds — the highest event_id wins, a deterministic
+    * pick where DuckDB's ASOF leaves the choice unspecified. */
   private def joinAsof(s: SparkSession, d: String): DataFrame = {
     val e = ev(s, d)
     val purchases = e.filter(col("event_type") === "purchase")

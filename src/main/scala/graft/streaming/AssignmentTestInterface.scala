@@ -21,11 +21,19 @@ case class Watermarks(lowOffset: Long, highOffset: Long)
   * exercised by all 612 lines of `test/tests/inject.ts`).
   *
   * The log is a [[MemoryStream]] of [[KMessage]]; the pipeline is the SAME
-  * `Processing.processPartition` the production path runs, executed as a
-  * real Structured Streaming query (micro-batch engine, executor-side
-  * processing, driver-side sink) — not a driver-side simulation. Each
-  * micro-batch is coalesced and sorted by offset before the chain runs, so
-  * the per-partition depth-first order contract (S3/P3) holds; the sink
+  * `Processing.processPartition` the production path runs, executed
+  * through a real Structured Streaming query (micro-batch engine). The
+  * chain itself runs DRIVER-SIDE inside the sink, on the long-lived
+  * processor instances created at inject time: the P2 contract — setup
+  * once per assignment, processor closure state alive for the whole
+  * assignment (`examples/introduction.ts:12`) — requires the same
+  * instances across micro-batches, and executor-side closures are
+  * re-deserialized per batch, which would silently reset captured state.
+  * This mirrors the reference's local context exactly (an in-process
+  * harness, `local.ts:52-67`); the distributed path is [[Task.start]],
+  * where cross-batch state belongs in `mapGroupsWithState`, not closures.
+  * Each micro-batch is sorted by offset before the chain runs, so the
+  * per-partition depth-first order contract (S3/P3) holds; the sink
   * applies carried effects in offset order:
   *  - results → `processingResults` (local.ts `processingResults`),
   *  - offsets → `processedOffsets` (abandoned messages included — P4),
@@ -98,24 +106,23 @@ final class AssignmentTestInterface private[streaming] (
   val initialMessages: Seq[KMessage] = initial.map(stamp)
   if (initialMessages.nonEmpty) stream.addData(initialMessages)
 
+  private val ckptDir = Files.createTempDirectory("graft-inject-ckpt")
+
   private val query: StreamingQuery = stream.toDS()
     .writeStream
     .queryName(s"graft-inject-$group-$topic-$partition-${System.identityHashCode(this)}")
-    .option("checkpointLocation",
-      Files.createTempDirectory("graft-inject-ckpt").toString)
+    .option("checkpointLocation", ckptDir.toString)
     .foreachBatch { (batch: Dataset[KMessage], _: Long) =>
-      // Hoist to locals: eta-expanding processPartition(group, procs)
-      // directly would reference the constructor params through `this`
-      // and capture this (non-serializable) interface into the task.
-      val g = group
-      val ps = procs
       val f = fence
-      val done = batch
-        .filter(col("offset") >= f) // stale-batch fencing (streams.ts:64-78)
-        .coalesce(1)
-        .sortWithinPartitions("offset")
-        .mapPartitions(Processing.processPartition(g, ps))
+      // Driver-side chain over the long-lived `procs` (see class doc):
+      // collect the (test-sized) batch in offset order, then fold. The
+      // fence drops stale messages before the pipeline sees them
+      // (streams.ts:64-78).
+      val msgs = batch
+        .filter(col("offset") >= f)
+        .sort("offset")
         .collect()
+      val done = Processing.processPartition(group, procs)(msgs.iterator).toArray
       val loopback = lock.synchronized {
         done.foreach { p =>
           offsets += p.offset
@@ -151,9 +158,11 @@ final class AssignmentTestInterface private[streaming] (
 
   /** Inject a stream ERROR (local.ts:103-105): the pipeline throws on it,
     * the query dies, and the next [[await]]/[[end]] rethrows — frolyk's
-    * error propagation (P7). */
+    * error propagation (P7). The error occupies a log position like any
+    * message (stamped offset), so it propagates in stream order after
+    * everything injected before it. */
   def injectError(message: String): Unit =
-    stream.addData(KMessage(topic, partition, -1L, null, null, 0L, error = message))
+    stream.addData(stamp(KMessage(topic, partition, -1L, null, null, 0L, error = message)))
 
   /** Drain everything injected so far through the pipeline (the awaited
     * promise of the reference's async inject). Throws
@@ -169,7 +178,14 @@ final class AssignmentTestInterface private[streaming] (
     * (replay) — both land in the same micro-batch as any pending
     * originals, and the sink's offset sort restores consumption order.
     * Out-of-range targets clamp per the source's offsetReset policy: low
-    * for `earliest`, high for `latest` (local.ts:162-173). */
+    * for `earliest`, high for `latest` (local.ts:162-173).
+    *
+    * Call discipline: like every method of this interface, seek is
+    * synchronous-use — don't race it against an in-flight [[await]] (the
+    * reference's local context is single-threaded JS and has the same
+    * implicit contract). A seek between inject and await fences exactly
+    * the pending messages below the target, which is the forward-skip
+    * semantics under test. */
   def seek(target: Long): Unit = {
     val replay = lock.synchronized {
       val low = lowOffset
@@ -205,10 +221,21 @@ final class AssignmentTestInterface private[streaming] (
     await()
     query.stop()
     query.awaitTermination()
+    cleanup()
   }
 
-  private[streaming] def close(): Unit =
+  private[streaming] def close(): Unit = {
     try query.stop() catch { case _: Throwable => () }
+    cleanup()
+  }
+
+  /** Remove the temp checkpoint (one per interface; tests create many). */
+  private def cleanup(): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.walk(ckptDir).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
 
   // --- observers (the AssignmentTestInterface surface, local.ts:9-20) ----
 

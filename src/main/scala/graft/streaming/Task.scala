@@ -84,6 +84,14 @@ final class Task(val group: String) {
     * applies carried effects per micro-batch (commits → ledger at the
     * checkpoint, produced → Kafka producer).
     *
+    * State caveat (documented semantic delta): executor-side closures are
+    * re-deserialized per micro-batch, so processor closure STATE does not
+    * persist across batches here — per-key cross-batch state belongs in
+    * `mapGroupsWithState` (see graft.StreamingWindowSpec for the
+    * pattern). The injection harness runs the chain driver-side on
+    * long-lived instances, preserving the reference's store-in-closure
+    * behavior for tests.
+    *
     * Requires the spark-sql-kafka connector on the classpath (absent in
     * this build sandbox — the code path is compiled but exercised against
     * [[inject]]'s MemoryStream contexts instead, mirroring how the

@@ -192,6 +192,20 @@ class InjectSpec extends SparkSpec {
     task.stop()
   }
 
+  test("P2: processor closure state survives across micro-batches (introduction.ts:12)") {
+    val task = newTask() { _ =>
+      var count = 0 // the reference's store-in-closure pattern
+      Seq((_, _) => { count += 1; count.toString })
+    }
+    val itf = task.inject(spark, "events", 0)
+    itf.inject("a"); itf.await() // batch 1
+    itf.inject("b"); itf.await() // batch 2 — same processor instance
+    itf.inject("c"); itf.await() // batch 3
+    assert(itf.processingResults == Seq("1", "2", "3"),
+      "closure state must persist across micro-batches")
+    task.stop()
+  }
+
   test("P7: a throwing processor fails the streaming query (task.ts:247-278)") {
     val task = newTask()(_ => Seq((m, _) => {
       if (m.asInstanceOf[KMessage].value == "boom")

@@ -91,8 +91,12 @@ class KernelSpec extends SparkSpec {
 
   test("kernels are SQL-callable via GraftExtensions") {
     val r = spark.sql(
-      "SELECT simhash64('a b c') AS s, size(minhash_sig64('a b c d e')) AS n")
+      """SELECT simhash64('a b c') AS s, size(minhash_sig64('a b c d e')) AS n,
+        |size(shingle_hashes64('a b c d')) AS h, size(shingle_set64('a b a b a b')) AS u
+        |""".stripMargin)
       .collect().head
     assert(r.getLong(0) != 0L && r.getInt(1) == 64)
+    assert(r.getInt(2) == 2) // 4 tokens → 2 shingles
+    assert(r.getInt(3) == 2) // 'a b a' / 'b a b' repeated → 2 distinct
   }
 }
