@@ -62,6 +62,32 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G3 streaming: gap-based session windows merge events within the gap") {
+    val s = spark
+    import s.implicits._
+    val in = MemoryStream[(Timestamp, String)](s)
+    val sessions = in.toDS()
+      .toDF("ts", "user")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window(col("ts"), "30 seconds"), col("user"))
+      .count()
+    val q = sessions.writeStream
+      .format("memory").queryName("g3_sessions")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      def t(sec: Int) = new Timestamp(sec * 1000L)
+      // u1: 0s,20s,40s chain within gaps → ONE session; 200s → a second
+      in.addData((t(0), "u1"), (t(20), "u1"), (t(40), "u1"), (t(200), "u1"))
+      q.processAllAvailable()
+      val rows = s.table("g3_sessions")
+        .select(col("user"), col("count"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      assert(rows == Seq(("u1", 1L), ("u1", 3L)),
+        s"expected sessions of 3 and 1 events, got $rows")
+    } finally q.stop()
+  }
+
   test("G4 streaming: running count per key via mapGroupsWithState") {
     val s = spark
     import s.implicits._
