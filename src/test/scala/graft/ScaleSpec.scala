@@ -43,6 +43,6 @@ class ScaleSpec extends SparkSpec {
     val metrics = observed.queryExecution.observedMetrics("qa")
     assert(metrics.getAs[Long]("rows") == 500L)
     assert(metrics.getAs[Long]("empty_texts") == 0L)
-    assert(metrics.getAs[Long]("min_len") > 0L)
+    assert(metrics.getAs[Int]("min_len") > 0)
   }
 }
