@@ -269,8 +269,9 @@ object DedupOps {
     * driver loop only checks a convergence COUNT (one scalar per round,
     * never data) and runs O(component diameter) rounds — near-dup
     * components are tiny cliques, so 2-3 rounds in practice; the
-    * 20-round bound is a runaway guard. This is the simple variant of the
-    * large-star/small-star connected-components algorithm. */
+    * MaxRounds bound is a runaway guard and non-convergence fails loudly.
+    * This is the simple variant of the large-star/small-star
+    * connected-components algorithm. */
   private def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val edges = dedupNgramJaccard(s, d).select(col("da"), col("db"))
     // materialize the edge list once — it is consumed every propagation
@@ -293,10 +294,14 @@ object DedupOps {
         .localCheckpoint(eager = true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("v"))
         .filter(col("label") =!= col("old")).count()
+      // release the superseded round's checkpointed blocks — without this
+      // every round stays pinned in block storage for the session lifetime
+      labels.unpersist()
       labels = next
       converged = changed == 0
       rounds += 1
     }
+    sym.unpersist()
     // wrong labels must never be returned silently — a component with
     // diameter > MaxRounds means the input is not a near-dup graph
     require(converged,

@@ -72,12 +72,15 @@ object MultimodalOps {
   // is a narrow projection over the metadata columns, blob untouched.
   private def multimodalResize(s: SparkSession, d: String): DataFrame =
     multimodalMeta(s, d)
+      // greatest(1, …): extreme aspect ratios (> 224:1) floor to zero
+      // pixels otherwise — a 224×0 output is invalid for any model input
       .withColumn("out_w",
         when(col("width") >= col("height"), 224L)
-          .otherwise(floor(col("width") * 224 / col("height"))))
+          .otherwise(greatest(lit(1L), floor(col("width") * 224 / col("height")))))
       .withColumn("out_h",
         when(col("width") >= col("height"),
-          floor(col("height") * 224 / col("width"))).otherwise(224L))
+          greatest(lit(1L), floor(col("height") * 224 / col("width"))))
+          .otherwise(224L))
       .select("doc_id", "width", "height", "out_w", "out_h")
       .orderBy("doc_id")
 
@@ -124,8 +127,8 @@ object MultimodalOps {
     QDef("q_multimodal_resize", multimodalResize, Some(
       """SELECT doc_id, width, height,
         | CASE WHEN width >= height THEN 224
-        |  ELSE CAST(floor(width * 224 / height) AS BIGINT) END AS out_w,
-        | CASE WHEN width >= height THEN CAST(floor(height * 224 / width) AS BIGINT)
+        |  ELSE greatest(1, CAST(floor(width * 224 / height) AS BIGINT)) END AS out_w,
+        | CASE WHEN width >= height THEN greatest(1, CAST(floor(height * 224 / width) AS BIGINT))
         |  ELSE 224 END AS out_h
         | FROM (SELECT doc_id, n_bytes % 640 + 1 AS width,
         |        (n_bytes * 7) % 480 + 1 AS height FROM

@@ -233,8 +233,10 @@ final class AssignmentTestInterface private[streaming] (
   private def cleanup(): Unit =
     try {
       import scala.jdk.CollectionConverters._
-      Files.walk(ckptDir).iterator().asScala.toSeq.reverseIterator
+      val walk = Files.walk(ckptDir)
+      try walk.iterator().asScala.toSeq.reverseIterator
         .foreach(p => Files.deleteIfExists(p))
+      finally walk.close() // Files.walk holds open directory handles
     } catch { case _: Throwable => () }
 
   // --- observers (the AssignmentTestInterface surface, local.ts:9-20) ----

@@ -22,10 +22,15 @@ class BucketedJoinSpec extends SparkSpec {
     // warehouse directories survive — remove them or saveAsTable refuses
     val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
     Seq("lineitem_b", "orders_b").foreach { t =>
-      val dir = new java.io.File(wh, t)
-      if (dir.exists()) {
-        dir.listFiles().foreach(_.delete())
-        dir.delete()
+      val dir = new java.io.File(wh, t).toPath
+      if (java.nio.file.Files.exists(dir)) {
+        // recursive: an aborted write can leave _temporary subdirs that a
+        // flat delete silently skips, failing saveAsTable confusingly
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
       }
     }
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")

@@ -7,15 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * runs suites sequentially in one forked JVM per `build.sbt`). */
 object SparkSpec {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = Sessions.local("4")
     s.sparkContext.setLogLevel("WARN")
     s
   }
