@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.functions.TextKernels
+
+/** Property-based parity: the native kernels must equal their declarative
+  * renderings on ARBITRARY inputs, not just the corpus — degenerate
+  * whitespace, empty strings, repeated tokens, unicode, mismatched float
+  * arrays. Inputs are generated, evaluation runs through real Spark
+  * projections (both paths), equality is bitwise. */
+class KernelPropertySpec extends SparkSpec {
+
+  private val word: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('ä', 'ß', '中', '.')))
+      .map(_.mkString)
+  private val sep: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf(" ", "\t", "\n", "  ")).map(_.mkString)
+  private val text: Gen[String] = for {
+    words <- Gen.listOfN(8, word)
+    seps <- Gen.listOfN(8, sep)
+    lead <- Gen.oneOf("", " ", "\n")
+  } yield lead + words.zip(seps).map { case (w, s) => w + s }.mkString
+
+  test("text kernels equal the declarative pipelines on generated strings") {
+    val s = spark
+    import s.implicits._
+    val samples = (Gen.listOfN(60, text).sample.get ++
+      Seq("", " ", "\t\n", "a", "a b", "a b c", "x x x x x")).toDF("text")
+    // declarative references (same as KernelSpec)
+    def toksC(c: org.apache.spark.sql.Column) =
+      filter(split(lower(c), "\\s+"), t => length(t) > 0)
+    val hofShingles = graft.functions.bindOnce(toksC(col("text")), l =>
+      when(size(l) >= 3,
+        transform(sequence(lit(1), size(l) - 2),
+          i => xxhash64(concat_ws(" ", element_at(l, i), element_at(l, i + 1),
+            element_at(l, i + 2)))))
+        .otherwise(array().cast("array<bigint>")))
+    val rows = samples.select(
+      TextKernels.shingleHashes64(col("text")).as("native"),
+      hofShingles.as("hof"),
+      TextKernels.shingleSet64(col("text")).as("nset"),
+      array_sort(array_distinct(hofShingles)).as("hset"),
+      TextKernels.simHash64(col("text")).as("nsim"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"shingles differ: $r")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), s"shingle sets differ: $r")
+    }
+  }
+
+  test("DotF equals the declarative fold on generated float arrays (incl. empty)") {
+    val s = spark
+    import s.implicits._
+    val arr: Gen[Array[Float]] = for {
+      n <- Gen.oneOf(0, 1, 7, 64)
+      xs <- Gen.listOfN(n, Gen.chooseNum(-1e18f, 1e18f))
+    } yield xs.toArray
+    val pairs = Gen.listOfN(50, for {
+      a <- arr
+      b <- Gen.listOfN(a.length, Gen.chooseNum(-1e18f, 1e18f)).map(_.toArray)
+    } yield (a, b)).sample.get
+    val df = pairs.toDF("a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    df.select(graft.functions.DotF.dotf(col("a"), col("b")).as("n"), hof.as("h"))
+      .collect().foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      }
+  }
+}
