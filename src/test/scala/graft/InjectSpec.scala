@@ -230,6 +230,22 @@ class InjectSpec extends SparkSpec {
     task.stop()
   }
 
+  test("four assignments, interleaved injection: isolation and per-partition order hold") {
+    val task = newTask()(_ => Seq((m, _) => m.asInstanceOf[KMessage].value))
+    val itfs = task.inject(spark, (0 until 4).map("events" -> _))
+    // round-robin interleave 4 × 50 messages across the assignments
+    for (i <- 0 until 50; p <- 0 until 4) itfs(p).inject(s"p$p-m$i")
+    itfs.foreach(_.await())
+    itfs.zipWithIndex.foreach { case (itf, p) =>
+      assert(itf.processedOffsets == (0L until 50L),
+        s"partition $p processed out of order or lost messages")
+      assert(itf.processingResults == (0 until 50).map(i => s"p$p-m$i"),
+        s"partition $p results leaked across assignments")
+      assert(itf.caughtUp())
+    }
+    task.stop()
+  }
+
   test("multi-assignment inject returns one context per assignment (task.ts:99-104)") {
     val task = newTask()(_ => Seq((m, _) => m.asInstanceOf[KMessage].value))
     val itfs = task.inject(spark, Seq("events" -> 0, "events" -> 1))
