@@ -41,16 +41,36 @@ object WindowOps {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("win_start", "event_type")
 
-  // G2: sliding 1-hour average per event_type (README.md:79 windowing goal).
+  // G2: sliding 1-hour average per event_type (README.md:79 windowing
+  // goal). Chunked for scale: a window partitioned by event_type alone
+  // caps parallelism at the number of types (5) — one task per type
+  // forever, dead at 100 TB. Instead rows partition by (type, 4-hour
+  // chunk), and each chunk's first hour sees the previous chunk's last
+  // hour through replicated CONTEXT rows (flagged, counted in frames,
+  // filtered from output). Every row's 1-hour lookback is fully inside
+  // its chunk partition, results are exactly the per-type window —
+  // decimal frame sums are order-independent — and parallelism is
+  // types × chunks.
   private def slidingAvg(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("ts_s")
-      .rangeBetween(-3600, 0)
-    ev(s, d)
+    val WindowS = 3600L
+    val ChunkS = 4 * WindowS
+    val base = ev(s, d)
       .select(col("event_id"), col("event_type"),
         unix_seconds(col("ts")).as("ts_s"), col("value"))
+    val own = base
+      .withColumn("chunk", floor(col("ts_s") / ChunkS))
+      .withColumn("ctx", lit(false))
+    val tail = base
+      .filter(col("ts_s") % ChunkS >= ChunkS - WindowS)
+      .withColumn("chunk", floor(col("ts_s") / ChunkS) + 1)
+      .withColumn("ctx", lit(true))
+    val w = Window.partitionBy("event_type", "chunk").orderBy("ts_s")
+      .rangeBetween(-WindowS, 0)
+    own.unionByName(tail)
       .withColumn("n_win", count(lit(1)).over(w))
       .withColumn("avg_win",
         Det.decSum(col("value")).over(w).cast("double") / col("n_win"))
+      .filter(!col("ctx"))
       .select("event_id", "event_type", "ts_s", "n_win", "avg_win")
       .orderBy("event_id")
   }
