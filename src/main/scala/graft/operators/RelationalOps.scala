@@ -104,15 +104,23 @@ object RelationalOps {
       .agg(approx_count_distinct("user_id", 0.01).as("n_users_approx"))
       .orderBy("event_type")
 
-  // Top-k per group: the windowed top-N pattern (rank inside each group,
-  // keep k) — per-partition partial sort, one shuffle on the group key,
-  // never a global sort.
+  // Top-k per group, two-phase: a single window partitioned by the group
+  // key alone caps parallelism at the group cardinality (5 priorities =
+  // 5 tasks forever). Phase 1 ranks within (group, salt) — 64-way salt →
+  // group·64 parallel partial sorts — keeping k candidates each; phase 2
+  // ranks the tiny candidate set (groups × salt × k rows) exactly. Any
+  // true global top-k row is necessarily in its salt bucket's top-k, so
+  // the result is identical to the direct window.
   private def topKPerGroup(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("o_orderpriority")
-      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    val W = org.apache.spark.sql.expressions.Window
+    val ord = Seq(desc("o_totalprice"), col("o_orderkey"))
+    val local = W.partitionBy(col("o_orderpriority"), col("salt")).orderBy(ord: _*)
+    val global = W.partitionBy("o_orderpriority").orderBy(ord: _*)
     t(s, d, "orders")
-      .withColumn("rk", row_number().over(w))
+      .withColumn("salt", pmod(col("o_orderkey"), lit(64)))
+      .withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= 3)
+      .withColumn("rk", row_number().over(global))
       .filter(col("rk") <= 3)
       .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
       .orderBy("o_orderpriority", "rk")
