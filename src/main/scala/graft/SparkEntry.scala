@@ -15,8 +15,8 @@ object SparkEntry {
 
   /** Every operator of the inventory, in SURVEY.md §2 order. */
   val all: Seq[QDef] =
-    FrolykOps.defs ++ RelationalOps.defs ++ WindowOps.defs ++
-      TemporalOps.defs ++ DedupOps.defs ++ TextOps.defs ++
+    FrolykOps.defs ++ RelationalOps.defs ++ AnalyticOps.defs ++
+      WindowOps.defs ++ TemporalOps.defs ++ DedupOps.defs ++ TextOps.defs ++
       SimilarityOps.defs ++ MultimodalOps.defs
 
   /** Flagship query on sf=0.001 (the reference's motivating example,

@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Det, QDef}
+import graft.sources.Tables
+
+/** Analytic completions of the relational layer (SURVEY.md §2.5/§2.6):
+  * semi/anti/outer join shapes, cube subtotals, lead/lag event analytics,
+  * deterministic stratified sampling, moment statistics, and histograms.
+  * Absent in the reference (no relational operators exist there — SURVEY
+  * §2 preamble); required by the north star's "full query capability".
+  *
+  * Scale notes:
+  *  - semi/anti joins shuffle only the KEY column of the probe side and
+  *    never materialize the non-matching payload — at 100 TB the existence
+  *    check is the cheapest join shape there is (and AQE turns it into a
+  *    broadcast when the filtered build side is small);
+  *  - the cube is a CASCADE like q_rollup_revenue: aggregate once at the
+  *    finest grain, re-aggregate the tiny result per face — never
+  *    `cube()`'s Expand, which replicates every input row once per
+  *    grouping set through the shuffle;
+  *  - lead/lag windows partition by user: millions of independent
+  *    partitions, each a few rows — embarrassingly parallel, no skew;
+  *  - the sample is hash-bucketed (md5 of the row key), not RNG-based:
+  *    reproducible across engines, runs, and cluster sizes, and a row's
+  *    membership never changes when the corpus grows (the q_data_split
+  *    policy applied to sampling);
+  *  - corr/covar/stddev come from ONE pass of decimal moment sums
+  *    (Σx, Σy, Σx², Σy², Σxy — exact, order-independent) combined in plain
+  *    IEEE arithmetic at the end: bit-identical under any partial-agg
+  *    order, i.e. at any cluster size.
+  */
+object AnalyticOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  // Left-semi join: customers with ≥1 big-ticket order. Only c_custkey and
+  // the filtered order keys travel; the probe row is emitted at the first
+  // match (no fan-out on multiplicity, unlike an inner join + distinct).
+  private def joinSemi(s: SparkSession, d: String): DataFrame = {
+    val big = t(s, d, "orders").filter(col("o_totalprice") > 400000)
+    t(s, d, "customer")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  // Left-anti join: customers with NO big-ticket order — the NOT EXISTS
+  // shape (null-safe, unlike NOT IN over a nullable key); exact complement
+  // of q_join_semi.
+  private def joinAnti(s: SparkSession, d: String): DataFrame = {
+    val big = t(s, d, "orders").filter(col("o_totalprice") > 400000)
+    t(s, d, "customer")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), Det.dsum(col("c_acctbal")).as("acctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  // Full-outer join of two aggregates: per-nation customer presence vs
+  // supplier presence. Both sides pre-aggregate to ≤25 rows BEFORE the
+  // join — at 100 TB the outer join runs on the aggregate grain, never on
+  // the raw fact tables.
+  private def joinOuter(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer").filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+    val su = t(s, d, "supplier").filter(col("s_acctbal") > 5000)
+      .groupBy(col("s_nationkey").as("nk2")).agg(count(lit(1)).as("n_supp"))
+    c.join(su, col("nk") === col("nk2"), "full_outer")
+      .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  // Cube subtotals over (priority, status) as a cascade: detail grain once,
+  // then each face re-aggregates the ≤|P|·|S| detail rows. Decimal sums
+  // survive the cascade so every face equals the direct exact sum.
+  private def cubeRevenue(s: SparkSession, d: String): DataFrame = {
+    val detail = t(s, d, "orders")
+      .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+      .agg(Det.decSum(col("o_totalprice")).as("rev_dec"), count(lit(1)).as("n"))
+    val byPri = detail.groupBy("pri")
+      .agg(sum("rev_dec").as("rev_dec"), sum("n").as("n"))
+      .withColumn("st", lit(null).cast("string"))
+    val bySt = detail.groupBy("st")
+      .agg(sum("rev_dec").as("rev_dec"), sum("n").as("n"))
+      .withColumn("pri", lit(null).cast("string"))
+    val total = detail.agg(sum("rev_dec").as("rev_dec"), sum("n").as("n"))
+      .withColumn("pri", lit(null).cast("string"))
+      .withColumn("st", lit(null).cast("string"))
+    detail.unionByName(byPri).unionByName(bySt).unionByName(total)
+      .select(coalesce(col("pri"), lit("(all)")).as("o_orderpriority"),
+        coalesce(col("st"), lit("(all)")).as("o_orderstatus"),
+        col("rev_dec").cast("double").as("revenue"), col("n"))
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
+  // Lead/lag event analytics: per-user inter-event gap and next event type.
+  // Timestamps compare as unix MICROSECONDS: the parquet carries
+  // nanosecond timestamps that Spark floor-truncates to µs at load
+  // (sources.Tables) — the oracle applies the same CAST-to-µs truncation
+  // per timestamp BEFORE differencing, so boundary gaps agree exactly.
+  private def leadLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    t(s, d, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .select("user_id", "event_id", "event_type", "gap_us", "next_type")
+      .orderBy("user_id", "event_id")
+  }
+
+  // Deterministic stratified sample: the same md5-bucket policy as
+  // q_data_split, applied per stratum — every stratum keeps ~10% of rows,
+  // membership is a pure function of the row key. No sort, one shuffle of
+  // pre-aggregated partials.
+  private def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    t(s, d, "events")
+      .withColumn("in_sample", bucket < 10)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("in_sample"), 1)).as("n_sampled"),
+        Det.dsum(when(col("in_sample"), col("value"))).as("sampled_value"))
+      .orderBy("event_type")
+  }
+
+  // Moment statistics per group: corr/covar/stddev assembled from exact
+  // decimal moment sums. NOT the built-in corr()/covar_pop() — those
+  // accumulate doubles in partial-agg order, which differs between Spark
+  // and DuckDB (and between runs at cluster scale); the decimal sums are
+  // order-independent, and the final combining arithmetic is written with
+  // the identical shape in the oracle so the doubles agree bitwise.
+  private def corrStats(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        Det.dsum(x).as("sx"), Det.dsum(y).as("sy"),
+        Det.dsum(x * x).as("sxx"), Det.dsum(y * y).as("syy"),
+        Det.dsum(x * y).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        Det.r4((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qp"),
+        Det.r4((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"))
+          .as("covar_qp"),
+        Det.r4(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")))
+          .as("stddev_q"))
+      .orderBy("l_returnflag")
+  }
+
+  // Fixed-width histogram of order totals: bucket = floor(price / width).
+  // A pure projection + one aggregation — no global min/max pre-pass (data-
+  // dependent bounds would need two scans and make bucket ids unstable as
+  // the corpus grows).
+  private def histogram(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .withColumn("bucket", floor(col("o_totalprice") / 25000.0d).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .orderBy("bucket")
+
+  val defs: Seq[QDef] = Seq(
+    QDef("q_join_semi", joinSemi, Some(
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        | ORDER BY c_custkey""".stripMargin)),
+    QDef("q_join_anti", joinAnti, Some(
+      s"""SELECT c_mktsegment, count(*) AS n_cust,
+         | ${Det.dsumSql("c_acctbal")} AS acctbal
+         | FROM customer
+         | WHERE NOT EXISTS (SELECT 1 FROM orders
+         |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         | GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QDef("q_join_outer", joinOuter, Some(
+      """SELECT coalesce(nk, nk2) AS nationkey,
+        | coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        | FROM
+        |  (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer
+        |    WHERE c_acctbal > 9000 GROUP BY 1) c
+        |  FULL OUTER JOIN
+        |  (SELECT s_nationkey AS nk2, count(*) AS n_supp FROM supplier
+        |    WHERE s_acctbal > 5000 GROUP BY 1) s
+        |  ON nk = nk2
+        | ORDER BY nationkey""".stripMargin)),
+    QDef("q_cube_revenue", cubeRevenue, Some(
+      s"""SELECT coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+         | coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+         | ${Det.dsumSql("o_totalprice")} AS revenue, count(*) AS n
+         | FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+         | ORDER BY 1, 2""".stripMargin)),
+    QDef("q_window_lead_lag", leadLag, Some(
+      """SELECT user_id, event_id, event_type,
+        | ts_us - lag(ts_us) OVER w AS gap_us,
+        | lead(event_type) OVER w AS next_type
+        | FROM (SELECT user_id, event_id, event_type,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        | ORDER BY user_id, event_id""".stripMargin)),
+    QDef("q_sample_stratified", sampleStratified, Some(
+      s"""SELECT event_type, count(*) AS n_total,
+         | count(CASE WHEN in_sample THEN 1 END) AS n_sampled,
+         | ${Det.dsumSql("CASE WHEN in_sample THEN value END")} AS sampled_value
+         | FROM (SELECT event_type, value,
+         |  CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+         |   AS in_sample
+         |  FROM events)
+         | GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QDef("q_corr_stats", corrStats, Some {
+      val sx = Det.dsumSql("l_quantity")
+      val sy = Det.dsumSql("l_extendedprice")
+      val sxx = Det.dsumSql("l_quantity * l_quantity")
+      val syy = Det.dsumSql("l_extendedprice * l_extendedprice")
+      val sxy = Det.dsumSql("l_quantity * l_extendedprice")
+      s"""SELECT l_returnflag, n,
+         | ${Det.r4Sql("(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))")} AS corr_qp,
+         | ${Det.r4Sql("(sxy - sx * sy / n) / n")} AS covar_qp,
+         | ${Det.r4Sql("sqrt((sxx - sx * sx / n) / n)")} AS stddev_q
+         | FROM (SELECT l_returnflag, count(*) AS n,
+         |   $sx AS sx, $sy AS sy, $sxx AS sxx, $syy AS syy, $sxy AS sxy
+         |  FROM lineitem GROUP BY 1)
+         | ORDER BY l_returnflag""".stripMargin
+    }),
+    QDef("q_histogram", histogram, Some(
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+        | count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        | FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin))
+  )
+}

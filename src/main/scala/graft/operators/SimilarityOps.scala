@@ -143,6 +143,21 @@ object SimilarityOps {
   private def annTopK(s: SparkSession, d: String): DataFrame =
     annTopKWith(s, d, NumTables, PlanesPerTable)
 
+  /** Per-label centroids (class prototypes): element-wise mean per label —
+    * the building block for prototype classifiers, IVF coarse quantizers,
+    * and drift monitoring. One posexplode + one aggregation keyed on
+    * (label, dim): at 100 TB that is dims × labels groups, each a decimal
+    * sum — order-independent (Det), constant memory per group, and the
+    * shuffle carries (label, pos, float) triples, never whole vectors. */
+  private def embedCentroids(s: SparkSession, d: String): DataFrame =
+    emb(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("p0", "v")))
+      .groupBy(col("label"), (col("p0") + 1).as("pos"))
+      .agg(Det.dsum(col("v").cast("double")).as("sv"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        Det.r4(col("sv") / col("n")).as("centroid"), col("n"))
+      .orderBy("label", "pos")
+
   private val cosSql =
     """list_sum(list_transform(list_zip(%s, %s),
       | x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
@@ -164,6 +179,12 @@ object SimilarityOps {
          | WHERE c >= 0.4 ORDER BY va, vb""".stripMargin)),
     // LSH planes are Scala-side constants — not DuckDB-expressible; recall
     // vs the brute-force top-20 is asserted in graft.SimilaritySpec.
-    QDef("q_similarity_ann", annTopK, None)
+    QDef("q_similarity_ann", annTopK, None),
+    QDef("q_embed_centroids", embedCentroids, Some(
+      s"""SELECT label, i AS pos,
+         | ${Det.r4Sql(Det.dsumSql("CAST(embedding[i] AS DOUBLE)") + " / count(*)")} AS centroid,
+         | count(*) AS n
+         | FROM embeddings, generate_series(1, 64) t(i)
+         | GROUP BY 1, 2 ORDER BY label, pos""".stripMargin))
   )
 }

@@ -146,7 +146,7 @@ object TextOps {
   // reproducible split every training pipeline needs (no RNG, no seed
   // drift across engines/runs; a doc's split never changes when the corpus
   // grows). 90/5/5 by the first 8 hex digits of md5(doc_id).
-  private def dataSplit(s: SparkSession, d: String): DataFrame =
+  private[operators] def splitAssign(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .withColumn("bucket",
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -154,9 +154,56 @@ object TextOps {
       .withColumn("split",
         when(col("bucket") < 90, "train")
           .when(col("bucket") < 95, "val").otherwise("test"))
+
+  private[operators] val splitAssignSql: String =
+    """SELECT doc_id, text,
+      | CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+      |  ELSE 'test' END AS split
+      | FROM (SELECT doc_id, text,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      |  FROM documents)""".stripMargin
+
+  private def dataSplit(s: SparkSession, d: String): DataFrame =
+    splitAssign(s, d)
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), Det.dsum(length(col("text"))).as("n_chars"))
       .orderBy("split")
+
+  // Corpus bigram counts (n-gram language-model statistics): tokens bound
+  // once per row, adjacent pairs materialized per doc, then the canonical
+  // map-side-combine count. Top-50 keeps the result driver-small while the
+  // aggregation itself is unbounded-corpus safe (one shuffle on the bigram).
+  private def ngramBigrams(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      // generators can't nest inside expressions: materialize the bigram
+      // array column first (tokens bound once per row), explode separately
+      .select(graft.functions.bindOnce(toks(col("text")), l =>
+        when(size(l) >= 2,
+          transform(sequence(lit(1), size(l) - 1),
+            i => concat_ws(" ", element_at(l, i), element_at(l, i + 1)))))
+        .as("bigrams"))
+      .select(explode(col("bigrams")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("bigram"))
+      .limit(50)
+
+  // Benchmark-contamination check: near-duplicate pairs that CROSS a
+  // train/val/test boundary — the leakage a training pipeline must catch
+  // before an eval split ships. Consumes the exact near-dup pair list and
+  // the deterministic split assignment; joins are on doc_id only (the
+  // pair list is tiny relative to the corpus — at 100 TB both joins
+  // broadcast the pair side via AQE).
+  private def contamination(s: SparkSession, d: String): DataFrame = {
+    val pairs = DedupOps.defs.find(_.name == "q_dedup_ngram_jaccard").get
+      .build(s, d).select("da", "db", "jaccard")
+    val sp = splitAssign(s, d).select(col("doc_id"), col("split"))
+    pairs
+      .join(sp.select(col("doc_id").as("da"), col("split").as("split_a")), Seq("da"))
+      .join(sp.select(col("doc_id").as("db"), col("split").as("split_b")), Seq("db"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("da", "db", "split_a", "split_b", "jaccard")
+      .orderBy("da", "db")
+  }
 
   // Edit-distance verification of the near-dup ground truth: exact
   // levenshtein over the candidate pairs ONLY (never all pairs — the
@@ -253,6 +300,23 @@ object TextOps {
          | FROM pairs p
          | JOIN documents a ON p.da = a.doc_id
          | JOIN documents b ON p.db = b.doc_id
+         | ORDER BY da, db""".stripMargin
+    }),
+    QDef("q_ngram_bigrams", ngramBigrams, Some(
+      s"""SELECT bigram, count(*) AS n FROM (
+         | SELECT unnest([l[i] || ' ' || l[i+1]
+         |                for i in generate_series(1, len(l) - 1)]) AS bigram
+         | FROM (SELECT $oracleToks AS l FROM documents) WHERE len(l) >= 2)
+         | GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""".stripMargin)),
+    QDef("q_contamination", contamination, Some {
+      val pairSql = DedupOps.ngramOracleSql
+      s"""WITH pairs AS (SELECT da, db, jaccard FROM ($pairSql)),
+         |sp AS (SELECT doc_id, split FROM ($splitAssignSql))
+         |SELECT da, db, a.split AS split_a, b.split AS split_b, jaccard
+         | FROM pairs
+         | JOIN sp a ON da = a.doc_id
+         | JOIN sp b ON db = b.doc_id
+         | WHERE a.split <> b.split
          | ORDER BY da, db""".stripMargin
     }),
     QDef("q_fingerprint", fingerprint, Some(

@@ -69,6 +69,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected a window operator:\n$p")
   }
 
+  test("q_join_semi / q_join_anti plan as semi/anti joins (no fan-out + distinct)") {
+    val ps = plan("q_join_semi")
+    assert(ps.contains("LeftSemi"), s"expected a LeftSemi join:\n$ps")
+    val pa = plan("q_join_anti")
+    assert(pa.contains("LeftAnti"), s"expected a LeftAnti join:\n$pa")
+  }
+
+  test("cube/rollup cascades never plan an Expand (no input-row replication)") {
+    for (q <- Seq("q_cube_revenue", "q_rollup_revenue")) {
+      val p = plan(q)
+      assert(!p.contains("Expand"),
+        s"$q must cascade from the detail grain, not Expand every row:\n$p")
+    }
+  }
+
   test("scan-shaped queries read parquet exactly once") {
     // single-pass guarantees from the r2 rewrites: the LSH dedup queries
     // must not re-execute their signature/fingerprint subtrees
