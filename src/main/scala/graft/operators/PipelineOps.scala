@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Det, QDef}
+import graft.sources.Tables
+
+/** Training-corpus assembly operators (north star of BASELINE.json; absent
+  * in the reference, whose payloads are opaque bytes —
+  * /root/reference/src/streams.ts:12-13). These are the steps between "the
+  * corpus is clean" and "the trainer reads batches": deterministic global
+  * shuffle + context-window packing, per-source mixture sampling against a
+  * token budget, and intra-document repetition scoring (the classic
+  * Gopher/C4-style quality rule the dedup family doesn't cover).
+  *
+  * Scale notes (the designs are chosen for 100 TB, verified at sf0.01):
+  *  - q_pack_sequences needs a GLOBAL running token count — the textbook
+  *    scale trap, because `Window.orderBy` without partitionBy collapses to
+  *    one partition. Implemented as the distributed two-phase prefix sum:
+  *    range-bucket by the order key's first byte, cumsum WITHIN each bucket
+  *    (256-way parallel), then add each bucket's exclusive prefix, computed
+  *    on the 256-row bucket-total table and broadcast back. The only
+  *    single-partition window in the plan runs over 256 rows regardless of
+  *    corpus size.
+  *  - the shuffle order is md5(doc_id), not RNG: the training order is
+  *    reproducible across engines, runs, and cluster sizes, and appending
+  *    new documents never reorders existing ones relative to each other.
+  *  - q_mixture_sample's per-source statistics table has one row per
+  *    source — it broadcasts; the corpus-side pass is a pure projection +
+  *    one aggregation. Membership is the md5-bucket policy of
+  *    q_data_split, so the sample is stable under corpus growth.
+  *  - q_repetition is a per-document projection of array built-ins (no
+  *    explode, no shuffle beyond the output sort): embarrassingly parallel.
+  */
+object PipelineOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+
+  /** Context-window capacity in whitespace tokens. */
+  private val Cap = 4096.0d
+
+  // Deterministic shuffle + concat-and-chunk packing: documents are laid
+  // out in md5(doc_id) order, token counts accumulated, and each document
+  // assigned to the context window (chunk) where its first token lands —
+  // exactly the concatenate-then-split policy LLM trainers use. Output is
+  // the per-chunk manifest.
+  private def packSequences(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(
+      col("doc_id"),
+      size(TextOps.toks(col("text"))).cast("long").as("n_tok"),
+      md5(col("doc_id").cast("string")).as("ord"))
+      // range bucket = first byte of the order key; hex-string sort order
+      // equals bucket-number order, so (bucket, ord) sorts like global ord
+      .withColumn("bucket",
+        conv(substring(col("ord"), 1, 2), 16, 10).cast("int"))
+    val wLocal = Window.partitionBy("bucket").orderBy("ord", "doc_id")
+    val local = base.withColumn("lcum", sum("n_tok").over(wLocal))
+    // 256-row bucket totals → exclusive prefix per bucket (the one
+    // single-partition window, bounded at 256 rows at any corpus size)
+    val wPrefix = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = base.groupBy("bucket").agg(sum("n_tok").as("btot"))
+      .withColumn("prefix", coalesce(sum("btot").over(wPrefix), lit(0L)))
+      .select("bucket", "prefix")
+    local.join(broadcast(prefix), Seq("bucket"))
+      .withColumn("cum", col("lcum") + col("prefix"))
+      .withColumn("chunk",
+        floor((col("cum") - col("n_tok")) / Cap).cast("long"))
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("chunk")
+  }
+
+  // Per-source mixture sampling: give every source an equal share of a
+  // token budget (half the corpus), cap at what the source actually has,
+  // and draw a deterministic md5-bucket sample at the implied rate. The
+  // one-row-per-source stats table carries the rates; the corpus pass
+  // stays a projection + aggregation.
+  private def mixtureSample(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(
+      col("doc_id"), col("source"),
+      size(TextOps.toks(col("text"))).cast("long").as("n_tok"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000).as("bucket"))
+    val perSource = base.groupBy("source").agg(sum("n_tok").as("tok_total"))
+    val corpus = perSource.agg(
+      sum("tok_total").as("corpus_tok"), count(lit(1)).as("n_sources"))
+    val rates = perSource.crossJoin(broadcast(corpus))
+      // equal share of a 50%-of-corpus budget, capped at availability
+      .withColumn("budget",
+        floor(col("corpus_tok") * 0.5d / col("n_sources")).cast("long"))
+      .withColumn("rate",
+        least(lit(1.0d), col("budget").cast("double") / col("tok_total")))
+      .withColumn("cut", floor(col("rate") * 10000.0d).cast("long"))
+      .select("source", "rate", "cut")
+    base.join(broadcast(rates), Seq("source"))
+      .withColumn("in_sample", col("bucket") < col("cut"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("in_sample"), 1)).as("n_sampled"),
+        sum("n_tok").as("tok_total"),
+        coalesce(sum(when(col("in_sample"), col("n_tok"))), lit(0L))
+          .as("tok_sampled"),
+        Det.r4(first(col("rate"))).as("rate"))
+      .orderBy("source")
+  }
+
+  // Intra-document repetition: fraction of duplicate tokens and duplicate
+  // adjacent bigrams (Gopher-style "repetitious text" signals). Pure array
+  // arithmetic per row — the token list is bound once, never exploded.
+  private def repetition(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), graft.functions.bindOnce(TextOps.toks(col("text")),
+        l => struct(
+          size(l).cast("long").as("n_tok"),
+          size(array_distinct(l)).cast("long").as("n_uniq"),
+          when(size(l) >= 2,
+            transform(sequence(lit(1), size(l) - 1),
+              i => concat_ws(" ", element_at(l, i), element_at(l, i + 1))))
+            .otherwise(array().cast("array<string>")).as("bi")))
+        .as("t"))
+      .select(col("doc_id"),
+        col("t.n_tok").as("n_tok"),
+        col("t.n_uniq").as("n_uniq"),
+        size(col("t.bi")).cast("long").as("n_bi"),
+        size(array_distinct(col("t.bi"))).cast("long").as("n_uniq_bi"))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("n_tok"),
+        Det.r4(lit(1.0d) - col("n_uniq") / col("n_tok")).as("dup_tok_ratio"),
+        when(col("n_bi") > 0,
+          Det.r4(lit(1.0d) - col("n_uniq_bi") / col("n_bi")))
+          .otherwise(lit(0.0d)).as("dup_bigram_ratio"))
+      .orderBy("doc_id")
+
+  private val oracleNTok =
+    s"len(${TextOps.oracleToks}) "
+
+  val defs: Seq[QDef] = Seq(
+    QDef("q_pack_sequences", packSequences, Some(
+      s"""SELECT chunk, count(*) AS n_docs,
+         | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         | FROM (SELECT doc_id, n_tok,
+         |   CAST(floor((cum - n_tok) / 4096.0) AS BIGINT) AS chunk
+         |  FROM (SELECT doc_id, n_tok,
+         |    sum(n_tok) OVER (ORDER BY ord, doc_id) AS cum
+         |   FROM (SELECT doc_id, $oracleNTok AS n_tok,
+         |     md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents)))
+         | GROUP BY 1 ORDER BY chunk""".stripMargin)),
+    QDef("q_mixture_sample", mixtureSample, Some(
+      s"""WITH base AS (SELECT doc_id, source, $oracleNTok AS n_tok,
+         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+         |   AS bucket FROM documents),
+         |per_source AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok_total
+         |  FROM base GROUP BY 1),
+         |corpus AS (SELECT CAST(sum(tok_total) AS BIGINT) AS corpus_tok,
+         |  count(*) AS n_sources FROM per_source),
+         |rates AS (SELECT source,
+         |  least(1.0, CAST(CAST(floor(corpus_tok * 0.5 / n_sources) AS BIGINT)
+         |     AS DOUBLE) / tok_total) AS rate,
+         |  CAST(floor(least(1.0, CAST(CAST(floor(corpus_tok * 0.5 / n_sources)
+         |     AS BIGINT) AS DOUBLE) / tok_total) * 10000.0) AS BIGINT) AS cut
+         |  FROM per_source, corpus)
+         |SELECT b.source, count(*) AS n_docs,
+         | count(CASE WHEN b.bucket < r.cut THEN 1 END) AS n_sampled,
+         | CAST(sum(b.n_tok) AS BIGINT) AS tok_total,
+         | CAST(coalesce(sum(CASE WHEN b.bucket < r.cut THEN b.n_tok END), 0)
+         |   AS BIGINT) AS tok_sampled,
+         | ${Det.r4Sql("any_value(r.rate)")} AS rate
+         | FROM base b JOIN rates r ON b.source = r.source
+         | GROUP BY 1 ORDER BY b.source""".stripMargin)),
+    QDef("q_repetition", repetition, Some(
+      s"""SELECT doc_id, n_tok,
+         | ${Det.r4Sql("1.0 - n_uniq / n_tok")} AS dup_tok_ratio,
+         | CASE WHEN n_bi > 0 THEN ${Det.r4Sql("1.0 - n_uniq_bi / n_bi")}
+         |  ELSE 0.0 END AS dup_bigram_ratio
+         | FROM (SELECT doc_id,
+         |   CAST(len(l) AS BIGINT) AS n_tok,
+         |   CAST(len(list_distinct(l)) AS BIGINT) AS n_uniq,
+         |   CAST(len(bi) AS BIGINT) AS n_bi,
+         |   CAST(len(list_distinct(bi)) AS BIGINT) AS n_uniq_bi
+         |  FROM (SELECT doc_id, l,
+         |    CASE WHEN len(l) >= 2 THEN
+         |      [l[i] || ' ' || l[i+1] for i in generate_series(1, len(l) - 1)]
+         |     ELSE [] END AS bi
+         |   FROM (SELECT doc_id, ${TextOps.oracleToks} AS l FROM documents)))
+         | WHERE n_tok > 0 ORDER BY doc_id""".stripMargin))
+  )
+}

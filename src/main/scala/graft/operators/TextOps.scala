@@ -21,7 +21,7 @@ object TextOps {
     Tables(s, d, "documents")
 
   /** Whitespace tokens of lower-cased text, empties removed. */
-  private def toks(c: Column): Column =
+  private[operators] def toks(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => length(t) > 0)
 
   private val enStop = "\\b(the|and|of|to|in|is|that|it|was|for)\\b"
@@ -222,7 +222,7 @@ object TextOps {
       .orderBy("da", "db")
   }
 
-  private val oracleToks =
+  private[operators] val oracleToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
 
   val defs: Seq[QDef] = Seq(
