@@ -26,8 +26,13 @@ object Bench {
     // isn't billed for them.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Iteration aid: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
@@ -36,6 +41,11 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      // Release any blocks a query pinned (localCheckpoint intermediates):
+      // leaked blocks from earlier queries showed up as multi-second GC
+      // noise in LATER queries' timings. Cleanup runs outside the timer.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> (if (failed.contains(name)) -1.0 else sec)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -18,6 +18,12 @@ object Verify {
         failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Queries that materialize an intermediate (localCheckpoint — the
+      // dedup family's shared shingle index) have no end-of-query hook to
+      // release it; drop finished queries' blocks so they can't pile up
+      // across the 60+ query loop.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // a stderr line alone is easy to scroll past — leave the failure list
     // where the result comparison will find it

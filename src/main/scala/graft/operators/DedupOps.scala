@@ -111,15 +111,24 @@ object DedupOps {
   // counts, instead of a self-join that re-executes the index subtree per
   // side. Exact Jaccard, cost O(Σ df²) with df bounded corpus-relatively.
   private def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val grp = shingleBuckets(s, d)
+    // The index feeds BOTH pair generation and the two per-doc count legs;
+    // left lazy, Catalyst executes the whole shingle+groupBy subtree once
+    // per consumer (3×: confirmed in PLANS.md round 2). One eager
+    // localCheckpoint bounds it to a single execution; the checkpoint is
+    // the capped index (≤ one row per distinct shingle, lists ≤ cap) —
+    // far smaller than the corpus at any scale.
+    val grp = shingleBuckets(s, d).localCheckpoint(eager = true)
     val cnt = grp.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = grp
+    // Near-dup pairs are a vanishing fraction of the corpus: broadcast the
+    // pair list into the count joins (the count side is per-doc — at 100 TB
+    // it must never be the broadcast side).
+    val pairs = broadcast(grp
       .select(explode(flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
           struct(least(x, y).as("da"), greatest(x, y).as("db")))))).as("p"))
       .groupBy(col("p.da").as("da"), col("p.db").as("db"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("inter")))
     pairs
       .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
