@@ -136,6 +136,30 @@ object PipelineOps {
           .otherwise(lit(0.0d)).as("dup_bigram_ratio"))
       .orderBy("doc_id")
 
+  // Per-source dataset report card — the summary table a corpus release
+  // ships with: volume (docs, tokens), shape (mean doc length), hygiene
+  // (exact-duplicate count via 128-bit content hash — the count of rows
+  // beyond the first per distinct text), and language spread. One
+  // aggregation keyed on source; the two count-distincts run on 16-byte
+  // hashes and 2-char lang codes, never on documents. Source cardinality
+  // is tiny at any corpus size, so the output is driver-small by
+  // construction.
+  private def corpusReport(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("source"), col("lang"),
+        size(TextOps.toks(col("text"))).cast("long").as("n_tok"),
+        md5(col("text").cast("binary")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("tok_total"),
+        countDistinct(col("h")).as("n_distinct_texts"),
+        countDistinct(col("lang")).as("n_langs"))
+      .withColumn("n_exact_dups", col("n_docs") - col("n_distinct_texts"))
+      .withColumn("mean_doc_tokens", Det.r4(col("tok_total") / col("n_docs")))
+      .select("source", "n_docs", "tok_total", "mean_doc_tokens",
+        "n_exact_dups", "n_langs")
+      .orderBy("source")
+
   private val oracleNTok =
     s"len(${TextOps.oracleToks}) "
 
@@ -173,6 +197,18 @@ object PipelineOps {
          | ${Det.r4Sql("any_value(r.rate)")} AS rate
          | FROM base b JOIN rates r ON b.source = r.source
          | GROUP BY 1 ORDER BY b.source""".stripMargin)),
+    QDef("q_corpus_report", corpusReport, Some(
+      s"""SELECT source, n_docs, tok_total,
+         | ${Det.r4Sql("tok_total / n_docs")} AS mean_doc_tokens,
+         | n_docs - n_distinct_texts AS n_exact_dups, n_langs
+         | FROM (SELECT source, count(*) AS n_docs,
+         |   CAST(sum(n_tok) AS BIGINT) AS tok_total,
+         |   count(DISTINCT h) AS n_distinct_texts,
+         |   count(DISTINCT lang) AS n_langs
+         |  FROM (SELECT source, lang, $oracleNTok AS n_tok, md5(text) AS h
+         |   FROM documents)
+         |  GROUP BY 1)
+         | ORDER BY source""".stripMargin)),
     QDef("q_repetition", repetition, Some(
       s"""SELECT doc_id, n_tok,
          | ${Det.r4Sql("1.0 - n_uniq / n_tok")} AS dup_tok_ratio,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Det, QDef}
@@ -86,6 +87,42 @@ object SimilarityOps {
       .select(col("va"), col("vb"), Det.r4(col("cos")).as("cos"))
       .orderBy("va", "vb")
   }
+
+  /** Exact k-NN JOIN: top-[[Knn]] neighbors for EVERY vector (the batch
+    * generalization of [[cosineTopK]]'s one-query scan — what an embedding
+    * dedup/retrieval-eval pipeline runs corpus-wide). Same B×B block grid
+    * as [[embNearDup]] so every ordered pair meets exactly once, then a
+    * TWO-PHASE top-k: partial top-k inside each (query, candidate-block)
+    * group — embeddings are dropped before this shuffle, so it carries
+    * (va, vb, cos) triples, never vectors — cuts the final ranking's input
+    * from n² rows to n·B·k, and the final per-query window ranks those.
+    * Ranking keys on the r4-rounded cosine (ties then break on vb) so the
+    * order is reproducible across engines and partitionings. */
+  private def knnJoin(s: SparkSession, d: String): DataFrame = {
+    val grid = array((0 until NumBlocks).map(lit): _*)
+    val e = emb(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"),
+      pmod(col("vec_id"), lit(NumBlocks)).cast("int").as("blk"))
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("nrm").as("na"), col("blk").as("ba"), explode(grid).as("bb"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("nrm").as("nb"), explode(grid).as("ba"), col("blk").as("bb"))
+    val wLocal = Window.partitionBy("va", "bb")
+      .orderBy(desc("cos"), col("vb"))
+    val wFinal = Window.partitionBy("va").orderBy(desc("cos"), col("vb"))
+    a.join(b, Seq("ba", "bb"))
+      .filter(col("va") =!= col("vb"))
+      .select(col("va"), col("bb"), col("vb"),
+        Det.r4(dotf(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .withColumn("rl", row_number().over(wLocal))
+      .filter(col("rl") <= Knn)
+      .withColumn("rk", row_number().over(wFinal))
+      .filter(col("rk") <= Knn)
+      .select(col("va"), col("rk"), col("vb"), col("cos"))
+      .orderBy("va", "rk")
+  }
+
+  private val Knn = 5
 
   // --- ANN: random-hyperplane LSH ----------------------------------------
   private val NumTables = 8
@@ -180,6 +217,15 @@ object SimilarityOps {
     // LSH planes are Scala-side constants — not DuckDB-expressible; recall
     // vs the brute-force top-20 is asserted in graft.SimilaritySpec.
     QDef("q_similarity_ann", annTopK, None),
+    QDef("q_similarity_knn", knnJoin, Some(
+      s"""WITH p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |  ${Det.r4Sql(cosSql.format("a.embedding", "b.embedding", "a.embedding", "b.embedding"))} AS cos
+         | FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+         |SELECT va, rk, vb, cos FROM (
+         | SELECT va, vb, cos,
+         |  ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rk
+         | FROM p)
+         | WHERE rk <= 5 ORDER BY va, rk""".stripMargin)),
     QDef("q_embed_centroids", embedCentroids, Some(
       s"""SELECT label, i AS pos,
          | ${Det.r4Sql(Det.dsumSql("CAST(embedding[i] AS DOUBLE)") + " / count(*)")} AS centroid,

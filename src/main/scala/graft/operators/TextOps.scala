@@ -97,6 +97,41 @@ object TextOps {
         "stop_ratio", "avg_tok_len", "quality")
       .orderBy("doc_id")
 
+  // Gopher-style composite quality FILTER: the keep/reject decision (and
+  // why) — qualityScore's continuous signals turned into named rules. Each
+  // rule is a boolean column, `keep` is their conjunction, `reason` names
+  // the FIRST failing rule (rule order is part of the contract). A pure
+  // per-document projection: no shuffle, no state, embarrassingly parallel
+  // at any corpus size; downstream stages filter on `keep` and audit
+  // reject rates by `reason`.
+  private def qualityFilter(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tok"),
+        size(array_distinct(toks(col("text")))).cast("long").as("n_uniq"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long")
+          .as("n_nonspace"),
+        regexp_count(lower(col("text")), lit(enStop)).cast("long").as("n_stop"))
+      .filter(col("n_tok") > 0)
+      .withColumn("avg_tok_len", Det.r4(col("n_nonspace") / col("n_tok")))
+      .withColumn("dup_tok_ratio",
+        Det.r4(lit(1.0d) - col("n_uniq") / col("n_tok")))
+      .withColumn("r_nwords", col("n_tok") >= 30 && col("n_tok") <= 2000)
+      .withColumn("r_wordlen",
+        col("avg_tok_len") >= 2.0 && col("avg_tok_len") <= 10.0)
+      .withColumn("r_stop", col("n_stop") >= 2)
+      .withColumn("r_rep", col("dup_tok_ratio") <= 0.6)
+      .withColumn("keep",
+        col("r_nwords") && col("r_wordlen") && col("r_stop") && col("r_rep"))
+      .withColumn("reason",
+        when(!col("r_nwords"), "n_words")
+          .when(!col("r_wordlen"), "word_len")
+          .when(!col("r_stop"), "stopwords")
+          .when(!col("r_rep"), "repetition"))
+      .select("doc_id", "n_tok", "avg_tok_len", "dup_tok_ratio", "n_stop",
+        "r_nwords", "r_wordlen", "r_stop", "r_rep", "keep", "reason")
+      .orderBy("doc_id")
+
   // Document fingerprint: min-hash over word 3-shingles (one 128-bit hash
   // per shingle, keep the lexicographic min) — an order-invariant,
   // locality-insensitive content fingerprint; md5(text) fallback for
@@ -319,6 +354,32 @@ object TextOps {
          | WHERE a.split <> b.split
          | ORDER BY da, db""".stripMargin
     }),
+    QDef("q_quality_filter", qualityFilter, Some(
+      s"""SELECT doc_id, n_tok, avg_tok_len, dup_tok_ratio, n_stop,
+         | r_nwords, r_wordlen, r_stop, r_rep,
+         | (r_nwords AND r_wordlen AND r_stop AND r_rep) AS keep,
+         | CASE WHEN NOT r_nwords THEN 'n_words'
+         |      WHEN NOT r_wordlen THEN 'word_len'
+         |      WHEN NOT r_stop THEN 'stopwords'
+         |      WHEN NOT r_rep THEN 'repetition' END AS reason
+         | FROM (SELECT doc_id, n_tok, avg_tok_len, dup_tok_ratio, n_stop,
+         |   (n_tok >= 30 AND n_tok <= 2000) AS r_nwords,
+         |   (avg_tok_len >= 2.0 AND avg_tok_len <= 10.0) AS r_wordlen,
+         |   (n_stop >= 2) AS r_stop,
+         |   (dup_tok_ratio <= 0.6) AS r_rep
+         |  FROM (SELECT doc_id, n_tok,
+         |    ${Det.r4Sql("n_nonspace / n_tok")} AS avg_tok_len,
+         |    ${Det.r4Sql("1.0 - n_uniq / n_tok")} AS dup_tok_ratio, n_stop
+         |   FROM (SELECT doc_id,
+         |     CAST(len(l) AS BIGINT) AS n_tok,
+         |     CAST(len(list_distinct(l)) AS BIGINT) AS n_uniq,
+         |     CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+         |       AS n_nonspace,
+         |     CAST(len(regexp_extract_all(lower(text), '$enStop')) AS BIGINT)
+         |       AS n_stop
+         |    FROM (SELECT doc_id, text, $oracleToks AS l FROM documents))
+         |   WHERE n_tok > 0))
+         | ORDER BY doc_id""".stripMargin)),
     QDef("q_fingerprint", fingerprint, Some(
       s"""SELECT doc_id,
          | CASE WHEN len(l) >= 3 THEN

@@ -71,6 +71,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("quality filter: keep is the rule conjunction, reason names the first failure") {
+    val rows = q("q_quality_filter").collect()
+    assert(rows.nonEmpty)
+    val ruleOrder = Seq("r_nwords" -> "n_words", "r_wordlen" -> "word_len",
+      "r_stop" -> "stopwords", "r_rep" -> "repetition")
+    rows.foreach { r =>
+      val rules = ruleOrder.map { case (c, _) => r.getAs[Boolean](c) }
+      assert(r.getAs[Boolean]("keep") == rules.forall(identity))
+      val expected = ruleOrder.zip(rules).collectFirst {
+        case ((_, reason), false) => reason
+      }
+      assert(Option(r.getAs[String]("reason")) == expected,
+        s"doc ${r.getAs[Long]("doc_id")}: reason mismatch")
+    }
+    // the filter must actually discriminate on this corpus
+    assert(rows.exists(_.getAs[Boolean]("keep")), "no doc kept")
+    assert(rows.exists(!_.getAs[Boolean]("keep")), "no doc rejected")
+  }
+
+  test("corpus report: per-source rows conserve the corpus totals") {
+    val rep = q("q_corpus_report").collect()
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    assert(rep.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_exact_dups") >= 0)
+      assert(r.getAs[Long]("n_langs") >= 1)
+      val mean = r.getAs[Double]("mean_doc_tokens")
+      assert(mean > 0 && mean < 10000, s"mean_doc_tokens $mean")
+    }
+  }
+
   test("repetition ratios are valid probabilities, zero for all-unique docs") {
     val rows = q("q_repetition").collect()
     assert(rows.nonEmpty)

@@ -36,6 +36,26 @@ class SimilaritySpec extends SparkSpec {
     assert(grid == naive)
   }
 
+  test("knn join: per-vector top-5 agrees with the brute-force one-query scan") {
+    val knn = SparkEntry.queries("q_similarity_knn")(spark, sf).cache()
+    try {
+      // every vector gets exactly 5 contiguous ranks with non-increasing cos
+      val n = graft.sources.Tables(spark, sf, "embeddings").count()
+      assert(knn.count() == n * 5)
+      val bad = knn.groupBy("va")
+        .agg(count(lit(1)).as("k"), min("rk").as("lo"), max("rk").as("hi"))
+        .filter(col("k") =!= 5 || col("lo") =!= 1 || col("hi") =!= 5)
+      assert(bad.isEmpty, "rank structure broken")
+      // vec 0's neighbor list = the first 5 rows of the oracle-verified
+      // one-query brute force (same rounding, same tie order)
+      val bf = SparkEntry.queries("q_similarity_cosine")(spark, sf)
+        .limit(5).select("vec_id").collect().map(_.getLong(0)).toSeq
+      val k0 = knn.filter(col("va") === 0).orderBy("rk")
+        .select("vb").collect().map(_.getLong(0)).toSeq
+      assert(k0 == bf, s"vec 0 neighbors $k0 != brute force $bf")
+    } finally knn.unpersist()
+  }
+
   test("DotF is bit-identical to the declarative aggregate/zip_with fold") {
     val e = graft.sources.Tables(spark, sf, "embeddings").limit(200)
     val hof = aggregate(
