@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming twin of the exact-dedup operator (SURVEY §2.5 G10): ingest-time
+  * deduplication on the micro-batch engine — what a training-data pipeline
+  * runs at the firehose BEFORE documents ever land in the corpus, so the
+  * batch dedup passes start from a smaller set.
+  *
+  * Two state regimes, both keyed on the 128-bit content hash (state carries
+  * 16-byte keys, never documents — same 100 TB rule as the batch family):
+  *  - unbounded `dropDuplicates`: exact across the whole stream lifetime;
+  *  - `dropDuplicatesWithinWatermark`: state bounded by the event-time
+  *    watermark — the only sustainable regime on an infinite stream, exact
+  *    within the dedup horizon (duplicates of a document arrive in a
+  *    bounded window in practice: replays, retries, crawl refetches).
+  */
+class StreamingDedupSpec extends SparkSpec {
+
+  test("G10 streaming: dropDuplicates on content hash across micro-batches") {
+    val s = spark
+    import s.implicits._
+    val in = MemoryStream[(Long, String)](s)
+    val deduped = in.toDS()
+      .toDF("doc_id", "text")
+      .withColumn("h", md5(col("text").cast("binary")))
+      .dropDuplicates("h")
+    val q = deduped.writeStream
+      .format("memory").queryName("g10_dedup")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      q.processAllAvailable()
+      // duplicate arriving BATCHES later is still dropped (state, not
+      // batch-local distinct)
+      in.addData((4L, "beta"), (5L, "gamma"))
+      q.processAllAvailable()
+      val kept = s.table("g10_dedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept.map(_.toInt).subsetOf(Set(1, 2, 3, 5)) && kept.size == 3,
+        s"expected one survivor per distinct text, got $kept")
+      val texts = s.table("g10_dedup").select("text")
+        .collect().map(_.getString(0)).toSet
+      assert(texts == Set("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
+  test("G10 streaming: watermark-bounded dedup drops in-horizon duplicates") {
+    val s = spark
+    import s.implicits._
+    val in = MemoryStream[(Timestamp, Long, String)](s)
+    val deduped = in.toDS()
+      .toDF("ts", "doc_id", "text")
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withWatermark("ts", "1 minute")
+      .dropDuplicatesWithinWatermark("h")
+    val q = deduped.writeStream
+      .format("memory").queryName("g10_dedup_wm")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      def t(sec: Int) = new Timestamp(sec * 1000L)
+      // t=0 would sit AT the initial watermark and be discarded as late —
+      // start above it
+      in.addData((t(100), 1L, "alpha"), (t(105), 2L, "beta"))
+      q.processAllAvailable()
+      // same content, 10s later — inside the 1-minute horizon → dropped
+      in.addData((t(110), 3L, "alpha"))
+      q.processAllAvailable()
+      val kept = s.table("g10_dedup_wm").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L),
+        s"in-horizon duplicate leaked or original lost: $kept")
+    } finally q.stop()
+  }
+}
