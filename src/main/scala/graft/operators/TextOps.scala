@@ -97,6 +97,33 @@ object TextOps {
         "stop_ratio", "avg_tok_len", "quality")
       .orderBy("doc_id")
 
+  // Unigram language-model scoring (the CCNet-style quality signal): build
+  // the corpus unigram distribution, score every document by its mean token
+  // surprisal -log2 p(tok). Low = in-distribution text, high = rare-token
+  // soup; training pipelines bucket on this for curriculum/quality cuts.
+  // Shape at 100 TB: one token aggregation (map-side combined), the
+  // per-token join keys on the token string against the frequency table —
+  // at web scale that table is millions of rows, far too big to broadcast,
+  // and the shuffle join on `tok` is the right plan (both sides keyed on
+  // the token, documents never travel). Surprisal sums go through the
+  // decimal accumulator so the mean is partitioning-independent.
+  private def lmScore(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("n"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(freq, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("surprisal", -log2(col("n") / col("n_total")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        Det.dsum(col("surprisal")).as("sum_surprisal"))
+      .select(col("doc_id"), col("n_tok"),
+        Det.r4(col("sum_surprisal") / col("n_tok")).as("mean_surprisal"))
+      .orderBy("doc_id")
+  }
+
   // Gopher-style composite quality FILTER: the keep/reject decision (and
   // why) — qualityScore's continuous signals turned into named rules. Each
   // rule is a boolean column, `keep` is their conjunction, `reason` names
@@ -354,6 +381,15 @@ object TextOps {
          | WHERE a.split <> b.split
          | ORDER BY da, db""".stripMargin
     }),
+    QDef("q_lm_score", lmScore, Some(
+      s"""WITH tok AS (SELECT doc_id, unnest($oracleToks) AS tok FROM documents),
+         |freq AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_total FROM tok)
+         |SELECT doc_id, count(*) AS n_tok,
+         | ${Det.r4Sql(Det.dsumSql("-log2(CAST(n AS DOUBLE) / n_total)") + " / count(*)")}
+         |   AS mean_surprisal
+         | FROM tok JOIN freq USING (tok), tot
+         | GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     QDef("q_quality_filter", qualityFilter, Some(
       s"""SELECT doc_id, n_tok, avg_tok_len, dup_tok_ratio, n_stop,
          | r_nwords, r_wordlen, r_stop, r_rep,

@@ -84,6 +84,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_similarity_knn: grid equi-join, every window partitioned") {
+    val p = plan("q_similarity_knn")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"knn join must meet pairs via the block grid, not a nested loop:\n$p")
+    // the single-partition trap: a window whose FIRST argument is already a
+    // sort order (ASC/DESC) has an empty partition spec and runs the whole
+    // n² ranking on one task
+    val specs = "windowspecdefinition\\(([^,)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"expected window operators in:\n$p")
+    specs.foreach { first =>
+      assert(!first.contains(" ASC") && !first.contains(" DESC"),
+        s"unpartitioned window (first spec arg '$first'):\n$p")
+    }
+  }
+
   test("scan-shaped queries read parquet exactly once") {
     // single-pass guarantees from the r2 rewrites: the LSH dedup queries
     // must not re-execute their signature/fingerprint subtrees

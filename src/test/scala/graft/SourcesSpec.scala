@@ -44,6 +44,32 @@ class SourcesSpec extends SparkSpec {
   // avro: the spark-avro connector module is not on this classpath (only
   // the core Avro library ships in /opt/spark/jars) — not testable here.
 
+  test("partitioned writes enable partition pruning (shard-layout sink)") {
+    // the training-shard layout: corpus written partitioned by a
+    // low-cardinality key so downstream readers touch only their shard —
+    // at 100 TB the difference between reading one split and re-scanning
+    // the corpus
+    val dir = Files.createTempDirectory("graft-src-part").toString
+    Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .write.partitionBy("source").mode("overwrite").parquet(dir)
+    val one = spark.read.parquet(dir).filter(col("source") === "src1")
+    val plan = one.queryExecution.executedPlan.toString
+    // pruned scan: the partition filter sits in PartitionFilters, and the
+    // data files read are only the matching partition's
+    assert(plan.contains("PartitionFilters") && plan.contains("src1"),
+      s"expected a partition filter on the pruned scan:\n$plan")
+    val expected = Tables(spark, sf, "documents")
+      .filter(col("source") === "src1").count()
+    assert(one.count() == expected)
+    // pruning must NOT have read everything: the scan's selected partition
+    // count is 1 of the source cardinality
+    val files = one.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(files.nonEmpty && files.forall(_.selectedPartitions.partitionCount == 1),
+      "partition pruning did not reduce the scan to one partition")
+  }
+
   test("orc scans receive pushed filters like parquet") {
     val dir = Files.createTempDirectory("graft-src-orc-push").toString
     events.write.format("orc").mode("overwrite").save(dir)
