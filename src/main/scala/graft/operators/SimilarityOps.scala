@@ -107,13 +107,21 @@ object SimilarityOps {
       col("nrm").as("na"), col("blk").as("ba"), explode(grid).as("bb"))
     val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
       col("nrm").as("nb"), explode(grid).as("ba"), col("blk").as("bb"))
-    val wLocal = Window.partitionBy("va", "bb")
+    val wLocal = Window.partitionBy("va", "cb")
       .orderBy(desc("cos"), col("vb"))
     val wFinal = Window.partitionBy("va").orderBy(desc("cos"), col("vb"))
-    a.join(b, Seq("ba", "bb"))
-      .filter(col("va") =!= col("vb"))
-      .select(col("va"), col("bb"), col("vb"),
+    // each UNORDERED pair's dot product is computed once (va < vb) and the
+    // row mirrored for the other direction — the ranking input is the same
+    // ordered-pair set at half the floating-point work. `cb` is the
+    // candidate's block in each direction (bb for the original row, ba for
+    // the mirror), so the partial phase still groups by candidate block.
+    val half = a.join(b, Seq("ba", "bb"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"), col("ba"), col("bb"),
         Det.r4(dotf(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+    half.select(col("va"), col("bb").as("cb"), col("vb"), col("cos"))
+      .unionByName(half.select(col("vb").as("va"), col("ba").as("cb"),
+        col("va").as("vb"), col("cos")))
       .withColumn("rl", row_number().over(wLocal))
       .filter(col("rl") <= Knn)
       .withColumn("rk", row_number().over(wFinal))
