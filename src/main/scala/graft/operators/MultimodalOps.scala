@@ -97,6 +97,23 @@ object MultimodalOps {
       .withColumn("chunk_len", floor(col("n_bytes") / 8))
       .orderBy("doc_id", "frame_idx")
 
+  // Audio framing manifest: the blob as stub PCM (1 byte/sample @ 8 kHz —
+  // the codec decode is the stubbed step) cut into the standard
+  // fixed-frame/hop windowing an ASR or audio-embedding stage consumes
+  // (100-sample frames, 40-sample hop). Per-asset duration + frame count:
+  // pure metadata arithmetic, narrow projection, blob never shuffled.
+  private def multimodalAudio(s: SparkSession, d: String): DataFrame = {
+    val frame = 100L
+    val hop = 40L
+    assets(s, d)
+      .select(col("doc_id"), length(col("blob")).cast("long").as("n_samples"))
+      .withColumn("duration_ms", floor(col("n_samples") * 1000 / 8000))
+      .withColumn("n_frames",
+        when(col("n_samples") >= frame,
+          floor((col("n_samples") - frame) / hop) + 1).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   // Feature extraction: 4 pseudo-features in [0, 1) derived from the
   // content hash (the real embedding model call is the stubbed step; the
   // hash keeps it deterministic and cross-engine checkable). Narrow
@@ -142,6 +159,14 @@ object MultimodalOps {
         | FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
         |        unnest(generate_series(0, 7)) AS frame_idx FROM documents)
         | ORDER BY doc_id, frame_idx""".stripMargin)),
+    QDef("q_multimodal_audio", multimodalAudio, Some(
+      """SELECT doc_id, n_samples,
+        | CAST(floor(n_samples * 1000 / 8000) AS BIGINT) AS duration_ms,
+        | CASE WHEN n_samples >= 100
+        |  THEN CAST(floor((n_samples - 100) / 40) AS BIGINT) + 1
+        |  ELSE 0 END AS n_frames
+        | FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_samples
+        |       FROM documents) ORDER BY doc_id""".stripMargin)),
     QDef("q_multimodal_features", multimodalFeatures, Some(
       s"""SELECT doc_id, ${featuresSqlF(0)} AS f0, ${featuresSqlF(1)} AS f1,
          | ${featuresSqlF(2)} AS f2, ${featuresSqlF(3)} AS f3
