@@ -147,23 +147,23 @@ object DedupOps {
   private val NumPerms = graft.functions.TextKernels.NumPerms
   private val BandRows = 4 // 16 bands × 4 rows → ~certain recall at j≥0.8
 
-  /** doc_id + sig: array of 64 minhashes over word 3-shingles.
-    *
-    * A signature depends only on its own document, so this is a NARROW
-    * per-row projection — no explode, no aggregation, no shuffle — and the
-    * whole tokenize→shingle→hash→64-permutation-min pass is ONE native
-    * kernel call ([[graft.functions.TextKernels.minhashSig64]]); the
-    * declarative fold evaluated ~3.3k interpreted lambdas per document.
-    * The seed is [p,...,p]: empty docs keep it, which never collides with
-    * a real band nor passes the estimate. */
-  private[graft] def minhashSignatures(s: SparkSession, d: String): DataFrame =
-    docsSpread(s, d)
-      .select(col("doc_id"),
-        graft.functions.TextKernels.minhashSig64(col("text")).as("sig"))
+  // The signature (64 minhashes over word 3-shingles) depends only on its
+  // own document: a NARROW per-row projection — no explode, no
+  // aggregation, no shuffle — and the whole
+  // tokenize→shingle→hash→64-permutation-min pass is ONE native kernel
+  // call (graft.functions.TextKernels.minhashSig64); the declarative fold
+  // it replaced evaluated ~3.3k interpreted lambdas per document. The
+  // seed is [p,...,p]: empty docs keep it, which never collides with a
+  // real band nor passes the estimate.
 
   /** Candidate pairs from LSH banding, verified by signature agreement:
     * ĵ = |{i : sig_a(i) = sig_b(i)}| / 64 is an unbiased Jaccard estimator
     * (each minhash matches with probability exactly j).
+    *
+    * LIBRARY ENTRY POINT — generic over any corpus: `rows` needs an id
+    * column and a text column, nothing else (the q_dedup_minhash query
+    * binds it to the test table; graft.ApiSpec binds it to a synthetic
+    * non-corpus frame).
     *
     * Single-pass shape: the signature rides THROUGH the banding, and
     * collisions are grouped into buckets (`collect_list`) with pairs
@@ -176,11 +176,14 @@ object DedupOps {
     * collisions LSH promises to keep small. A degenerate corpus (millions
     * of identical docs → one hot bucket) would need a bucket-size cap or
     * pre-pass exact dedup; noted, not needed here. */
-  private def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+  def minhashPairs(rows: DataFrame, id: String, text: String,
+      minEst: Double): DataFrame = {
     val nBands = NumPerms / BandRows
     // Sub-3-token docs keep the [p,...,p] seed signature; without this
     // guard any two of them would band-collide and "verify" at ĵ = 1.0.
-    val sigs = minhashSignatures(s, d)
+    val sigs = rows
+      .select(col(id).as("doc_id"),
+        graft.functions.TextKernels.minhashSig64(col(text)).as("sig"))
       .filter(element_at(col("sig"), 1) =!=
         graft.functions.TextKernels.MersenneP)
     val bands = sigs.select(col("doc_id"), col("sig"),
@@ -201,12 +204,15 @@ object DedupOps {
               zip_with(x.getField("sig"), y.getField("sig"), (p, q) => p === q),
               m => m)) / lit(NumPerms.toDouble)).as("est"))))))
         .as("pr"))
-      .filter(col("pr.est") >= 0.5)
+      .filter(col("pr.est") >= minEst)
       .select(col("pr.da").as("da"), col("pr.db").as("db"),
         Det.r4(col("pr.est")).as("jaccard_est"))
       .distinct()
       .orderBy("da", "db")
   }
+
+  private def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashPairs(docsSpread(s, d), "doc_id", "text", minEst = 0.5)
 
   // --- SimHash ----------------------------------------------------------
   /** 64-bit SimHash per doc: bit k of the fingerprint is the sign of the
@@ -236,13 +242,20 @@ object DedupOps {
     * bound against candidate volume: at web scale one narrows acceptance
     * to Hamming ≤ 3 with 4×16-bit bands (the Manku WWW'07 regime) so band
     * keys stay selective; the 6-band split matches this corpus, whose true
-    * near-dups sit at Hamming ≤ 5. */
-  private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val MaxHamming = 5
+    * near-dups sit at Hamming ≤ 5.
+    *
+    * LIBRARY ENTRY POINT — generic over any corpus (id + text columns);
+    * the q_dedup_simhash query binds the test table, graft.ApiSpec a
+    * synthetic frame. */
+  def simhashPairs(rows: DataFrame, id: String, text: String,
+      maxHamming: Int): DataFrame = {
     val bandBits = Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
     // Token-less docs all hash to fingerprint 0 and would pair with each
     // other at Hamming 0 (a real doc hits 0 with probability 2^-64).
-    val fp = simhash(s, d).filter(col("simhash") =!= 0L)
+    val fp = rows
+      .select(col(id).as("doc_id"),
+        graft.functions.TextKernels.simHash64(col(text)).as("simhash"))
+      .filter(col("simhash") =!= 0L)
     val bands = fp.select(col("doc_id"), col("simhash"),
       posexplode(array(bandBits.map { case (start, width) =>
         shiftright(col("simhash"), start).bitwiseAND(lit((1L << width) - 1))
@@ -262,12 +275,15 @@ object DedupOps {
             bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash")))
               .as("hamming"))))))
         .as("pr"))
-      .filter(col("pr.hamming") <= MaxHamming)
+      .filter(col("pr.hamming") <= maxHamming)
       .select(col("pr.da").as("da"), col("pr.db").as("db"),
         col("pr.hamming").as("hamming"))
       .distinct()
       .orderBy("da", "db")
   }
+
+  private def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    simhashPairs(docsSpread(s, d), "doc_id", "text", maxHamming = 5)
 
   /** Near-dup CLUSTERS: connected components over the (exact) pair list,
     * each doc labeled with the smallest doc_id in its component — the step

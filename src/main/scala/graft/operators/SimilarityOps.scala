@@ -88,7 +88,7 @@ object SimilarityOps {
       .orderBy("va", "vb")
   }
 
-  /** Exact k-NN JOIN: top-[[Knn]] neighbors for EVERY vector (the batch
+  /** Exact k-NN JOIN: top-k neighbors for EVERY vector (the batch
     * generalization of [[cosineTopK]]'s one-query scan — what an embedding
     * dedup/retrieval-eval pipeline runs corpus-wide). Same B×B block grid
     * as [[embNearDup]] so every ordered pair meets exactly once, then a
@@ -97,10 +97,15 @@ object SimilarityOps {
     * (va, vb, cos) triples, never vectors — cuts the final ranking's input
     * from n² rows to n·B·k, and the final per-query window ranks those.
     * Ranking keys on the r4-rounded cosine (ties then break on vb) so the
-    * order is reproducible across engines and partitionings. */
-  private def knnJoin(s: SparkSession, d: String): DataFrame = {
+    * order is reproducible across engines and partitionings.
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, vector-array) frame; the
+    * q_similarity_knn query binds the test table, graft.ApiSpec a
+    * synthetic frame. */
+  def knnJoin(rows: DataFrame, id: String, vec: String, k: Int): DataFrame = {
     val grid = array((0 until NumBlocks).map(lit): _*)
-    val e = emb(s, d).select(col("vec_id"), col("embedding"),
+    val e = rows.select(col(id).as("vec_id"), col(vec).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
       sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"),
       pmod(col("vec_id"), lit(NumBlocks)).cast("int").as("blk"))
     val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
@@ -123,14 +128,17 @@ object SimilarityOps {
       .unionByName(half.select(col("vb").as("va"), col("ba").as("cb"),
         col("va").as("vb"), col("cos")))
       .withColumn("rl", row_number().over(wLocal))
-      .filter(col("rl") <= Knn)
+      .filter(col("rl") <= k)
       .withColumn("rk", row_number().over(wFinal))
-      .filter(col("rk") <= Knn)
+      .filter(col("rk") <= k)
       .select(col("va"), col("rk"), col("vb"), col("cos"))
       .orderBy("va", "rk")
   }
 
   private val Knn = 5
+
+  private def knnJoinQuery(s: SparkSession, d: String): DataFrame =
+    knnJoin(emb(s, d), "vec_id", "embedding", Knn)
 
   // --- ANN: random-hyperplane LSH ----------------------------------------
   private val NumTables = 8
@@ -225,7 +233,7 @@ object SimilarityOps {
     // LSH planes are Scala-side constants — not DuckDB-expressible; recall
     // vs the brute-force top-20 is asserted in graft.SimilaritySpec.
     QDef("q_similarity_ann", annTopK, None),
-    QDef("q_similarity_knn", knnJoin, Some(
+    QDef("q_similarity_knn", knnJoinQuery, Some(
       s"""WITH p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
          |  ${Det.r4Sql(cosSql.format("a.embedding", "b.embedding", "a.embedding", "b.embedding"))} AS cos
          | FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)

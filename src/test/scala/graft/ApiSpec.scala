@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, SimilarityOps}
+
+/** The library entry points are generic over ANY DataFrame — not bound to
+  * the driver's test tables. Each test binds an operator to a synthetic
+  * frame with its own column names and a planted ground truth.
+  */
+class ApiSpec extends SparkSpec {
+
+  private val base =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+  test("minhashPairs finds the planted near-duplicate on a generic frame") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (10L, base),
+      (20L, base + " lambda"), // 8 of 9 shingles shared → jaccard ≈ 0.89
+      (30L, "one two three four five six seven eight nine ten"),
+      (40L, "red green blue yellow purple orange pink black white gray"))
+      .toDF("id", "body")
+    val pairs = DedupOps.minhashPairs(docs, "id", "body", minEst = 0.5)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 20L)), s"planted pair missed: $pairs")
+    assert(pairs.forall { case (a, b) => Set(a, b).subsetOf(Set(10L, 20L)) },
+      s"false positives: $pairs")
+  }
+
+  test("simhashPairs is order-invariant: a shuffled doc pairs at Hamming 0") {
+    val s = spark
+    import s.implicits._
+    val shuffled = base.split(" ").reverse.mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, shuffled), // same token bag → same fingerprint
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("id", "body")
+    val pairs = DedupOps.simhashPairs(docs, "id", "body", maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)), s"got ${pairs.toSeq}")
+  }
+
+  test("knnJoin ranks planted neighbors on a generic vector frame") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (200L, Array(0.95f, 0.3f, 0.0f, 0.0f)), // closest to 100
+      (300L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (400L, Array(0.0f, 0.9f, 0.4f, 0.0f)), // closest to 300
+      (500L, Array(0.0f, 0.0f, 0.0f, 1.0f)))
+      .toDF("row_id", "vec")
+    val knn = SimilarityOps.knnJoin(vecs, "row_id", "vec", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(knn.size == 5, s"expected one neighbor per vector: $knn")
+    assert(knn(100L) == 200L && knn(200L) == 100L)
+    assert(knn(300L) == 400L && knn(400L) == 300L)
+  }
+}
