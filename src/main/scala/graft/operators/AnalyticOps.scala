@@ -168,7 +168,50 @@ object AnalyticOps {
         min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
       .orderBy("bucket")
 
+  // Robust per-group outlier detection — the Iglewicz–Hoaglin modified
+  // z-score on median/MAD, the data-QA rule that survives the heavy tails
+  // that break mean/stddev z-scores. Pass 1: exact per-group median;
+  // pass 2: median absolute deviation around it; pass 3: count rows beyond
+  // 3.5·1.4826·MAD. Both stat tables are group-cardinality-sized →
+  // broadcast; the value column is re-scanned per pass rather than cached
+  // (at 100 TB a narrow column re-scan beats pinning it in memory, and
+  // medians are not one-pass mergeable — the approx path would swap in
+  // percentile_approx exactly like q_quantiles_approx).
+  private def outliers(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val mad = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+    ev.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .withColumn("is_out",
+        abs(col("value") - col("med")) > lit(3.5) * lit(1.4826) * col("mad"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        Det.r4(first(col("med"))).as("med"),
+        Det.r4(first(col("mad"))).as("mad"),
+        count(when(col("is_out"), 1)).as("n_outliers"))
+      .select("event_type", "n", "med", "mad", "n_outliers")
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QDef] = Seq(
+    QDef("q_outliers", outliers, Some(
+      s"""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+         |  FROM events GROUP BY 1),
+         |mad AS (SELECT e.event_type,
+         |  quantile_cont(abs(e.value - m.med), 0.5) AS mad
+         |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+         |SELECT e.event_type, count(*) AS n,
+         | ${Det.r4Sql("any_value(m.med)")} AS med,
+         | ${Det.r4Sql("any_value(d.mad)")} AS mad,
+         | count(CASE WHEN abs(e.value - m.med) > 3.5 * 1.4826 * d.mad
+         |       THEN 1 END) AS n_outliers
+         | FROM events e JOIN med m USING (event_type)
+         | JOIN mad d ON e.event_type = d.event_type
+         | GROUP BY 1 ORDER BY 1""".stripMargin)),
     QDef("q_join_semi", joinSemi, Some(
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
         | WHERE EXISTS (SELECT 1 FROM orders
