@@ -73,11 +73,11 @@ object DedupOps {
     * discriminative signal for near-dup detection. `floor` is explicit
     * because Spark's double→long cast truncates while DuckDB's CAST
     * rounds — the oracle mirrors the same floor. */
-  private def shingleBuckets(s: SparkSession, d: String): DataFrame = {
-    val sh = docsSpread(s, d)
-      .select(col("doc_id"),
-        explode(graft.functions.TextKernels.shingleSet64(col("text"))).as("sh64"))
-    val cap = docs(s, d).agg(
+  private def shingleBuckets(rows: DataFrame, id: String, text: String): DataFrame = {
+    val sh = rows
+      .select(col(id).as("doc_id"),
+        explode(graft.functions.TextKernels.shingleSet64(col(text))).as("sh64"))
+    val cap = rows.agg(
       least(lit(1000L),
         greatest(lit(100L), floor(count(lit(1)) * 0.002).cast("long")))
         .as("max_df"))
@@ -110,14 +110,16 @@ object DedupOps {
   // inside each list — a single exchange feeds pair generation AND per-doc
   // counts, instead of a self-join that re-executes the index subtree per
   // side. Exact Jaccard, cost O(Σ df²) with df bounded corpus-relatively.
-  private def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+  // LIBRARY ENTRY POINT — generic over any corpus (id + text columns).
+  def ngramJaccardPairs(rows: DataFrame, id: String, text: String,
+      minJaccard: Double): DataFrame = {
     // The index feeds BOTH pair generation and the two per-doc count legs;
     // left lazy, Catalyst executes the whole shingle+groupBy subtree once
     // per consumer (3×: confirmed in PLANS.md round 2). One eager
     // localCheckpoint bounds it to a single execution; the checkpoint is
     // the capped index (≤ one row per distinct shingle, lists ≤ cap) —
     // far smaller than the corpus at any scale.
-    val grp = shingleBuckets(s, d).localCheckpoint(eager = true)
+    val grp = shingleBuckets(rows, id, text).localCheckpoint(eager = true)
     val cnt = grp.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     // Near-dup pairs are a vanishing fraction of the corpus: broadcast the
@@ -134,10 +136,13 @@ object DedupOps {
       .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
       .withColumn("jaccard",
         col("inter") / (col("ca.n") + col("cb.n") - col("inter")))
-      .filter(col("jaccard") >= 0.1)
+      .filter(col("jaccard") >= minJaccard)
       .select(col("da"), col("db"), Det.r4(col("jaccard")).as("jaccard"))
       .orderBy("da", "db")
   }
+
+  private def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardPairs(docsSpread(s, d), "doc_id", "text", minJaccard = 0.1)
 
   // --- MinHash + LSH ---------------------------------------------------
   // Universal-hash family over 31-bit shingle hashes: h_i(x) = (a_i x + b_i)
@@ -297,10 +302,14 @@ object DedupOps {
     * MaxRounds bound is a runaway guard and non-convergence fails loudly.
     * This is the simple variant of the large-star/small-star
     * connected-components algorithm. */
-  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val edges = dedupNgramJaccard(s, d).select(col("da"), col("db"))
+  // LIBRARY ENTRY POINT — generic over ANY undirected edge list (the
+  // q_dedup_clusters query feeds it the n-gram near-dup pairs; any
+  // similarity pair source composes the same way). Returns one row per
+  // vertex with the min-id representative of its component.
+  def connectedComponents(edgeList: DataFrame, src: String, dst: String): DataFrame = {
+    val edges = edgeList.select(col(src).as("da"), col(dst).as("db"))
     // materialize the edge list once — it is consumed every propagation
-    // round, and lazily it would re-execute the whole n-gram query per
+    // round, and lazily it would re-execute the whole upstream query per
     // round (and per convergence check)
     val sym = edges.unionByName(
       edges.select(col("db").as("da"), col("da").as("db")))
@@ -332,8 +341,11 @@ object DedupOps {
     require(converged,
       s"label propagation did not converge in $MaxRounds rounds")
     labels.select(col("v").as("doc_id"), col("label").as("cluster_rep"))
-      .orderBy("doc_id")
   }
+
+  private def dedupClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(dedupNgramJaccard(s, d), "da", "db")
+      .orderBy("doc_id")
 
   /** DuckDB rendering of the n-gram Jaccard query (shared by the
     * edit-distance and cluster oracles, which consume its pairs). */

@@ -43,6 +43,30 @@ class ApiSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 0)), s"got ${pairs.toSeq}")
   }
 
+  test("ngramJaccardPairs scores the planted near-duplicate exactly") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (10L, base),                 // 8 shingles
+      (20L, base + " lambda"),     // 9 shingles, 8 shared → j = 8/9
+      (30L, "one two three four five six seven eight nine ten"))
+      .toDF("id", "body")
+    val pairs = DedupOps.ngramJaccardPairs(docs, "id", "body", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((10L, 20L, 0.8889)), s"got ${pairs.toSeq}")
+  }
+
+  test("connectedComponents labels an arbitrary edge list by min vertex") {
+    val s = spark
+    import s.implicits._
+    // two components: {1,2,3} (a path) and {7,9}; 5 is absent (no edges)
+    val edges = Seq((2L, 1L), (2L, 3L), (9L, 7L)).toDF("u", "w")
+    val comps = DedupOps.connectedComponents(edges, "u", "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L),
+      s"got $comps")
+  }
+
   test("knnJoin ranks planted neighbors on a generic vector frame") {
     val s = spark
     import s.implicits._
