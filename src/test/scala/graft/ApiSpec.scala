@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
 
 import graft.operators.{DedupOps, SimilarityOps}
 
@@ -82,5 +83,32 @@ class ApiSpec extends SparkSpec {
     assert(knn.size == 5, s"expected one neighbor per vector: $knn")
     assert(knn(100L) == 200L && knn(200L) == 100L)
     assert(knn(300L) == 400L && knn(400L) == 300L)
+  }
+
+  test("knnJoin(k=1) equals the brute-force argmax on generated vectors") {
+    val s = spark
+    import s.implicits._
+    val gen: Gen[Seq[(Long, Array[Float])]] = for {
+      n <- Gen.chooseNum(3, 24)
+      vs <- Gen.listOfN(n,
+        Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f).suchThat(_ != 0f)))
+    } yield vs.zipWithIndex.map { case (v, i) => (i * 31L, v.toArray) }
+    val vecs = gen.sample.get
+    val df = vecs.toDF("row_id", "vec")
+    val got = SimilarityOps.knnJoin(df, "row_id", "vec", k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // brute force on the driver, with the SAME r4 rounding + min-id ties
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        * 10000d + 0.5d) / 10000d
+    }
+    vecs.foreach { case (id, v) =>
+      val best = vecs.filter(_._1 != id)
+        .map { case (j, w) => (j, cos(v, w)) }
+        .minBy { case (j, c) => (-c, j) }
+      assert(got(id) == best, s"vec $id: got ${got(id)}, brute force $best")
+    }
   }
 }
