@@ -31,7 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 32 executor threads in one JVM: 8g meant GC pauses showed up as
-  // multi-second per-query bench noise; the box has 128 GiB
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Measured on the full 72-query bench: 8g beats 24g (78.7s vs 88-150s;
+  // q_dedup_simhash 2.5s vs 11.5s) — with a 24g heap G1 defers collection
+  // until giant mixed collections stall all 32 compute threads mid-query,
+  // while at 8g collections stay small and frequent. Don't "fix" GC noise
+  // by raising this again without re-measuring the full run.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

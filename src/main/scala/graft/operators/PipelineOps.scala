@@ -136,6 +136,23 @@ object PipelineOps {
           .otherwise(lit(0.0d)).as("dup_bigram_ratio"))
       .orderBy("doc_id")
 
+  // Deterministic exact-k uniform sample via bottom-k hashing: the k
+  // smallest md5(doc_id) values ARE a uniform random sample of size
+  // exactly k (the hash imposes a random-but-fixed total order), with no
+  // RNG, no seed drift, and no full sort — the plan is a
+  // TakeOrderedAndProject: each partition keeps its local bottom-k, the
+  // driver merges B·k candidates. The rate-based samplers
+  // (q_sample_stratified, q_mixture_sample) can't hit an exact target
+  // count; bottom-k is the primitive for "give me exactly 10k eval docs,
+  // reproducibly, from any size corpus".
+  private val SampleK = 100
+  private def sampleBottomK(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .orderBy("h")
+      .limit(SampleK)
+
   // Per-source dataset report card — the summary table a corpus release
   // ships with: volume (docs, tokens), shape (mean doc length), hygiene
   // (exact-duplicate count via 128-bit content hash — the count of rows
@@ -197,6 +214,9 @@ object PipelineOps {
          | ${Det.r4Sql("any_value(r.rate)")} AS rate
          | FROM base b JOIN rates r ON b.source = r.source
          | GROUP BY 1 ORDER BY b.source""".stripMargin)),
+    QDef("q_sample_bottomk", sampleBottomK, Some(
+      """SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
+        | FROM documents ORDER BY h LIMIT 100""".stripMargin)),
     QDef("q_corpus_report", corpusReport, Some(
       s"""SELECT source, n_docs, tok_total,
          | ${Det.r4Sql("tok_total / n_docs")} AS mean_doc_tokens,
