@@ -47,11 +47,13 @@ object PipelineOps {
   // assigned to the context window (chunk) where its first token lands —
   // exactly the concatenate-then-split policy LLM trainers use. Output is
   // the per-chunk manifest.
-  private def packSequences(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d).select(
-      col("doc_id"),
-      size(TextOps.toks(col("text"))).cast("long").as("n_tok"),
-      md5(col("doc_id").cast("string")).as("ord"))
+  // LIBRARY ENTRY POINT — generic over any corpus (id + text columns).
+  def packSequences(rows: DataFrame, id: String, text: String,
+      cap: Double): DataFrame = {
+    val base = rows.select(
+      col(id).as("doc_id"),
+      size(TextOps.toks(col(text))).cast("long").as("n_tok"),
+      md5(col(id).cast("string")).as("ord"))
       // range bucket = first byte of the order key; hex-string sort order
       // equals bucket-number order, so (bucket, ord) sorts like global ord
       .withColumn("bucket",
@@ -68,12 +70,15 @@ object PipelineOps {
     local.join(broadcast(prefix), Seq("bucket"))
       .withColumn("cum", col("lcum") + col("prefix"))
       .withColumn("chunk",
-        floor((col("cum") - col("n_tok")) / Cap).cast("long"))
+        floor((col("cum") - col("n_tok")) / cap).cast("long"))
       .groupBy("chunk")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .orderBy("chunk")
   }
+
+  private def packSequencesQuery(s: SparkSession, d: String): DataFrame =
+    packSequences(docs(s, d), "doc_id", "text", Cap)
 
   // Per-source mixture sampling: give every source an equal share of a
   // token budget (half the corpus), cap at what the source actually has,
@@ -181,7 +186,7 @@ object PipelineOps {
     s"len(${TextOps.oracleToks}) "
 
   val defs: Seq[QDef] = Seq(
-    QDef("q_pack_sequences", packSequences, Some(
+    QDef("q_pack_sequences", packSequencesQuery, Some(
       s"""SELECT chunk, count(*) AS n_docs,
          | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
          | min(doc_id) AS min_doc, max(doc_id) AS max_doc

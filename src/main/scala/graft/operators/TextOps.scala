@@ -107,8 +107,10 @@ object TextOps {
   // and the shuffle join on `tok` is the right plan (both sides keyed on
   // the token, documents never travel). Surprisal sums go through the
   // decimal accumulator so the mean is partitioning-independent.
-  private def lmScore(s: SparkSession, d: String): DataFrame = {
-    val tok = docs(s, d)
+  // LIBRARY ENTRY POINT — generic over any corpus (id + text columns).
+  def lmScore(rows: DataFrame, id: String, text: String): DataFrame = {
+    val tok = rows
+      .select(col(id).as("doc_id"), col(text).as("text"))
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("n"))
@@ -124,6 +126,9 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  private def lmScoreQuery(s: SparkSession, d: String): DataFrame =
+    lmScore(docs(s, d), "doc_id", "text")
+
   // Gopher-style composite quality FILTER: the keep/reject decision (and
   // why) — qualityScore's continuous signals turned into named rules. Each
   // rule is a boolean column, `keep` is their conjunction, `reason` names
@@ -131,8 +136,9 @@ object TextOps {
   // per-document projection: no shuffle, no state, embarrassingly parallel
   // at any corpus size; downstream stages filter on `keep` and audit
   // reject rates by `reason`.
-  private def qualityFilter(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+  // LIBRARY ENTRY POINT — generic over any corpus (id + text columns).
+  def qualityFilter(rows: DataFrame, id: String, text: String): DataFrame =
+    rows.select(col(id).as("doc_id"), col(text).as("text"))
       .select(col("doc_id"),
         size(toks(col("text"))).cast("long").as("n_tok"),
         size(array_distinct(toks(col("text")))).cast("long").as("n_uniq"),
@@ -158,6 +164,9 @@ object TextOps {
       .select("doc_id", "n_tok", "avg_tok_len", "dup_tok_ratio", "n_stop",
         "r_nwords", "r_wordlen", "r_stop", "r_rep", "keep", "reason")
       .orderBy("doc_id")
+
+  private def qualityFilterQuery(s: SparkSession, d: String): DataFrame =
+    qualityFilter(docs(s, d), "doc_id", "text")
 
   // Document fingerprint: min-hash over word 3-shingles (one 128-bit hash
   // per shingle, keep the lexicographic min) — an order-invariant,
@@ -381,7 +390,7 @@ object TextOps {
          | WHERE a.split <> b.split
          | ORDER BY da, db""".stripMargin
     }),
-    QDef("q_lm_score", lmScore, Some(
+    QDef("q_lm_score", lmScoreQuery, Some(
       s"""WITH tok AS (SELECT doc_id, unnest($oracleToks) AS tok FROM documents),
          |freq AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
          |tot AS (SELECT count(*) AS n_total FROM tok)
@@ -390,7 +399,7 @@ object TextOps {
          |   AS mean_surprisal
          | FROM tok JOIN freq USING (tok), tot
          | GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
-    QDef("q_quality_filter", qualityFilter, Some(
+    QDef("q_quality_filter", qualityFilterQuery, Some(
       s"""SELECT doc_id, n_tok, avg_tok_len, dup_tok_ratio, n_stop,
          | r_nwords, r_wordlen, r_stop, r_rep,
          | (r_nwords AND r_wordlen AND r_stop AND r_rep) AS keep,

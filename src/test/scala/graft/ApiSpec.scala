@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 
-import graft.operators.{DedupOps, SimilarityOps}
+import graft.operators.{DedupOps, PipelineOps, SimilarityOps, TextOps}
 
 /** The library entry points are generic over ANY DataFrame — not bound to
   * the driver's test tables. Each test binds an operator to a synthetic
@@ -83,6 +83,36 @@ class ApiSpec extends SparkSpec {
     assert(knn.size == 5, s"expected one neighbor per vector: $knn")
     assert(knn(100L) == 200L && knn(200L) == 100L)
     assert(knn(300L) == 400L && knn(400L) == 300L)
+  }
+
+  test("text/pipeline entry points run on a generic frame with foreign column names") {
+    val s = spark
+    import s.implicits._
+    val richDoc = ("the cat sat on the mat and the dog sat on the log " +
+      "it was a fine day for sitting and that is what they did " * 2).trim
+    val corpus = Seq(
+      (1L, richDoc),
+      (2L, "tiny doc"),
+      (3L, ("the spam " * 40).trim)) // stopword-rich but 97% duplicate tokens
+      .toDF("article_id", "contents")
+    val qf = TextOps.qualityFilter(corpus, "article_id", "contents")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"), r.getAs[String]("reason"))).toMap
+    assert(qf(1L)._1, s"rich doc rejected: ${qf(1L)}")
+    assert(qf(2L) == (false, "n_words"))
+    assert(qf(3L) == (false, "repetition"))
+    val lm = TextOps.lmScore(corpus, "article_id", "contents")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // the all-"spam" doc is maximally in-distribution with itself only;
+    // every doc gets a positive mean surprisal
+    assert(lm.size == 3 && lm.values.forall(_ > 0.0))
+    val packed = PipelineOps.packSequences(corpus, "article_id", "contents",
+      cap = 64.0)
+    val total = packed.agg(sum("n_tokens")).head.getLong(0)
+    val expected = corpus.select(
+      sum(size(filter(split(lower(col("contents")), "\\s+"),
+        t => length(t) > 0)))).head.getLong(0)
+    assert(total == expected, s"packing lost tokens: $total != $expected")
   }
 
   test("knnJoin(k=1) equals the brute-force argmax on generated vectors") {
