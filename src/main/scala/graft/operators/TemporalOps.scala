@@ -91,7 +91,67 @@ object TemporalOps {
       .orderBy("purch_id", "click_id")
   }
 
+  // Ordered conversion funnel (view → click → purchase by FIRST
+  // occurrence): one aggregation collapses each user to three first-seen
+  // timestamps — the shuffle carries (user, 3 longs), never events — and a
+  // second 1-row aggregation counts strict-order survivors. The classic
+  // event-analytics query, shaped so no step requires a self-join.
+  private def funnel(s: SparkSession, d: String): DataFrame = {
+    def firstSeen(t: String) =
+      min(when(col("event_type") === t, col("ts_us"))).as(s"t_$t")
+    val perUser = ev(s, d).groupBy("user_id")
+      .agg(firstSeen("view"), firstSeen("click"), firstSeen("purchase"))
+    // null comparisons propagate null → `when` doesn't count them, exactly
+    // the users missing a step
+    perUser.agg(
+      count(when(col("t_view").isNotNull, 1)).as("n_view"),
+      count(when(col("t_view") < col("t_click"), 1)).as("n_view_click"),
+      count(when(col("t_view") < col("t_click") &&
+        col("t_click") < col("t_purchase"), 1)).as("n_full_funnel"))
+  }
+
+  /** Time-weighted average of `value` per user: each event's value holds
+    * until the user's next event (right-open step function); the last
+    * event has no duration and drops out. One window pass for the lead
+    * timestamp + one aggregation; weighted sums go through the decimal
+    * accumulator so the result is partitioning-independent. The telemetry
+    * aggregation for irregularly-sampled signals — a plain mean
+    * over-weights chatty periods. */
+  private def timeWeighted(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev(s, d)
+      .withColumn("dt", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("dt").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        graft.Det.dsum(col("value") * col("dt")).as("wsum"),
+        sum(col("dt")).as("dtsum"))
+      .filter(col("dtsum") > 0)
+      .select(col("user_id"), col("n_intervals"),
+        graft.Det.r4(col("wsum") / col("dtsum")).as("twa"))
+      .orderBy("user_id")
+  }
+
   val defs: Seq[QDef] = Seq(
+    QDef("q_funnel", funnel, Some(
+      """SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+        | count(CASE WHEN t_view < t_click THEN 1 END) AS n_view_click,
+        | count(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 END)
+        |   AS n_full_funnel
+        | FROM (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+        |  min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+        |  FROM events GROUP BY 1)""".stripMargin)),
+    QDef("q_time_weighted", timeWeighted, Some(
+      s"""SELECT user_id, count(*) AS n_intervals,
+         | ${graft.Det.r4Sql(graft.Det.dsumSql("value * dt") + " / sum(dt)")} AS twa
+         | FROM (SELECT user_id, value,
+         |   lead(epoch_us(ts)) OVER (PARTITION BY user_id
+         |     ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS dt
+         |  FROM events)
+         | WHERE dt IS NOT NULL
+         | GROUP BY 1 HAVING sum(dt) > 0 ORDER BY user_id""".stripMargin)),
     QDef("q_join_asof", joinAsof, Some(
       """SELECT a.event_id AS click_id, a.user_id, epoch_us(a.ts) AS click_ts_us,
         | b.event_id AS purch_id, epoch_us(b.ts) AS purch_ts_us,
