@@ -347,6 +347,26 @@ object DedupOps {
     connectedComponents(dedupNgramJaccard(s, d), "da", "db")
       .orderBy("doc_id")
 
+  /** Canonical-document selection — the LAST step of a dedup pipeline:
+    * given near-dup clusters, keep ONE representative per cluster, chosen
+    * by quality (ties → smallest doc_id), and emit the keep/drop manifest
+    * downstream stages filter on. Composition of two verified operators
+    * (clusters × quality scores) joined on doc_id; the cluster table is a
+    * vanishing fraction of the corpus, so both the join and the per-cluster
+    * window are cheap at any scale (window groups = cluster sizes, tiny
+    * cliques by construction). */
+  private def dedupCanonical(s: SparkSession, d: String): DataFrame = {
+    val clusters = dedupClusters(s, d)
+    val quality = TextOps.qualityScore(s, d).select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy("cluster_rep")
+      .orderBy(desc("quality"), col("doc_id"))
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("cluster_rep"),
+        col("quality"), (col("rk") === 1).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** DuckDB rendering of the n-gram Jaccard query (shared by the
     * edit-distance and cluster oracles, which consume its pairs). */
   private[operators] val ngramOracleSql: String =
@@ -369,7 +389,7 @@ object DedupOps {
       | FROM p JOIN cnt ca ON p.da = ca.doc_id JOIN cnt cb ON p.db = cb.doc_id
       | WHERE inter / (ca.n + cb.n - inter) >= 0.1 ORDER BY da, db""".stripMargin
 
-  val defs: Seq[QDef] = Seq(
+  lazy val defs: Seq[QDef] = Seq(
     QDef("q_dedup_exact", dedupExact, Some(
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         | FROM documents GROUP BY 1 ORDER BY h""".stripMargin)),
@@ -395,6 +415,25 @@ object DedupOps {
          |  SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.v)
          |SELECT v AS doc_id, min(r) AS cluster_rep FROM reach
          | GROUP BY 1 ORDER BY 1""".stripMargin
+    }),
+    QDef("q_dedup_canonical", dedupCanonical, Some {
+      val pairSql = ngramOracleSql
+      s"""WITH RECURSIVE sym AS (
+         |  SELECT da AS a, db AS b FROM ($pairSql)
+         |  UNION ALL
+         |  SELECT db, da FROM ($pairSql)),
+         |reach(v, r) AS (
+         |  SELECT DISTINCT a, a FROM sym
+         |  UNION
+         |  SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.v),
+         |clusters AS (SELECT v AS doc_id, min(r) AS cluster_rep FROM reach
+         |  GROUP BY 1),
+         |q AS (${TextOps.qualityOracleSql})
+         |SELECT c.doc_id, c.cluster_rep, q.quality,
+         | (ROW_NUMBER() OVER (PARTITION BY c.cluster_rep
+         |    ORDER BY q.quality DESC, c.doc_id) = 1) AS keep
+         | FROM clusters c JOIN q USING (doc_id)
+         | ORDER BY c.doc_id""".stripMargin
     })
   )
 }

@@ -77,7 +77,7 @@ object TextOps {
 
   // Quality scoring: length / punctuation / stopword-density ratios →
   // composite score. Integer counts + single divisions → bit-deterministic.
-  private def qualityScore(s: SparkSession, d: String): DataFrame =
+  private[operators] def qualityScore(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(
       col("doc_id"),
       length(col("text")).cast("long").as("len"),
@@ -296,7 +296,22 @@ object TextOps {
   private[operators] val oracleToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
 
-  val defs: Seq[QDef] = Seq(
+  /** DuckDB rendering of qualityScore's composite `quality` column
+    * (doc_id, quality) — shared by the q_quality_score and
+    * q_dedup_canonical oracles. */
+  private[operators] val qualityOracleSql: String =
+    s"""SELECT doc_id,
+       | ${Det.r4Sql(Det.r4Sql("n_alpha / len") + " * 0.5 + " + Det.r4Sql("n_stop / n_tok") + " * 0.3 + (1.0 - " + Det.r4Sql("n_punct / len") + ") * 0.2")} AS quality
+       | FROM (
+       | SELECT doc_id, length(text) AS len,
+       |  len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+       |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+       |  len($oracleToks) AS n_tok,
+       |  len(regexp_extract_all(lower(text), '$enStop')) AS n_stop
+       | FROM documents)
+       | WHERE n_tok > 0 AND len > 0""".stripMargin
+
+  lazy val defs: Seq[QDef] = Seq(
     QDef("q_text_tokens", textTokens, Some(
       s"""SELECT tok, count(*) AS n FROM (
          | SELECT unnest($oracleToks) AS tok FROM documents)
