@@ -73,4 +73,24 @@ class AnalyticSpec extends SparkSpec {
       assert(perLabel == nVec, s"centroid counts $perLabel != vectors $nVec")
     } finally c.unpersist()
   }
+
+  test("funnel counts are monotonically non-increasing across steps") {
+    val r = SparkEntry.queries("q_funnel")(spark, sf).head
+    val (v, vc, f) = (r.getAs[Long]("n_view"), r.getAs[Long]("n_view_click"),
+      r.getAs[Long]("n_full_funnel"))
+    assert(v >= vc && vc >= f, s"funnel not monotone: $v >= $vc >= $f")
+    assert(v > 0, "no users entered the funnel")
+  }
+
+  test("time-weighted average lies within each user's value range") {
+    val ev = graft.sources.Tables(spark, sf, "events")
+    val bounds = ev.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.min("value").as("lo"),
+        org.apache.spark.sql.functions.max("value").as("hi"))
+    val twa = SparkEntry.queries("q_time_weighted")(spark, sf)
+    val viol = twa.join(bounds, Seq("user_id"))
+      .filter(col("twa") < col("lo") - 1e-4 || col("twa") > col("hi") + 1e-4)
+      .count()
+    assert(viol == 0, s"$viol users have TWA outside their value range")
+  }
 }

@@ -67,4 +67,25 @@ class DedupSpec extends SparkSpec {
     val groups = SparkEntry.queries("q_dedup_exact")(spark, sf).count()
     assert(groups == distinctTexts)
   }
+
+  test("canonical selection keeps exactly one best-quality doc per cluster") {
+    val can = SparkEntry.queries("q_dedup_canonical")(spark, sf).cache()
+    try {
+      val perCluster = can.groupBy("cluster_rep")
+        .agg(count(when(col("keep"), 1)).as("n_keep"),
+          max(when(col("keep"), col("quality"))).as("kept_q"),
+          max(col("quality")).as("best_q"))
+        .collect()
+      assert(perCluster.nonEmpty)
+      perCluster.foreach { r =>
+        assert(r.getAs[Long]("n_keep") == 1,
+          s"cluster ${r.get(0)}: ${r.getAs[Long]("n_keep")} keeps")
+        assert(r.getAs[Double]("kept_q") == r.getAs[Double]("best_q"),
+          s"cluster ${r.get(0)} kept a non-best doc")
+      }
+      // the manifest covers every clustered doc exactly once
+      val clustered = SparkEntry.queries("q_dedup_clusters")(spark, sf).count()
+      assert(can.count() == clustered)
+    } finally can.unpersist()
+  }
 }
