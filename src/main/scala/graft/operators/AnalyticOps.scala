@@ -184,10 +184,16 @@ object AnalyticOps {
     val mad = ev.join(broadcast(med), Seq("event_type"))
       .groupBy("event_type")
       .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+    // The flag compares against the r4-ROUNDED stats: Spark `percentile`
+    // and DuckDB `quantile_cont` interpolate with potentially different
+    // IEEE association (lower+(upper-lower)*f vs lower*(1-f)+upper*f), so
+    // raw med/mad can differ in the last ulp; rounding pins both engines
+    // to identical thresholds, making every per-row comparison identical.
     ev.join(broadcast(med), Seq("event_type"))
       .join(broadcast(mad), Seq("event_type"))
       .withColumn("is_out",
-        abs(col("value") - col("med")) > lit(3.5) * lit(1.4826) * col("mad"))
+        abs(col("value") - Det.r4(col("med"))) >
+          lit(3.5) * lit(1.4826) * Det.r4(col("mad")))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         Det.r4(first(col("med"))).as("med"),
@@ -207,8 +213,8 @@ object AnalyticOps {
          |SELECT e.event_type, count(*) AS n,
          | ${Det.r4Sql("any_value(m.med)")} AS med,
          | ${Det.r4Sql("any_value(d.mad)")} AS mad,
-         | count(CASE WHEN abs(e.value - m.med) > 3.5 * 1.4826 * d.mad
-         |       THEN 1 END) AS n_outliers
+         | count(CASE WHEN abs(e.value - ${Det.r4Sql("m.med")}) >
+         |       3.5 * 1.4826 * ${Det.r4Sql("d.mad")} THEN 1 END) AS n_outliers
          | FROM events e JOIN med m USING (event_type)
          | JOIN mad d ON e.event_type = d.event_type
          | GROUP BY 1 ORDER BY 1""".stripMargin)),

@@ -306,7 +306,8 @@ object DedupOps {
   // q_dedup_clusters query feeds it the n-gram near-dup pairs; any
   // similarity pair source composes the same way). Returns one row per
   // vertex with the min-id representative of its component.
-  def connectedComponents(edgeList: DataFrame, src: String, dst: String): DataFrame = {
+  def connectedComponents(edgeList: DataFrame, src: String, dst: String,
+      maxRounds: Int = 50): DataFrame = {
     val edges = edgeList.select(col(src).as("da"), col(dst).as("db"))
     // materialize the edge list once — it is consumed every propagation
     // round, and lazily it would re-execute the whole upstream query per
@@ -319,8 +320,10 @@ object DedupOps {
       .localCheckpoint(eager = true)
     var converged = false
     var rounds = 0
-    val MaxRounds = 50 // >> any near-dup component diameter
-    while (!converged && rounds < MaxRounds) {
+    // min-labels advance one hop per round → rounds needed ≈ component
+    // diameter. The default suits near-dup graphs (tiny cliques); callers
+    // with long-chain graphs raise maxRounds to their expected diameter.
+    while (!converged && rounds < maxRounds) {
       val next = sym.join(labels, col("db") === col("v"))
         .groupBy(col("da").as("nv")).agg(min("label").as("nbr"))
         .join(labels, col("nv") === col("v"))
@@ -339,7 +342,8 @@ object DedupOps {
     // wrong labels must never be returned silently — a component with
     // diameter > MaxRounds means the input is not a near-dup graph
     require(converged,
-      s"label propagation did not converge in $MaxRounds rounds")
+      s"label propagation did not converge in $maxRounds rounds — " +
+        "component diameter exceeds maxRounds; raise it for chain-shaped graphs")
     labels.select(col("v").as("doc_id"), col("label").as("cluster_rep"))
   }
 

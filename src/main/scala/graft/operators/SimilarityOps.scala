@@ -71,16 +71,28 @@ object SimilarityOps {
   // computed once per VECTOR before the join — per pair they'd be n²
   // sqrt-of-self-dots for the same values (bit-identical either way:
   // sqrt(dotf(e,e)) is deterministic per vector).
-  private def embNearDup(s: SparkSession, d: String): DataFrame = {
+  /** B×B block-grid scaffolding shared by [[embNearDup]] and [[knnJoin]]:
+    * every pair of input rows meets in exactly one of B² equi-join groups.
+    * Zero-norm vectors (empty docs, failed model calls) are dropped UP
+    * FRONT: their cosine is 0/0 = NaN, and Spark sorts NaN above every
+    * real value — one zero vector would otherwise corrupt every top-k
+    * list it touches. Returns (va, ea, na, ba, bb) ⋈ (vb, eb, nb). */
+  private def gridPairs(rows: DataFrame, id: String, vec: String): DataFrame = {
     val grid = array((0 until NumBlocks).map(lit): _*)
-    val e = emb(s, d).select(col("vec_id"), col("embedding"),
-      sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"),
-      pmod(col("vec_id"), lit(NumBlocks)).cast("int").as("blk"))
+    val e = rows.select(col(id).as("vec_id"), col(vec).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"),
+        pmod(col("vec_id"), lit(NumBlocks)).cast("int").as("blk"))
+      .filter(col("nrm") > 0)
     val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
       col("nrm").as("na"), col("blk").as("ba"), explode(grid).as("bb"))
     val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
       col("nrm").as("nb"), explode(grid).as("ba"), col("blk").as("bb"))
     a.join(b, Seq("ba", "bb"))
+  }
+
+  private def embNearDup(s: SparkSession, d: String): DataFrame = {
+    gridPairs(emb(s, d), "vec_id", "embedding")
       .filter(col("va") < col("vb"))
       .withColumn("cos", dotf(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= 0.4)
@@ -103,27 +115,23 @@ object SimilarityOps {
     * q_similarity_knn query binds the test table, graft.ApiSpec a
     * synthetic frame. */
   def knnJoin(rows: DataFrame, id: String, vec: String, k: Int): DataFrame = {
-    val grid = array((0 until NumBlocks).map(lit): _*)
-    val e = rows.select(col(id).as("vec_id"), col(vec).as("embedding"))
-      .select(col("vec_id"), col("embedding"),
-      sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"),
-      pmod(col("vec_id"), lit(NumBlocks)).cast("int").as("blk"))
-    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
-      col("nrm").as("na"), col("blk").as("ba"), explode(grid).as("bb"))
-    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-      col("nrm").as("nb"), explode(grid).as("ba"), col("blk").as("bb"))
     val wLocal = Window.partitionBy("va", "cb")
       .orderBy(desc("cos"), col("vb"))
     val wFinal = Window.partitionBy("va").orderBy(desc("cos"), col("vb"))
-    // each UNORDERED pair's dot product is computed once (va < vb) and the
-    // row mirrored for the other direction — the ranking input is the same
-    // ordered-pair set at half the floating-point work. `cb` is the
-    // candidate's block in each direction (bb for the original row, ba for
-    // the mirror), so the partial phase still groups by candidate block.
-    val half = a.join(b, Seq("ba", "bb"))
+    // Each UNORDERED pair's dot product is computed once (va < vb) and the
+    // row mirrored for the other direction. The eager checkpoint is what
+    // MAKES that true: consumed lazily by both union legs, Catalyst would
+    // re-execute the whole grid join per leg (the round-2 shingle-index
+    // lesson) — n² dot products plus doubled scans. Checkpointed, the
+    // materialized half is compact (va, vb, blocks, cos — no embeddings)
+    // and the FP work is genuinely n²/2. `cb` is the candidate's block in
+    // each direction (bb original, ba mirror), so the partial top-k phase
+    // still groups by candidate block.
+    val half = gridPairs(rows, id, vec)
       .filter(col("va") < col("vb"))
       .select(col("va"), col("vb"), col("ba"), col("bb"),
         Det.r4(dotf(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .localCheckpoint(eager = true)
     half.select(col("va"), col("bb").as("cb"), col("vb"), col("cos"))
       .unionByName(half.select(col("vb").as("va"), col("ba").as("cb"),
         col("va").as("vb"), col("cos")))

@@ -113,8 +113,15 @@ object TextOps {
       .select(col(id).as("doc_id"), col(text).as("text"))
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    // The frequency table is vocab-sized (tiny next to the corpus):
+    // materialize it once, derive the total from it for free — lazily,
+    // `freq`/`total`/the join would each re-scan and re-tokenize the
+    // corpus (three full passes; the round-2 shingle-index lesson).
+    // Corpus text now crosses the wire twice (freq build + join), the
+    // minimum for a two-pass statistic.
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("n"))
-    val total = tok.agg(count(lit(1)).as("n_total"))
+      .localCheckpoint(eager = true)
+    val total = freq.agg(sum("n").as("n_total"))
     tok.join(freq, Seq("tok"))
       .crossJoin(broadcast(total))
       .withColumn("surprisal", -log2(col("n") / col("n_total")))
@@ -145,10 +152,16 @@ object TextOps {
         length(regexp_replace(col("text"), "\\s", "")).cast("long")
           .as("n_nonspace"),
         regexp_count(lower(col("text")), lit(enStop)).cast("long").as("n_stop"))
-      .filter(col("n_tok") > 0)
-      .withColumn("avg_tok_len", Det.r4(col("n_nonspace") / col("n_tok")))
+      // zero-token docs stay IN the manifest (keep=false via r_nwords) —
+      // every input doc gets a verdict; only the ratio divisions need the
+      // guard
+      .withColumn("avg_tok_len",
+        when(col("n_tok") > 0, Det.r4(col("n_nonspace") / col("n_tok")))
+          .otherwise(lit(0.0d)))
       .withColumn("dup_tok_ratio",
-        Det.r4(lit(1.0d) - col("n_uniq") / col("n_tok")))
+        when(col("n_tok") > 0,
+          Det.r4(lit(1.0d) - col("n_uniq") / col("n_tok")))
+          .otherwise(lit(0.0d)))
       .withColumn("r_nwords", col("n_tok") >= 30 && col("n_tok") <= 2000)
       .withColumn("r_wordlen",
         col("avg_tok_len") >= 2.0 && col("avg_tok_len") <= 10.0)
@@ -428,8 +441,10 @@ object TextOps {
          |   (n_stop >= 2) AS r_stop,
          |   (dup_tok_ratio <= 0.6) AS r_rep
          |  FROM (SELECT doc_id, n_tok,
-         |    ${Det.r4Sql("n_nonspace / n_tok")} AS avg_tok_len,
-         |    ${Det.r4Sql("1.0 - n_uniq / n_tok")} AS dup_tok_ratio, n_stop
+         |    CASE WHEN n_tok > 0 THEN ${Det.r4Sql("n_nonspace / n_tok")}
+         |     ELSE 0.0 END AS avg_tok_len,
+         |    CASE WHEN n_tok > 0 THEN ${Det.r4Sql("1.0 - n_uniq / n_tok")}
+         |     ELSE 0.0 END AS dup_tok_ratio, n_stop
          |   FROM (SELECT doc_id,
          |     CAST(len(l) AS BIGINT) AS n_tok,
          |     CAST(len(list_distinct(l)) AS BIGINT) AS n_uniq,
@@ -437,8 +452,7 @@ object TextOps {
          |       AS n_nonspace,
          |     CAST(len(regexp_extract_all(lower(text), '$enStop')) AS BIGINT)
          |       AS n_stop
-         |    FROM (SELECT doc_id, text, $oracleToks AS l FROM documents))
-         |   WHERE n_tok > 0))
+         |    FROM (SELECT doc_id, text, $oracleToks AS l FROM documents))))
          | ORDER BY doc_id""".stripMargin)),
     QDef("q_fingerprint", fingerprint, Some(
       s"""SELECT doc_id,

@@ -76,10 +76,15 @@ class ApiSpec extends SparkSpec {
       (200L, Array(0.95f, 0.3f, 0.0f, 0.0f)), // closest to 100
       (300L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
       (400L, Array(0.0f, 0.9f, 0.4f, 0.0f)), // closest to 300
-      (500L, Array(0.0f, 0.0f, 0.0f, 1.0f)))
+      (500L, Array(0.0f, 0.0f, 0.0f, 1.0f)),
+      // zero vector: cosine is 0/0 = NaN — must be excluded up front, not
+      // ranked above every real neighbor (Spark sorts NaN largest)
+      (600L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
       .toDF("row_id", "vec")
     val knn = SimilarityOps.knnJoin(vecs, "row_id", "vec", k = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(!knn.contains(600L) && !knn.values.exists(_ == 600L),
+      s"zero vector leaked into the knn result: $knn")
     assert(knn.size == 5, s"expected one neighbor per vector: $knn")
     assert(knn(100L) == 200L && knn(200L) == 100L)
     assert(knn(300L) == 400L && knn(400L) == 300L)
