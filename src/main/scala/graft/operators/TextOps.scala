@@ -113,13 +113,14 @@ object TextOps {
       .select(col(id).as("doc_id"), col(text).as("text"))
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-    // The total derives from the frequency table (not a third aggregation
-    // over the corpus), and both consumers of `freq` share one canonical
-    // subtree, so AQE's exchange reuse serves the second consumer from the
-    // first's shuffle output — the corpus is tokenized twice (freq build +
-    // join probe), the minimum for a two-pass statistic. Measured: an
-    // eager localCheckpoint of `freq` is ~1.7× SLOWER at bench scale (the
-    // materialization barrier serializes stages that otherwise overlap).
+    // The total derives from the frequency table, not a third aggregation
+    // over the corpus. The freq subtree still evaluates once per consumer
+    // (exchange reuse does not fire here — verified on the final AQE
+    // plan), but the consumers pipeline concurrently, and measured on the
+    // full bench this lazy shape beats an eager localCheckpoint of `freq`
+    // by ~1.7× (the materialization barrier serializes stages that
+    // otherwise overlap). At true corpus scale, persist `freq` (a
+    // vocab-sized table) explicitly to bound tokenization to two passes.
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("n"))
     val total = freq.agg(sum("n").as("n_total"))
     tok.join(freq, Seq("tok"))
