@@ -137,6 +137,33 @@ object TextOps {
   private def lmScoreQuery(s: SparkSession, d: String): DataFrame =
     lmScore(docs(s, d), "doc_id", "text")
 
+  // N-gram novelty: the fraction of a document's 3-shingles that occur
+  // NOWHERE else in the corpus — the originality signal curation pipelines
+  // use to up-weight unique content (the inverse view of contamination/
+  // near-dup overlap). Shingles travel as 64-bit hashes; the join keys on
+  // the hash against the df table — the q_lm_score shape one level up
+  // (shingles instead of tokens). Docs under 3 tokens have no shingles and
+  // no novelty row.
+  // LIBRARY ENTRY POINT — generic over any corpus (id + text columns).
+  def noveltyScore(rows: DataFrame, id: String, text: String): DataFrame = {
+    val sh = rows
+      .select(col(id).as("doc_id"), col(text).as("text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextKernels.shingleSet64(col("text"))).as("sh64"))
+    val dfreq = sh.groupBy("sh64").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("sh64"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") === 1, 1)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        Det.r4(col("n_unique") / col("n_shingles")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  private def noveltyQuery(s: SparkSession, d: String): DataFrame =
+    noveltyScore(docs(s, d), "doc_id", "text")
+
   // Gopher-style composite quality FILTER: the keep/reject decision (and
   // why) — qualityScore's continuous signals turned into named rules. Each
   // rule is a boolean column, `keep` is their conjunction, `reason` names
@@ -419,6 +446,19 @@ object TextOps {
          | WHERE a.split <> b.split
          | ORDER BY da, db""".stripMargin
     }),
+    QDef("q_novelty", noveltyQuery, Some(
+      s"""WITH w AS (SELECT doc_id,
+         |  $oracleToks AS l FROM documents),
+         |s AS (SELECT DISTINCT doc_id,
+         |  unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+         |          for i in generate_series(1, len(l) - 2)]) AS shingle
+         |  FROM w WHERE len(l) >= 3),
+         |d AS (SELECT shingle, count(*) AS df FROM s GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_shingles,
+         | count(CASE WHEN df = 1 THEN 1 END) AS n_unique,
+         | ${Det.r4Sql("count(CASE WHEN df = 1 THEN 1 END) / count(*)")} AS novelty
+         | FROM s JOIN d USING (shingle)
+         | GROUP BY 1 ORDER BY doc_id""".stripMargin)),
     QDef("q_lm_score", lmScoreQuery, Some(
       s"""WITH tok AS (SELECT doc_id, unnest($oracleToks) AS tok FROM documents),
          |freq AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
