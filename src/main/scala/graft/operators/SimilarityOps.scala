@@ -204,6 +204,44 @@ object SimilarityOps {
   private def annTopK(s: SparkSession, d: String): DataFrame =
     annTopKWith(s, d, NumTables, PlanesPerTable)
 
+  /** Approximate k-NN JOIN — the 100 TB path [[knnJoin]]'s header promises:
+    * candidates are LSH bucket collisions (≥1 of `tables` tables), exact
+    * cosine ranks candidates only. Expected cost ≈ collision-rate · n² with
+    * the (tables, planesPer) pair as the scan-fraction lever — sublinear
+    * per query once buckets are selective (8-16 planes on corpora with
+    * tight neighbors), versus the exact grid's full n². Multi-table
+    * collisions dedup through the (va, vb) aggregation BEFORE ranking, on
+    * ids — never on embeddings. Recall vs the exact join is asserted in
+    * graft.SimilaritySpec.
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, vector-array) frame; no
+    * benchmark query binds it (the exact join is the verified baseline;
+    * this is its scale substitute when estimates suffice). */
+  def annKnnJoin(rows: DataFrame, id: String, vec: String, k: Int,
+      tables: Int = NumTables, planesPer: Int = PlanesPerTable): DataFrame = {
+    val e = rows.select(col(id).as("vec_id"), col(vec).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0)
+    val buckets = e.select(col("vec_id"), col("embedding"), col("nrm"),
+      posexplode(array(bucketCols(col("embedding"), tables, planesPer): _*))
+        .as(Seq("tbl", "bucket")))
+    val a = buckets.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("nrm").as("na"), col("tbl"), col("bucket"))
+    val b = buckets.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("nrm").as("nb"), col("tbl"), col("bucket"))
+    val w = Window.partitionBy("va").orderBy(desc("cos"), col("vb"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("va") =!= col("vb"))
+      .select(col("va"), col("vb"),
+        Det.r4(dotf(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .groupBy("va", "vb").agg(max("cos").as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("va"), col("rk"), col("vb"), col("cos"))
+      .orderBy("va", "rk")
+  }
+
   /** Per-label centroids (class prototypes): element-wise mean per label —
     * the building block for prototype classifiers, IVF coarse quantizers,
     * and drift monitoring. One posexplode + one aggregation keyed on

@@ -56,6 +56,18 @@ class SimilaritySpec extends SparkSpec {
     } finally knn.unpersist()
   }
 
+  test("approximate knn join recalls >= 0.8 of the exact neighbor lists") {
+    val e = graft.sources.Tables(spark, sf, "embeddings")
+    val exact = graft.operators.SimilarityOps.knnJoin(e, "vec_id", "embedding", 5)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.operators.SimilarityOps
+      .annKnnJoin(e, "vec_id", "embedding", 5)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(exact.nonEmpty)
+    assert(recall >= 0.8, f"ann knn-join recall@5 = $recall%.3f < 0.8")
+  }
+
   test("DotF is bit-identical to the declarative aggregate/zip_with fold") {
     val e = graft.sources.Tables(spark, sf, "embeddings").limit(200)
     val hof = aggregate(
