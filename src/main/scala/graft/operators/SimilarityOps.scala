@@ -66,11 +66,6 @@ object SimilarityOps {
     * saturate local[32]; at cluster scale set ≈ √(total cores). */
   private val NumBlocks = 8
 
-  // All-pairs near-duplicate by embedding cosine — exact, executed as a
-  // B×B block-grid equi-join (see scale notes in the header). Norms are
-  // computed once per VECTOR before the join — per pair they'd be n²
-  // sqrt-of-self-dots for the same values (bit-identical either way:
-  // sqrt(dotf(e,e)) is deterministic per vector).
   /** B×B block-grid scaffolding shared by [[embNearDup]] and [[knnJoin]]:
     * every pair of input rows meets in exactly one of B² equi-join groups.
     * Zero-norm vectors (empty docs, failed model calls) are dropped UP
@@ -91,6 +86,11 @@ object SimilarityOps {
     a.join(b, Seq("ba", "bb"))
   }
 
+  // All-pairs near-duplicate by embedding cosine — exact, via the block
+  // grid (see scale notes in the header). Norms are computed once per
+  // VECTOR inside gridPairs — per pair they'd be n² sqrt-of-self-dots for
+  // the same values (bit-identical either way: sqrt(dotf(e,e)) is
+  // deterministic per vector).
   private def embNearDup(s: SparkSession, d: String): DataFrame = {
     gridPairs(emb(s, d), "vec_id", "embedding")
       .filter(col("va") < col("vb"))
@@ -154,18 +154,19 @@ object SimilarityOps {
   private val Dim = 64
 
   /** Deterministic pseudo-random hyperplanes (fixed LCG, seed 42). */
-  private[graft] def planesFor(count: Int): Array[Array[Double]] = {
+  private[graft] def planesFor(count: Int, dim: Int = Dim): Array[Array[Double]] = {
     var x = 42L
     def next(): Double = {
       x = x * 6364136223846793005L + 1442695040888963407L
       (x >>> 11).toDouble / (1L << 53).toDouble - 0.5
     }
-    Array.fill(count)(Array.fill(Dim)(next()))
+    Array.fill(count)(Array.fill(dim)(next()))
   }
 
   /** LSH bucket ids, one per table: sign bits of plane dot products. */
-  private[graft] def bucketCols(v: Column, tables: Int, planesPer: Int): Seq[Column] = {
-    val ps = planesFor(tables * planesPer)
+  private[graft] def bucketCols(v: Column, tables: Int, planesPer: Int,
+      dim: Int = Dim): Seq[Column] = {
+    val ps = planesFor(tables * planesPer, dim)
     (0 until tables).map { t =>
       (0 until planesPer).map { j =>
         val p = typedLit(ps(t * planesPer + j).toSeq)
@@ -206,36 +207,53 @@ object SimilarityOps {
 
   /** Approximate k-NN JOIN — the 100 TB path [[knnJoin]]'s header promises:
     * candidates are LSH bucket collisions (≥1 of `tables` tables), exact
-    * cosine ranks candidates only. Expected cost ≈ collision-rate · n² with
-    * the (tables, planesPer) pair as the scan-fraction lever — sublinear
-    * per query once buckets are selective (8-16 planes on corpora with
-    * tight neighbors), versus the exact grid's full n². Multi-table
-    * collisions dedup through the (va, vb) aggregation BEFORE ranking, on
-    * ids — never on embeddings. Recall vs the exact join is asserted in
-    * graft.SimilaritySpec.
+    * cosine ranks candidates only. Expected candidate volume ≈
+    * tables / 2^planesPer · n² — the (tables, planesPer) pair is the
+    * recall-vs-cost lever, and the DEFAULTS (8, 2) encode the wide-bucket
+    * regime this repo's noise-level test corpus needs for recall ≥ 0.8;
+    * a corpus with tight neighbors (cos ≥ 0.7) should run 8-16 planes per
+    * table, where candidates ≈ n²/2^planes makes the join genuinely
+    * sublinear in n² and the approximation worth its overhead. Each
+    * unordered pair's cosine is computed once per colliding table
+    * (va < vb + mirror; multi-table duplicates collapse in the (va, vb)
+    * aggregation on ids — embeddings never pass through the dedup).
+    * Recall vs the exact join is asserted in graft.SimilaritySpec.
+    *
+    * `dim` must equal the vector dimension: the hyperplanes are generated
+    * at that length, and a mismatched plane would null every projection
+    * (checked eagerly — one first-row probe — instead of silently
+    * degenerating to a single bucket).
     *
     * LIBRARY ENTRY POINT — generic over any (id, vector-array) frame; no
     * benchmark query binds it (the exact join is the verified baseline;
     * this is its scale substitute when estimates suffice). */
   def annKnnJoin(rows: DataFrame, id: String, vec: String, k: Int,
-      tables: Int = NumTables, planesPer: Int = PlanesPerTable): DataFrame = {
+      tables: Int = NumTables, planesPer: Int = PlanesPerTable,
+      dim: Int = Dim): DataFrame = {
+    rows.select(size(col(vec)).as("d")).head(1).foreach { r =>
+      require(r.getInt(0) == dim,
+        s"annKnnJoin: vectors have dimension ${r.getInt(0)} but dim=$dim — " +
+          "pass dim explicitly so the LSH planes match")
+    }
     val e = rows.select(col(id).as("vec_id"), col(vec).as("embedding"))
       .select(col("vec_id"), col("embedding"),
         sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"))
       .filter(col("nrm") > 0)
     val buckets = e.select(col("vec_id"), col("embedding"), col("nrm"),
-      posexplode(array(bucketCols(col("embedding"), tables, planesPer): _*))
+      posexplode(array(bucketCols(col("embedding"), tables, planesPer, dim): _*))
         .as(Seq("tbl", "bucket")))
     val a = buckets.select(col("vec_id").as("va"), col("embedding").as("ea"),
       col("nrm").as("na"), col("tbl"), col("bucket"))
     val b = buckets.select(col("vec_id").as("vb"), col("embedding").as("eb"),
       col("nrm").as("nb"), col("tbl"), col("bucket"))
     val w = Window.partitionBy("va").orderBy(desc("cos"), col("vb"))
-    a.join(b, Seq("tbl", "bucket"))
-      .filter(col("va") =!= col("vb"))
+    val half = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("va") < col("vb"))
       .select(col("va"), col("vb"),
         Det.r4(dotf(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
       .groupBy("va", "vb").agg(max("cos").as("cos"))
+    half.unionByName(half.select(col("vb").as("va"), col("va").as("vb"),
+        col("cos")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("va"), col("rk"), col("vb"), col("cos"))

@@ -120,6 +120,40 @@ class ApiSpec extends SparkSpec {
     assert(total == expected, s"packing lost tokens: $total != $expected")
   }
 
+  test("noveltyScore separates a corpus-unique doc from near-copies on a generic frame") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, base), (2L, base), // identical: every shingle has df >= 2
+      (3L, "completely different words forming entirely fresh trigram content here"))
+      .toDF("k", "v")
+    val nov = graft.operators.TextOps.noveltyScore(corpus, "k", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(nov(1L) == 0.0 && nov(2L) == 0.0, s"copies must have novelty 0: $nov")
+    assert(nov(3L) == 1.0, s"unique doc must have novelty 1: $nov")
+  }
+
+  test("annKnnJoin runs on a generic frame at a non-default dimension") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.2f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.3f)),
+      (4L, Array(0.0f, 0.1f, 0.9f, 0.4f)))
+      .toDF("rid", "v")
+    // wrong dim must fail fast, not silently degenerate to one bucket
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.SimilarityOps.annKnnJoin(vecs, "rid", "v", k = 1)
+    }
+    assert(e.getMessage.contains("dimension"))
+    val knn = graft.operators.SimilarityOps
+      .annKnnJoin(vecs, "rid", "v", k = 1, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // wide default buckets at n=4: every vector finds its planted partner
+    assert(knn.get(1L).contains(2L) && knn.get(2L).contains(1L), s"got $knn")
+  }
+
   test("knnJoin(k=1) equals the brute-force argmax on generated vectors") {
     val s = spark
     import s.implicits._

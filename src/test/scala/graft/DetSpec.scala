@@ -12,7 +12,8 @@ class DetSpec extends SparkSpec {
   test("float-heavy queries are bit-identical under different shuffle partitioning") {
     // one query per accumulation pattern: grouped decimal sums (agg_hash),
     // moment-sum statistics (corr), exploded element sums (centroids),
-    // per-doc surprisal sums over a token join (lm_score)
+    // per-doc surprisal sums over a token join (lm_score), and windowed
+    // duration-weighted sums (time_weighted)
     val queries = Seq("q_agg_hash", "q_corr_stats", "q_embed_centroids",
       "q_lm_score", "q_time_weighted")
     val conf = spark.conf
