@@ -43,9 +43,12 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       // Release any blocks a query pinned (localCheckpoint intermediates):
       // leaked blocks from earlier queries showed up as multi-second GC
-      // noise in LATER queries' timings. Cleanup runs outside the timer.
+      // noise in LATER queries' timings. BLOCKING: an async unpersist
+      // returns immediately and the removal work then runs concurrently
+      // with the NEXT query's timed section — the wait belongs here,
+      // between the timers.
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       name -> (if (failed.contains(name)) -1.0 else sec)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
