@@ -133,7 +133,8 @@ final class AssignmentTestInterface private[streaming] (
         done.toSeq.flatMap(_.produced)
           .filter(m => m.topic == topic &&
             (m.partition == partition || m.partition < 0))
-          .map(m => stamp(KMessage(topic, partition, -1L, m.key, m.value, 0L)))
+          .map(m => stamp(KMessage(topic, partition, -1L, m.key, m.value, 0L,
+            headers = m.headers)))
       }
       // Send-loopback re-enters the log and is drained by the same
       // processAllAvailable that revealed it (local.ts:188-190).

@@ -11,6 +11,10 @@ package graft.streaming
   *    `Array[Byte]` columns with identical plumbing.
   *  - offsets are native 64-bit longs — the reference ships them as strings
   *    only because JS numbers can't hold int64 (`src/streams.ts:80-85`).
+  *  - `headers` is a string→string map under the same JSON convention
+  *    (the reference's `IHeaders` carries Buffer/string values,
+  *    `src/streams.ts:15`); the Kafka source's
+  *    array<struct<key,binary>> shape converts at the read edge.
   *  - `error` carries an injected failure through the log (the reference
   *    injects `Error` objects into the stream,
   *    `src/assignment-contexts/local.ts:103-105`); the pipeline throws on
@@ -25,7 +29,8 @@ case class KMessage(
     key: String,
     value: String,
     timestamp: Long,
-    error: String = null)
+    error: String = null,
+    headers: Map[String, String] = Map.empty)
 
 /** A message to produce — the reference's `NewMessage`
   * (`src/assignment-contexts/index.ts:31-42`). `partition = -1` leaves
@@ -34,7 +39,8 @@ case class NewMessage(
     topic: String,
     value: String,
     partition: Int = -1,
-    key: String = null)
+    key: String = null,
+    headers: Map[String, String] = Map.empty)
 
 /** One commit request: `commit(offset + 1)` plus optional string metadata —
   * the reference's `OffsetAndMetadata` (`src/assignment-contexts/index.ts:26-29`,

@@ -110,6 +110,7 @@ final class Task(val group: String) {
         .format("kafka")
         .option("kafka.bootstrap.servers", bootstrapServers)
         .option("subscribe", src.topicName)
+        .option("includeHeaders", "true")
         .option("startingOffsets",
           if (src.offsetReset == "earliest") "earliest" else "latest")
         .load()
@@ -118,7 +119,13 @@ final class Task(val group: String) {
         col("key").cast("string").as("key"),
         col("value").cast("string").as("value"),
         unix_millis(col("timestamp")).as("timestamp"),
-        lit(null).cast("string").as("error")).as[KMessage]
+        lit(null).cast("string").as("error"),
+        // Kafka header shape array<struct<key,value:binary>> → the
+        // facade's string map (KMessage.scala conventions)
+        map_from_entries(transform(
+          coalesce(col("headers"), array()),
+          h => struct(h.getField("key"),
+            h.getField("value").cast("string")))).as("headers")).as[KMessage]
       msgs.writeStream
         .option("checkpointLocation", s"$checkpointDir/${src.topicName}")
         .foreachBatch { (batch: Dataset[KMessage], _: Long) =>

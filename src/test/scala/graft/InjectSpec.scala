@@ -128,6 +128,29 @@ class InjectSpec extends SparkSpec {
     task.stop()
   }
 
+  test("headers ride the message through inject, processing, and send-loopback (streams.ts:15)") {
+    val task = newTask()(_ => Seq((m, ctx) => {
+      val km = m.asInstanceOf[KMessage]
+      if (km.headers.get("kind").contains("trigger") &&
+          !km.headers.contains("hop"))
+        ctx.send(NewMessage("events", "relayed", partition = 0,
+          headers = km.headers + ("hop" -> "1")))
+      km.headers.getOrElse("kind", "none")
+    }))
+    val itf = task.inject(spark, "events", 0)
+    itf.inject(KMessage("events", 0, -1L, null, "x", 0L,
+      headers = Map("kind" -> "trigger", "src" -> "crawler")))
+    itf.await()
+    // the processor read the injected headers...
+    assert(itf.processingResults.headOption.contains("trigger"))
+    // ...the produced message carries the augmented headers...
+    assert(itf.producedMessages.head.headers ==
+      Map("kind" -> "trigger", "src" -> "crawler", "hop" -> "1"))
+    // ...and the loopback re-entered the log WITH its headers intact
+    assert(itf.processingResults == Seq("trigger", "trigger"))
+    task.stop()
+  }
+
   test("send collects produced messages; same-partition sends loop back (inject.ts:238-277, local.ts:183-201)") {
     val task = newTask()(_ => Seq((m, ctx) => {
       val km = m.asInstanceOf[KMessage]
