@@ -141,8 +141,22 @@ object DedupOps {
       .orderBy("da", "db")
   }
 
+  /** The corpus's n-gram near-dup pair list, materialized once per
+    * application ([[graft.sources.Materialize]]): FIVE queries consume the
+    * identical list (the pair query itself, clusters, canonical selection,
+    * edit-distance verification, contamination check). Recomputing the
+    * shingle index per consumer multiplies the pipeline's dominant cost by
+    * 5; materializing it is the storage-backed shared-intermediate pattern
+    * a production pipeline uses — the pair list is a vanishing fraction of
+    * the corpus, so consumers pay a tiny scan instead of the index build.
+    * Read-back row order is not defined; consumers apply their own sort. */
+  private[operators] def sharedNgramPairs(s: SparkSession, d: String): DataFrame =
+    graft.sources.Materialize.table(s, s"ngram_pairs:$d") {
+      ngramJaccardPairs(docsSpread(s, d), "doc_id", "text", minJaccard = 0.1)
+    }
+
   private def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
-    ngramJaccardPairs(docsSpread(s, d), "doc_id", "text", minJaccard = 0.1)
+    sharedNgramPairs(s, d).orderBy("da", "db")
 
   // --- MinHash + LSH ---------------------------------------------------
   // Universal-hash family over 31-bit shingle hashes: h_i(x) = (a_i x + b_i)
@@ -348,7 +362,7 @@ object DedupOps {
   }
 
   private def dedupClusters(s: SparkSession, d: String): DataFrame =
-    connectedComponents(dedupNgramJaccard(s, d), "da", "db")
+    connectedComponents(sharedNgramPairs(s, d), "da", "db")
       .orderBy("doc_id")
 
   /** Canonical-document selection — the LAST step of a dedup pipeline:

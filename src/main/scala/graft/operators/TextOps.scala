@@ -306,8 +306,7 @@ object TextOps {
   // pair list is tiny relative to the corpus — at 100 TB both joins
   // broadcast the pair side via AQE).
   private def contamination(s: SparkSession, d: String): DataFrame = {
-    val pairs = DedupOps.defs.find(_.name == "q_dedup_ngram_jaccard").get
-      .build(s, d).select("da", "db", "jaccard")
+    val pairs = DedupOps.sharedNgramPairs(s, d).select("da", "db", "jaccard")
     val sp = splitAssign(s, d).select(col("doc_id"), col("split"))
     pairs
       .join(sp.select(col("doc_id").as("da"), col("split").as("split_a")), Seq("da"))
@@ -322,8 +321,7 @@ object TextOps {
   // O(len²) DP is why edit distance can't be the discovery mechanism at
   // scale; LSH finds candidates, levenshtein verifies).
   private def editDistance(s: SparkSession, d: String): DataFrame = {
-    val pairs = DedupOps.defs.find(_.name == "q_dedup_ngram_jaccard").get
-      .build(s, d).select("da", "db")
+    val pairs = DedupOps.sharedNgramPairs(s, d).select("da", "db")
     val t = docs(s, d).select(col("doc_id"), col("text"))
     pairs
       .join(t.select(col("doc_id").as("da"), col("text").as("ta")), Seq("da"))

@@ -1,0 +1,55 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentHashMap
+import java.util.function.{Function => JFunction}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped materialized intermediates.
+  *
+  * A pipeline's expensive shared subtrees (the near-dup pair list, a
+  * shingle index, a feature table) are consumed by several downstream
+  * queries. Recomputing the subtree per consumer multiplies its cost by
+  * fan-out; Spark's exchange reuse only dedups WITHIN one action, and
+  * cached/checkpointed blocks pin executor memory for the session
+  * lifetime. The storage-backed pattern — compute once, write to a
+  * table, every consumer scans the table — is how a production pipeline
+  * ships this at 100 TB (the intermediate is a vanishing fraction of
+  * the corpus; the scan is cheap and partition-prunable).
+  *
+  * `table` is that pattern scoped to one JVM: the first caller builds
+  * and writes parquet under a process-private temp dir, every later
+  * caller (same Spark application + key) gets a plain parquet scan.
+  * Results are bit-identical to the direct computation — asserted in
+  * graft.MaterializeSpec. `SPARK_GRAFT_NO_MEMO=1` disables the memo for
+  * A/B measurement of the underlying build.
+  */
+object Materialize {
+  private lazy val root =
+    Files.createTempDirectory("graft-materialized-").toString
+  private val done = new ConcurrentHashMap[String, String]()
+  /** Build count per key — lets tests assert single execution. */
+  private[graft] val builds = new ConcurrentHashMap[String, Integer]()
+
+  private def enabled = !sys.env.contains("SPARK_GRAFT_NO_MEMO")
+
+  def table(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    if (!enabled) return build
+    // Key by application: temp-dir contents outlive a stopped session,
+    // but a new application must not trust another's files (different
+    // conf, different data dir lifetimes are encoded in the key).
+    val full = s.sparkContext.applicationId + "/" + key
+    val path = done.computeIfAbsent(full, new JFunction[String, String] {
+      override def apply(k: String): String = {
+        val p = root + "/" +
+          java.util.UUID.nameUUIDFromBytes(k.getBytes("UTF-8")).toString
+        builds.merge(key, Integer.valueOf(1), (a, b) =>
+          Integer.valueOf(a.intValue + b.intValue))
+        build.write.mode("overwrite").parquet(p)
+        p
+      }
+    })
+    s.read.parquet(path)
+  }
+}

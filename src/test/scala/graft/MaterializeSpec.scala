@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Materialize
+
+/** Materialized shared intermediates (graft.sources.Materialize): the
+  * storage-backed compute-once pattern must be invisible to consumers —
+  * identical rows, one build per key — because five production queries
+  * (pairs/clusters/canonical/editdist/contamination) trust it. */
+class MaterializeSpec extends SparkSpec {
+
+  private val s = SparkSpec.spark
+  import s.implicits._
+
+  test("table builds once per key and returns identical rows") {
+    var built = 0
+    def make = {
+      built += 1
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+        .withColumn("h", xxhash64(col("v")))
+    }
+    val direct = make.collect().sortBy(_.getLong(0))
+    built = 0
+    val first = Materialize.table(spark, "spec:one")(make)
+      .collect().sortBy(_.getLong(0))
+    val second = Materialize.table(spark, "spec:one")(make)
+      .collect().sortBy(_.getLong(0))
+    assert(built == 1, s"expected one build, got $built")
+    assert(first.toSeq == direct.toSeq)
+    assert(second.toSeq == direct.toSeq)
+  }
+
+  test("distinct keys build independently") {
+    val a = Materialize.table(spark, "spec:ka")(Seq(1).toDF("x"))
+    val b = Materialize.table(spark, "spec:kb")(Seq(2).toDF("x"))
+    assert(a.collect().map(_.getInt(0)).toSeq == Seq(1))
+    assert(b.collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("the shared ngram pair list matches the direct computation") {
+    // the five consumers' contract: memoized == direct
+    val direct = graft.operators.DedupOps.ngramJaccardPairs(
+      graft.sources.Tables(spark, sf, "documents").repartition(col("doc_id")),
+      "doc_id", "text", minJaccard = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val shared = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(shared.toSeq == direct.toSeq)
+  }
+}
