@@ -275,6 +275,49 @@ object SimilarityOps {
         Det.r4(col("sv") / col("n")).as("centroid"), col("n"))
       .orderBy("label", "pos")
 
+  /** Int8 affine quantization of the embedding corpus — the storage/serving
+    * compression step (4× over float32) an embedding pipeline applies before
+    * indexing. Per-dimension codebook: (min_d, max_d) over the corpus,
+    * scale_d = (max_d - min_d)/255, code = floor((v - min_d)/scale_d + 0.5)
+    * clamped to [0, 255]; the query reports per-vector reconstruction error
+    * (mean and max absolute) — the signal that decides whether int8 is
+    * acceptable for a given corpus.
+    *
+    * Shape at 100 TB: the codebook is a dims-row aggregate (min/max are
+    * order-independent) broadcast back into a pure per-element projection —
+    * one pass to build the codebook, one embarrassingly-parallel pass to
+    * quantize; the shuffle carries (pos, float) pairs, never vectors. A
+    * constant-range dimension (max = min) carries no information: every
+    * value reconstructs exactly (code 0, error 0), mirrored in the oracle.
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, array-of-float) frame. */
+  def quantizeError(rows: DataFrame, id: String, vec: String): DataFrame = {
+    val el = rows
+      .select(col(id).as("vec_id"),
+        posexplode(col(vec)).as(Seq("p0", "vf")))
+      .select(col("vec_id"), (col("p0") + 1).as("pos"),
+        col("vf").cast("double").as("v"))
+    val codebook = el.groupBy("pos")
+      .agg(min("v").as("mn"), max("v").as("mx"))
+    val scale = (col("mx") - col("mn")) / lit(255.0d)
+    val code = least(lit(255.0d), greatest(lit(0.0d),
+      floor((col("v") - col("mn")) / scale + lit(0.5d))))
+    el.join(broadcast(codebook), Seq("pos"))
+      .withColumn("err",
+        when(col("mx") === col("mn"), lit(0.0d))
+          .otherwise(abs(code * scale + col("mn") - col("v"))))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("dims"),
+        Det.dsum(col("err")).as("serr"), max("err").as("mxe"))
+      .select(col("vec_id"), col("dims"),
+        Det.r4(col("serr") / col("dims")).as("mae"),
+        Det.r4(col("mxe")).as("max_err"))
+      .orderBy("vec_id")
+  }
+
+  private def embedQuantize(s: SparkSession, d: String): DataFrame =
+    quantizeError(emb(s, d), "vec_id", "embedding")
+
   private val cosSql =
     """list_sum(list_transform(list_zip(%s, %s),
       | x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
@@ -306,6 +349,20 @@ object SimilarityOps {
          |  ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rk
          | FROM p)
          | WHERE rk <= 5 ORDER BY va, rk""".stripMargin)),
+    QDef("q_embed_quantize", embedQuantize, Some(
+      s"""WITH el AS (SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings, generate_series(1, 64) t(i)),
+         |cb AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM el GROUP BY 1),
+         |e AS (SELECT vec_id,
+         |  CASE WHEN mx = mn THEN 0.0 ELSE
+         |   abs(least(255.0, greatest(0.0,
+         |        floor((v - mn) / ((mx - mn) / 255.0) + 0.5)))
+         |       * ((mx - mn) / 255.0) + mn - v) END AS err
+         |  FROM el JOIN cb USING (pos))
+         |SELECT vec_id, count(*) AS dims,
+         | ${Det.r4Sql(Det.dsumSql("err") + " / count(*)")} AS mae,
+         | ${Det.r4Sql("max(err)")} AS max_err
+         | FROM e GROUP BY 1 ORDER BY vec_id""".stripMargin)),
     QDef("q_embed_centroids", embedCentroids, Some(
       s"""SELECT label, i AS pos,
          | ${Det.r4Sql(Det.dsumSql("CAST(embedding[i] AS DOUBLE)") + " / count(*)")} AS centroid,

@@ -137,6 +137,50 @@ object TextOps {
   private def lmScoreQuery(s: SparkSession, d: String): DataFrame =
     lmScore(docs(s, d), "doc_id", "text")
 
+  // DSIR-style importance weighting (Xie et al. 2023, Data Selection via
+  // Importance Resampling, arXiv:2302.03169): score every document by how
+  // much more likely its tokens are under a TARGET distribution (the
+  // high-quality slice you want more of) than under the corpus
+  // distribution — weight = mean over tokens of
+  // ln p_target(tok) - ln p_corpus(tok), add-one smoothed over the corpus
+  // vocabulary. Selection pipelines resample the corpus proportionally to
+  // exp(weight); positive = target-like, negative = off-distribution.
+  //
+  // Shape at 100 TB: the q_lm_score shape with a two-sided frequency
+  // table — ONE token aggregation builds corpus and target counts together
+  // (conditional count, no second pass), the per-token join keys on the
+  // token string (vocab-sized table, shuffle join — documents never
+  // travel), and the per-doc mean goes through the decimal accumulator so
+  // it is partitioning-independent.
+  // LIBRARY ENTRY POINT — generic over any corpus; `target` is any boolean
+  // predicate column over the input rows (a source label, a classifier
+  // verdict, a hand-curated id list membership).
+  def importanceWeights(rows: DataFrame, id: String, text: String,
+      target: Column): DataFrame = {
+    val tok = rows
+      .select(col(id).as("doc_id"), target.as("is_t"), col(text).as("text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("is_t"), explode(toks(col("text"))).as("tok"))
+    val freq = tok.groupBy("tok").agg(
+      count(lit(1)).as("nc"),
+      count(when(col("is_t"), 1)).as("nt"))
+    val totals = freq.agg(sum("nc").as("tc"), sum("nt").as("tt"),
+      count(lit(1)).as("v"))
+    tok.join(freq, Seq("tok"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lr",
+        log((col("nt") + 1).cast("double") / (col("tt") + col("v")).cast("double")) -
+          log((col("nc") + 1).cast("double") / (col("tc") + col("v")).cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), Det.dsum(col("lr")).as("slr"))
+      .select(col("doc_id"), col("n_tok"),
+        Det.r4(col("slr") / col("n_tok")).as("imp_weight"))
+      .orderBy("doc_id")
+  }
+
+  private def importanceQuery(s: SparkSession, d: String): DataFrame =
+    importanceWeights(docs(s, d), "doc_id", "text", col("source") === "src0")
+
   // N-gram novelty: the fraction of a document's 3-shingles that occur
   // NOWHERE else in the corpus — the originality signal curation pipelines
   // use to up-weight unique content (the inverse view of contamination/
@@ -464,6 +508,20 @@ object TextOps {
          |SELECT doc_id, count(*) AS n_tok,
          | ${Det.r4Sql(Det.dsumSql("-log2(CAST(n AS DOUBLE) / n_total)") + " / count(*)")}
          |   AS mean_surprisal
+         | FROM tok JOIN freq USING (tok), tot
+         | GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    QDef("q_importance", importanceQuery, Some(
+      s"""WITH tok AS (SELECT doc_id, source = 'src0' AS is_t,
+         |  unnest($oracleToks) AS tok FROM documents),
+         |freq AS (SELECT tok, count(*) AS nc,
+         |  count(CASE WHEN is_t THEN 1 END) AS nt FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(nc) AS BIGINT) AS tc,
+         |  CAST(sum(nt) AS BIGINT) AS tt, count(*) AS v FROM freq)
+         |SELECT doc_id, count(*) AS n_tok,
+         | ${Det.r4Sql(Det.dsumSql(
+            "ln(CAST(nt + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE)) - " +
+            "ln(CAST(nc + 1 AS DOUBLE) / CAST(tc + v AS DOUBLE))") + " / count(*)")}
+         |   AS imp_weight
          | FROM tok JOIN freq USING (tok), tot
          | GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     QDef("q_quality_filter", qualityFilterQuery, Some(

@@ -1,0 +1,108 @@
+package graft.operators
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QDef
+import graft.sources.Tables
+
+/** Tokenizer training over the corpus (absent in the reference, whose
+  * payloads are opaque bytes — `/root/reference/src/streams.ts:12-13`;
+  * a training-data pipeline needs it to fit the vocabulary to the data).
+  *
+  * Distributed BPE merge learning (Sennrich et al. 2016, ACL 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units"): the
+  * trainer's working set is the WORD-FREQUENCY table, not the corpus —
+  * one aggregation reduces the text to a vocab-sized `(word, freq)`
+  * table, and every merge round runs over that table. That reduction is
+  * what makes tokenizer training tractable at 100 TB: the corpus is
+  * touched exactly once; rounds cost O(vocab), not O(corpus).
+  *
+  * Each round: count adjacent symbol pairs weighted by word frequency,
+  * pick the most frequent pair (ties broken lexicographically so the
+  * learned table is deterministic at any parallelism), merge that pair in
+  * every word. Driver traffic per round is ONE row (the argmax) — same
+  * scalar-only discipline as [[DedupOps.connectedComponents]]; the merge
+  * itself is a per-row regexp over the checkpointed word table, never a
+  * pass over documents.
+  */
+object TokenizerOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+
+  private val toks = (c: org.apache.spark.sql.Column) =>
+    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+
+  /** Learn the first `nMerges` BPE merge rules from a corpus. Returns the
+    * merge table `(rank, left, right, pair_count)` — the MODEL, one row
+    * per learned rule. Words are character sequences with the standard
+    * `</w>` end-of-word marker on the final symbol, so merges never cross
+    * word boundaries and word-final units stay distinct from word-internal
+    * ones (Sennrich's formulation).
+    *
+    * LIBRARY ENTRY POINT — generic over any corpus (text column). */
+  def bpeMerges(rows: DataFrame, text: String, nMerges: Int): DataFrame = {
+    val s = rows.sparkSession
+    // Corpus → word-frequency table: the single pass over the data.
+    // Spark's split keeps trailing empty strings (limit -1): an empty-
+    // pattern split of "the" is ["t","h","e",""] — drop the empties or the
+    // end-of-word marker lands on a phantom symbol.
+    val chars = filter(split(col("word"), ""), c => length(c) > 0)
+    var words = rows
+      .select(explode(toks(col(text))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), concat_ws(" ",
+        transform(chars, (c, i) =>
+          when(i === size(chars) - 1, concat(c, lit("</w>"))).otherwise(c)))
+        .as("sym"))
+      .localCheckpoint(eager = true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val syms = split(col("sym"), " ")
+      val top = words
+        .select(col("freq"), explode(
+          transform(slice(syms, lit(1), size(syms) - 1), (x, i) =>
+            struct(x.as("left"), element_at(syms, i + 2).as("right"))))
+          .as("p"))
+        .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), col("left"), col("right"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((rank, l, r, cnt))
+        // Sennrich's merge regex: the pair as adjacent space-separated
+        // symbols, not touching any other non-space characters.
+        val pat = "(?<!\\S)" + Pattern.quote(l + " " + r) + "(?!\\S)"
+        val next = words
+          .withColumn("sym", regexp_replace(col("sym"), pat,
+            java.util.regex.Matcher.quoteReplacement(l + r)))
+          .localCheckpoint(eager = true)
+        words.unpersist()
+        words = next
+        rank += 1
+      }
+    }
+    words.unpersist()
+    import s.implicits._
+    merges.result().toDF("rank", "left", "right", "pair_count")
+      .orderBy("rank")
+  }
+
+  private def bpeQuery(s: SparkSession, d: String): DataFrame =
+    bpeMerges(docs(s, d), "text", nMerges = 10)
+
+  lazy val defs: Seq[QDef] = Seq(
+    // Iterative (10 dependent rounds) — not expressible as one SQL query;
+    // graft.BpeSpec asserts exact agreement with a sequential reference
+    // implementation, the driver records the rows-only check.
+    QDef("q_bpe_merges", bpeQuery, None)
+  )
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.TokenizerOps
+
+/** BPE merge training: the distributed trainer must learn EXACTLY the
+  * merge table a sequential reference implementation (straight from the
+  * Sennrich et al. 2016 algorithm) learns on the same corpus — same
+  * pairs, same order, same counts. */
+class BpeSpec extends SparkSpec {
+
+  /** Sequential reference BPE: word-freq table, per-round pair count,
+    * lexicographic tie-break, merge everywhere. */
+  private def referenceBpe(texts: Seq[String], n: Int): Seq[(Int, String, String, Long)] = {
+    var words: Map[Vector[String], Long] = texts
+      .flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .map { case (w, f) =>
+        val cs = w.map(_.toString).toVector
+        (cs.init :+ (cs.last + "</w>"), f)
+      }.toMap  // distinct spellings collapse AFTER marking: none collide here
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 1 to n) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((rank, l, r, c))
+        words = words.groupMapReduce { case (syms, _) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          b.result()
+        }(_._2)(_ + _)
+      }
+    }
+    out.result()
+  }
+
+  test("distributed BPE learns the sequential reference's merge table exactly") {
+    val texts = graft.sources.Tables(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val expected = referenceBpe(texts, 10)
+    val got = TokenizerOps.bpeMerges(
+      graft.sources.Tables(spark, sf, "documents"), "text", nMerges = 10)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected,
+      s"distributed:\n  ${got.mkString("\n  ")}\nreference:\n  ${expected.mkString("\n  ")}")
+  }
+
+  test("merges respect word boundaries (</w> marker present in final units)") {
+    val got = TokenizerOps.bpeMerges(
+      graft.sources.Tables(spark, sf, "documents"), "text", nMerges = 10)
+      .collect()
+    assert(got.length == 10)
+    // no learned unit spans a word boundary: '</w>' only ever terminates
+    // a symbol, never sits mid-symbol
+    got.foreach { r =>
+      val merged = r.getString(1) + r.getString(2)
+      val idx = merged.indexOf("</w>")
+      assert(idx == -1 || idx == merged.length - 4,
+        s"unit '$merged' continues past an end-of-word marker")
+    }
+  }
+}
