@@ -154,6 +154,57 @@ class ApiSpec extends SparkSpec {
     assert(knn.get(1L).contains(2L) && knn.get(2L).contains(1L), s"got $knn")
   }
 
+  test("quantizeError reconstructs a planted two-point dimension exactly") {
+    val s = spark
+    import s.implicits._
+    // dim 1 spans [0, 255]: codes hit integers exactly → error 0;
+    // dim 2 is constant → zero-range rule → error 0;
+    // dim 3 has a midpoint value off the 255-step grid → known error
+    val vecs = Seq(
+      (1L, Array(0.0f, 7.0f, 0.0f)),
+      (2L, Array(255.0f, 7.0f, 1.0f)),
+      (3L, Array(51.0f, 7.0f, 0.4f))) // 0.4*255 = 102 exactly → error 0
+      .toDF("vid", "emb")
+    val q = SimilarityOps.quantizeError(vecs, "vid", "emb")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(q.forall(_._2 == 3), s"dims wrong: ${q.toSeq}")
+    assert(q.forall(r => r._3 == 0.0 && r._4 == 0.0),
+      s"grid-aligned corpus must reconstruct exactly: ${q.toSeq}")
+  }
+
+  test("importanceWeights ranks target-like docs above off-target docs") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, true, "alpha beta gamma alpha beta"),
+      (2L, true, "alpha beta delta beta alpha"),
+      (3L, false, "omega psi chi omega psi"),
+      (4L, false, "alpha beta gamma beta alpha")) // target-like content, non-target split
+      .toDF("nid", "in_target", "body")
+    val w = TextOps.importanceWeights(corpus, "nid", "body", col("in_target"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.size == 4)
+    // docs made of target-distribution tokens score above the off-target doc
+    assert(w(1L) > w(3L) && w(2L) > w(3L) && w(4L) > w(3L), s"got $w")
+    // membership in the target split is irrelevant; only content matters
+    assert(math.abs(w(4L) - w(1L)) < math.abs(w(3L) - w(1L)), s"got $w")
+  }
+
+  test("bpeMerges learns the dominant pair first on a generic frame") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq.tabulate(20)(i => (i, "aab aab aab xy"))
+      .toDF("n", "phrase")
+    val merges = graft.operators.TokenizerOps.bpeMerges(corpus, "phrase", 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    // "aab"×3 per row × 20 rows: pair (a,a) dominates with count 60
+    assert(merges(0) == ((1, "a", "a", 60L)), s"got ${merges.toSeq}")
+    // after merging, (aa, b</w>) is the runner-up at 60
+    assert(merges(1) == ((2, "aa", "b</w>", 60L)), s"got ${merges.toSeq}")
+  }
+
   test("knnJoin(k=1) equals the brute-force argmax on generated vectors") {
     val s = spark
     import s.implicits._
