@@ -33,8 +33,10 @@ object TokenizerOps {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
 
-  private val toks = (c: org.apache.spark.sql.Column) =>
-    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+  // The ONE tokenizer definition (TextOps.toks) — BPE must see the same
+  // token stream as lm_score/tfidf/quality or the learned vocabulary
+  // drifts from the rest of the pipeline.
+  private def toks(c: org.apache.spark.sql.Column) = TextOps.toks(c)
 
   /** Learn the first `nMerges` BPE merge rules from a corpus. Returns the
     * merge table `(rank, left, right, pair_count)` — the MODEL, one row

@@ -26,11 +26,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * A/B measurement of the underlying build.
   */
 object Materialize {
-  private lazy val root =
-    Files.createTempDirectory("graft-materialized-").toString
+  private lazy val root = {
+    val dir = Files.createTempDirectory("graft-materialized-")
+    // the intermediates are process-private scratch — reclaim them when
+    // the JVM exits instead of accreting across Bench/Verify/test runs
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
   private val done = new ConcurrentHashMap[String, String]()
-  /** Build count per key — lets tests assert single execution. */
-  private[graft] val builds = new ConcurrentHashMap[String, Integer]()
 
   private def enabled = !sys.env.contains("SPARK_GRAFT_NO_MEMO")
 
@@ -44,8 +53,6 @@ object Materialize {
       override def apply(k: String): String = {
         val p = root + "/" +
           java.util.UUID.nameUUIDFromBytes(k.getBytes("UTF-8")).toString
-        builds.merge(key, Integer.valueOf(1), (a, b) =>
-          Integer.valueOf(a.intValue + b.intValue))
         build.write.mode("overwrite").parquet(p)
         p
       }

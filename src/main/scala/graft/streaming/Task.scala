@@ -120,12 +120,7 @@ final class Task(val group: String) {
         col("value").cast("string").as("value"),
         unix_millis(col("timestamp")).as("timestamp"),
         lit(null).cast("string").as("error"),
-        // Kafka header shape array<struct<key,value:binary>> → the
-        // facade's string map (KMessage.scala conventions)
-        map_from_entries(transform(
-          coalesce(col("headers"), array()),
-          h => struct(h.getField("key"),
-            h.getField("value").cast("string")))).as("headers")).as[KMessage]
+        Task.headerMap(col("headers")).as("headers")).as[KMessage]
       msgs.writeStream
         .option("checkpointLocation", s"$checkpointDir/${src.topicName}")
         .foreachBatch { (batch: Dataset[KMessage], _: Long) =>
@@ -137,9 +132,11 @@ final class Task(val group: String) {
           // observable in the rows, durability comes from the checkpoint.
           processed
             .select(explode(col("produced")).as("m"))
-            .select(col("m.topic"), col("m.key"), col("m.value"))
+            .select(col("m.topic"), col("m.key"), col("m.value"),
+              Task.headerEntries(col("m.headers")).as("headers"))
             .write.format("kafka")
             .option("kafka.bootstrap.servers", bootstrapServers)
+            .option("includeHeaders", "true")
             .save()
           ()
         }
@@ -177,4 +174,34 @@ final class Task(val group: String) {
   def inject(spark: SparkSession,
       assignments: Seq[(String, Int)]): Seq[AssignmentTestInterface] =
     assignments.map { case (t, p) => inject(spark, t, p) }
+}
+
+object Task {
+  import org.apache.spark.sql.Column
+
+  /** Kafka's header shape `array<struct<key:string, value:binary>>` → the
+    * facade's string map (KMessage.scala conventions). Kafka allows
+    * REPEATED header keys (headers are a list, not a map); a plain
+    * `map_from_entries` throws DUPLICATED_MAP_KEY under the default
+    * `spark.sql.mapKeyDedupPolicy=EXCEPTION`, so duplicates are deduped
+    * KEEP-LAST first (the consumer-side convention: the producer's most
+    * recent value wins). Parity with the loopback path is asserted in
+    * graft.InjectSpec. */
+  private[graft] def headerMap(headers: Column): Column = {
+    val entries = transform(coalesce(headers, array()),
+      h => struct(h.getField("key").as("key"),
+        h.getField("value").cast("string").as("value")))
+    // keep-last: drop any entry whose key reappears later in the array
+    val deduped = filter(entries, (e, i) =>
+      !exists(slice(entries, i + lit(2), size(entries) - i - 1),
+        e2 => e2.getField("key") === e.getField("key")))
+    map_from_entries(deduped)
+  }
+
+  /** The facade's string map → Kafka producer header shape
+    * `array<struct<key:string, value:binary>>` for the produce sink. */
+  private[graft] def headerEntries(headers: Column): Column =
+    transform(map_entries(coalesce(headers, map())),
+      e => struct(e.getField("key").as("key"),
+        e.getField("value").cast("binary").as("value")))
 }

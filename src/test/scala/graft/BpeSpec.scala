@@ -8,14 +8,29 @@ import graft.operators.TokenizerOps
   * pairs, same order, same counts. */
 class BpeSpec extends SparkSpec {
 
+  /** UTF-8 binary string order — Spark's orderBy compares UTF8String
+    * bytes, which diverges from Java's UTF-16 code-unit order for
+    * supplementary characters; the reference must tie-break the same way. */
+  private implicit val utf8Order: Ordering[String] =
+    (a: String, b: String) => {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val lim = math.min(x.length, y.length)
+      var i = 0
+      while (i < lim && x(i) == y(i)) i += 1
+      if (i < lim) (x(i) & 0xff) - (y(i) & 0xff) else x.length - y.length
+    }
+
   /** Sequential reference BPE: word-freq table, per-round pair count,
-    * lexicographic tie-break, merge everywhere. */
+    * lexicographic tie-break, merge everywhere. Splits per CODE POINT
+    * (as Spark's empty-pattern split does), not per UTF-16 code unit —
+    * a surrogate pair is one symbol. */
   private def referenceBpe(texts: Seq[String], n: Int): Seq[(Int, String, String, Long)] = {
     var words: Map[Vector[String], Long] = texts
       .flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
       .groupBy(identity).view.mapValues(_.size.toLong)
       .map { case (w, f) =>
-        val cs = w.map(_.toString).toVector
+        val cs = w.codePoints().toArray.toVector
+          .map(cp => new String(Character.toChars(cp)))
         (cs.init :+ (cs.last + "</w>"), f)
       }.toMap  // distinct spellings collapse AFTER marking: none collide here
     val out = Seq.newBuilder[(Int, String, String, Long)]

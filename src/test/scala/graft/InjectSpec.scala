@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, struct, transform}
 import org.apache.spark.sql.streaming.StreamingQueryException
 
 import graft.streaming._
@@ -126,6 +127,30 @@ class InjectSpec extends SparkSpec {
     assert(itf.committedOffsets == Seq(CommitReq(2L, Some("at=1"))))
     assert(itf.committed() == 2L)
     task.stop()
+  }
+
+  test("headerMap dedups repeated Kafka header keys keep-last; headerEntries round-trips") {
+    val s = spark
+    import s.implicits._
+    // Kafka legally delivers REPEATED header keys — the read edge must
+    // dedup (keep-last), not throw DUPLICATED_MAP_KEY
+    val raw = Seq(
+      (1L, Seq(("trace", "a"), ("kind", "x"), ("trace", "b"))),
+      (2L, Seq.empty[(String, String)])).toDF("id", "hs")
+      .select(col("id"), transform(col("hs"), h =>
+        struct(h.getField("_1").as("key"),
+          h.getField("_2").cast("binary").as("value"))).as("headers"))
+    val m = raw.select(col("id"),
+      graft.streaming.Task.headerMap(col("headers")).as("hm"))
+      .collect().map(r => r.getLong(0) -> r.getMap[String, String](1).toMap).toMap
+    assert(m(1L) == Map("trace" -> "b", "kind" -> "x"), s"got $m")
+    assert(m(2L) == Map.empty[String, String])
+    // produce edge: string map → array<struct<key,value:binary>> and back
+    val rt = raw.select(col("id"), graft.streaming.Task.headerEntries(
+      graft.streaming.Task.headerMap(col("headers"))).as("es"))
+      .select(col("id"), graft.streaming.Task.headerMap(col("es")).as("hm"))
+      .collect().map(r => r.getLong(0) -> r.getMap[String, String](1).toMap).toMap
+    assert(rt(1L) == Map("trace" -> "b", "kind" -> "x"), s"round trip: $rt")
   }
 
   test("headers ride the message through inject, processing, and send-loopback (streams.ts:15)") {
