@@ -101,10 +101,62 @@ object TokenizerOps {
   private def bpeQuery(s: SparkSession, d: String): DataFrame =
     bpeMerges(docs(s, d), "text", nMerges = 10)
 
+  /** ENCODE with a learned merge table — the inference side of the
+    * tokenizer pair. The model (merge rules in rank order) is a handful of
+    * literals baked into the plan — the broadcast-model pattern: applying
+    * it is a pure per-document projection, embarrassingly parallel at any
+    * corpus size, no shuffle, no state. Each word is character-split (with
+    * the `</w>` marker) and the merges are applied in RANK ORDER — the
+    * same greedy order the trainer learned them in, which is what makes
+    * encode(train_corpus) consistent with the trainer's final word table
+    * (asserted in graft.BpeSpec).
+    *
+    * Output per document: token count under the learned vocabulary and
+    * the chars-per-token compression ratio — the signal that sizes a
+    * context window budget in tokens rather than characters.
+    *
+    * LIBRARY ENTRY POINT — generic over any corpus (id + text columns). */
+  def bpeEncode(rows: DataFrame, id: String, text: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val chars = (w: org.apache.spark.sql.Column) => {
+      val cs = filter(split(w, ""), c => length(c) > 0)
+      concat_ws(" ", transform(cs, (c, i) =>
+        when(i === size(cs) - 1, concat(c, lit("</w>"))).otherwise(c)))
+    }
+    val encodedWord = (w: org.apache.spark.sql.Column) =>
+      merges.foldLeft(chars(w)) { case (acc, (l, r)) =>
+        regexp_replace(acc,
+          lit("(?<!\\S)" + Pattern.quote(l + " " + r) + "(?!\\S)"),
+          lit(java.util.regex.Matcher.quoteReplacement(l + r)))
+      }
+    rows
+      .select(col(id).as("doc_id"),
+        length(col(text)).cast("long").as("n_chars"),
+        transform(toks(col(text)), w => size(split(encodedWord(w), " ")))
+          .as("per_word"))
+      .select(col("doc_id"), col("n_chars"),
+        size(col("per_word")).cast("long").as("n_words"),
+        aggregate(col("per_word"), lit(0L), (a, x) => a + x).as("n_tokens"))
+      .withColumn("chars_per_token",
+        when(col("n_tokens") > 0,
+          graft.Det.r4(col("n_chars") / col("n_tokens"))).otherwise(lit(0.0d)))
+      .orderBy("doc_id")
+  }
+
+  private def bpeEncodeQuery(s: SparkSession, d: String): DataFrame = {
+    // train-then-encode on the same corpus: the learned model is collected
+    // once (it IS driver-sized — nMerges rows) and baked into the encode
+    // projection
+    val model = bpeMerges(docs(s, d), "text", nMerges = 10)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeEncode(docs(s, d), "doc_id", "text", model)
+  }
+
   lazy val defs: Seq[QDef] = Seq(
     // Iterative (10 dependent rounds) — not expressible as one SQL query;
     // graft.BpeSpec asserts exact agreement with a sequential reference
     // implementation, the driver records the rows-only check.
-    QDef("q_bpe_merges", bpeQuery, None)
+    QDef("q_bpe_merges", bpeQuery, None),
+    QDef("q_bpe_encode", bpeEncodeQuery, None)
   )
 }

@@ -69,6 +69,45 @@ class BpeSpec extends SparkSpec {
       s"distributed:\n  ${got.mkString("\n  ")}\nreference:\n  ${expected.mkString("\n  ")}")
   }
 
+  /** Sequential reference encoder: same rank-order merge application the
+    * distributed projection bakes into its regexp chain. */
+  private def referenceEncode(text: String,
+      merges: Seq[(String, String)]): Long =
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty).map { w =>
+      val cs = w.codePoints().toArray.toVector
+        .map(cp => new String(Character.toChars(cp)))
+      var syms = cs.init :+ (cs.last + "</w>")
+      for ((l, r) <- merges) {
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            b += (l + r); i += 2
+          } else { b += syms(i); i += 1 }
+        }
+        syms = b.result()
+      }
+      syms.length.toLong
+    }.sum
+
+  test("distributed encode token counts equal the sequential reference's") {
+    val corpus = graft.sources.Tables(spark, sf, "documents")
+    val model = TokenizerOps.bpeMerges(corpus, "text", nMerges = 10)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = TokenizerOps.bpeEncode(corpus, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val texts = corpus.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    texts.foreach { case (id, t) =>
+      val expected = referenceEncode(t, model)
+      assert(got(id) == expected, s"doc $id: got ${got(id)}, expected $expected")
+    }
+    // merges strictly compress: fewer tokens than characters-with-markers
+    val charsTotal = texts.map(_._2.count(!_.isWhitespace)).sum
+    assert(got.values.sum < charsTotal,
+      s"encoding did not compress: ${got.values.sum} tokens vs $charsTotal chars")
+  }
+
   test("merges respect word boundaries (</w> marker present in final units)") {
     val got = TokenizerOps.bpeMerges(
       graft.sources.Tables(spark, sf, "documents"), "text", nMerges = 10)
