@@ -98,8 +98,16 @@ object TokenizerOps {
       .orderBy("rank")
   }
 
+  /** The corpus's learned merge table, materialized once per application
+    * ([[graft.sources.Materialize]]) — both the model query and the encode
+    * query consume it; training runs once. */
+  private def sharedMerges(s: SparkSession, d: String): DataFrame =
+    graft.sources.Materialize.table(s, s"bpe_merges:$d") {
+      bpeMerges(docs(s, d), "text", nMerges = 10)
+    }
+
   private def bpeQuery(s: SparkSession, d: String): DataFrame =
-    bpeMerges(docs(s, d), "text", nMerges = 10)
+    sharedMerges(s, d).orderBy("rank")
 
   /** ENCODE with a learned merge table — the inference side of the
     * tokenizer pair. The model (merge rules in rank order) is a handful of
@@ -129,14 +137,24 @@ object TokenizerOps {
           lit("(?<!\\S)" + Pattern.quote(l + " " + r) + "(?!\\S)"),
           lit(java.util.regex.Matcher.quoteReplacement(l + r)))
       }
-    rows
-      .select(col(id).as("doc_id"),
-        length(col(text)).cast("long").as("n_chars"),
-        transform(toks(col(text)), w => size(split(encodedWord(w), " ")))
-          .as("per_word"))
-      .select(col("doc_id"), col("n_chars"),
-        size(col("per_word")).cast("long").as("n_words"),
-        aggregate(col("per_word"), lit(0L), (a, x) => a + x).as("n_tokens"))
+    // The merge chain runs once per DISTINCT word, not per occurrence —
+    // the same vocab-not-corpus reduction the trainer rides: the regex
+    // work is O(vocab × merges) however large the corpus, and per-doc
+    // counts come back through a token-keyed join (the q_lm_score shape).
+    val base = rows.select(col(id).as("doc_id"),
+      length(col(text)).cast("long").as("n_chars"),
+      toks(col(text)).as("ws"))
+    val tok = base.select(col("doc_id"), explode(col("ws")).as("word"))
+    val vocab = tok.select("word").distinct()
+      .withColumn("n_units",
+        size(split(encodedWord(col("word")), " ")).cast("long"))
+    val counts = tok.join(vocab, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_units").as("n_tokens"))
+    // left join keeps token-less docs in the manifest (0 words, 0 tokens)
+    base.select(col("doc_id"), col("n_chars"))
+      .join(counts, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_words", "n_tokens"))
       .withColumn("chars_per_token",
         when(col("n_tokens") > 0,
           graft.Det.r4(col("n_chars") / col("n_tokens"))).otherwise(lit(0.0d)))
@@ -147,7 +165,7 @@ object TokenizerOps {
     // train-then-encode on the same corpus: the learned model is collected
     // once (it IS driver-sized — nMerges rows) and baked into the encode
     // projection
-    val model = bpeMerges(docs(s, d), "text", nMerges = 10)
+    val model = sharedMerges(s, d).orderBy("rank")
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
     bpeEncode(docs(s, d), "doc_id", "text", model)
   }
