@@ -83,12 +83,14 @@ object TokenizerOps {
         // Sennrich's merge regex: the pair as adjacent space-separated
         // symbols, not touching any other non-space characters.
         val pat = "(?<!\\S)" + Pattern.quote(l + " " + r) + "(?!\\S)"
-        val next = words
-          .withColumn("sym", regexp_replace(col("sym"), pat,
-            java.util.regex.Matcher.quoteReplacement(l + r)))
-          .localCheckpoint(eager = true)
-        words.unpersist()
-        words = next
+        words = words.withColumn("sym", regexp_replace(col("sym"), pat,
+          java.util.regex.Matcher.quoteReplacement(l + r)))
+        // Each round's action replays the pending regex chain over the
+        // checkpointed base — a per-row merge over a vocab-sized table,
+        // far cheaper than a materialization job per round. Re-checkpoint
+        // periodically so plan depth (and replay) stays bounded when
+        // learning production-sized merge tables.
+        if (rank % 50 == 0) words = words.localCheckpoint(eager = true)
         rank += 1
       }
     }
