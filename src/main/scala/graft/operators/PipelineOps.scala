@@ -80,6 +80,39 @@ object PipelineOps {
   private def packSequencesQuery(s: SparkSession, d: String): DataFrame =
     packSequences(docs(s, d), "doc_id", "text", Cap)
 
+  /** Sliding-window document chunking — the retrieval/embedding prep step
+    * (packSequences CONCATENATES documents into context windows; this
+    * SPLITS each document into overlapping token windows for embedding,
+    * indexing, or long-doc processing). Chunk starts run 0, step, 2·step…
+    * while they land inside the document, so consecutive chunks overlap by
+    * `window - step` tokens and the tail chunk may be short. A pure
+    * per-document projection: no shuffle, no state — embarrassingly
+    * parallel at any corpus size; chunk ids are (doc_id, chunk_idx), so
+    * downstream joins key on the document.
+    *
+    * LIBRARY ENTRY POINT — generic over any corpus (id + text columns). */
+  def chunkTokens(rows: DataFrame, id: String, text: String,
+      window: Int, step: Int): DataFrame = {
+    require(window > 0 && step > 0 && step <= window,
+      s"need 0 < step <= window, got window=$window step=$step")
+    rows
+      .select(col(id).as("doc_id"), TextOps.toks(col(text)).as("l"))
+      .filter(size(col("l")) > 0)
+      .select(col("doc_id"), size(col("l")).cast("long").as("n_tok"),
+        posexplode(transform(
+          sequence(lit(0), size(col("l")) - 1, lit(step)),
+          st => slice(col("l"), st + 1, lit(window))))
+          .as(Seq("chunk_idx", "ch")))
+      .select(col("doc_id"), col("n_tok"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("ch")).cast("long").as("n_chunk_tokens"),
+        array_join(col("ch"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private def chunkQuery(s: SparkSession, d: String): DataFrame =
+    chunkTokens(docs(s, d), "doc_id", "text", window = 32, step = 24)
+
   // Per-source mixture sampling: give every source an equal share of a
   // token budget (half the corpus), cap at what the source actually has,
   // and draw a deterministic md5-bucket sample at the implied rate. The
@@ -234,6 +267,17 @@ object PipelineOps {
          |   FROM documents)
          |  GROUP BY 1)
          | ORDER BY source""".stripMargin)),
+    QDef("q_chunk_overlap", chunkQuery, Some(
+      s"""SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok,
+         | (st - 1) // 24 AS chunk_idx,
+         | CAST(len(l[st:st + 31]) AS BIGINT) AS n_chunk_tokens,
+         | array_to_string(l[st:st + 31], ' ') AS chunk_text
+         | FROM (SELECT doc_id, l, unnest([s for s in
+         |         generate_series(1, len(l), 24)]) AS st
+         |       FROM (SELECT doc_id, ${TextOps.oracleToks} AS l
+         |             FROM documents)
+         |       WHERE len(l) > 0)
+         | ORDER BY doc_id, chunk_idx""".stripMargin)),
     QDef("q_repetition", repetition, Some(
       s"""SELECT doc_id, n_tok,
          | ${Det.r4Sql("1.0 - n_uniq / n_tok")} AS dup_tok_ratio,

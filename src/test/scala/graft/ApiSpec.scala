@@ -205,6 +205,29 @@ class ApiSpec extends SparkSpec {
     assert(merges(1) == ((2, "aa", "b</w>", 60L)), s"got ${merges.toSeq}")
   }
 
+  test("chunkTokens overlaps and covers every token on a generic frame") {
+    val s = spark
+    import s.implicits._
+    val ws = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val corpus = Seq((7L, ws), (8L, "solo"), (9L, "   "))
+      .toDF("aid", "body")
+    val ch = PipelineOps.chunkTokens(corpus, "aid", "body",
+      window = 4, step = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // starts 0,3,6,9 → 4 chunks; last is the 1-token tail
+    val d7 = ch.filter(_._1 == 7L)
+    assert(d7.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L), s"got ${d7.toSeq}")
+    assert(d7.map(_._3).toSeq == Seq(4L, 4L, 4L, 1L), s"got ${d7.toSeq}")
+    assert(d7(0)._4 == "w1 w2 w3 w4" && d7(1)._4 == "w4 w5 w6 w7",
+      s"overlap of window-step=1 token missing: ${d7.toSeq}")
+    // chunk starts cover every token index exactly once per stride
+    assert(d7.last._4 == "w10")
+    // a 1-token doc yields one 1-token chunk; a whitespace doc yields none
+    assert(ch.filter(_._1 == 8L).toSeq == Seq((8L, 0L, 1L, "solo")))
+    assert(!ch.exists(_._1 == 9L))
+  }
+
   test("knnJoin(k=1) equals the brute-force argmax on generated vectors") {
     val s = spark
     import s.implicits._
