@@ -85,10 +85,12 @@ object PipelineOps {
     * SPLITS each document into overlapping token windows for embedding,
     * indexing, or long-doc processing). Chunk starts run 0, step, 2·step…
     * while they land inside the document, so consecutive chunks overlap by
-    * `window - step` tokens and the tail chunk may be short. A pure
-    * per-document projection: no shuffle, no state — embarrassingly
-    * parallel at any corpus size; chunk ids are (doc_id, chunk_idx), so
-    * downstream joins key on the document.
+    * `window - step` tokens and the tail chunk may be short; a start whose
+    * content the PREVIOUS window already fully covered is dropped — a
+    * strict-subset tail chunk carries zero new content and would only
+    * bloat a retrieval index. A pure per-document projection: no shuffle,
+    * no state — embarrassingly parallel at any corpus size; chunk ids are
+    * (doc_id, chunk_idx), so downstream joins key on the document.
     *
     * LIBRARY ENTRY POINT — generic over any corpus (id + text columns). */
   def chunkTokens(rows: DataFrame, id: String, text: String,
@@ -100,7 +102,8 @@ object PipelineOps {
       .filter(size(col("l")) > 0)
       .select(col("doc_id"), size(col("l")).cast("long").as("n_tok"),
         posexplode(transform(
-          sequence(lit(0), size(col("l")) - 1, lit(step)),
+          filter(sequence(lit(0), size(col("l")) - 1, lit(step)),
+            st => st === 0 || st + lit(window - step) < size(col("l"))),
           st => slice(col("l"), st + 1, lit(window))))
           .as(Seq("chunk_idx", "ch")))
       .select(col("doc_id"), col("n_tok"),
@@ -269,11 +272,13 @@ object PipelineOps {
          | ORDER BY source""".stripMargin)),
     QDef("q_chunk_overlap", chunkQuery, Some(
       s"""SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok,
-         | (st - 1) // 24 AS chunk_idx,
+         | CAST(row_number() OVER (PARTITION BY doc_id ORDER BY st) - 1
+         |   AS BIGINT) AS chunk_idx,
          | CAST(len(l[st:st + 31]) AS BIGINT) AS n_chunk_tokens,
          | array_to_string(l[st:st + 31], ' ') AS chunk_text
          | FROM (SELECT doc_id, l, unnest([s for s in
-         |         generate_series(1, len(l), 24)]) AS st
+         |         generate_series(1, len(l), 24) if s = 1 or s + 7 < len(l)])
+         |         AS st
          |       FROM (SELECT doc_id, ${TextOps.oracleToks} AS l
          |             FROM documents)
          |       WHERE len(l) > 0)

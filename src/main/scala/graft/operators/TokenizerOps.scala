@@ -46,20 +46,26 @@ object TokenizerOps {
     * ones (Sennrich's formulation).
     *
     * LIBRARY ENTRY POINT — generic over any corpus (text column). */
+  /** A word as its space-joined BPE start symbols: one character per
+    * symbol, `</w>` marker on the last. THE symbol construction — trainer
+    * and encoder must agree byte-for-byte or encode(train_corpus) drifts
+    * from the trained word table. Spark's split keeps trailing empty
+    * strings (limit -1): an empty-pattern split of "the" is
+    * ["t","h","e",""] — drop the empties or the end-of-word marker lands
+    * on a phantom symbol. */
+  private def wordSyms(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val cs = filter(split(w, ""), c => length(c) > 0)
+    concat_ws(" ", transform(cs, (c, i) =>
+      when(i === size(cs) - 1, concat(c, lit("</w>"))).otherwise(c)))
+  }
+
   def bpeMerges(rows: DataFrame, text: String, nMerges: Int): DataFrame = {
     val s = rows.sparkSession
     // Corpus → word-frequency table: the single pass over the data.
-    // Spark's split keeps trailing empty strings (limit -1): an empty-
-    // pattern split of "the" is ["t","h","e",""] — drop the empties or the
-    // end-of-word marker lands on a phantom symbol.
-    val chars = filter(split(col("word"), ""), c => length(c) > 0)
     var words = rows
       .select(explode(toks(col(text))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(col("freq"), concat_ws(" ",
-        transform(chars, (c, i) =>
-          when(i === size(chars) - 1, concat(c, lit("</w>"))).otherwise(c)))
-        .as("sym"))
+      .select(col("freq"), wordSyms(col("word")).as("sym"))
       .localCheckpoint(eager = true)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
@@ -128,17 +134,6 @@ object TokenizerOps {
     * LIBRARY ENTRY POINT — generic over any corpus (id + text columns). */
   def bpeEncode(rows: DataFrame, id: String, text: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val chars = (w: org.apache.spark.sql.Column) => {
-      val cs = filter(split(w, ""), c => length(c) > 0)
-      concat_ws(" ", transform(cs, (c, i) =>
-        when(i === size(cs) - 1, concat(c, lit("</w>"))).otherwise(c)))
-    }
-    val encodedWord = (w: org.apache.spark.sql.Column) =>
-      merges.foldLeft(chars(w)) { case (acc, (l, r)) =>
-        regexp_replace(acc,
-          lit("(?<!\\S)" + Pattern.quote(l + " " + r) + "(?!\\S)"),
-          lit(java.util.regex.Matcher.quoteReplacement(l + r)))
-      }
     // The merge chain runs once per DISTINCT word, not per occurrence —
     // the same vocab-not-corpus reduction the trainer rides: the regex
     // work is O(vocab × merges) however large the corpus, and per-doc
@@ -147,9 +142,26 @@ object TokenizerOps {
       length(col(text)).cast("long").as("n_chars"),
       toks(col(text)).as("ws"))
     val tok = base.select(col("doc_id"), explode(col("ws")).as("word"))
-    val vocab = tok.select("word").distinct()
-      .withColumn("n_units",
-        size(split(encodedWord(col("word")), " ")).cast("long"))
+    // Merges apply in BATCHES of bounded expression depth: a production
+    // merge table (tens of thousands of rules) folded into ONE expression
+    // would blow past codegen method limits and Catalyst's recursion
+    // depth; 50-deep chains stay codegen'd, and the checkpoint between
+    // batches cuts the accumulated plan over the vocab-sized frame.
+    var enc = tok.select("word").distinct()
+      .withColumn("sym", wordSyms(col("word")))
+    val batches = merges.grouped(50).toSeq
+    batches.zipWithIndex.foreach { case (batch, bi) =>
+      val folded = batch.foldLeft(col("sym")) { case (acc, (l, r)) =>
+        regexp_replace(acc,
+          lit("(?<!\\S)" + Pattern.quote(l + " " + r) + "(?!\\S)"),
+          lit(java.util.regex.Matcher.quoteReplacement(l + r)))
+      }
+      enc = enc.withColumn("sym", folded)
+      if (bi < batches.length - 1) enc = enc.localCheckpoint(eager = true)
+    }
+    val vocab = enc
+      .withColumn("n_units", size(split(col("sym"), " ")).cast("long"))
+      .select("word", "n_units")
     val counts = tok.join(vocab, Seq("word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_units").as("n_tokens"))

@@ -136,7 +136,6 @@ final class Task(val group: String) {
               Task.headerEntries(col("m.headers")).as("headers"))
             .write.format("kafka")
             .option("kafka.bootstrap.servers", bootstrapServers)
-            .option("includeHeaders", "true")
             .save()
           ()
         }

@@ -191,6 +191,20 @@ class ApiSpec extends SparkSpec {
     assert(math.abs(w(4L) - w(1L)) < math.abs(w(3L) - w(1L)), s"got $w")
   }
 
+  test("bpeEncode counts tokens under a given model on a generic frame") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1, "aab aab"), (2, "xy"), (3, " "))
+      .toDF("k", "v")
+    // model: (a,a) then (aa,b</w>) — "aab" encodes to ONE token
+    val got = graft.operators.TokenizerOps.bpeEncode(corpus, "k", "v",
+      Seq(("a", "a"), ("aa", "b</w>")))
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3))).toSeq
+    // doc 1: 2 words × 1 token; doc 2: no rule applies → "x" + "y</w>" =
+    // 2 tokens; doc 3: no tokens at all, kept with zero counts
+    assert(got == Seq((1, 2L, 2L), (2, 1L, 2L), (3, 0L, 0L)), s"got $got")
+  }
+
   test("bpeMerges learns the dominant pair first on a generic frame") {
     val s = spark
     import s.implicits._
@@ -215,14 +229,15 @@ class ApiSpec extends SparkSpec {
       window = 4, step = 3)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
         r.getString(4)))
-    // starts 0,3,6,9 → 4 chunks; last is the 1-token tail
+    // starts 0,3,6 → 3 chunks (start 9 is a strict subset of the chunk at
+    // 6, which already reaches the end — dropped, no duplicate content)
     val d7 = ch.filter(_._1 == 7L)
-    assert(d7.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L), s"got ${d7.toSeq}")
-    assert(d7.map(_._3).toSeq == Seq(4L, 4L, 4L, 1L), s"got ${d7.toSeq}")
+    assert(d7.map(_._2).toSeq == Seq(0L, 1L, 2L), s"got ${d7.toSeq}")
+    assert(d7.map(_._3).toSeq == Seq(4L, 4L, 4L), s"got ${d7.toSeq}")
     assert(d7(0)._4 == "w1 w2 w3 w4" && d7(1)._4 == "w4 w5 w6 w7",
       s"overlap of window-step=1 token missing: ${d7.toSeq}")
-    // chunk starts cover every token index exactly once per stride
-    assert(d7.last._4 == "w10")
+    // the final chunk covers the document end
+    assert(d7.last._4 == "w7 w8 w9 w10")
     // a 1-token doc yields one 1-token chunk; a whitespace doc yields none
     assert(ch.filter(_._1 == 8L).toSeq == Seq((8L, 0L, 1L, "solo")))
     assert(!ch.exists(_._1 == 9L))
