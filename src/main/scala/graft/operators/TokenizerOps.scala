@@ -67,6 +67,16 @@ object TokenizerOps {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("freq"), wordSyms(col("word")).as("sym"))
       .localCheckpoint(eager = true)
+    // Right-size round parallelism to the VOCAB, not the corpus: the
+    // checkpoint inherits the corpus shuffle partitioning, but every merge
+    // round re-scans only the word table — natural-language vocabularies
+    // are ~1e5-1e7 rows however big the corpus, so scheduling hundreds of
+    // near-empty tasks per round is pure overhead. coalesce merges
+    // checkpoint blocks at read time (no second materialization); the
+    // count is a driver scalar off the materialized blocks.
+    val parts = math.max(1L, math.min(words.rdd.getNumPartitions.toLong,
+      words.count() / 100000L + 1L)).toInt
+    words = words.coalesce(parts)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
