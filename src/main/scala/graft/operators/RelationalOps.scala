@@ -196,7 +196,59 @@ object RelationalOps {
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("q95_approx"))
       .orderBy("l_returnflag")
 
+  /** Single-pass table profiler — the per-column stats card (null count,
+    * exact distinct count, min/max) an engine ships for data validation
+    * and ingest QA. One aggregation over the table computes every column's
+    * stats together; the single row then unpivots to one row per column.
+    *
+    * Scale note: N exact `countDistinct`s in one aggregate make Catalyst
+    * Expand the input N-fold before the shuffle — the exact profile of a
+    * wide 100 TB table costs N× the scan in shuffle volume. Pass
+    * `approx = true` to swap in HLL sketches (one pass, no Expand,
+    * mergeable partials) — the default for production-width tables; exact
+    * is the oracle-checkable form.
+    *
+    * LIBRARY ENTRY POINT — generic over ANY DataFrame. */
+  def profile(df: DataFrame, approx: Boolean = false): DataFrame = {
+    val cols = df.schema.fieldNames.toSeq
+    val aggs = cols.flatMap(c => Seq(
+      count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+      (if (approx) approx_count_distinct(col(c), 0.01)
+       else countDistinct(col(c))).as(s"${c}__distinct"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max"))) :+
+      count(lit(1)).as("__rows")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col("__rows").as("n_rows"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_val"),
+        col(s"${c}__max").as("max_val"))): _*)).as("p"))
+      .select("p.*")
+      .orderBy("column")
+  }
+
+  // Profile binding: the type-stable columns of events (long + string cast
+  // to string identically in both engines; the ns-timestamp and double
+  // columns have engine-specific string renderings and stay out of the
+  // oracle-checked binding).
+  private def profileEvents(s: SparkSession, d: String): DataFrame =
+    profile(t(s, d, "events").select("event_id", "user_id", "event_type", "props"))
+
+  private def profileColSql(c: String) =
+    s"""SELECT '$c' AS "column", count(*) AS n_rows,
+       | count(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+       | count(DISTINCT $c) AS n_distinct,
+       | CAST(min($c) AS VARCHAR) AS min_val,
+       | CAST(max($c) AS VARCHAR) AS max_val FROM events""".stripMargin
+
   val defs: Seq[QDef] = Seq(
+    QDef("q_profile", profileEvents, Some(
+      Seq("event_id", "user_id", "event_type", "props")
+        .map(profileColSql)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""))),
     QDef("q_agg_hash", aggHash, Some(
       s"""SELECT l_returnflag, l_linestatus,
          | ${Det.dsumSql("l_quantity")} AS sum_qty,

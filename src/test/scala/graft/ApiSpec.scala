@@ -219,6 +219,25 @@ class ApiSpec extends SparkSpec {
     assert(merges(1) == ((2, "aa", "b</w>", 60L)), s"got ${merges.toSeq}")
   }
 
+  test("profile reports nulls, distincts, and extrema for any frame") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(3), Some("b")), (Some(1), None),
+      (None, Some("a")), (Some(3), Some("c")))
+      .toDF("num", "txt")
+    val p = graft.operators.RelationalOps.profile(df)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(p("num") == ((4L, 1L, 2L, "1", "3")), s"got $p")
+    assert(p("txt") == ((4L, 1L, 3L, "a", "c")), s"got $p")
+    // the approx variant keeps the same shape and is exact at this scale
+    val pa = graft.operators.RelationalOps.profile(df, approx = true)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(pa == Map("num" -> 2L, "txt" -> 3L), s"got $pa")
+  }
+
   test("chunkTokens overlaps and covers every token on a generic frame") {
     val s = spark
     import s.implicits._
