@@ -210,22 +210,44 @@ object RelationalOps {
     *
     * LIBRARY ENTRY POINT — generic over ANY DataFrame. */
   def profile(df: DataFrame, approx: Boolean = false): DataFrame = {
-    val cols = df.schema.fieldNames.toSeq
-    val aggs = cols.flatMap(c => Seq(
-      count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
-      (if (approx) approx_count_distinct(col(c), 0.01)
-       else countDistinct(col(c))).as(s"${c}__distinct"),
-      min(col(c)).cast("string").as(s"${c}__min"),
-      max(col(c)).cast("string").as(s"${c}__max"))) :+
-      count(lit(1)).as("__rows")
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(cols.map(c => struct(
-        lit(c).as("column"),
+    import org.apache.spark.sql.types.{MapType, StringType, LongType, StructType, StructField}
+    val names = df.schema.fields.map(_.name).toSeq
+    if (names.isEmpty)
+      return df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("column", StringType), StructField("n_rows", LongType),
+          StructField("n_nulls", LongType), StructField("n_distinct", LongType),
+          StructField("min_val", StringType), StructField("max_val", StringType))))
+    // Positional rename shields everything downstream from hostile field
+    // names (dots, backticks, duplicates after a join) — the original name
+    // survives only as the output label.
+    val norm = df.toDF(names.indices.map(i => s"c$i"): _*)
+    // Maps are neither orderable nor hashable in Spark: no min/max, no
+    // countDistinct — profile them as nulls-only rather than refusing the
+    // whole frame.
+    val orderable = df.schema.fields.map(!_.dataType.isInstanceOf[MapType])
+    val aggs = names.indices.flatMap { i =>
+      val c = col(s"c$i")
+      Seq(count(when(c.isNull, 1)).as(s"c${i}__nulls")) ++ (
+        if (!orderable(i)) Seq(
+          lit(null).cast("long").as(s"c${i}__distinct"),
+          lit(null).cast("string").as(s"c${i}__min"),
+          lit(null).cast("string").as(s"c${i}__max"))
+        else Seq(
+          (if (approx) approx_count_distinct(c, 0.01)
+           else countDistinct(c)).as(s"c${i}__distinct"),
+          min(c).cast("string").as(s"c${i}__min"),
+          max(c).cast("string").as(s"c${i}__max")))
+    } :+ count(lit(1)).as("__rows")
+    norm.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(names.indices.map(i => struct(
+        lit(names(i)).as("column"),
         col("__rows").as("n_rows"),
-        col(s"${c}__nulls").as("n_nulls"),
-        col(s"${c}__distinct").as("n_distinct"),
-        col(s"${c}__min").as("min_val"),
-        col(s"${c}__max").as("max_val"))): _*)).as("p"))
+        col(s"c${i}__nulls").as("n_nulls"),
+        col(s"c${i}__distinct").as("n_distinct"),
+        col(s"c${i}__min").as("min_val"),
+        col(s"c${i}__max").as("max_val"))): _*)).as("p"))
       .select("p.*")
       .orderBy("column")
   }

@@ -71,11 +71,13 @@ object TokenizerOps {
     // checkpoint inherits the corpus shuffle partitioning, but every merge
     // round re-scans only the word table — natural-language vocabularies
     // are ~1e5-1e7 rows however big the corpus, so scheduling hundreds of
-    // near-empty tasks per round is pure overhead. coalesce merges
-    // checkpoint blocks at read time (no second materialization); the
-    // count is a driver scalar off the materialized blocks.
+    // near-empty tasks per round is pure overhead. ~10k words per task
+    // keeps the regex-heavy rounds parallel on real vocabularies while a
+    // toy vocab collapses to one task. coalesce merges checkpoint blocks
+    // at read time (no second materialization); the count is a driver
+    // scalar off the materialized blocks.
     val parts = math.max(1L, math.min(words.rdd.getNumPartitions.toLong,
-      words.count() / 100000L + 1L)).toInt
+      words.count() / 10000L + 1L)).toInt
     words = words.coalesce(parts)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1

@@ -238,6 +238,21 @@ class ApiSpec extends SparkSpec {
     assert(pa == Map("num" -> 2L, "txt" -> 3L), s"got $pa")
   }
 
+  test("profile survives hostile column names and unorderable types") {
+    val s = spark
+    import s.implicits._
+    // dotted name (breaks naive col()), map column (no min/max/distinct)
+    val df = Seq((1, "x"), (2, null.asInstanceOf[String]))
+      .toDF("a.b", "v")
+      .withColumn("m", map(lit("k"), col("v")))
+    val p = graft.operators.RelationalOps.profile(df)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(p("a.b") == ((0L, 2L)), s"got $p")
+    assert(p("v") == ((1L, 1L)), s"got $p")
+    assert(p("m") == ((0L, -1L)), s"map column must profile nulls-only: $p")
+  }
+
   test("chunkTokens overlaps and covers every token on a generic frame") {
     val s = spark
     import s.implicits._
