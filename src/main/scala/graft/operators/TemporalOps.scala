@@ -44,26 +44,87 @@ object TemporalOps {
     * pick where DuckDB's ASOF leaves the choice unspecified. */
   private def joinAsof(s: SparkSession, d: String): DataFrame = {
     val e = ev(s, d)
-    val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts_us"), lit(0).as("kind"),
-        col("event_id"), col("value"))
     val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts_us"), lit(1).as("kind"),
-        col("event_id"), col("value"))
-    val w = Window.partitionBy("user_id").orderBy("ts_us", "kind", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    purchases.unionByName(clicks)
-      .withColumn("purch_id",
-        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
-      .withColumn("purch_ts_us",
-        last(when(col("kind") === 0, col("ts_us")), ignoreNulls = true).over(w))
-      .withColumn("purch_value",
-        last(when(col("kind") === 0, col("value")), ignoreNulls = true).over(w))
-      .filter(col("kind") === 1 && col("purch_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+    asofJoin(clicks, purchases, "user_id", "ts_us",
+      payload = Seq("event_id", "value"), tieBreak = "event_id")
       .select(col("event_id").as("click_id"), col("user_id"),
-        col("ts_us").as("click_ts_us"), col("purch_id"),
-        col("purch_ts_us"), col("purch_value"))
+        col("ts_us").as("click_ts_us"),
+        col("asof_event_id").as("purch_id"),
+        col("asof_ts").as("purch_ts_us"),
+        col("asof_value").as("purch_value"))
       .orderBy("click_id")
+  }
+
+  /** Generic as-of join — each `left` row paired with the latest `right`
+    * row at or before its timestamp, per key (inner semantics: unmatched
+    * left rows drop). Same single-shuffle union+window shape as
+    * [[joinAsof]]: no join operator, no candidate pairs, each row
+    * shuffled exactly once — the point-in-time feature join at any scale.
+    * Ties on (key, ts) among right rows resolve by `tieBreak` descending
+    * (a deterministic pick where DuckDB's ASOF leaves it unspecified); a
+    * right row whose payload value is NULL is treated as no observation
+    * for that column (the window skips nulls).
+    *
+    * Returns every `left` column plus `asof_ts` (the matched right
+    * timestamp) and `asof_<p>` for each payload column.
+    *
+    * LIBRARY ENTRY POINT — generic over any pair of keyed, timestamped
+    * frames (ApiSpec exercises it on a synthetic sensor/calibration pair). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String], tieBreak: String): DataFrame = {
+    val lrowType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val l = left.select(Seq(col(key).as("_k"), col(ts).cast("long").as("_ts"),
+      lit(1).as("_kind"), lit(null).cast("long").as("_tb"),
+      struct(left.columns.toSeq.map(col): _*).as("_lrow")) ++
+      payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+    val r = right.select(Seq(col(key).as("_k"), col(ts).cast("long").as("_ts"),
+      lit(0).as("_kind"), col(tieBreak).cast("long").as("_tb"),
+      lit(null).cast(lrowType).as("_lrow")) ++ payload.map(col): _*)
+    // state rows sort before probe rows at equal ts (inclusive bound);
+    // among state ties the highest tieBreak lands last and wins
+    val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_kind"), col("_tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = (("_ts", "asof_ts") +: payload.map(p => (p, s"asof_$p")))
+      .foldLeft(r.unionByName(l)) { case (df, (src, dst)) =>
+        df.withColumn(dst,
+          last(when(col("_kind") === 0, col(src)), ignoreNulls = true).over(w))
+      }
+    carried
+      .filter(col("_kind") === 1 && col("asof_ts").isNotNull)
+      .select(Seq(col("_lrow.*"), col("asof_ts")) ++
+        payload.map(p => col(s"asof_$p")): _*)
+  }
+
+  /** Generic range join — (left, right) pairs of the same key with
+    * `right.ts` inside `[left.ts, left.ts + span]`. Same bin-replication
+    * shape as [[joinRange]]: the interval side replicates to its bin and
+    * the next, the probe side hits its own bin only, the equi-join on
+    * (key, bin) meets every qualifying pair exactly once, and the exact
+    * predicate filters — never an inequality join's nested loop.
+    *
+    * Returns `l`/`r` struct columns (collision-free) plus `delta` =
+    * right.ts - left.ts.
+    *
+    * LIBRARY ENTRY POINT — generic over any pair of keyed, timestamped
+    * frames. */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      span: Long): DataFrame = {
+    require(span > 0, s"span must be positive, got $span")
+    val l = left.select(col(key).as("_k"),
+      col(ts).cast("long").as("_lts"),
+      struct(left.columns.toSeq.map(col): _*).as("l"),
+      explode(array(floor(col(ts).cast("long") / span),
+        floor(col(ts).cast("long") / span) + 1)).as("_bin"))
+    val r = right.select(col(key).as("_k"),
+      col(ts).cast("long").as("_rts"),
+      struct(right.columns.toSeq.map(col): _*).as("r"),
+      floor(col(ts).cast("long") / span).as("_bin"))
+    l.join(r, Seq("_k", "_bin"))
+      .filter(col("_rts") >= col("_lts") && col("_rts") <= col("_lts") + span)
+      .select(col("l"), col("r"), (col("_rts") - col("_lts")).as("delta"))
   }
 
   private val WindowUs = 3600000000L // 1 hour
@@ -75,19 +136,12 @@ object TemporalOps {
   private def joinRange(s: SparkSession, d: String): DataFrame = {
     val e = ev(s, d)
     val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purch_id"),
-        col("ts_us").as("purch_ts_us"),
-        explode(array(floor(col("ts_us") / WindowUs),
-          floor(col("ts_us") / WindowUs) + 1)).as("bin"))
+      .select(col("user_id"), col("event_id").as("purch_id"), col("ts_us"))
     val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"),
-        col("ts_us").as("click_ts_us"),
-        floor(col("ts_us") / WindowUs).as("bin"))
-    purchases.join(clicks, Seq("user_id", "bin"))
-      .filter(col("click_ts_us") >= col("purch_ts_us") &&
-        col("click_ts_us") <= col("purch_ts_us") + WindowUs)
-      .select(col("user_id"), col("purch_id"), col("click_id"),
-        (col("click_ts_us") - col("purch_ts_us")).as("lag_us"))
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts_us"))
+    rangeJoin(purchases, clicks, "user_id", "ts_us", span = WindowUs)
+      .select(col("l.user_id").as("user_id"), col("l.purch_id").as("purch_id"),
+        col("r.click_id").as("click_id"), col("delta").as("lag_us"))
       .orderBy("purch_id", "click_id")
   }
 

@@ -277,6 +277,55 @@ class ApiSpec extends SparkSpec {
     assert(!ch.exists(_._1 == 9L))
   }
 
+  test("asofJoin pairs each reading with the latest calibration on a generic frame") {
+    val s = spark
+    import s.implicits._
+    val readings = Seq(
+      (1L, "sensorA", 100L), (2L, "sensorA", 250L),
+      (3L, "sensorB", 50L), (4L, "sensorA", 199L))
+      .toDF("rid", "sensor", "at")
+    val calibrations = Seq(
+      ("sensorA", 90L, 10L, 0.5), ("sensorA", 200L, 11L, 0.7),
+      ("sensorA", 200L, 12L, 0.9), // tie on (key, ts): highest cal_id wins
+      ("sensorB", 60L, 20L, 0.1))  // after sensorB's only reading
+      .toDF("sensor", "at", "cal_id", "gain")
+    val j = graft.operators.TemporalOps.asofJoin(
+      readings, calibrations, "sensor", "at",
+      payload = Seq("cal_id", "gain"), tieBreak = "cal_id")
+      .collect().map(r => r.getAs[Long]("rid") ->
+        (r.getAs[Long]("asof_ts"), r.getAs[Long]("asof_cal_id"),
+          r.getAs[Double]("asof_gain"))).toMap
+    assert(j(1L) == ((90L, 10L, 0.5)), s"got $j")
+    assert(j(4L) == ((90L, 10L, 0.5)), s"199 < 200 must see the old cal: $j")
+    assert(j(2L) == ((200L, 12L, 0.9)), s"tie must resolve to max cal_id: $j")
+    assert(!j.contains(3L), "reading before any calibration must drop")
+  }
+
+  test("rangeJoin meets each qualifying pair exactly once across bin boundaries") {
+    val s = spark
+    import s.implicits._
+    val intervals = Seq((1L, "u", 95L), (2L, "u", 200L), (3L, "v", 0L))
+      .toDF("iid", "who", "start")
+    val probes = Seq(
+      (10L, "u", 95L),   // on the start boundary (inclusive)
+      (11L, "u", 105L),  // inside interval 1, across its bin-0/bin-1 edge
+      (12L, "u", 196L),  // past interval 1 (95+100=195), before interval 2
+      (13L, "u", 301L),  // past interval 2 (200+100=300)
+      (14L, "w", 50L))   // wrong key
+      .toDF("pid", "who", "when")
+    // rangeJoin reads one ts column name from both sides: rename to match
+    val got = graft.operators.TemporalOps.rangeJoin(
+      intervals.withColumnRenamed("start", "t"),
+      probes.withColumnRenamed("when", "t"), "who", "t", span = 100L)
+      .collect()
+      .map(r => (r.getAs[org.apache.spark.sql.Row]("l").getAs[Long]("iid"),
+        r.getAs[org.apache.spark.sql.Row]("r").getAs[Long]("pid"),
+        r.getAs[Long]("delta")))
+      .sorted
+    assert(got.toSeq == Seq((1L, 10L, 0L), (1L, 11L, 10L)),
+      s"got ${got.toSeq}")
+  }
+
   test("knnJoin(k=1) equals the brute-force argmax on generated vectors") {
     val s = spark
     import s.implicits._
