@@ -73,15 +73,40 @@ object TemporalOps {
     *
     * LIBRARY ENTRY POINT — generic over any pair of keyed, timestamped
     * frames (ApiSpec exercises it on a synthetic sensor/calibration pair). */
+  /** ts column → epoch-long: timestamps convert to MICROSECONDS (so
+    * `span`/ordering operate in µs), integral types pass through; anything
+    * else (string, double) would silently truncate or null out — refuse. */
+  private def tsLong(df: DataFrame, c: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      case LongType | IntegerType | ShortType | ByteType => col(c).cast("long")
+      case t => throw new IllegalArgumentException(
+        s"ts column '$c' must be integral or timestamp, got $t")
+    }
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       payload: Seq[String], tieBreak: String): DataFrame = {
+    // chaining guard: the output adds asof_ts/asof_<p> — a left frame that
+    // already carries those (a previous asofJoin's output) or a payload
+    // that maps onto asof_ts would produce ambiguous columns downstream
+    val outNames = "asof_ts" +: payload.map(p => s"asof_$p")
+    require(outNames.distinct.size == outNames.size,
+      s"payload names collide on the asof_ prefix: $payload")
+    val clash = left.columns.toSeq.intersect(outNames)
+    require(clash.isEmpty,
+      s"left already contains output columns $clash — rename before chaining")
     val lrowType = org.apache.spark.sql.types.StructType(left.schema.fields)
-    val l = left.select(Seq(col(key).as("_k"), col(ts).cast("long").as("_ts"),
-      lit(1).as("_kind"), lit(null).cast("long").as("_tb"),
+    // tie-break keeps its own type (any orderable column works — numeric
+    // id, string UUID); only the null on the probe side needs the type
+    val tbType = right.schema(tieBreak).dataType
+    val l = left.select(Seq(col(key).as("_k"), tsLong(left, ts).as("_ts"),
+      lit(1).as("_kind"), lit(null).cast(tbType).as("_tb"),
       struct(left.columns.toSeq.map(col): _*).as("_lrow")) ++
       payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
-    val r = right.select(Seq(col(key).as("_k"), col(ts).cast("long").as("_ts"),
-      lit(0).as("_kind"), col(tieBreak).cast("long").as("_tb"),
+    val r = right.select(Seq(col(key).as("_k"), tsLong(right, ts).as("_ts"),
+      lit(0).as("_kind"), col(tieBreak).as("_tb"),
       lit(null).cast(lrowType).as("_lrow")) ++ payload.map(col): _*)
     // state rows sort before probe rows at equal ts (inclusive bound);
     // among state ties the highest tieBreak lands last and wins
@@ -113,15 +138,19 @@ object TemporalOps {
   def rangeJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       span: Long): DataFrame = {
     require(span > 0, s"span must be positive, got $span")
-    val l = left.select(col(key).as("_k"),
-      col(ts).cast("long").as("_lts"),
-      struct(left.columns.toSeq.map(col): _*).as("l"),
-      explode(array(floor(col(ts).cast("long") / span),
-        floor(col(ts).cast("long") / span) + 1)).as("_bin"))
-    val r = right.select(col(key).as("_k"),
-      col(ts).cast("long").as("_rts"),
-      struct(right.columns.toSeq.map(col): _*).as("r"),
-      floor(col(ts).cast("long") / span).as("_bin"))
+    // `div` is 64-bit integer division: `floor(x / span)` would route the
+    // epoch value through a double and mis-bin timestamps beyond 2^53
+    // (nanosecond epochs), silently dropping pairs at bin edges. (The
+    // truncating div makes the zero-straddling bin 2·span wide, which
+    // preserves the pair-meets-once property: bins stay monotone with
+    // boundaries ≥ span apart, so rbin - lbin is still 0 or 1.)
+    val l = left.select(col(key).as("_k"), tsLong(left, ts).as("_lts"),
+      struct(left.columns.toSeq.map(col): _*).as("l"))
+      .withColumn("_bin", explode(array(expr(s"_lts div $span"),
+        expr(s"_lts div $span") + 1)))
+    val r = right.select(col(key).as("_k"), tsLong(right, ts).as("_rts"),
+      struct(right.columns.toSeq.map(col): _*).as("r"))
+      .withColumn("_bin", expr(s"_rts div $span"))
     l.join(r, Seq("_k", "_bin"))
       .filter(col("_rts") >= col("_lts") && col("_rts") <= col("_lts") + span)
       .select(col("l"), col("r"), (col("_rts") - col("_lts")).as("delta"))

@@ -282,7 +282,8 @@ class ApiSpec extends SparkSpec {
     import s.implicits._
     val readings = Seq(
       (1L, "sensorA", 100L), (2L, "sensorA", 250L),
-      (3L, "sensorB", 50L), (4L, "sensorA", 199L))
+      (3L, "sensorB", 50L), (4L, "sensorA", 199L),
+      (5L, "sensorA", 200L)) // exactly AT a calibration: inclusive bound
       .toDF("rid", "sensor", "at")
     val calibrations = Seq(
       ("sensorA", 90L, 10L, 0.5), ("sensorA", 200L, 11L, 0.7),
@@ -298,6 +299,8 @@ class ApiSpec extends SparkSpec {
     assert(j(1L) == ((90L, 10L, 0.5)), s"got $j")
     assert(j(4L) == ((90L, 10L, 0.5)), s"199 < 200 must see the old cal: $j")
     assert(j(2L) == ((200L, 12L, 0.9)), s"tie must resolve to max cal_id: $j")
+    assert(j(5L) == ((200L, 12L, 0.9)),
+      s"'at or before' must include a calibration at the exact instant: $j")
     assert(!j.contains(3L), "reading before any calibration must drop")
   }
 
@@ -311,7 +314,8 @@ class ApiSpec extends SparkSpec {
       (11L, "u", 105L),  // inside interval 1, across its bin-0/bin-1 edge
       (12L, "u", 196L),  // past interval 1 (95+100=195), before interval 2
       (13L, "u", 301L),  // past interval 2 (200+100=300)
-      (14L, "w", 50L))   // wrong key
+      (14L, "w", 50L),   // wrong key
+      (15L, "u", 195L))  // exactly AT interval 1's end: inclusive bound
       .toDF("pid", "who", "when")
     // rangeJoin reads one ts column name from both sides: rename to match
     val got = graft.operators.TemporalOps.rangeJoin(
@@ -322,7 +326,7 @@ class ApiSpec extends SparkSpec {
         r.getAs[org.apache.spark.sql.Row]("r").getAs[Long]("pid"),
         r.getAs[Long]("delta")))
       .sorted
-    assert(got.toSeq == Seq((1L, 10L, 0L), (1L, 11L, 10L)),
+    assert(got.toSeq == Seq((1L, 10L, 0L), (1L, 11L, 10L), (1L, 15L, 100L)),
       s"got ${got.toSeq}")
   }
 
