@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -194,6 +194,42 @@ object PipelineOps {
       .orderBy("h")
       .limit(SampleK)
 
+  /** Weighted sampling without replacement, exactly k rows — the
+    * Efraimidis-Spirakis one-pass scheme (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"), determinized: the
+    * uniform draw is an md5-derived value in (0,1) rather than RNG, so the
+    * sample is reproducible across engines, runs, and cluster sizes. Each
+    * row gets key = -ln(u)/w; the k SMALLEST keys are a weighted sample
+    * where P(selection) scales with weight — the primitive behind
+    * "sample 10k docs proportional to token count / quality score".
+    * Plan shape is [[sampleBottomK]]'s: TakeOrderedAndProject — each
+    * partition keeps a local bottom-k, no full sort, no RNG, works
+    * unchanged at any corpus size.
+    *
+    * LIBRARY ENTRY POINT — generic over any frame (id column + a
+    * positive weight expression). */
+  def weightedSample(rows: DataFrame, id: String, weight: Column,
+      k: Int): DataFrame = {
+    // u in (0,1): 32 hash bits shifted into (0, 2^32) / (2^32 + 1) — never
+    // exactly 0 (ln would blow up) or 1. Built on the ALIASED id column:
+    // referencing the caller's `id` name after the aliasing select breaks
+    // on any frame whose id column isn't literally named doc_id.
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + 1.0d) / 4294967297.0d
+    rows
+      .select(col(id).as("doc_id"), weight.cast("double").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("key", -log(u) / col("w"))
+      .orderBy("key", "doc_id")
+      .limit(k)
+      .select(col("doc_id"), col("w").cast("long").as("weight"),
+        Det.r4(col("key")).as("key"))
+  }
+
+  private def weightedSampleQuery(s: SparkSession, d: String): DataFrame =
+    weightedSample(docs(s, d), "doc_id",
+      size(TextOps.toks(col("text"))), SampleK)
+
   // Per-source dataset report card — the summary table a corpus release
   // ships with: volume (docs, tokens), shape (mean doc length), hygiene
   // (exact-duplicate count via 128-bit content hash — the count of rows
@@ -258,6 +294,19 @@ object PipelineOps {
     QDef("q_sample_bottomk", sampleBottomK, Some(
       """SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
         | FROM documents ORDER BY h LIMIT 100""".stripMargin)),
+    QDef("q_sample_weighted", weightedSampleQuery, Some(
+      // ORDER BY rawkey, not the rounded alias: Spark ranks on the raw
+      // key; an alias `key` in ORDER BY would resolve to the r4 output
+      // and reorder its ties
+      s"""SELECT doc_id, CAST(w AS BIGINT) AS weight,
+         | ${Det.r4Sql("rawkey")} AS key
+         | FROM (SELECT doc_id, w,
+         |   -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |        AS BIGINT) + 1.0) / 4294967297.0) / w AS rawkey
+         |  FROM (SELECT doc_id, CAST($oracleNTok AS DOUBLE) AS w
+         |        FROM documents)
+         |  WHERE w > 0)
+         | ORDER BY rawkey, doc_id LIMIT $SampleK""".stripMargin)),
     QDef("q_corpus_report", corpusReport, Some(
       s"""SELECT source, n_docs, tok_total,
          | ${Det.r4Sql("tok_total / n_docs")} AS mean_doc_tokens,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -70,6 +70,52 @@ object RelationalOps {
         Det.dsum(col("l_extendedprice")).as("total_price"),
         countDistinct("o_orderkey").as("n_orders"))
       .orderBy("o_orderpriority")
+
+  /** Skew-safe salted equi-join: left rows take a deterministic salt in
+    * [0, salts) derived from a NON-key attribute, the right side is
+    * replicated once per salt value, and the join keys on (key, salt) —
+    * a hot key's rows spread across `salts` reducers instead of
+    * hot-spotting one. This is the classic mitigation when the build side
+    * is too big to broadcast and AQE's skew-join split can't help (e.g.
+    * a downstream aggregation pins the partitioning). Cost model: right
+    * side shuffles `salts`× its size — use for (big skewed fact) ⋈
+    * (mid-size dim); `saltBy` MUST vary within a key (a line number, a
+    * row id — NOT the key itself, which would put every row of the hot
+    * key back in one bucket).
+    *
+    * LIBRARY ENTRY POINT — generic over any two frames; the q_join_salted
+    * query proves result parity with the plain join on the DuckDB gate,
+    * graft.ApiSpec asserts parity and the salt spread on a synthetic
+    * hot-key frame. */
+  def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, salts: Int, saltBy: Column): DataFrame = {
+    require(salts > 0, s"need salts > 0, got $salts")
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(saltBy), lit(salts)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, l("__salt") === r("__salt") &&
+        left(leftKey) === right(rightKey))
+      .drop("__salt")
+  }
+
+  // The sort-merge join shape under a synthetic hot key: revenue by order
+  // priority through the salted join — identical output to the plain
+  // join (the salt is invisible to the aggregation), so the DuckDB
+  // oracle is the PLAIN join SQL: the gate proves salting changes the
+  // distribution, never the result.
+  private def joinSalted(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    val ord = t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+    saltedJoin(li, ord, "l_orderkey", "o_orderkey", salts = 8,
+      saltBy = col("l_linenumber"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
 
   // G8: top-k — planned as TakeOrderedAndProject (no global sort).
   private def topK(s: SparkSession, d: String): DataFrame =
@@ -292,6 +338,11 @@ object RelationalOps {
       s"""SELECT o_orderpriority, count(*) AS n_items,
          | ${Det.dsumSql("l_extendedprice")} AS total_price,
          | count(DISTINCT o_orderkey) AS n_orders
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QDef("q_join_salted", joinSalted, Some(
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+         | ${Det.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
          | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          | GROUP BY 1 ORDER BY 1""".stripMargin)),
     QDef("q_topk", topK, Some(

@@ -376,6 +376,159 @@ object TextOps {
       .orderBy("da", "db")
   }
 
+  // Per-document token Shannon entropy + type-token ratio — the lexical-
+  // diversity signals quality pipelines cut on (low entropy = repetitive/
+  // boilerplate text; Gopher and CCNet both bucket on diversity). Entropy
+  // is computed from a run-length fold over the SORTED token array:
+  // H = log2(n) - (Σ c·log2 c)/n over token run lengths c — a pure
+  // per-document projection: no explode, no shuffle, embarrassingly
+  // parallel at any corpus size (the exploded groupBy(doc, tok) shape
+  // would shuffle one row per token occurrence).
+  // LIBRARY ENTRY POINT — generic over any corpus (id + text columns).
+  def tokenEntropy(rows: DataFrame, id: String, text: String): DataFrame = {
+    def clog(c: Column): Column =
+      when(c > 0, c.cast("double") * log2(c.cast("double")))
+        .otherwise(lit(0.0d))
+    def st(prev: Column, run: Column, s: Column) =
+      struct(prev.as("prev"), run.as("run"), s.as("s"))
+    rows
+      .select(col(id).as("doc_id"), array_sort(toks(col(text))).as("l"))
+      .filter(size(col("l")) > 0)
+      .select(col("doc_id"),
+        size(col("l")).cast("long").as("n_tok"),
+        size(array_distinct(col("l"))).cast("long").as("n_types"),
+        aggregate(col("l"),
+          st(lit(""), lit(0L), lit(0.0d)),
+          (acc, x) => {
+            val same = x === acc.getField("prev")
+            st(x,
+              when(same, acc.getField("run") + 1L).otherwise(lit(1L)),
+              when(same, acc.getField("s"))
+                .otherwise(acc.getField("s") + clog(acc.getField("run"))))
+          },
+          acc => acc.getField("s") + clog(acc.getField("run"))).as("sclog"))
+      .select(col("doc_id"), col("n_tok"), col("n_types"),
+        Det.r4(col("n_types") / col("n_tok")).as("ttr"),
+        Det.r4(log2(col("n_tok")) - col("sclog") / col("n_tok"))
+          .as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  private def entropyQuery(s: SparkSession, d: String): DataFrame =
+    tokenEntropy(docs(s, d), "doc_id", "text")
+
+  // Zipf rank-frequency fit: log-log OLS of frequency against rank over
+  // the TOP-K tokens — the corpus-health report line ("does this crawl
+  // look like natural language?"). The slope of ln f vs ln r is ≈ -1 for
+  // natural text; heavily deduped or templated corpora drift off it.
+  // Shape at 100 TB: one map-side-combined token count, then top-K via
+  // orderBy+limit (TakeOrderedAndProject: each partition keeps a local
+  // top-K, never a global sort), and the rank window runs over K rows
+  // regardless of corpus size — ranking the FULL vocabulary through a
+  // single-partition window is the scale trap this avoids. The OLS sums
+  // go through the decimal accumulator (order-independent).
+  private val ZipfK = 100
+  private def zipf(s: SparkSession, d: String): DataFrame = {
+    val freq = docs(s, d)
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val top = freq.orderBy(desc("n"), col("tok")).limit(ZipfK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("n"), col("tok"))))
+    val pts = top.select(
+      log(col("rank").cast("double")).as("x"),
+      log(col("n").cast("double")).as("y"))
+    val sums = pts.agg(
+      count(lit(1)).cast("double").as("k"),
+      Det.dsum(col("x")).as("sx"), Det.dsum(col("y")).as("sy"),
+      Det.dsum(col("x") * col("x")).as("sxx"),
+      Det.dsum(col("x") * col("y")).as("sxy"))
+    val vocab = freq.agg(count(lit(1)).as("vocab_size"),
+      sum("n").as("total_tokens"))
+    sums.crossJoin(broadcast(vocab))
+      .select(col("vocab_size"), col("total_tokens"),
+        col("k").cast("long").as("k_fit"),
+        Det.r4((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx"))).as("zipf_slope"),
+        Det.r4((col("sy") - ((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("k")).as("intercept"))
+  }
+
+  // Heaps'-law vocabulary growth: cumulative distinct types vs cumulative
+  // token volume as the corpus is consumed in doc_id order — the curve
+  // that says whether more data still buys new vocabulary. A token's
+  // first occurrence is its min bucket (one aggregation keyed on the
+  // token); buckets are fixed doc_id ranges, so the cumulative window
+  // runs over exactly `buckets` rows at any corpus size — never over
+  // documents (the Window.orderBy-without-partitionBy trap).
+  private val GrowthBuckets = 20
+  private def vocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val b = GrowthBuckets
+    val bounds = docs(s, d).agg(max("doc_id").as("max_id"))
+    val base = docs(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bucket", least(lit(b - 1),
+        floor(col("doc_id") * b / (col("max_id") + 1))).cast("int"))
+    val perBucket = base.groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"))
+    val firstSeen = base.groupBy("tok").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new_types"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perBucket.join(firstSeen, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_new_types"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("cum_types", sum("n_new_types").over(w))
+      .select(col("bucket").cast("long").as("bucket"),
+        col("n_tokens"), col("n_new_types"),
+        col("cum_tokens"), col("cum_types"),
+        Det.r4(log(col("cum_types").cast("double")) /
+          log(col("cum_tokens").cast("double"))).as("heaps_beta"))
+      .orderBy("bucket")
+  }
+
+  /** PII patterns scrubbed by [[piiScrub]] (RE2-safe subset: no
+    * lookaround, no backreferences — portable across regex engines). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "(\\+?[0-9]{1,2}[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ]?[0-9]{4}",
+    "ipv4" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+
+  /** PII scrubbing — the redaction pass every released training corpus
+    * runs: replace emails, phone numbers, and IPv4 addresses with typed
+    * placeholders (`<EMAIL>`, `<PHONE>`, `<IPV4>`) and report per-kind
+    * match counts for the removal audit. A pure per-document projection
+    * of codegen'd `regexp_count`/`regexp_replace` — no shuffle, no state,
+    * embarrassingly parallel at any corpus size. Patterns apply in
+    * [[PiiPatterns]] order (email first, so `user@10.0.0.1` redacts as
+    * one email, not an email fragment plus an IP).
+    *
+    * LIBRARY ENTRY POINT — generic over any corpus (id + text columns);
+    * verified on planted fixtures in graft.ApiSpec (the synthetic corpus
+    * contains no PII, so a corpus-facing query here would assert nothing).
+    */
+  def piiScrub(rows: DataFrame, id: String, text: String): DataFrame = {
+    val counted = PiiPatterns.foldLeft(
+      rows.select(col(id).as("doc_id"), col(text).as("t"))) {
+      case (df, (kind, pat)) =>
+        df.withColumn(s"n_$kind", regexp_count(col("t"), lit(pat)).cast("long"))
+    }
+    val redacted = PiiPatterns.foldLeft(counted) {
+      case (df, (kind, pat)) =>
+        df.withColumn("t",
+          regexp_replace(col("t"), pat, s"<${kind.toUpperCase}>"))
+    }
+    redacted
+      .withColumn("n_pii",
+        PiiPatterns.map { case (k, _) => col(s"n_$k") }.reduce(_ + _))
+      .select(col("doc_id") +: col("t").as("text_redacted") +:
+        PiiPatterns.map { case (k, _) => col(s"n_$k") } :+ col("n_pii"): _*)
+      .orderBy("doc_id")
+  }
+
   private[operators] val oracleToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
 
@@ -558,6 +711,54 @@ object TextOps {
          |                  for i in generate_series(1, len(l) - 2)], 'min')
          | ELSE md5(text) END AS fp
          | FROM (SELECT doc_id, text, $oracleToks AS l FROM documents)
-         | ORDER BY doc_id""".stripMargin))
+         | ORDER BY doc_id""".stripMargin)),
+    QDef("q_text_entropy", entropyQuery, Some(
+      s"""SELECT doc_id, n_tok, n_types,
+         | ${Det.r4Sql("n_types / n_tok")} AS ttr,
+         | ${Det.r4Sql("log2(n_tok) - sclog / n_tok")} AS entropy
+         | FROM (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         |   count(*) AS n_types, sum(c * log2(c)) AS sclog
+         |  FROM (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+         |   FROM (SELECT doc_id, unnest($oracleToks) AS tok FROM documents)
+         |   GROUP BY 1, 2)
+         |  GROUP BY 1)
+         | WHERE n_tok > 0 ORDER BY doc_id""".stripMargin)),
+    QDef("q_zipf", zipf, Some(
+      s"""WITH freq AS (SELECT tok, count(*) AS n FROM (
+         |  SELECT unnest($oracleToks) AS tok FROM documents) GROUP BY 1),
+         |top AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+         |  FROM freq ORDER BY n DESC, tok LIMIT $ZipfK),
+         |sums AS (SELECT CAST(count(*) AS DOUBLE) AS k,
+         |  ${Det.dsumSql("ln(CAST(rank AS DOUBLE))")} AS sx,
+         |  ${Det.dsumSql("ln(CAST(n AS DOUBLE))")} AS sy,
+         |  ${Det.dsumSql("ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))")} AS sxx,
+         |  ${Det.dsumSql("ln(CAST(rank AS DOUBLE)) * ln(CAST(n AS DOUBLE))")} AS sxy
+         |  FROM top),
+         |vocab AS (SELECT count(*) AS vocab_size,
+         |  CAST(sum(n) AS BIGINT) AS total_tokens FROM freq)
+         |SELECT vocab_size, total_tokens, CAST(k AS BIGINT) AS k_fit,
+         | ${Det.r4Sql("(k * sxy - sx * sy) / (k * sxx - sx * sx)")} AS zipf_slope,
+         | ${Det.r4Sql("(sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k")} AS intercept
+         | FROM sums, vocab""".stripMargin)),
+    QDef("q_vocab_growth", vocabGrowth, Some(
+      s"""WITH base AS (SELECT doc_id, unnest($oracleToks) AS tok,
+         |  least($GrowthBuckets - 1, CAST(floor(doc_id * $GrowthBuckets /
+         |   ((SELECT max(doc_id) FROM documents) + 1)) AS INT)) AS bucket
+         |  FROM documents),
+         |pb AS (SELECT bucket, count(*) AS n_tokens FROM base GROUP BY 1),
+         |fs AS (SELECT bucket, count(*) AS n_new_types FROM (
+         |  SELECT tok, min(bucket) AS bucket FROM base GROUP BY 1) GROUP BY 1)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, n_tokens, n_new_types,
+         | cum_tokens, cum_types,
+         | ${Det.r4Sql("ln(CAST(cum_types AS DOUBLE)) / ln(CAST(cum_tokens AS DOUBLE))")}
+         |   AS heaps_beta
+         | FROM (SELECT pb.bucket, pb.n_tokens,
+         |   coalesce(fs.n_new_types, 0) AS n_new_types,
+         |   CAST(sum(pb.n_tokens) OVER (ORDER BY pb.bucket) AS BIGINT)
+         |     AS cum_tokens,
+         |   CAST(sum(coalesce(fs.n_new_types, 0)) OVER (ORDER BY pb.bucket)
+         |     AS BIGINT) AS cum_types
+         |  FROM pb LEFT JOIN fs ON pb.bucket = fs.bucket)
+         | ORDER BY bucket""".stripMargin))
   )
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 
-import graft.operators.{DedupOps, PipelineOps, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, PipelineOps, RelationalOps, SimilarityOps, TextOps}
 
 /** The library entry points are generic over ANY DataFrame — not bound to
   * the driver's test tables. Each test binds an operator to a synthetic
@@ -355,5 +355,92 @@ class ApiSpec extends SparkSpec {
         .minBy { case (j, c) => (-c, j) }
       assert(got(id) == best, s"vec $id: got ${got(id)}, brute force $best")
     }
+  }
+
+  test("piiScrub redacts planted emails, phones, and IPs with typed counts") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "Contact me at john.doe@example.com or 555-123-4567 today"),
+      (2L, "server at 10.0.0.1 and backup at 192.168.1.254 are up"),
+      (3L, "no personal data in this sentence at all"))
+      .toDF("id", "body")
+    val got = TextOps.piiScrub(docs, "id", "body")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(got(1L) == (("Contact me at <EMAIL> or <PHONE> today", 1L, 1L, 0L, 2L)),
+      s"got ${got(1L)}")
+    assert(got(2L) == (("server at <IPV4> and backup at <IPV4> are up", 0L, 0L, 2L, 2L)),
+      s"got ${got(2L)}")
+    assert(got(3L) == (("no personal data in this sentence at all", 0L, 0L, 0L, 0L)),
+      s"got ${got(3L)}")
+  }
+
+  test("weightedSample returns exactly k rows and always keeps a dominant weight") {
+    val s = spark
+    import s.implicits._
+    // weight 1e12 bounds its key below the smallest key any weight-1 row
+    // can draw (u granularity is 2^-32), so selection is guaranteed, not
+    // just likely
+    val rows = (1L to 20L).map(i => (i, if (i == 13L) 1e12 else 1.0))
+      .toDF("id", "w")
+    val got = PipelineOps.weightedSample(rows, "id", col("w"), k = 5)
+      .collect().map(_.getLong(0))
+    assert(got.length == 5 && got.distinct.length == 5, s"got ${got.toSeq}")
+    assert(got.contains(13L), s"dominant weight dropped: ${got.toSeq}")
+    // reproducible: no RNG anywhere — a second run is identical
+    val again = PipelineOps.weightedSample(rows, "id", col("w"), k = 5)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == again.toSeq, s"${got.toSeq} vs ${again.toSeq}")
+    // k >= n degrades to "everything, ranked"
+    val all = PipelineOps.weightedSample(rows, "id", col("w"), k = 99)
+      .collect()
+    assert(all.length == 20)
+    assert(all.map(_.getDouble(2)).toSeq == all.map(_.getDouble(2)).sorted.toSeq)
+  }
+
+  test("saltedJoin equals the plain join on a hot-key frame and spreads the salt") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{pmod, xxhash64, lit => flit}
+    // 90% of rows share key 1 — the shape that hot-spots one reducer
+    val left = (1 to 500)
+      .map(i => (if (i % 10 == 0) 2L else 1L, i.toLong, i * 0.5))
+      .toDF("k", "row_id", "v")
+    val right = Seq((1L, "hot"), (2L, "cold"), (3L, "orphan"))
+      .toDF("rk", "name")
+    def summarize(joined: org.apache.spark.sql.DataFrame) = joined
+      .groupBy("name")
+      .agg(count(flit(1)).as("n"), Det.dsum(col("v")).as("sv"))
+      .orderBy("name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val plain = summarize(left.join(right, col("k") === col("rk")))
+    val salted = summarize(
+      RelationalOps.saltedJoin(left, right, "k", "rk", salts = 8,
+        saltBy = col("row_id")))
+    assert(salted == plain, s"salted $salted vs plain $plain")
+    // the hot key's rows really do land in >1 salt bucket
+    val spread = left.filter(col("k") === 1L)
+      .select(pmod(xxhash64(col("row_id")), flit(8)).as("salt"))
+      .distinct().count()
+    assert(spread >= 6, s"hot key spread over only $spread of 8 salts")
+  }
+
+  test("tokenEntropy matches hand-computed entropy on exact-power cases") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a a b b"),   // H = 1 bit, ttr 0.5
+      (2L, "c c c c"),   // H = 0,     ttr 0.25
+      (3L, "x y z w"))   // H = 2 bits, ttr 1.0
+      .toDF("id", "body")
+    val got = TextOps.tokenEntropy(docs, "id", "body")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((4L, 2L, 0.5, 1.0)), s"got ${got(1L)}")
+    assert(got(2L) == ((4L, 1L, 0.25, 0.0)), s"got ${got(2L)}")
+    assert(got(3L) == ((4L, 4L, 1.0, 2.0)), s"got ${got(3L)}")
   }
 }
