@@ -109,4 +109,28 @@ class PlanSpec extends SparkSpec {
       assert(scans == 1, s"$q reads documents $scans times:\n$p")
     }
   }
+
+  test("q_sample_weighted plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan("q_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted bottom-k must keep local top-k per partition:\n$p")
+  }
+
+  test("q_join_salted joins hash-partitioned on (key, salt)") {
+    val p = plan("q_join_salted")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"salted join must stay an equi-join:\n$p")
+    // the point of the salt: the join's shuffle keys include __salt, so a
+    // hot key spreads over `salts` reducers
+    assert(p.contains("__salt"), s"expected __salt in the join keys:\n$p")
+  }
+
+  test("q_text_entropy is a pure projection (no shuffle before the output sort)") {
+    val p = plan("q_text_entropy")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    // one Exchange for the final orderBy (range partitioning), nothing else:
+    // no explode/groupBy shape anywhere in the entropy computation
+    assert(exchanges <= 1, s"entropy should not shuffle token rows:\n$p")
+    assert(!p.contains("Generate"), s"entropy must not explode tokens:\n$p")
+  }
 }
