@@ -141,6 +141,59 @@ object DedupOps {
       .orderBy("da", "db")
   }
 
+  /** Verbatim-span duplicate pairs: documents sharing at least `minShared`
+    * exact n-token runs — the EXACT SUBSTRING dedup of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499), at token granularity. Distinct semantics from
+    * [[ngramJaccardPairs]]: a document embedding one verbatim paragraph of
+    * another fires here even when the rest differs completely (copy-paste
+    * detection), while a token-bag rewrite scores high on Jaccard yet
+    * shares no long run. Same scale shape as the Jaccard index: runs
+    * travel as 64-bit hashes (8-byte shuffle keys, never text), per-run
+    * doc lists carry the corpus-relative df cap (a boilerplate run shared
+    * by 1000+ docs is navigation chrome, not a copy signal), pairs
+    * generate inside buckets — cost O(Σ df²) with df bounded.
+    *
+    * LIBRARY ENTRY POINT — generic over any corpus (id + text columns);
+    * the q_dedup_substring query binds the test table, graft.ApiSpec a
+    * synthetic frame with a planted verbatim span. */
+  def substringPairs(rows: DataFrame, id: String, text: String,
+      n: Int, minShared: Int): DataFrame = {
+    require(n >= 2 && minShared >= 1,
+      s"need n >= 2 and minShared >= 1, got n=$n minShared=$minShared")
+    // n-gram hashes per doc, deduped per doc (array_distinct): a run
+    // repeated INSIDE one document is intra-doc repetition (q_repetition's
+    // signal), not cross-doc duplication. The when-guard matters: Spark's
+    // sequence(1, size-n+1) runs DESCENDING when size < n.
+    val gs = rows
+      .select(col(id).as("doc_id"),
+        graft.functions.bindOnce(TextOps.toks(col(text)), l =>
+          when(size(l) >= n,
+            array_distinct(transform(sequence(lit(1), size(l) - (n - 1)),
+              i => xxhash64(concat_ws(" ", slice(l, i, lit(n)))))))
+            .otherwise(array().cast("array<bigint>"))).as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("g64"))
+    val cap = rows.agg(
+      least(lit(1000L),
+        greatest(lit(100L), floor(count(lit(1)) * 0.002).cast("long")))
+        .as("max_df"))
+    val buckets = gs.groupBy("g64")
+      .agg(count(lit(1)).as("df"), collect_list("doc_id").as("ds"))
+      .crossJoin(broadcast(cap))
+      .filter(col("df") <= col("max_df") && col("df") > 1)
+    buckets
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+          struct(least(x, y).as("da"), greatest(x, y).as("db")))))).as("p"))
+      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("da", "db")
+  }
+
+  private def dedupSubstring(s: SparkSession, d: String): DataFrame =
+    substringPairs(docsSpread(s, d), "doc_id", "text", n = 8, minShared = 1)
+
   /** The corpus's n-gram near-dup pair list, materialized once per
     * application ([[graft.sources.Materialize]]): FIVE queries consume the
     * identical list (the pair query itself, clusters, canonical selection,
@@ -417,6 +470,24 @@ object DedupOps {
         |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin)),
     QDef("q_dedup_ngram_jaccard", dedupNgramJaccard, Some(ngramOracleSql)),
+    // the oracle carries gram STRINGS where Spark carries xxhash64 longs —
+    // counts agree unless two distinct grams collide in 64 bits inside one
+    // bucket (~2^-64 per bucket; immaterial)
+    QDef("q_dedup_substring", dedupSubstring, Some(
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS l
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |  unnest([array_to_string(l[i:i+7], ' ')
+        |          for i in generate_series(1, len(l) - 7)]) AS gram
+        |  FROM w WHERE len(l) >= 8),
+        |k AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) > 1 AND count(*) <=
+        |  (SELECT least(1000, greatest(100, CAST(floor(count(*) * 0.002) AS BIGINT)))
+        |   FROM documents))
+        |SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+        | FROM g a JOIN k USING (gram)
+        | JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY da, db""".stripMargin)),
     // xxhash64-based — not expressible in DuckDB; verified by graft.DedupSpec
     // (pairs ⊇ high-Jaccard ground truth) + driver rows-only check.
     QDef("q_dedup_minhash", dedupMinhashLsh, None),

@@ -357,6 +357,22 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("substringPairs finds a planted verbatim span that Jaccard would miss") {
+    val s = spark
+    import s.implicits._
+    val span = (1 to 10).map(i => s"s$i").mkString(" ") // 10-token verbatim run
+    val docs = Seq(
+      (1L, s"pre1 pre2 pre3 $span"),            // span at the tail
+      (2L, s"$span tail1 tail2 tail3"),          // same span at the head
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("id", "body")
+    val got = DedupOps.substringPairs(docs, "id", "body", n = 8, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the 10-token span contains exactly 3 complete 8-grams; no 8-gram
+    // crossing the span boundary matches across the two docs
+    assert(got.toSeq == Seq((1L, 2L, 3L)), s"got ${got.toSeq}")
+  }
+
   test("piiScrub redacts planted emails, phones, and IPs with typed counts") {
     val s = spark
     import s.implicits._
