@@ -59,7 +59,18 @@ object TokenizerOps {
       when(i === size(cs) - 1, concat(c, lit("</w>"))).otherwise(c)))
   }
 
-  def bpeMerges(rows: DataFrame, text: String, nMerges: Int): DataFrame = {
+  /** Vocab size under which the merge rounds run as a driver loop over
+    * the collected word table. The corpus pass is ALWAYS distributed; the
+    * rounds only ever touch the vocab-sized `(freq, sym)` table, and when
+    * that table is a few thousand rows the distributed loop's cost is
+    * pure scheduling — 2 jobs × nMerges round-trips over near-empty
+    * partitions. 64k rows of short words is ~a few MB on the driver (the
+    * same order as a collect-side broadcast table); production
+    * vocabularies (1e5-1e7 words) take the distributed path. */
+  private val DriverVocabRows = 64 * 1024
+
+  def bpeMerges(rows: DataFrame, text: String, nMerges: Int,
+      driverVocabRows: Long = DriverVocabRows): DataFrame = {
     val s = rows.sparkSession
     // Corpus → word-frequency table: the single pass over the data.
     var words = rows
@@ -67,6 +78,15 @@ object TokenizerOps {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("freq"), wordSyms(col("word")).as("sym"))
       .localCheckpoint(eager = true)
+    val vocabRows = words.count()
+    if (vocabRows <= driverVocabRows) {
+      val table = words.select("freq", "sym").collect()
+        .map(r => (r.getLong(0), r.getString(1).split(" ")))
+      words.unpersist()
+      import s.implicits._
+      return driverMerges(table, nMerges)
+        .toDF("rank", "left", "right", "pair_count").orderBy("rank")
+    }
     // Right-size round parallelism to the VOCAB, not the corpus: the
     // checkpoint inherits the corpus shuffle partitioning, but every merge
     // round re-scans only the word table — natural-language vocabularies
@@ -77,7 +97,7 @@ object TokenizerOps {
     // at read time (no second materialization); the count is a driver
     // scalar off the materialized blocks.
     val parts = math.max(1L, math.min(words.rdd.getNumPartitions.toLong,
-      words.count() / 10000L + 1L)).toInt
+      vocabRows / 10000L + 1L)).toInt
     words = words.coalesce(parts)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
@@ -116,6 +136,60 @@ object TokenizerOps {
     import s.implicits._
     merges.result().toDF("rank", "left", "right", "pair_count")
       .orderBy("rank")
+  }
+
+  /** UTF-8 binary order — what Spark's orderBy compares (UTF8String
+    * bytes). The driver loop must tie-break identically to the
+    * distributed path's `orderBy(desc(cnt), left, right)` or the two
+    * regimes learn different tables on supplementary-plane symbols. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val lim = math.min(x.length, y.length)
+    var i = 0
+    while (i < lim && x(i) == y(i)) i += 1
+    if (i < lim) (x(i) & 0xff) - (y(i) & 0xff) else x.length - y.length
+  }
+
+  /** Merge rounds over a collected word table — the small-vocab regime of
+    * [[bpeMerges]]. Same algorithm, same tie-break, same left-to-right
+    * non-overlapping merge the distributed regexp applies; BpeSpec pins
+    * both regimes to the sequential Sennrich reference. */
+  private def driverMerges(table: Array[(Long, Array[String])],
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var words = table
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val counts = collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (f, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val utf8Ord: Ordering[String] = (a: String, b: String) => utf8Cmp(a, b)
+        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }(
+          Ordering.Tuple3(Ordering.Long, utf8Ord, utf8Ord))
+        out += ((rank, l, r, cnt))
+        words = words.map { case (f, syms) =>
+          val b = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          (f, b.result())
+        }
+        rank += 1
+      }
+    }
+    out.result()
   }
 
   /** The corpus's learned merge table, materialized once per application
@@ -174,7 +248,14 @@ object TokenizerOps {
     val vocab = enc
       .withColumn("n_units", size(split(col("sym"), " ")).cast("long"))
       .select("word", "n_units")
-    val counts = tok.join(vocab, Seq("word"))
+    // The vocab side broadcasts: it is corpus-VOCABULARY sized (1e5-1e7
+    // short rows — tens of MB at the top end), while the probe side is
+    // every token OCCURRENCE in the corpus. A shuffle join here would
+    // repartition the occurrence stream by word — a corpus-scale shuffle
+    // onto a 31-word key space on skewed real text; the broadcast keeps
+    // the occurrence stream where it was scanned and the per-doc
+    // aggregation then combines map-side to one row per document.
+    val counts = tok.join(broadcast(vocab), Seq("word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_units").as("n_tokens"))
     // left join keeps token-less docs in the manifest (0 words, 0 tokens)

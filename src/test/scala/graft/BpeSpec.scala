@@ -60,13 +60,29 @@ class BpeSpec extends SparkSpec {
     val texts = graft.sources.Tables(spark, sf, "documents")
       .select("text").collect().map(_.getString(0)).toSeq
     val expected = referenceBpe(texts, 10)
+    // driverVocabRows = -1 forces the DISTRIBUTED round loop (the
+    // production-vocab regime) regardless of the corpus's vocab size.
+    val got = TokenizerOps.bpeMerges(
+      graft.sources.Tables(spark, sf, "documents"), "text", nMerges = 10,
+      driverVocabRows = -1L)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected,
+      s"distributed:\n  ${got.mkString("\n  ")}\nreference:\n  ${expected.mkString("\n  ")}")
+  }
+
+  test("driver-loop (small-vocab) regime learns the identical merge table") {
+    val texts = graft.sources.Tables(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val expected = referenceBpe(texts, 10)
     val got = TokenizerOps.bpeMerges(
       graft.sources.Tables(spark, sf, "documents"), "text", nMerges = 10)
       .collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq
     assert(got == expected,
-      s"distributed:\n  ${got.mkString("\n  ")}\nreference:\n  ${expected.mkString("\n  ")}")
+      s"driver loop:\n  ${got.mkString("\n  ")}\nreference:\n  ${expected.mkString("\n  ")}")
   }
 
   /** Sequential reference encoder: same rank-order merge application the
