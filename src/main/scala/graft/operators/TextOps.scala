@@ -360,6 +360,79 @@ object TextOps {
       .orderBy("da", "db")
   }
 
+  /** GPT-3-style verbatim n-gram benchmark decontamination: flag every
+    * training document sharing at least one n-token run with a benchmark
+    * corpus (Brown et al. 2020 §C used 13-grams; n is a parameter). Output
+    * is `(doc_id, n_hits)` — the count of the doc's distinct n-grams that
+    * appear anywhere in the benchmark.
+    *
+    * Two-phase Bloom design — the shape that survives 100 TB:
+    * 1. The BENCHMARK side (small by definition: an eval suite, not the
+    *    corpus) aggregates its distinct n-gram hashes into one Bloom
+    *    sketch ([[graft.functions.BloomF.bloomAgg]]) — a distributed
+    *    build, one compact binary result whose size depends only on the
+    *    benchmark's gram count.
+    * 2. The TRAIN side probes the sketch as a pure per-row filter baked
+    *    into the scan ([[graft.functions.BloomF.mightContain]], codegen'd,
+    *    no false negatives) — so the exact verify join that follows
+    *    shuffles only bloom SURVIVORS: true hits + ~1% false positives,
+    *    volume proportional to the contamination rate, not the corpus.
+    *    The verify join removes the false positives, so the result is
+    *    EXACT (DuckDB-oracle-checked) — the sketch only gates work.
+    * A plain semi-join instead would shuffle every n-gram of the training
+    * corpus; the sketch costs one driver-side materialization of a ~MB
+    * binary (the broadcast-model pattern, same as Catalyst's own runtime
+    * shuffle pruning — which cannot fire here because the pruning key is
+    * a derived explode, not a join column).
+    *
+    * LIBRARY ENTRY POINT — generic over any (train, benchmark) corpus
+    * pair with (id, text) columns; the q_decontaminate query binds the
+    * md5-split test table, graft.ApiSpec a synthetic planted-overlap
+    * frame. */
+  def decontaminate(train: DataFrame, bench: DataFrame, id: String,
+      text: String, n: Int, expectedGrams: Long = 0L): DataFrame = {
+    require(n >= 2, s"need n >= 2, got n=$n")
+    // Distinct n-token-run hashes per doc — same kernel shape as
+    // substringPairs: runs travel as 8-byte xxhash64 keys, never text;
+    // the when-guard stops sequence(1, size-n+1) running descending on
+    // short docs.
+    def grams(rows: DataFrame): DataFrame = rows
+      .select(col(id).as("doc_id"),
+        graft.functions.bindOnce(toks(col(text)), l =>
+          when(size(l) >= n,
+            array_distinct(transform(sequence(lit(1), size(l) - (n - 1)),
+              i => xxhash64(concat_ws(" ", slice(l, i, lit(n)))))))
+            .otherwise(array().cast("array<bigint>"))).as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("g64"))
+    // The benchmark side is tiny by definition (an eval suite), so
+    // counting it to size the sketch is cheap — and it keeps the probe
+    // literal (which rides every task binary) proportional to the
+    // benchmark, not a worst-case constant. `expectedGrams > 0` overrides
+    // for callers who know the size up front and want one job fewer.
+    val benchGrams = grams(bench).select("g64").distinct()
+      .localCheckpoint(eager = true)
+    val items =
+      if (expectedGrams > 0) expectedGrams
+      else math.max(1024L, benchGrams.count())
+    val bloom = benchGrams
+      .agg(graft.functions.BloomF.bloomAgg(col("g64"), items).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val out =
+      if (bloom == null) grams(train).filter(lit(false)) // empty benchmark
+      else grams(train)
+        .filter(graft.functions.BloomF.mightContain(bloom, col("g64")))
+        .join(benchGrams, Seq("g64"))
+    out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  private def decontaminateQuery(s: SparkSession, d: String): DataFrame = {
+    val sp = splitAssign(s, d)
+    decontaminate(sp.filter(col("split") === "train"),
+      sp.filter(col("split") =!= "train"), "doc_id", "text", n = 8)
+  }
+
   // Edit-distance verification of the near-dup ground truth: exact
   // levenshtein over the candidate pairs ONLY (never all pairs — the
   // O(len²) DP is why edit distance can't be the discovery mechanism at
@@ -641,6 +714,17 @@ object TextOps {
          | WHERE a.split <> b.split
          | ORDER BY da, db""".stripMargin
     }),
+    QDef("q_decontaminate", decontaminateQuery, Some(
+      s"""WITH sp AS ($splitAssignSql),
+         |toks AS (SELECT doc_id, split, $oracleToks AS l FROM sp),
+         |grams AS (SELECT DISTINCT doc_id, split,
+         |  unnest([array_to_string(l[i:i+7], ' ')
+         |          for i in generate_series(1, len(l) - 7)]) AS g
+         |  FROM toks WHERE len(l) >= 8),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE split <> 'train')
+         |SELECT doc_id, count(*) AS n_hits
+         | FROM grams JOIN bench USING (g) WHERE split = 'train'
+         | GROUP BY 1 ORDER BY doc_id""".stripMargin)),
     QDef("q_novelty", noveltyQuery, Some(
       s"""WITH w AS (SELECT doc_id,
          |  $oracleToks AS l FROM documents),

@@ -373,6 +373,33 @@ class ApiSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 3L)), s"got ${got.toSeq}")
   }
 
+  test("decontaminate flags exactly the train docs sharing an 8-gram with the benchmark") {
+    val s = spark
+    import s.implicits._
+    val leak = (1 to 9).map(i => s"q$i").mkString(" ") // 9-token verbatim run
+    val train = Seq(
+      (1L, s"intro words here $leak"),        // contaminated: 2 complete 8-grams
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, s"$leak closing remark"))          // contaminated: same 2 8-grams
+      .toDF("id", "body")
+    val bench = Seq(
+      (100L, s"benchmark prompt $leak answer key"),
+      (200L, "totally unrelated benchmark text with many distinct tokens"))
+      .toDF("id", "body")
+    val got = TextOps.decontaminate(train, bench, "id", "body", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // a 9-token run contains exactly 2 complete 8-grams; doc 2 shares none
+    assert(got.toSeq == Seq((1L, 2L), (3L, 2L)), s"got ${got.toSeq}")
+  }
+
+  test("decontaminate with an empty benchmark flags nothing") {
+    val s = spark
+    import s.implicits._
+    val train = Seq((1L, base)).toDF("id", "body")
+    val bench = Seq.empty[(Long, String)].toDF("id", "body")
+    assert(TextOps.decontaminate(train, bench, "id", "body", n = 8).isEmpty)
+  }
+
   test("piiScrub redacts planted emails, phones, and IPs with typed counts") {
     val s = spark
     import s.implicits._

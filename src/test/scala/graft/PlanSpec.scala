@@ -125,6 +125,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__salt"), s"expected __salt in the join keys:\n$p")
   }
 
+  test("q_decontaminate probes the bloom sketch BELOW the verify join's shuffle") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("might_contain"),
+      s"expected a bloom probe in the train-side scan pipeline:\n$p")
+    // The scale property: the probe must gate the shuffle — between the
+    // Filter(might_contain) and the scan feeding it there is no Exchange,
+    // so only sketch survivors ever leave the scan pipeline. (Plans print
+    // top-down: probe line, then deeper lines down to the scan.)
+    val lines = p.linesIterator.toSeq
+    val probeAt = lines.indexWhere(_.contains("might_contain"))
+    val scanAt = lines.indexWhere(_.contains("Scan parquet"), probeAt)
+    assert(probeAt >= 0 && scanAt > probeAt, s"probe/scan not found:\n$p")
+    val between = lines.slice(probeAt + 1, scanAt)
+    assert(!between.exists(_.contains("Exchange")),
+      s"bloom probe must sit below every exchange (scan-side filter):\n$p")
+  }
+
   test("q_text_entropy is a pure projection (no shuffle before the output sort)") {
     val p = plan("q_text_entropy")
     val exchanges = "Exchange".r.findAllIn(p).length
