@@ -50,6 +50,40 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination: the batch Bloom sketch gates a stream") {
+    // The decontaminate sketch is engine-agnostic: built ONCE batch-side
+    // over the benchmark, then applied to the ingest stream as a pure
+    // per-row filter (stateless, codegen'd) — a crawler drops benchmark
+    // contamination before it ever lands in the corpus. Exactness note:
+    // stream-side the sketch is a PREFILTER (~1% false positives flagged
+    // conservatively); the exact verify join stays a batch pass.
+    val s = spark
+    import s.implicits._
+    val leak = (1 to 8).map(i => s"b$i").mkString(" ")
+    val benchGrams = Seq(leak).toDF("text")
+      .select(xxhash64(col("text")).as("g64"))
+    val bloom = benchGrams
+      .agg(graft.functions.BloomF.bloomAgg(col("g64"), 1024L).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val in = MemoryStream[(Long, String)](s)
+    val flagged = in.toDS().toDF("doc_id", "text")
+      .filter(!graft.functions.BloomF.mightContain(bloom, xxhash64(col("text"))))
+    val q = flagged.writeStream
+      .format("memory").queryName("bloom_gate")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData((1L, leak), (2L, "clean document one"))
+      q.processAllAvailable()
+      in.addData((3L, leak), (4L, "clean document two"))
+      q.processAllAvailable()
+      val kept = s.table("bloom_gate").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L, 4L),
+        s"contaminated rows must be gated out, clean rows kept: $kept")
+    } finally q.stop()
+  }
+
   test("G10 streaming: watermark-bounded dedup drops in-horizon duplicates") {
     val s = spark
     import s.implicits._
