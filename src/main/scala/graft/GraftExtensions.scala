@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotF, MinHashSig64, ShingleHashes64, ShingleSet64, SimHash64}
+import graft.functions.{DotF, MinHashSig64, MinShingleMd5, ShingleHashes64, ShingleSet64, SimHash64}
 
 /** Session extensions for the engine's native expressions.
   *
@@ -37,5 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expr]) => SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("min_shingle_md5"),
+      new ExpressionInfo(classOf[MinShingleMd5].getName, "min_shingle_md5"),
+      (children: Seq[Expr]) => MinShingleMd5(children.head)))
   }
 }

@@ -22,9 +22,27 @@ import org.apache.spark.sql.types.BinaryType
 object BloomF {
 
   /** Aggregate `c` (LongType — pre-hashed keys) into a serialized Bloom
-    * filter sized for `expectedItems` at ~10 bits/item (fpp ≈ 1%). */
+    * filter sized for `expectedItems` at ~10 bits/item (fpp ≈ 1%).
+    *
+    * SIZE CLIFF (logged, not fatal): the bit count is capped at 64M bits
+    * (8 MiB — the sketch rides every task binary as a plan literal), and
+    * Spark additionally clamps the aggregate's estimatedNumItems to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default 4M).
+    * Beyond ~6.7M items the fpp therefore degrades past the documented
+    * ~1% and the prefilter trends toward a pass-through — still CORRECT
+    * (no false negatives; the verify join downstream removes false
+    * positives) but no longer cheap. A benchmark suite's grams are far
+    * below the cap; a caller probing something corpus-sized gets a loud
+    * warning instead of a silent perf cliff. */
   def bloomAgg(c: Column, expectedItems: Long): Column = {
-    val bits = math.min(expectedItems * 10L, 64L * 1024 * 1024)
+    val maxBits = 64L * 1024 * 1024
+    val bits = math.min(expectedItems * 10L, maxBits)
+    if (expectedItems * 10L > maxBits)
+      System.err.println(
+        s"[graft] BloomF.bloomAgg: expectedItems=$expectedItems wants " +
+          s"${expectedItems * 10L} bits > cap $maxBits — fpp will degrade " +
+          "past ~1% and the prefilter loses selectivity (correctness is " +
+          "unaffected; the exact verify join still removes false positives)")
     graftshim.toColumn(new BloomFilterAggregate(
       graftshim.toExpression(c),
       Literal(expectedItems), Literal(bits), 0, 0).toAggregateExpression())

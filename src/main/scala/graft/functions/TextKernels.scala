@@ -128,6 +128,45 @@ object TextKernels {
     fp
   }
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def toHex(bs: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](bs.length * 2)
+    var i = 0
+    while (i < bs.length) {
+      out(2 * i) = HexDigits((bs(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = HexDigits(bs(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Codegen entry: document fingerprint — the lexicographic-min md5 (hex
+    * string, like Spark's `md5`) over word 3-shingles; md5 of the RAW
+    * text's UTF-8 bytes for sub-3-token docs. Exactly equals the
+    * declarative `coalesce(when(size >= 3, array_min(transform(...,
+    * md5(concat_ws(" ", ...))))), md5(text))` (asserted in KernelSpec):
+    * min over lowercase-hex strings orders identically to unsigned byte
+    * comparison of the digests, so the digests are compared raw and
+    * hex-encoded once at the end. */
+  def minShingleMd5(s: UTF8String): UTF8String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val t = tokens(s)
+    if (t.length < 3) return toHex(md.digest(s.getBytes))
+    var best: Array[Byte] = null
+    var i = 0
+    while (i + 2 < t.length) {
+      md.reset()
+      md.update((t(i) + " " + t(i + 1) + " " + t(i + 2))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest()
+      if (best == null || java.util.Arrays.compareUnsigned(d, best) < 0)
+        best = d
+      i += 1
+    }
+    toHex(best)
+  }
+
   def shingleHashes64(text: Column): Column =
     graftshim.toColumn(ShingleHashes64(graftshim.toExpression(text)))
   def shingleSet64(text: Column): Column =
@@ -136,6 +175,8 @@ object TextKernels {
     graftshim.toColumn(MinHashSig64(graftshim.toExpression(text)))
   def simHash64(text: Column): Column =
     graftshim.toColumn(SimHash64(graftshim.toExpression(text)))
+  def minShingleMd5Col(text: Column): Column =
+    graftshim.toColumn(MinShingleMd5(graftshim.toExpression(text)))
 }
 
 /** Base for string → kernel expressions: one generated static call. */
@@ -189,5 +230,15 @@ case class SimHash64(child: Expression) extends TextKernelExpr {
   override def nullSafeEval(v: Any): Any =
     TextKernels.simhash(v.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+case class MinShingleMd5(child: Expression) extends TextKernelExpr {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "min_shingle_md5"
+  override protected def kernelMethod: String = "minShingleMd5"
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.minShingleMd5(v.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): MinShingleMd5 =
     copy(child = c)
 }

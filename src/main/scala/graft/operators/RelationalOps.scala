@@ -144,10 +144,15 @@ object RelationalOps {
 
   // G15 at scale: approx_count_distinct (HLL++) — deterministic for a given
   // dataset but not DuckDB-comparable → rows-only check + ScalaTest.
+  // rsd 0.02, not 0.01: the sketch width grows ~1/rsd², and at 0.01 the
+  // approx variant measured 5.8× the cost of the exact query it exists to
+  // undercut (VERDICT r4). At 0.02 it is cheaper than exact while the
+  // observed per-group error on the test corpus stays within
+  // RelationalSpec's ≤2% assertion.
   private def distinctUsersApprox(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .groupBy("event_type")
-      .agg(approx_count_distinct("user_id", 0.01).as("n_users_approx"))
+      .agg(approx_count_distinct("user_id", 0.02).as("n_users_approx"))
       .orderBy("event_type")
 
   // Top-k per group, two-phase: a single window partitioned by the group

@@ -256,24 +256,30 @@ object TextOps {
   // Document fingerprint: min-hash over word 3-shingles (one 128-bit hash
   // per shingle, keep the lexicographic min) — an order-invariant,
   // locality-insensitive content fingerprint; md5(text) fallback for
-  // sub-3-token docs. The token array is bound once per row
-  // (graft.functions.bindOnce) — inlined references inside the shingle
-  // lambda would re-tokenize per index — and documents are spread across
-  // the shuffle partitioning because the test parquet is one file → one
-  // scan partition.
+  // sub-3-token docs. Evaluated by the native MinShingleMd5 kernel (one
+  // tight JVM pass per doc inside whole-stage codegen) — the declarative
+  // rendering below evaluates an interpreted md5-per-shingle lambda, the
+  // last heavy interpreted text path (~8s at sf0.1 vs ~1s for the
+  // kernel). Parity kernel == declarative is asserted in KernelSpec.
   private def fingerprint(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .repartition(col("doc_id"))
-      .select(col("doc_id"), graft.functions.bindOnce(toks(col("text")), l =>
-        coalesce(
-          when(size(l) >= 3,
-            array_min(transform(sequence(lit(1), size(l) - 2),
-              i => md5(concat_ws(" ",
-                element_at(l, i),
-                element_at(l, i + 1),
-                element_at(l, i + 2)).cast("binary"))))),
-          md5(col("text").cast("binary")))).as("fp"))
+      .select(col("doc_id"),
+        graft.functions.TextKernels.minShingleMd5Col(col("text")).as("fp"))
       .orderBy("doc_id")
+
+  /** The declarative fingerprint — KernelSpec's parity reference for the
+    * MinShingleMd5 kernel (kept out of the bench path). */
+  private[graft] def fingerprintDeclarative(text: Column): Column =
+    graft.functions.bindOnce(toks(text), l =>
+      coalesce(
+        when(size(l) >= 3,
+          array_min(transform(sequence(lit(1), size(l) - 2),
+            i => md5(concat_ws(" ",
+              element_at(l, i),
+              element_at(l, i + 1),
+              element_at(l, i + 2)).cast("binary"))))),
+        md5(text.cast("binary"))))
 
   // TF-IDF: corpus document frequency + per-doc term frequency → top-3
   // terms per doc. Two shuffles (tf groupBy, df groupBy) + a broadcast of
@@ -377,13 +383,28 @@ object TextOps {
     *    no false negatives) — so the exact verify join that follows
     *    shuffles only bloom SURVIVORS: true hits + ~1% false positives,
     *    volume proportional to the contamination rate, not the corpus.
-    *    The verify join removes the false positives, so the result is
-    *    EXACT (DuckDB-oracle-checked) — the sketch only gates work.
+    *    The verify join removes the bloom false positives, so the result
+    *    is exact UP TO 64-BIT HASH COLLISIONS (the verify join matches on
+    *    xxhash64 of the gram, not gram text — DuckDB-oracle-checked at
+    *    test scale; at 100 TB a colliding train/bench gram pair survives
+    *    with probability ~n²/2⁶⁵, and `array_distinct` over hashes can
+    *    collapse colliding grams within a doc). Callers needing true
+    *    exactness should re-verify survivors on gram text — survivors are
+    *    contamination-rate-sized, so that join is cheap.
     * A plain semi-join instead would shuffle every n-gram of the training
     * corpus; the sketch costs one driver-side materialization of a ~MB
     * binary (the broadcast-model pattern, same as Catalyst's own runtime
     * shuffle pruning — which cannot fire here because the pruning key is
     * a derived explode, not a join column).
+    *
+    * RESOURCE NOTE: the benchmark gram set is `localCheckpoint`ed (the
+    * sketch build and the verify join both consume it, and the returned
+    * plan references the checkpointed blocks). Spark has no end-of-plan
+    * hook to release them, so library callers should, after fully
+    * consuming the result, release via
+    * `spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist())`
+    * (what Bench/Verify do between queries); the blocks are
+    * benchmark-sized, not corpus-sized.
     *
     * LIBRARY ENTRY POINT — generic over any (train, benchmark) corpus
     * pair with (id, text) columns; the q_decontaminate query binds the

@@ -203,6 +203,11 @@ object TokenizerOps {
   private def bpeQuery(s: SparkSession, d: String): DataFrame =
     sharedMerges(s, d).orderBy("rank")
 
+  /** Bench accounting hook: this module's memoized shared-intermediate
+    * builds (see [[graft.operators.DedupOps.memoBuilds]]). */
+  def memoBuilds: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq("_memo_bpe_merges" -> ((s, d) => sharedMerges(s, d)))
+
   /** ENCODE with a learned merge table — the inference side of the
     * tokenizer pair. The model (merge rules in rank order) is a handful of
     * literals baked into the plan — the broadcast-model pattern: applying

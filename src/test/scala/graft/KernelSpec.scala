@@ -89,6 +89,30 @@ class KernelSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("MinShingleMd5 equals the declarative min-md5 fingerprint on every doc") {
+    val bad = docs.select(
+      TextKernels.minShingleMd5Col(col("text")).as("native"),
+      graft.operators.TextOps.fingerprintDeclarative(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("MinShingleMd5 matches declarative on edge cases (short, unicode, whitespace)") {
+    val s = spark
+    import s.implicits._
+    val edge = Seq("", "one", "one two", "one two three", "a  b\tc\nd",
+      "Ünïcode Tökens HÉRE again", "same same same same",
+      "  leading and trailing  ", "MiXeD CaSe ToKeNs")
+      .toDF("text")
+    val bad = edge.select(
+      TextKernels.minShingleMd5Col(col("text")).as("native"),
+      graft.operators.TextOps.fingerprintDeclarative(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("kernels are SQL-callable via GraftExtensions") {
     val r = spark.sql(
       """SELECT simhash64('a b c') AS s, size(minhash_sig64('a b c d e')) AS n,
