@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotF, MinHashSig64, MinShingleMd5, ShingleHashes64, ShingleSet64, SimHash64}
+import graft.functions.{DotF, MinHashSig64, MinShingleMd5, NGramSet64, ShingleHashes64, ShingleSet64, SimHash64}
 
 /** Session extensions for the engine's native expressions.
   *
@@ -41,5 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("min_shingle_md5"),
       new ExpressionInfo(classOf[MinShingleMd5].getName, "min_shingle_md5"),
       (children: Seq[Expr]) => MinShingleMd5(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_set64"),
+      new ExpressionInfo(classOf[NGramSet64].getName, "ngram_set64"),
+      (children: Seq[Expr]) => {
+        require(children(1).foldable,
+          "ngram_set64(text, n): n must be a literal")
+        NGramSet64(children(0), children(1).eval().asInstanceOf[Int])
+      }))
   }
 }

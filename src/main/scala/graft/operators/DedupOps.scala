@@ -161,17 +161,16 @@ object DedupOps {
       n: Int, minShared: Int): DataFrame = {
     require(n >= 2 && minShared >= 1,
       s"need n >= 2 and minShared >= 1, got n=$n minShared=$minShared")
-    // n-gram hashes per doc, deduped per doc (array_distinct): a run
-    // repeated INSIDE one document is intra-doc repetition (q_repetition's
-    // signal), not cross-doc duplication. The when-guard matters: Spark's
-    // sequence(1, size-n+1) runs DESCENDING when size < n.
+    // n-gram hashes per doc, deduped per doc: a run repeated INSIDE one
+    // document is intra-doc repetition (q_repetition's signal), not
+    // cross-doc duplication. NGramSet64 is the native single-pass kernel
+    // (KernelSpec-parity with the declarative array_distinct(transform(...,
+    // xxhash64(concat_ws(" ", slice(...)))))) — the declarative form built
+    // one sliced string per position through interpreted lambdas, the
+    // dominant allocation of this query (VERDICT r4).
     val gs = rows
       .select(col(id).as("doc_id"),
-        graft.functions.bindOnce(TextOps.toks(col(text)), l =>
-          when(size(l) >= n,
-            array_distinct(transform(sequence(lit(1), size(l) - (n - 1)),
-              i => xxhash64(concat_ws(" ", slice(l, i, lit(n)))))))
-            .otherwise(array().cast("array<bigint>"))).as("gs"))
+        graft.functions.TextKernels.ngramSet64(col(text), n).as("gs"))
       .select(col("doc_id"), explode(col("gs")).as("g64"))
     val cap = rows.agg(
       least(lit(1000L),

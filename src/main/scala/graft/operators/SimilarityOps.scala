@@ -260,6 +260,112 @@ object SimilarityOps {
       .orderBy("va", "rk")
   }
 
+  // --- IVF: inverted-file ANN (coarse-quantizer buckets) ----------------
+
+  /** IVF approximate k-NN join — the OTHER classic ANN scale path next to
+    * [[annKnnJoin]]'s LSH: a coarse quantizer of `nlist` centroids
+    * partitions the corpus into inverted lists; each query probes only its
+    * `nprobe` nearest lists, so the scanned fraction is ≈ nprobe/nlist
+    * (with balanced lists) instead of the whole corpus. Exact cosine ranks
+    * the candidates — the approximation is only WHICH vectors are
+    * considered, mirroring FAISS's IVF-Flat design (Johnson et al. 2017,
+    * "Billion-scale similarity search with GPUs").
+    *
+    * TRAIN: spherical k-means (Lloyd), `iters` rounds, on the normalized
+    * vectors. Seeding is deterministic (the `nlist` rows with the
+    * smallest xxhash64(id)); per-round means go through the exact decimal
+    * accumulator, so assignments — and therefore results — are
+    * bit-reproducible at any parallelism. Each round collects the
+    * nlist×dim centroid table to the driver (kilobytes — the
+    * broadcast-model pattern; the corpus itself is touched only by
+    * distributed assign/mean passes, one per round).
+    *
+    * SEARCH: corpus vectors carry their list id (argmax dot over the
+    * centroid literals, one codegen'd [[dotf]] per centroid); queries
+    * explode their `nprobe` top lists; candidates meet in a list-id
+    * equi-join — shuffle volume ≈ corpus + corpus·nprobe/nlist·…
+    * candidates, never n². Multi-list duplicates collapse in the (va, vb)
+    * max-aggregation on ids, embeddings never pass through a dedup.
+    *
+    * At 100 TB the assignment pass is write-once: persist the corpus
+    * bucketed by `list` (`bucketBy(nlist, "list")`) and queries prune to
+    * nprobe buckets at scan time. Recall vs the exact join is asserted in
+    * graft.SimilaritySpec; (nlist, nprobe) is the recall-vs-scan lever.
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, array-of-float) frame. */
+  def ivfKnnJoin(rows: DataFrame, id: String, vec: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    require(nlist >= 2 && nprobe >= 1 && nprobe <= nlist && iters >= 1,
+      s"bad IVF config: nlist=$nlist nprobe=$nprobe iters=$iters")
+    val e = rows.select(col(id).as("vec_id"), col(vec).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / col("nrm"))
+          .as("ne"))
+    // One normalized pass feeds `iters` assign/mean rounds + the final
+    // assignment: materialize it once (released by the caller's unpersist
+    // sweep, like the dedup family's intermediates).
+    val ne = e.localCheckpoint(true)
+
+    // deterministic seeds: smallest nlist hash-ranked vectors
+    var centroids: Array[Seq[Double]] =
+      ne.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nlist)
+        .collect().map(_.getSeq[Double](1))
+    require(centroids.length == nlist,
+      s"corpus has fewer than nlist=$nlist non-zero vectors")
+
+    // argmax_i dot(ne, c_i): struct max compares (dot, i) lexicographically
+    def assignList(v: Column, cs: Array[Seq[Double]]): Column =
+      array_max(array(cs.zipWithIndex.map { case (c, i) =>
+        struct(dotf(v, typedLit(c)).as("d"), lit(i).as("i"))
+      }: _*)).getField("i")
+
+    var round = 0
+    while (round < iters) {
+      // spherical k-means round: mean of members, renormalized. Exact
+      // decimal means → same centroids at any partitioning. An emptied
+      // list keeps its previous centroid.
+      val means = ne
+        .select(assignList(col("ne"), centroids).as("l"),
+          posexplode(col("ne")).as(Seq("p", "v")))
+        .groupBy("l", "p")
+        .agg((Det.dsum(col("v")) / count(lit(1))).as("m"))
+        .groupBy("l")
+        .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("pm"))
+        .select(col("l"), transform(col("pm"), x => x.getField("m")).as("c"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      val next = centroids.clone()
+      means.foreach { case (l, c) =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        if (n > 0) next(l) = c.map(_ / n)
+      }
+      centroids = next
+      round += 1
+    }
+
+    val assigned = ne
+      .select(col("vec_id"), col("ne"), assignList(col("ne"), centroids).as("l"))
+    // query probes: top-nprobe lists by centroid dot product
+    val probes = ne.select(col("vec_id").as("va"), col("ne").as("ea"),
+      explode(slice(reverse(array_sort(array(centroids.zipWithIndex.map {
+        case (c, i) => struct(dotf(col("ne"), typedLit(c)).as("d"), lit(i).as("i"))
+      }: _*))), 1, nprobe).getField("i")).as("l"))
+    val w = Window.partitionBy("va").orderBy(desc("cos"), col("vb"))
+    probes
+      .join(assigned.select(col("vec_id").as("vb"), col("ne").as("eb"),
+        col("l")), Seq("l"))
+      .filter(col("va") =!= col("vb"))
+      .select(col("va"), col("vb"),
+        Det.r4(dotf(col("ea"), col("eb"))).as("cos"))
+      .groupBy("va", "vb").agg(max("cos").as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("va"), col("rk"), col("vb"), col("cos"))
+      .orderBy("va", "rk")
+  }
+
   /** Per-label centroids (class prototypes): element-wise mean per label —
     * the building block for prototype classifiers, IVF coarse quantizers,
     * and drift monitoring. One posexplode + one aggregation keyed on

@@ -413,17 +413,12 @@ object TextOps {
   def decontaminate(train: DataFrame, bench: DataFrame, id: String,
       text: String, n: Int, expectedGrams: Long = 0L): DataFrame = {
     require(n >= 2, s"need n >= 2, got n=$n")
-    // Distinct n-token-run hashes per doc — same kernel shape as
-    // substringPairs: runs travel as 8-byte xxhash64 keys, never text;
-    // the when-guard stops sequence(1, size-n+1) running descending on
-    // short docs.
+    // Distinct n-token-run hashes per doc — the same NGramSet64 kernel as
+    // substringPairs: runs travel as 8-byte xxhash64 keys, never text, and
+    // the per-doc gram set is built in one native pass.
     def grams(rows: DataFrame): DataFrame = rows
       .select(col(id).as("doc_id"),
-        graft.functions.bindOnce(toks(col(text)), l =>
-          when(size(l) >= n,
-            array_distinct(transform(sequence(lit(1), size(l) - (n - 1)),
-              i => xxhash64(concat_ws(" ", slice(l, i, lit(n)))))))
-            .otherwise(array().cast("array<bigint>"))).as("gs"))
+        graft.functions.TextKernels.ngramSet64(col(text), n).as("gs"))
       .select(col("doc_id"), explode(col("gs")).as("g64"))
     // The benchmark side is tiny by definition (an eval suite), so
     // counting it to size the sketch is cheap — and it keeps the probe

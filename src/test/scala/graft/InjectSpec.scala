@@ -303,4 +303,42 @@ class InjectSpec extends SparkSpec {
     assert(itfs(1).processingResults == Seq("p1"))
     task.stop()
   }
+
+  test("scale-out mid-stream: new assignment arrives, existing one is undisturbed " +
+      "(replacement for the reference's rebalance, task.ts:280-338)") {
+    // The reference demonstrates REBALANCE: a second consumer joins the
+    // group, partitions move, sessions end and restart. Here the driver
+    // owns assignment (L2 n/a by design) — the replacement claim is that
+    // scaling out means MORE assignments appearing, with existing ones
+    // untouched: no session end, no replay, no re-setup, offsets and
+    // closure state continuing unbroken. This test observes exactly that.
+    val setupCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val task = newTask() { info =>
+      setupCount.incrementAndGet()
+      // per-assignment running count — would reset if the assignment's
+      // session were torn down and re-setup by a rebalance
+      var n = 0
+      Seq((m, _) => { n += 1; s"${info.partition}:$n:${m.asInstanceOf[KMessage].value}" })
+    }
+    val itf0 = task.inject(spark, "events", 0)
+    itf0.inject("a"); itf0.inject("b")
+    itf0.await()
+    assert(setupCount.get == 1)
+    assert(itf0.processingResults == Seq("0:1:a", "0:2:b"))
+
+    // scale-out: a second assignment joins mid-stream
+    val itf1 = task.inject(spark, "events", 1)
+    assert(setupCount.get == 2, "setup runs once for the NEW assignment only")
+    itf1.inject("x")
+    itf0.inject("c") // existing assignment keeps processing concurrently
+    itf0.await(); itf1.await()
+    // new assignment: fresh state, fresh offsets from its own log start
+    assert(itf1.processingResults == Seq("1:1:x"))
+    assert(itf1.processedOffsets == Seq(0L))
+    // existing assignment: state and offsets continued — no reset/replay
+    assert(itf0.processingResults == Seq("0:1:a", "0:2:b", "0:3:c"))
+    assert(itf0.processedOffsets == Seq(0L, 1L, 2L))
+    assert(itf0.caughtUp() && itf1.caughtUp())
+    task.stop()
+  }
 }

@@ -89,6 +89,42 @@ class KernelSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  /** Declarative reference: distinct n-gram hashes (first-occurrence
+    * order) — sorted for comparison against the kernel's sorted set. */
+  private def ngramSetHof(c: Column, n: Int): Column =
+    array_sort(bindOnce(toks(c), l =>
+      when(size(l) >= n,
+        array_distinct(transform(sequence(lit(1), size(l) - (n - 1)),
+          i => xxhash64(concat_ws(" ", slice(l, i, lit(n)))))))
+        .otherwise(array().cast("array<bigint>"))))
+
+  test("NGramSet64 equals sorted declarative distinct n-gram hashes (n=2,8)") {
+    Seq(2, 8).foreach { n =>
+      val bad = docs.select(
+        TextKernels.ngramSet64(col("text"), n).as("native"),
+        ngramSetHof(col("text"), n).as("hof"))
+        .filter(not(col("native") === col("hof")))
+        .count()
+      assert(bad == 0, s"n=$n")
+    }
+  }
+
+  test("NGramSet64 matches declarative on edge cases") {
+    val s = spark
+    import s.implicits._
+    val edge = Seq("", "one", "one two", "a b a b a b", "x\t y \n z w",
+      "Ünïcode HÉRE tökens wrap", "exactly eight tokens one two three four five")
+      .toDF("text")
+    Seq(2, 3, 8).foreach { n =>
+      val bad = edge.select(
+        TextKernels.ngramSet64(col("text"), n).as("native"),
+        ngramSetHof(col("text"), n).as("hof"))
+        .filter(not(col("native") === col("hof")))
+        .count()
+      assert(bad == 0, s"n=$n")
+    }
+  }
+
   test("MinShingleMd5 equals the declarative min-md5 fingerprint on every doc") {
     val bad = docs.select(
       TextKernels.minShingleMd5Col(col("text")).as("native"),

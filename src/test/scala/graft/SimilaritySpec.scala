@@ -73,6 +73,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"ann knn-join recall@5 = $recall%.3f < 0.8")
   }
 
+  test("IVF knn join recalls >= 0.75 of the exact neighbor lists at nprobe/nlist = 1/2") {
+    // this corpus's neighbors sit at noise-level cosine (see the LSH
+    // header note), so a wide probe is needed for recall — measured
+    // 0.818 at (16, 8); deterministic (decimal means, struct-max ties),
+    // threshold leaves margin only against code changes
+    val e = graft.sources.Tables(spark, sf, "embeddings")
+    val approx = graft.operators.SimilarityOps
+      .ivfKnnJoin(e, "vec_id", "embedding", 5, nlist = 16, nprobe = 8)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactKnnPairs & approx).size.toDouble / exactKnnPairs.size
+    assert(exactKnnPairs.nonEmpty)
+    assert(recall >= 0.75, f"ivf knn-join recall@5 = $recall%.3f < 0.75")
+    // rank structure: every query gets at most k contiguous ranks from 1
+    val ivf = graft.operators.SimilarityOps
+      .ivfKnnJoin(e, "vec_id", "embedding", 5, nlist = 16, nprobe = 8)
+    val bad = ivf.groupBy("va")
+      .agg(count(lit(1)).as("n"), min("rk").as("lo"), max("rk").as("hi"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n") || col("n") > 5)
+    assert(bad.isEmpty, "ivf rank structure broken")
+  }
+
   test("DotF is bit-identical to the declarative aggregate/zip_with fold") {
     val e = graft.sources.Tables(spark, sf, "embeddings").limit(200)
     val hof = aggregate(
