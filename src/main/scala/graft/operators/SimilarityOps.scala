@@ -446,6 +446,10 @@ object SimilarityOps {
     // LSH planes are Scala-side constants — not DuckDB-expressible; recall
     // vs the brute-force top-20 is asserted in graft.SimilaritySpec.
     QDef("q_similarity_ann", annTopK, None),
+    // IVF: the k-means training loop is not DuckDB-expressible; recall vs
+    // the exact join + rank structure are asserted in graft.SimilaritySpec.
+    QDef("q_similarity_ivf",
+      (s, d) => ivfKnnJoin(emb(s, d), "vec_id", "embedding", k = 5), None),
     QDef("q_similarity_knn", knnJoinQuery, Some(
       s"""WITH p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
          |  ${Det.r4Sql(cosSql.format("a.embedding", "b.embedding", "a.embedding", "b.embedding"))} AS cos
