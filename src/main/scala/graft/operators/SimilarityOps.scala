@@ -294,9 +294,12 @@ object SimilarityOps {
     *
     * LIBRARY ENTRY POINT — generic over any (id, array-of-float) frame. */
   def ivfKnnJoin(rows: DataFrame, id: String, vec: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      trainFraction: Double = 1.0): DataFrame = {
     require(nlist >= 2 && nprobe >= 1 && nprobe <= nlist && iters >= 1,
       s"bad IVF config: nlist=$nlist nprobe=$nprobe iters=$iters")
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
     val e = rows.select(col(id).as("vec_id"), col(vec).as("embedding"))
       .select(col("vec_id"), col("embedding"),
         sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"))
@@ -308,13 +311,23 @@ object SimilarityOps {
     // assignment: materialize it once (released by the caller's unpersist
     // sweep, like the dedup family's intermediates).
     val ne = e.localCheckpoint(true)
+    // At 100 TB the quantizer trains on a SAMPLE (FAISS guidance:
+    // ~50-250 vectors per centroid suffices) — a deterministic hash
+    // filter, so training cost is corpus-size-independent while the
+    // assignment and search passes stay full-corpus. trainFraction = 1
+    // (default) trains on everything.
+    val trainNe =
+      if (trainFraction >= 1.0) ne
+      else ne.filter(pmod(xxhash64(col("vec_id")), lit(1000000L))
+        < (trainFraction * 1000000L).toLong)
 
     // deterministic seeds: smallest nlist hash-ranked vectors
     var centroids: Array[Seq[Double]] =
-      ne.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nlist)
+      trainNe.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nlist)
         .collect().map(_.getSeq[Double](1))
     require(centroids.length == nlist,
-      s"corpus has fewer than nlist=$nlist non-zero vectors")
+      s"training sample has fewer than nlist=$nlist non-zero vectors — " +
+        "raise trainFraction or lower nlist")
 
     // argmax_i dot(ne, c_i): struct max compares (dot, i) lexicographically
     def assignList(v: Column, cs: Array[Seq[Double]]): Column =
@@ -327,7 +340,7 @@ object SimilarityOps {
       // spherical k-means round: mean of members, renormalized. Exact
       // decimal means → same centroids at any partitioning. An emptied
       // list keeps its previous centroid.
-      val means = ne
+      val means = trainNe
         .select(assignList(col("ne"), centroids).as("l"),
           posexplode(col("ne")).as(Seq("p", "v")))
         .groupBy("l", "p")

@@ -94,6 +94,19 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.isEmpty, "ivf rank structure broken")
   }
 
+  test("IVF quantizer trained on a 30% hash-sample still beats the random-scan baseline") {
+    // the 100 TB path: training cost is corpus-size-independent; with
+    // nprobe/nlist = 1/2 a random half-scan recalls ~0.50 in expectation,
+    // so beating ~0.6 shows the sampled quantizer still captures locality
+    val e = graft.sources.Tables(spark, sf, "embeddings")
+    val approx = graft.operators.SimilarityOps
+      .ivfKnnJoin(e, "vec_id", "embedding", 5, nlist = 16, nprobe = 8,
+        trainFraction = 0.3)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactKnnPairs & approx).size.toDouble / exactKnnPairs.size
+    assert(recall >= 0.6, f"sampled-train ivf recall@5 = $recall%.3f < 0.6")
+  }
+
   test("DotF is bit-identical to the declarative aggregate/zip_with fold") {
     val e = graft.sources.Tables(spark, sf, "embeddings").limit(200)
     val hof = aggregate(
