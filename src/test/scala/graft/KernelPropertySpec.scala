@@ -50,6 +50,34 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("NGramSet64 and MinShingleMd5 equal their declarative renderings on generated strings") {
+    val s = spark
+    import s.implicits._
+    val samples = (Gen.listOfN(60, text).sample.get ++
+      Seq("", " ", "\t\n", "a", "a b", "a b c", "x x x x x")).toDF("text")
+    def toksC(c: org.apache.spark.sql.Column) =
+      filter(split(lower(c), "\\s+"), t => length(t) > 0)
+    def hofNgrams(n: Int) =
+      array_sort(graft.functions.bindOnce(toksC(col("text")), l =>
+        when(size(l) >= n,
+          array_distinct(transform(sequence(lit(1), size(l) - (n - 1)),
+            i => xxhash64(concat_ws(" ", slice(l, i, lit(n)))))))
+          .otherwise(array().cast("array<bigint>"))))
+    val rows = samples.select(
+      TextKernels.ngramSet64(col("text"), 2).as("n2"),
+      hofNgrams(2).as("h2"),
+      TextKernels.ngramSet64(col("text"), 5).as("n5"),
+      hofNgrams(5).as("h5"),
+      TextKernels.minShingleMd5Col(col("text")).as("nfp"),
+      graft.operators.TextOps.fingerprintDeclarative(col("text")).as("hfp"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"2-gram sets differ: $r")
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), s"5-gram sets differ: $r")
+      assert(r.getString(4) == r.getString(5), s"fingerprints differ: $r")
+    }
+  }
+
   test("DotF equals the declarative fold on generated float arrays (incl. empty)") {
     val s = spark
     import s.implicits._
