@@ -142,6 +142,17 @@ class PlanSpec extends SparkSpec {
       s"bloom probe must sit below every exchange (scan-side filter):\n$p")
   }
 
+  test("kernel paths stay native: fingerprint and substring plans carry no HOF lambdas") {
+    // the r4 perf cost was interpreted higher-order lambdas in these two
+    // paths; the kernels must stay in the plan (a silent revert to
+    // transform(...)/lambda shows up here, not just in the bench)
+    val fp = plan("q_fingerprint")
+    assert(fp.contains("min_shingle_md5"), s"expected MinShingleMd5 kernel:\n$fp")
+    assert(!fp.contains("lambdafunction"), s"interpreted lambda crept in:\n$fp")
+    val ss = plan("q_dedup_substring")
+    assert(ss.contains("ngram_set64"), s"expected NGramSet64 kernel:\n$ss")
+  }
+
   test("q_text_entropy is a pure projection (no shuffle before the output sort)") {
     val p = plan("q_text_entropy")
     val exchanges = "Exchange".r.findAllIn(p).length
