@@ -444,27 +444,38 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** DuckDB CTE chain computing the n-gram Jaccard pair list over `table`
+    * — parameterized so composed oracles (q_curate) can run it over a CTE
+    * subset instead of the full `documents` table. Exposes a final CTE
+    * `njp` with columns (da, db, inter, na, nb) already filtered to
+    * jaccard ≥ minJ. Splice as `WITH [RECURSIVE] ${ngramPairCtes(...)},
+    * ...`. */
+  private[operators] def ngramPairCtes(table: String, minJ: Double): String =
+    s"""njw AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS l
+       |  FROM $table),
+       |njs AS (SELECT DISTINCT doc_id,
+       |  unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+       |          for i in generate_series(1, len(l) - 2)]) AS shingle
+       |  FROM njw WHERE len(l) >= 3),
+       |njs2 AS (SELECT doc_id, shingle FROM njs WHERE shingle IN
+       |  (SELECT shingle FROM njs GROUP BY 1 HAVING count(*) <=
+       |    (SELECT least(1000, greatest(100, CAST(floor(count(*) * 0.002) AS BIGINT)))
+       |     FROM $table))),
+       |njcnt AS (SELECT doc_id, count(*) AS n FROM njs2 GROUP BY 1),
+       |njp AS (SELECT da, db, inter, ca.n AS na, cb.n AS nb
+       |  FROM (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |    FROM njs2 a JOIN njs2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2) p
+       |  JOIN njcnt ca ON p.da = ca.doc_id JOIN njcnt cb ON p.db = cb.doc_id
+       |  WHERE inter / (ca.n + cb.n - inter) >= $minJ)""".stripMargin
+
   /** DuckDB rendering of the n-gram Jaccard query (shared by the
     * edit-distance and cluster oracles, which consume its pairs). */
   private[operators] val ngramOracleSql: String =
-    """WITH w AS (SELECT doc_id,
-      |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS l
-      |  FROM documents),
-      |s AS (SELECT DISTINCT doc_id,
-      |  unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
-      |          for i in generate_series(1, len(l) - 2)]) AS shingle
-      |  FROM w WHERE len(l) >= 3),
-      |s2 AS (SELECT doc_id, shingle FROM s WHERE shingle IN
-      |  (SELECT shingle FROM s GROUP BY 1 HAVING count(*) <=
-      |    (SELECT least(1000, greatest(100, CAST(floor(count(*) * 0.002) AS BIGINT)))
-      |     FROM documents))),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM s2 GROUP BY 1),
-      |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-      |  FROM s2 a JOIN s2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT da, db, floor((inter / (ca.n + cb.n - inter)) * 10000 + 0.5) / 10000 AS jaccard
-      | FROM p JOIN cnt ca ON p.da = ca.doc_id JOIN cnt cb ON p.db = cb.doc_id
-      | WHERE inter / (ca.n + cb.n - inter) >= 0.1 ORDER BY da, db""".stripMargin
+    s"""WITH ${ngramPairCtes("documents", 0.1)}
+       |SELECT da, db, floor((inter / (na + nb - inter)) * 10000 + 0.5) / 10000 AS jaccard
+       | FROM njp ORDER BY da, db""".stripMargin
 
   lazy val defs: Seq[QDef] = Seq(
     QDef("q_dedup_exact", dedupExact, Some(

@@ -257,7 +257,113 @@ object PipelineOps {
   private val oracleNTok =
     s"len(${TextOps.oracleToks}) "
 
+  /** End-to-end corpus CURATION — the composed pipeline a training-data
+    * team runs before packing: every corpus document gets a fate, decided
+    * by the FIRST stage that drops it (stage order is part of the
+    * contract, mirroring how production pipelines order cheap per-doc
+    * filters before corpus-wide index builds):
+    *  1. `quality`      — fails [[TextOps.qualityFilter]]'s Gopher rules;
+    *  2. `exact_dup`    — byte-identical text, not the smallest doc_id of
+    *     its duplicate group;
+    *  3. `near_dup`     — in an n-gram-Jaccard cluster
+    *     ([[DedupOps.ngramJaccardPairs]] → [[DedupOps.connectedComponents]])
+    *     and not the cluster representative;
+    *  4. `contaminated` — shares ≥1 verbatim `contamN`-token run with the
+    *     benchmark corpus ([[TextOps.decontaminate]]);
+    *  5. `kept`.
+    * Each stage's verdict is computed independently over the full corpus
+    * (fate = first match) — stages don't re-filter each other's input, so
+    * the manifest is reproducible stage-by-stage and each column is
+    * individually auditable. Composition of four verified operators; the
+    * whole manifest is DuckDB-oracle-checked end-to-end (q_curate).
+    *
+    * Scale shape: stages 1-2 are a projection + one hash shuffle; stage 3
+    * is the bounded inverted-index build; stage 4 is the Bloom-prefiltered
+    * probe — nothing here exceeds the cost of its standalone operator, and
+    * the four verdict tables join on doc_id (each a vanishing fraction of
+    * corpus width).
+    *
+    * LIBRARY ENTRY POINT — generic over any (corpus, benchmark) pair with
+    * (id, text) columns; the q_curate query binds the md5-split test
+    * table, graft.ApiSpec a synthetic frame with one planted doc per
+    * fate. */
+  def curate(corpus: DataFrame, bench: DataFrame, id: String, text: String,
+      minJaccard: Double = 0.1, contamN: Int = 8): DataFrame = {
+    val base = corpus.select(col(id).as("doc_id"), col(text).as("text"))
+    val q = TextOps.qualityFilter(base, "doc_id", "text")
+      .select(col("doc_id"), col("keep").as("q_keep"))
+    val ex = base.select(col("doc_id"),
+      min("doc_id").over(
+        Window.partitionBy(md5(col("text").cast("binary")))).as("keep_id"))
+    val cl = DedupOps.connectedComponents(
+      DedupOps.ngramJaccardPairs(base, "doc_id", "text", minJaccard),
+      "da", "db")
+    val cont = TextOps.decontaminate(base,
+        bench.select(col(id).as("doc_id"), col(text).as("text")),
+        "doc_id", "text", contamN)
+      .select(col("doc_id"), lit(true).as("contaminated"))
+    base.select("doc_id")
+      .join(q, Seq("doc_id"))
+      .join(ex, Seq("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(not(col("q_keep")), "quality")
+          .when(col("doc_id") =!= col("keep_id"), "exact_dup")
+          .when(col("cluster_rep").isNotNull &&
+            col("doc_id") =!= col("cluster_rep"), "near_dup")
+          .when(col("contaminated"), "contaminated")
+          .otherwise("kept").as("fate"))
+      .orderBy("doc_id")
+  }
+
+  // q_curate: curate the train split against the held-out splits —
+  // the same deterministic md5 split q_decontaminate uses.
+  private def curateQuery(s: SparkSession, d: String): DataFrame = {
+    val sp = TextOps.splitAssign(s, d)
+    curate(sp.filter(col("split") === "train"),
+      sp.filter(col("split") =!= "train"), "doc_id", "text")
+  }
+
+  private val curateOracleSql: String = {
+    val grams8 =
+      """[array_to_string(l[i:i+7], ' ') for i in generate_series(1, len(l) - 7)]"""
+    s"""WITH RECURSIVE
+       |sp AS (${TextOps.splitAssignSql}),
+       |tr AS (SELECT doc_id, text FROM sp WHERE split = 'train'),
+       |be AS (SELECT doc_id, text FROM sp WHERE split <> 'train'),
+       |qf AS (${TextOps.qualityKeepOracleSql("tr")}),
+       |ex AS (SELECT doc_id,
+       |  min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM tr),
+       |${DedupOps.ngramPairCtes("tr", 0.1)},
+       |sym AS (SELECT da AS a, db AS b FROM njp
+       |  UNION ALL SELECT db, da FROM njp),
+       |reach(v, r) AS (
+       |  SELECT DISTINCT a, a FROM sym
+       |  UNION
+       |  SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.v),
+       |cl AS (SELECT v AS doc_id, min(r) AS rep FROM reach GROUP BY 1),
+       |g8t AS (SELECT DISTINCT doc_id, unnest($grams8) AS gram
+       |  FROM (SELECT doc_id, ${TextOps.oracleToks} AS l FROM tr)
+       |  WHERE len(l) >= 8),
+       |g8b AS (SELECT DISTINCT unnest($grams8) AS gram
+       |  FROM (SELECT ${TextOps.oracleToks} AS l FROM be)
+       |  WHERE len(l) >= 8),
+       |cont AS (SELECT DISTINCT doc_id FROM g8t JOIN g8b USING (gram))
+       |SELECT tr.doc_id,
+       | CASE WHEN NOT qf.q_keep THEN 'quality'
+       |      WHEN tr.doc_id <> ex.keep_id THEN 'exact_dup'
+       |      WHEN cl.doc_id IS NOT NULL AND tr.doc_id <> cl.rep THEN 'near_dup'
+       |      WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+       |      ELSE 'kept' END AS fate
+       | FROM tr JOIN qf USING (doc_id) JOIN ex USING (doc_id)
+       |  LEFT JOIN cl ON tr.doc_id = cl.doc_id
+       |  LEFT JOIN cont ON tr.doc_id = cont.doc_id
+       | ORDER BY tr.doc_id""".stripMargin
+  }
+
   val defs: Seq[QDef] = Seq(
+    QDef("q_curate", curateQuery, Some(curateOracleSql)),
     QDef("q_pack_sequences", packSequencesQuery, Some(
       s"""SELECT chunk, count(*) AS n_docs,
          | CAST(sum(n_tok) AS BIGINT) AS n_tokens,

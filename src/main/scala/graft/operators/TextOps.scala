@@ -636,6 +636,28 @@ object TextOps {
        | FROM documents)
        | WHERE n_tok > 0 AND len > 0""".stripMargin
 
+  /** DuckDB rendering of qualityFilter's `keep` verdict over `table` —
+    * (doc_id, q_keep); shared by the q_curate oracle. Same expressions as
+    * the q_quality_filter oracle. */
+  private[operators] def qualityKeepOracleSql(table: String): String =
+    s"""SELECT doc_id,
+       | ((n_tok >= 30 AND n_tok <= 2000) AND
+       |  (avg_tok_len >= 2.0 AND avg_tok_len <= 10.0) AND
+       |  (n_stop >= 2) AND (dup_tok_ratio <= 0.6)) AS q_keep
+       | FROM (SELECT doc_id, n_tok,
+       |   CASE WHEN n_tok > 0 THEN ${Det.r4Sql("n_nonspace / n_tok")}
+       |    ELSE 0.0 END AS avg_tok_len,
+       |   CASE WHEN n_tok > 0 THEN ${Det.r4Sql("1.0 - n_uniq / n_tok")}
+       |    ELSE 0.0 END AS dup_tok_ratio, n_stop
+       |  FROM (SELECT doc_id,
+       |    CAST(len(l) AS BIGINT) AS n_tok,
+       |    CAST(len(list_distinct(l)) AS BIGINT) AS n_uniq,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+       |      AS n_nonspace,
+       |    CAST(len(regexp_extract_all(lower(text), '$enStop')) AS BIGINT)
+       |      AS n_stop
+       |   FROM (SELECT doc_id, text, $oracleToks AS l FROM $table)))""".stripMargin
+
   lazy val defs: Seq[QDef] = Seq(
     QDef("q_text_tokens", textTokens, Some(
       s"""SELECT tok, count(*) AS n FROM (

@@ -470,6 +470,35 @@ class ApiSpec extends SparkSpec {
     assert(spread >= 6, s"hot key spread over only $spread of 8 salts")
   }
 
+  test("curate assigns every planted fate on a generic frame") {
+    val s = spark
+    import s.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => f"$prefix$i%02d")
+    // each clean doc: 33 tokens, ≥2 stopwords, distinct vocab per prefix →
+    // passes qualityFilter, cross-prefix 3-shingle jaccard = 0
+    def clean(prefix: String): String =
+      ("the" +: words(prefix, 31) :+ "and").mkString(" ")
+    val nearDupOfB =
+      ("the" +: (words("beta", 28) ++ words("zeta", 3)) :+ "and").mkString(" ")
+    val corpus = Seq(
+      (1L, "too short"),          // fails r_nwords          → quality
+      (2L, clean("alpha")),       // min id of its dup group → kept
+      (3L, clean("alpha")),       // byte-identical to 2     → exact_dup
+      (4L, clean("beta")),        // cluster rep of {4, 5}   → kept
+      (5L, nearDupOfB),           // high jaccard with 4     → near_dup
+      (6L, clean("gamma")))       // shares an 8-run w/bench → contaminated
+      .toDF("id", "body")
+    val bench = Seq(
+      (100L, (words("bench", 5) ++ words("gamma", 8) ++ words("bench2", 5))
+        .mkString(" ")))
+      .toDF("id", "body")
+    val fates = PipelineOps.curate(corpus, bench, "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fates == Map(1L -> "quality", 2L -> "kept", 3L -> "exact_dup",
+      4L -> "kept", 5L -> "near_dup", 6L -> "contaminated"), s"got $fates")
+  }
+
   test("tokenEntropy matches hand-computed entropy on exact-power cases") {
     val s = spark
     import s.implicits._
