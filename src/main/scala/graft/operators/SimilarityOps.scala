@@ -331,7 +331,7 @@ object SimilarityOps {
 
     // argmax_i dot(ne, c_i): struct max compares (dot, i) lexicographically
     def assignList(v: Column, cs: Array[Seq[Double]]): Column =
-      array_max(array(cs.zipWithIndex.map { case (c, i) =>
+      array_max(array(cs.zipWithIndex.toSeq.map { case (c, i) =>
         struct(dotf(v, typedLit(c)).as("d"), lit(i).as("i"))
       }: _*)).getField("i")
 
@@ -362,7 +362,7 @@ object SimilarityOps {
       .select(col("vec_id"), col("ne"), assignList(col("ne"), centroids).as("l"))
     // query probes: top-nprobe lists by centroid dot product
     val probes = ne.select(col("vec_id").as("va"), col("ne").as("ea"),
-      explode(slice(reverse(array_sort(array(centroids.zipWithIndex.map {
+      explode(slice(reverse(array_sort(array(centroids.zipWithIndex.toSeq.map {
         case (c, i) => struct(dotf(col("ne"), typedLit(c)).as("d"), lit(i).as("i"))
       }: _*))), 1, nprobe).getField("i")).as("l"))
     val w = Window.partitionBy("va").orderBy(desc("cos"), col("vb"))

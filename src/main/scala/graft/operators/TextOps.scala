@@ -432,7 +432,7 @@ object TextOps {
       else math.max(1024L, benchGrams.count())
     val bloom = benchGrams
       .agg(graft.functions.BloomF.bloomAgg(col("g64"), items).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+      .head().getAs[Array[Byte]]("bf")
     val out =
       if (bloom == null) grams(train).filter(lit(false)) // empty benchmark
       else grams(train)
