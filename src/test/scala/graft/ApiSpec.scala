@@ -499,6 +499,29 @@ class ApiSpec extends SparkSpec {
       4L -> "kept", 5L -> "near_dup", 6L -> "contaminated"), s"got $fates")
   }
 
+  test("curate edge cases: empty benchmark disables contamination; degenerate corpora") {
+    val s = spark
+    import s.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => f"$prefix$i%02d")
+    def clean(prefix: String): String =
+      ("the" +: words(prefix, 31) :+ "and").mkString(" ")
+    val corpus = Seq((1L, clean("alpha")), (2L, clean("beta")))
+      .toDF("id", "body")
+    // empty benchmark: decontaminate's sketch side is empty — nothing can
+    // be contaminated, everything else proceeds
+    val emptyBench = Seq.empty[(Long, String)].toDF("id", "body")
+    val f1 = PipelineOps.curate(corpus, emptyBench, "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(f1 == Map(1L -> "kept", 2L -> "kept"), s"got $f1")
+    // all-junk corpus: every doc fails quality; no pairs, no clusters
+    val junk = Seq((1L, "x"), (2L, "y y"), (3L, "")).toDF("id", "body")
+    val f2 = PipelineOps.curate(junk, emptyBench, "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(f2 == Map(1L -> "quality", 2L -> "quality", 3L -> "quality"),
+      s"got $f2")
+  }
+
   test("tokenEntropy matches hand-computed entropy on exact-power cases") {
     val s = spark
     import s.implicits._
