@@ -158,5 +158,20 @@ class KernelSpec extends SparkSpec {
     assert(r.getLong(0) != 0L && r.getInt(1) == 64)
     assert(r.getInt(2) == 2) // 4 tokens → 2 shingles
     assert(r.getInt(3) == 2) // 'a b a' / 'b a b' repeated → 2 distinct
+    val r2 = spark.sql(
+      """SELECT size(ngram_set64('a b a b a b', 2)) AS n,
+        |length(min_shingle_md5('a b c')) AS m""".stripMargin)
+      .collect().head
+    assert(r2.getInt(0) == 2) // 'a b' / 'b a' repeated → 2 distinct 2-grams
+    assert(r2.getInt(1) == 32) // md5 hex
+    // a foldable n (even non-literal) is fine; a NON-foldable n is
+    // rejected loudly at plan time, not silently misplanned
+    assert(spark.sql("SELECT size(ngram_set64('a b c', size(split('a b', ' ')))) AS n")
+      .collect().head.getInt(0) == 2)
+    val e = intercept[Exception](
+      spark.sql("SELECT ngram_set64('a b c', CAST(rand() * 2 + 2 AS INT))")
+        .collect())
+    assert(e.getMessage.contains("literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("literal")))
   }
 }
