@@ -79,8 +79,16 @@ object Bench {
       // returns immediately and the removal work then runs concurrently
       // with the NEXT query's timed section — the wait belongs here,
       // between the timers.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+      {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        // One explicit GC between timed sections: in a single shared JVM a
+        // heavy query's garbage otherwise lands in a NEIGHBOR's timed
+        // section (q_dedup_substring measured 1.2s isolated vs 5.1s
+        // mid-suite with identical plans). ~100ms per call, paid OUTSIDE
+        // the timers.
+        System.gc()
+      }
 
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
