@@ -283,21 +283,28 @@ object PipelineOps {
     * the four verdict tables join on doc_id (each a vanishing fraction of
     * corpus width).
     *
+    * `precomputedPairs`: a production pipeline that already materialized
+    * the corpus near-dup pair list (the [[DedupOps.ngramJaccardPairs]]
+    * output, the most expensive stage here) passes it instead of
+    * rebuilding — the frame must carry (da, db) over THIS corpus's ids.
+    * Parity with the self-computed path is asserted in graft.ApiSpec.
+    *
     * LIBRARY ENTRY POINT — generic over any (corpus, benchmark) pair with
     * (id, text) columns; the q_curate query binds the md5-split test
     * table, graft.ApiSpec a synthetic frame with one planted doc per
     * fate. */
   def curate(corpus: DataFrame, bench: DataFrame, id: String, text: String,
-      minJaccard: Double = 0.1, contamN: Int = 8): DataFrame = {
+      minJaccard: Double = 0.1, contamN: Int = 8,
+      precomputedPairs: Option[DataFrame] = None): DataFrame = {
     val base = corpus.select(col(id).as("doc_id"), col(text).as("text"))
     val q = TextOps.qualityFilter(base, "doc_id", "text")
       .select(col("doc_id"), col("keep").as("q_keep"))
     val ex = base.select(col("doc_id"),
       min("doc_id").over(
         Window.partitionBy(md5(col("text").cast("binary")))).as("keep_id"))
-    val cl = DedupOps.connectedComponents(
-      DedupOps.ngramJaccardPairs(base, "doc_id", "text", minJaccard),
-      "da", "db")
+    val pairs = precomputedPairs.getOrElse(
+      DedupOps.ngramJaccardPairs(base, "doc_id", "text", minJaccard))
+    val cl = DedupOps.connectedComponents(pairs, "da", "db")
     val cont = TextOps.decontaminate(base,
         bench.select(col(id).as("doc_id"), col(text).as("text")),
         "doc_id", "text", contamN)

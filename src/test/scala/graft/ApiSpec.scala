@@ -497,6 +497,13 @@ class ApiSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fates == Map(1L -> "quality", 2L -> "kept", 3L -> "exact_dup",
       4L -> "kept", 5L -> "near_dup", 6L -> "contaminated"), s"got $fates")
+    // precomputed-pairs path (production reuse of a materialized pair
+    // list) gives the identical manifest
+    val pairs = DedupOps.ngramJaccardPairs(corpus, "id", "body", 0.1)
+    val fates2 = PipelineOps.curate(corpus, bench, "id", "body",
+      precomputedPairs = Some(pairs))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fates2 == fates, s"precomputed-pairs path diverged: $fates2")
   }
 
   test("curate edge cases: empty benchmark disables contamination; degenerate corpora") {
