@@ -122,15 +122,18 @@ object DedupOps {
     val grp = shingleBuckets(rows, id, text).localCheckpoint(eager = true)
     val cnt = grp.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // Near-dup pairs are a vanishing fraction of the corpus: broadcast the
-    // pair list into the count joins (the count side is per-doc — at 100 TB
-    // it must never be the broadcast side).
-    val pairs = broadcast(grp
+    // No broadcast hint on the candidate pair list: what exists here is
+    // every pair sharing ≥1 surviving shingle (bounded by Σ df²/2 under the
+    // cap), which on a dup-heavy corpus is orders of magnitude larger than
+    // the post-Jaccard pair list and can blow past broadcast limits. AQE
+    // still broadcasts at runtime when the aggregate is genuinely small;
+    // forcing it here turns the operator's primary use case into an OOM.
+    val pairs = grp
       .select(explode(flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
           struct(least(x, y).as("da"), greatest(x, y).as("db")))))).as("p"))
       .groupBy(col("p.da").as("da"), col("p.db").as("db"))
-      .agg(count(lit(1)).as("inter")))
+      .agg(count(lit(1)).as("inter"))
     pairs
       .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("db") === col("cb.doc_id"))

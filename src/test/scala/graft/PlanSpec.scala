@@ -153,6 +153,21 @@ class PlanSpec extends SparkSpec {
     assert(ss.contains("ngram_set64"), s"expected NGramSet64 kernel:\n$ss")
   }
 
+  test("ngramJaccardPairs never forces a broadcast of the candidate pair list") {
+    // r5 verdict: the pre-filter pair aggregate (every pair sharing ≥1
+    // surviving shingle) must not carry an explicit broadcast hint — on a
+    // dup-heavy corpus it dwarfs the post-Jaccard list and OOMs the driver.
+    // AQE may still broadcast at runtime when small; what's pinned here is
+    // the absence of a FORCED hint in the logical plan. (The shingle index
+    // is checkpointed eagerly, so its intentional 1-row cap broadcast does
+    // not appear in this frame's plan.)
+    val df = graft.operators.DedupOps.ngramJaccardPairs(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text", 0.1)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"candidate pair list must not be hint-broadcast:\n$analyzed")
+  }
+
   test("q_text_entropy is a pure projection (no shuffle before the output sort)") {
     val p = plan("q_text_entropy")
     val exchanges = "Exchange".r.findAllIn(p).length
