@@ -280,8 +280,12 @@ object SimilarityOps {
     * broadcast-model pattern; the corpus itself is touched only by
     * distributed assign/mean passes, one per round).
     *
-    * SEARCH: corpus vectors carry their list id (argmax dot over the
-    * centroid literals, one codegen'd [[dotf]] per centroid); queries
+    * SEARCH: corpus vectors carry their list id (argmax dot via the
+    * [[graft.functions.ArgTopDot]] kernel — the centroid matrix rides a
+    * torrent BROADCAST and the per-row argmax is one constant-size codegen
+    * node, so plan size and task payload stay O(1) in nlist; the literal
+    * per-centroid rendering this replaced grew the generated Java linearly
+    * in nlist and capped the operator at toy list counts); queries
     * explode their `nprobe` top lists; candidates meet in a list-id
     * equi-join — shuffle volume ≈ corpus + corpus·nprobe/nlist·…
     * candidates, never n². Multi-list duplicates collapse in the (va, vb)
@@ -329,11 +333,14 @@ object SimilarityOps {
       s"training sample has fewer than nlist=$nlist non-zero vectors — " +
         "raise trainFraction or lower nlist")
 
-    // argmax_i dot(ne, c_i): struct max compares (dot, i) lexicographically
+    // argmax_i dot(ne, c_i) through the ArgTopDot kernel: the centroid
+    // matrix is broadcast (re-broadcast per k-means round — kilobytes),
+    // never rendered into the expression tree. Tie order (dot DESC, index
+    // DESC) matches the struct-max rendering; KernelSpec pins the parity.
+    val sc = rows.sparkSession.sparkContext
+    def bcast(cs: Array[Seq[Double]]) = sc.broadcast(cs.map(_.toArray))
     def assignList(v: Column, cs: Array[Seq[Double]]): Column =
-      array_max(array(cs.zipWithIndex.toSeq.map { case (c, i) =>
-        struct(dotf(v, typedLit(c)).as("d"), lit(i).as("i"))
-      }: _*)).getField("i")
+      graft.functions.ArgTopDot.argMaxDot(v, bcast(cs))
 
     var round = 0
     while (round < iters) {
@@ -360,11 +367,11 @@ object SimilarityOps {
 
     val assigned = ne
       .select(col("vec_id"), col("ne"), assignList(col("ne"), centroids).as("l"))
-    // query probes: top-nprobe lists by centroid dot product
+    // query probes: top-nprobe lists by centroid dot product (same
+    // broadcast kernel, k = nprobe)
     val probes = ne.select(col("vec_id").as("va"), col("ne").as("ea"),
-      explode(slice(reverse(array_sort(array(centroids.zipWithIndex.toSeq.map {
-        case (c, i) => struct(dotf(col("ne"), typedLit(c)).as("d"), lit(i).as("i"))
-      }: _*))), 1, nprobe).getField("i")).as("l"))
+      explode(graft.functions.ArgTopDot.argTopDot(
+        col("ne"), bcast(centroids), nprobe)).as("l"))
     val w = Window.partitionBy("va").orderBy(desc("cos"), col("vb"))
     probes
       .join(assigned.select(col("vec_id").as("vb"), col("ne").as("eb"),

@@ -99,4 +99,33 @@ class KernelPropertySpec extends SparkSpec {
           java.lang.Double.doubleToLongBits(r.getDouble(1)))
       }
   }
+
+  test("ArgTopDot equals the literal rendering on generated vectors (incl. ties)") {
+    val s = spark
+    import s.implicits._
+    val dim = 6
+    val vecGen: Gen[Array[Float]] =
+      Gen.listOfN(dim, Gen.chooseNum(-100f, 100f)).map(_.toArray)
+    val vecs = Gen.listOfN(60, vecGen).sample.get
+    // centroids from the same generator, as exact doubles, plus a
+    // duplicated row and an all-zero row: duplicates force exact dot ties
+    // (tie order is the contract), zero ties against nothing but itself
+    val baseC = Gen.listOfN(5, vecGen).sample.get
+      .map(_.map(_.toDouble))
+    val cents = (baseC :+ baseC(2).clone() :+ Array.fill(dim)(0.0)).toArray
+    val bc = spark.sparkContext.broadcast(cents)
+    val structs = array(cents.zipWithIndex.toSeq.map { case (c, i) =>
+      struct(graft.functions.DotF.dotf(col("v"), typedLit(c.toSeq)).as("d"),
+        lit(i).as("i"))
+    }: _*)
+    val k = 4
+    val literal = transform(
+      slice(reverse(array_sort(structs)), 1, k), st => st.getField("i"))
+    val bad = vecs.toDF("v").select(
+      graft.functions.ArgTopDot.argTopDot(col("v"), bc, k).as("n"),
+      literal.as("h"))
+      .filter(not(col("n") === col("h")))
+      .count()
+    assert(bad == 0)
+  }
 }

@@ -149,6 +149,37 @@ class KernelSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("ArgTopDot equals the literal struct-max / reverse-sort rendering on every embedding") {
+    import graft.functions.ArgTopDot.{argMaxDot, argTopDot}
+    import graft.functions.DotF.dotf
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    // deterministic centroids: 8 corpus embeddings, normalized — plus one
+    // DUPLICATE so exact dot ties exercise the (dot DESC, index DESC)
+    // tie order the kernel must share with the struct-max rendering
+    val base = emb.orderBy("vec_id").limit(8)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map { a =>
+        val n = math.sqrt(a.map(x => x * x).sum)
+        a.map(_ / n)
+      }
+    val cents = base :+ base(0).clone()
+    val bc = spark.sparkContext.broadcast(cents)
+    val structs = array(cents.zipWithIndex.toSeq.map { case (c, i) =>
+      struct(dotf(col("embedding"), typedLit(c.toSeq)).as("d"),
+        lit(i).as("i"))
+    }: _*)
+    val literalMax = array_max(structs).getField("i")
+    val literalTop3 = transform(
+      slice(reverse(array_sort(structs)), 1, 3), s => s.getField("i"))
+    val bad = emb.select(
+      argMaxDot(col("embedding"), bc).as("km"), literalMax.as("lm"),
+      argTopDot(col("embedding"), bc, 3).as("kt"), literalTop3.as("lt"))
+      .filter(col("km") =!= col("lm") || not(col("kt") === col("lt")))
+      .count()
+    assert(bad == 0)
+  }
+
   test("kernels are SQL-callable via GraftExtensions") {
     val r = spark.sql(
       """SELECT simhash64('a b c') AS s, size(minhash_sig64('a b c d e')) AS n,

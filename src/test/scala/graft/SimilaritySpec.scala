@@ -94,6 +94,21 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.isEmpty, "ivf rank structure broken")
   }
 
+  test("IVF survives production-shaped nlist (256 lists on a 500-vector corpus)") {
+    // the r5 literal-centroid rendering grew the generated Java linearly
+    // in nlist and died at this scale; the ArgTopDot kernel keeps the
+    // plan constant-size. 256 lists of ~2 vectors probed at nprobe/nlist
+    // = 1/2 is a locality-guided half-scan — it must beat the ~0.5 recall
+    // a RANDOM half-scan gets in expectation
+    val e = graft.sources.Tables(spark, sf, "embeddings")
+    val approx = graft.operators.SimilarityOps
+      .ivfKnnJoin(e, "vec_id", "embedding", 5, nlist = 256, nprobe = 128)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactKnnPairs & approx).size.toDouble / exactKnnPairs.size
+    info(f"nlist=256 recall@5 = $recall%.3f")
+    assert(recall >= 0.6, f"ivf nlist=256 recall@5 = $recall%.3f < 0.6")
+  }
+
   test("IVF quantizer trained on a 30% hash-sample still beats the random-scan baseline") {
     // the 100 TB path: training cost is corpus-size-independent; with
     // nprobe/nlist = 1/2 a random half-scan recalls ~0.50 in expectation,
