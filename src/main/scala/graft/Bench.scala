@@ -109,7 +109,8 @@ object Bench {
     // consumers' numbers measure the consumer, not first-touch accounting.
     val memoBuilds =
       graft.operators.DedupOps.memoBuilds ++
-        graft.operators.TokenizerOps.memoBuilds
+        graft.operators.TokenizerOps.memoBuilds ++
+        graft.operators.PipelineOps.memoBuilds
     val memoResults = memoBuilds
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -324,12 +324,33 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** The TRAIN-SPLIT near-dup pair list, materialized once per
+    * application (same storage-backed pattern as
+    * [[DedupOps.sharedNgramPairs]], which it cannot reuse: the curation
+    * input is the train split, not the full corpus, and a pair list over
+    * different ids is a different intermediate). The bench's most
+    * expensive query was rebuilding this index every rep; production
+    * pipelines materialize it and pass it through `precomputedPairs`. */
+  private[operators] def curatePairs(s: SparkSession, d: String): DataFrame =
+    graft.sources.Materialize.table(s, s"curate_pairs:$d") {
+      DedupOps.ngramJaccardPairs(
+        TextOps.splitAssign(s, d).filter(col("split") === "train"),
+        "doc_id", "text", minJaccard = 0.1)
+    }
+
+  /** Bench accounting hook (see [[DedupOps.memoBuilds]]). */
+  def memoBuilds: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq("_memo_curate_pairs" -> ((s, d) => curatePairs(s, d)))
+
   // q_curate: curate the train split against the held-out splits —
-  // the same deterministic md5 split q_decontaminate uses.
+  // the same deterministic md5 split q_decontaminate uses. The near-dup
+  // stage consumes the memoized train-split pair list; memoized ≡ direct
+  // parity is asserted in graft.MaterializeSpec.
   private def curateQuery(s: SparkSession, d: String): DataFrame = {
     val sp = TextOps.splitAssign(s, d)
     curate(sp.filter(col("split") === "train"),
-      sp.filter(col("split") =!= "train"), "doc_id", "text")
+      sp.filter(col("split") =!= "train"), "doc_id", "text",
+      precomputedPairs = Some(curatePairs(s, d)))
   }
 
   private val curateOracleSql: String = {

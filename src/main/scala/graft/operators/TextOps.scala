@@ -308,7 +308,7 @@ object TextOps {
   // reproducible split every training pipeline needs (no RNG, no seed
   // drift across engines/runs; a doc's split never changes when the corpus
   // grows). 90/5/5 by the first 8 hex digits of md5(doc_id).
-  private[operators] def splitAssign(s: SparkSession, d: String): DataFrame =
+  private[graft] def splitAssign(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .withColumn("bucket",
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)

@@ -48,4 +48,15 @@ class MaterializeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
     assert(shared.toSeq == direct.toSeq)
   }
+
+  test("q_curate through the memoized train-split pair list equals the direct pipeline") {
+    val sp = graft.operators.TextOps.splitAssign(spark, sf)
+    val direct = graft.operators.PipelineOps.curate(
+      sp.filter(col("split") === "train"),
+      sp.filter(col("split") =!= "train"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val memoized = SparkEntry.queries("q_curate")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(memoized.toSeq == direct.toSeq)
+  }
 }
