@@ -90,18 +90,29 @@ object Bench {
         System.gc()
       }
 
+    // Returns (wall time, did-the-query-pin-blocks). Wall time is -1.0
+    // for the rep in which a failure occurred — so the file JSON's "runs"
+    // arrays are self-describing (a failed rep's elapsed time is not a
+    // measurement). The block flag identifies localCheckpoint-heavy
+    // queries at runtime (no hardcoded list to rot).
     def timeOne(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          if (!failed.contains(name)) failed ::= name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
+      val ok =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch {
+          case e: Throwable =>
+            if (!failed.contains(name)) failed ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
       val sec = (System.nanoTime() - t0) / 1e9
+      val pinnedBlocks = spark.sparkContext.getPersistentRDDs.nonEmpty
       releaseBlocks()
-      sec
+      (if (ok) sec else -1.0, pinnedBlocks)
     }
 
     // Shared-intermediate builds, timed ONCE each (later calls are
@@ -111,11 +122,23 @@ object Bench {
       graft.operators.DedupOps.memoBuilds ++
         graft.operators.TokenizerOps.memoBuilds ++
         graft.operators.PipelineOps.memoBuilds
+    // A subset run that selects consumers but not their memo prebuild
+    // makes the first rep pay the Materialize build silently — numbers
+    // from such a run are incomparable with full-suite medians. Say so.
+    only.foreach { sel =>
+      val excluded = memoBuilds.map(_._1).filterNot(sel.contains)
+      if (excluded.nonEmpty && sel.exists(_.startsWith("q_")))
+        System.err.println(
+          s"[bench] notice: BENCH_ONLY excludes memo builds " +
+            s"${excluded.mkString(", ")} — if a selected query consumes " +
+            "one, its first rep pays the build (add the _memo_ name to " +
+            "BENCH_ONLY for comparable numbers)")
+    }
     val memoResults = memoBuilds
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val sec = timeOne(name, fn)
-        (name, if (failed.contains(name)) -1.0 else sec, Seq(sec))
+        val sec = timeOne(name, fn)._1
+        (name, sec, Seq(sec))
       }
 
     // (name, median, all runs). Median = lower median for even rep counts
@@ -123,12 +146,24 @@ object Bench {
     val queryResults = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val runs = (1 to reps).map { _ =>
-          if (failed.contains(name)) -1.0 else timeOne(name, fn)
-        }
+        // localCheckpoint-heavy queries show first-rep contamination
+        // that survives the GC barrier (r5 raw runs: q_curate 9.3s rep 1
+        // vs 2.9s after): their first rep is a THROWAWAY — discarded
+        // untimed, with `reps` fresh reps timed after it. Every other
+        // query keeps rep 1 as a measurement.
+        val (firstSec, ckpt) = timeOne(name, fn)
+        val runs: Seq[Double] =
+          if (firstSec >= 0 && ckpt)
+            (1 to reps).map { _ =>
+              if (failed.contains(name)) -1.0 else timeOne(name, fn)._1
+            }
+          else
+            firstSec +: (2 to reps).map { _ =>
+              if (failed.contains(name)) -1.0 else timeOne(name, fn)._1
+            }
         val ok = runs.filter(_ >= 0)
         val med =
-          if (failed.contains(name)) -1.0
+          if (failed.contains(name) || ok.isEmpty) -1.0
           else ok.sorted.apply((ok.length - 1) / 2)
         (name, med, runs)
       }

@@ -45,9 +45,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ngram_set64"),
       new ExpressionInfo(classOf[NGramSet64].getName, "ngram_set64"),
       (children: Seq[Expr]) => {
+        require(children.length == 2,
+          s"ngram_set64(text, n) takes 2 arguments, got ${children.length}")
         require(children(1).foldable,
           "ngram_set64(text, n): n must be a literal")
-        NGramSet64(children(0), children(1).eval().asInstanceOf[Int])
+        val n = children(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
+          case other => throw new IllegalArgumentException(
+            s"ngram_set64(text, n): n must be a non-null INT literal, got " +
+              (if (other == null) "NULL" else other.getClass.getSimpleName))
+        }
+        NGramSet64(children(0), n)
       }))
   }
 }

@@ -274,7 +274,15 @@ case class SimHash64(child: Expression) extends TextKernelExpr {
 }
 
 /** Parameterized-n variant of [[ShingleSet64]]: `n` is a plan-time
-  * constant (it sizes the kernel's inner loop), not a child expression. */
+  * constant (it sizes the kernel's inner loop), not a child expression.
+  *
+  * Null-input note: NULL text yields NULL (standard unary null
+  * propagation), whereas the declarative rendering this kernel is
+  * hash-parity with (`array_distinct(transform(...))` under a
+  * `when(size >= n)...otherwise(array())`) yields an EMPTY ARRAY for
+  * NULL text through its otherwise-branch. All in-repo consumers explode
+  * the result (both forms contribute zero rows), but a caller using
+  * `size(...)` or array ops directly sees NULL here vs 0/[] there. */
 case class NGramSet64(child: Expression, n: Int) extends TextKernelExpr {
   require(n >= 2, s"need n >= 2, got n=$n")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -204,5 +204,17 @@ class KernelSpec extends SparkSpec {
         .collect())
     assert(e.getMessage.contains("literal") ||
       Option(e.getCause).exists(_.getMessage.contains("literal")))
+    // n as a foldable of another integral type is accepted (widened)...
+    assert(spark.sql("SELECT size(ngram_set64('a b c', CAST(2 AS BIGINT))) AS n")
+      .collect().head.getInt(0) == 2)
+    // ...while wrong arity and a NULL n are rejected with clear messages,
+    // not ClassCastException/IndexOutOfBounds or a misleading "n=0"
+    def msgOf(sql: String): String = {
+      val ex = intercept[Exception](spark.sql(sql).collect())
+      ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    }
+    assert(msgOf("SELECT ngram_set64('a b c')").contains("2 arguments"))
+    assert(msgOf("SELECT ngram_set64('a b c', NULL)").contains("INT literal"))
+    assert(msgOf("SELECT ngram_set64('a b c', 2.5)").contains("INT literal"))
   }
 }
