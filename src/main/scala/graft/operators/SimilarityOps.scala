@@ -297,29 +297,33 @@ object SimilarityOps {
     * graft.SimilaritySpec; (nlist, nprobe) is the recall-vs-scan lever.
     *
     * LIBRARY ENTRY POINT — generic over any (id, array-of-float) frame. */
-  def ivfKnnJoin(rows: DataFrame, id: String, vec: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
-      trainFraction: Double = 1.0): DataFrame = {
-    require(nlist >= 2 && nprobe >= 1 && nprobe <= nlist && iters >= 1,
-      s"bad IVF config: nlist=$nlist nprobe=$nprobe iters=$iters")
-    require(trainFraction > 0 && trainFraction <= 1.0,
-      s"trainFraction must be in (0, 1], got $trainFraction")
-    val e = rows.select(col(id).as("vec_id"), col(vec).as("embedding"))
+  /** L2-normalized double vectors (`vec_id`, `ne`); zero vectors dropped
+    * (no direction — they can neither train nor match on cosine). */
+  private def normalizedVecs(rows: DataFrame, id: String,
+      vec: String): DataFrame =
+    rows.select(col(id).as("vec_id"), col(vec).as("embedding"))
       .select(col("vec_id"), col("embedding"),
         sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"))
       .filter(col("nrm") > 0)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double") / col("nrm"))
           .as("ne"))
-    // One normalized pass feeds `iters` assign/mean rounds + the final
-    // assignment: materialize it once (released by the caller's unpersist
-    // sweep, like the dedup family's intermediates).
-    val ne = e.localCheckpoint(true)
-    // At 100 TB the quantizer trains on a SAMPLE (FAISS guidance:
-    // ~50-250 vectors per centroid suffices) — a deterministic hash
-    // filter, so training cost is corpus-size-independent while the
-    // assignment and search passes stay full-corpus. trainFraction = 1
-    // (default) trains on everything.
+
+  /** Spherical k-means (Lloyd) over normalized vectors — the IVF coarse
+    * quantizer's training loop. Deterministic end to end: hash-ranked
+    * seeds, exact decimal means, argmax ties fixed by the kernel's
+    * (dot DESC, index DESC) order — so retraining on the same input
+    * reproduces the same centroids at any parallelism.
+    *
+    * At 100 TB the quantizer trains on a SAMPLE (FAISS guidance: ~50-250
+    * vectors per centroid suffices) — a deterministic hash filter, so
+    * training cost is corpus-size-independent while the assignment and
+    * search passes stay full-corpus. trainFraction = 1 (default) trains
+    * on everything. */
+  private def kmeansCentroids(ne: DataFrame, nlist: Int, iters: Int,
+      trainFraction: Double): Array[Seq[Double]] = {
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
     val trainNe =
       if (trainFraction >= 1.0) ne
       else ne.filter(pmod(xxhash64(col("vec_id")), lit(1000000L))
@@ -333,22 +337,15 @@ object SimilarityOps {
       s"training sample has fewer than nlist=$nlist non-zero vectors — " +
         "raise trainFraction or lower nlist")
 
-    // argmax_i dot(ne, c_i) through the ArgTopDot kernel: the centroid
-    // matrix is broadcast (re-broadcast per k-means round — kilobytes),
-    // never rendered into the expression tree. Tie order (dot DESC, index
-    // DESC) matches the struct-max rendering; KernelSpec pins the parity.
-    val sc = rows.sparkSession.sparkContext
-    def bcast(cs: Array[Seq[Double]]) = sc.broadcast(cs.map(_.toArray))
-    def assignList(v: Column, cs: Array[Seq[Double]]): Column =
-      graft.functions.ArgTopDot.argMaxDot(v, bcast(cs))
-
+    val sc = ne.sparkSession.sparkContext
     var round = 0
     while (round < iters) {
       // spherical k-means round: mean of members, renormalized. Exact
       // decimal means → same centroids at any partitioning. An emptied
       // list keeps its previous centroid.
+      val bc = sc.broadcast(centroids.map(_.toArray))
       val means = trainNe
-        .select(assignList(col("ne"), centroids).as("l"),
+        .select(graft.functions.ArgTopDot.argMaxDot(col("ne"), bc).as("l"),
           posexplode(col("ne")).as(Seq("p", "v")))
         .groupBy("l", "p")
         .agg((Det.dsum(col("v")) / count(lit(1))).as("m"))
@@ -364,9 +361,69 @@ object SimilarityOps {
       centroids = next
       round += 1
     }
+    centroids
+  }
+
+  /** Train the IVF coarse quantizer and return it as a persistable
+    * centroid table `(list INT, centroid ARRAY<DOUBLE>)` — the reusable
+    * artifact a production pipeline writes once and feeds back into
+    * [[ivfKnnJoin]]'s `precomputedCentroids` across queries and sessions
+    * (the same materialize-the-expensive-stage pattern as curate's
+    * `precomputedPairs`). Training is deterministic, so
+    * train-once-then-reuse is bit-identical to self-training.
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, array-of-float) frame. */
+  def ivfTrain(rows: DataFrame, id: String, vec: String, nlist: Int = 16,
+      iters: Int = 3, trainFraction: Double = 1.0): DataFrame = {
+    require(nlist >= 2 && iters >= 1,
+      s"bad IVF config: nlist=$nlist iters=$iters")
+    val ne = normalizedVecs(rows, id, vec).localCheckpoint(true)
+    val cents = kmeansCentroids(ne, nlist, iters, trainFraction)
+    val s = rows.sparkSession
+    import s.implicits._
+    cents.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("list", "centroid")
+  }
+
+  def ivfKnnJoin(rows: DataFrame, id: String, vec: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      trainFraction: Double = 1.0,
+      precomputedCentroids: Option[DataFrame] = None): DataFrame = {
+    require(nlist >= 2 && nprobe >= 1 && nprobe <= nlist && iters >= 1,
+      s"bad IVF config: nlist=$nlist nprobe=$nprobe iters=$iters")
+    // One normalized pass feeds `iters` assign/mean rounds + the final
+    // assignment: materialize it once (released by the caller's unpersist
+    // sweep, like the dedup family's intermediates).
+    val ne = normalizedVecs(rows, id, vec).localCheckpoint(true)
+    // Quantizer reuse (mirrors curate's precomputedPairs): a production
+    // pipeline trains ONCE ([[ivfTrain]]), persists the nlist-row centroid
+    // table, and every later query/session skips training — at moderate SF
+    // training dominates this operator's cost. Self-trained ≡ precomputed
+    // parity is asserted in graft.SimilaritySpec (training is
+    // deterministic, so the two paths are bit-identical).
+    val centroids: Array[Seq[Double]] = precomputedCentroids match {
+      case Some(ct) =>
+        val cs = ct.select(col("list").cast("int"), col("centroid"))
+          .orderBy("list").collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        require(cs.length == nlist &&
+          cs.map(_._1).sameElements(0 until nlist),
+          s"precomputed centroid table must carry lists 0..${nlist - 1}, " +
+            s"got ${cs.length} rows")
+        cs.map(_._2)
+      case None => kmeansCentroids(ne, nlist, iters, trainFraction)
+    }
+
+    // argmax_i dot(ne, c_i) through the ArgTopDot kernel: the centroid
+    // matrix is broadcast (re-broadcast per k-means round — kilobytes),
+    // never rendered into the expression tree. Tie order (dot DESC, index
+    // DESC) matches the struct-max rendering; KernelSpec pins the parity.
+    val sc = rows.sparkSession.sparkContext
+    def bcast(cs: Array[Seq[Double]]) = sc.broadcast(cs.map(_.toArray))
 
     val assigned = ne
-      .select(col("vec_id"), col("ne"), assignList(col("ne"), centroids).as("l"))
+      .select(col("vec_id"), col("ne"),
+        graft.functions.ArgTopDot.argMaxDot(col("ne"), bcast(centroids)).as("l"))
     // query probes: top-nprobe lists by centroid dot product (same
     // broadcast kernel, k = nprobe)
     val probes = ne.select(col("vec_id").as("va"), col("ne").as("ea"),

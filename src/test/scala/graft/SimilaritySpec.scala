@@ -109,6 +109,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, f"ivf nlist=256 recall@5 = $recall%.3f < 0.6")
   }
 
+  test("ivfKnnJoin with a precomputed quantizer is bit-identical to the self-trained path") {
+    // the production reuse path: ivfTrain once, persist the nlist-row
+    // centroid table, feed it back — training determinism makes the two
+    // paths exactly equal, not just recall-equivalent
+    val e = graft.sources.Tables(spark, sf, "embeddings")
+    val ct = graft.operators.SimilarityOps
+      .ivfTrain(e, "vec_id", "embedding", nlist = 16)
+    def rows(pc: Option[org.apache.spark.sql.DataFrame]) =
+      graft.operators.SimilarityOps
+        .ivfKnnJoin(e, "vec_id", "embedding", 5, nlist = 16, nprobe = 8,
+          precomputedCentroids = pc)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(Some(ct)) == rows(None))
+    // a malformed centroid table is rejected loudly
+    val bad = intercept[Exception](
+      graft.operators.SimilarityOps.ivfKnnJoin(e, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 8,
+        precomputedCentroids = Some(ct.filter(col("list") < 8))).collect())
+    assert(bad.getMessage.contains("lists 0..15"))
+  }
+
   test("IVF quantizer trained on a 30% hash-sample still beats the random-scan baseline") {
     // the 100 TB path: training cost is corpus-size-independent; with
     // nprobe/nlist = 1/2 a random half-scan recalls ~0.50 in expectation,
