@@ -153,6 +153,17 @@ class PlanSpec extends SparkSpec {
     assert(ss.contains("ngram_set64"), s"expected NGramSet64 kernel:\n$ss")
   }
 
+  test("IVF assigns lists through the broadcast ArgTopDot kernel, not centroid literals") {
+    // the r5 literal-centroid rendering grew the plan linearly in nlist;
+    // a silent revert would show up here as dotf-per-centroid chains
+    val df = graft.operators.SimilarityOps.ivfKnnJoin(
+      spark.read.parquet(s"$sf/embeddings.parquet"),
+      "vec_id", "embedding", 5, nlist = 16, nprobe = 8)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("arg_top_dot"), s"expected ArgTopDot kernel:\n$p")
+    assert(!p.contains("dotf(ne"), s"centroid-literal dotf chain crept back:\n$p")
+  }
+
   test("ngramJaccardPairs never forces a broadcast of the candidate pair list") {
     // r5 verdict: the pre-filter pair aggregate (every pair sharing ≥1
     // surviving shingle) must not carry an explicit broadcast hint — on a
