@@ -163,7 +163,11 @@ object SimilarityOps {
     Array.fill(count)(Array.fill(dim)(next()))
   }
 
-  /** LSH bucket ids, one per table: sign bits of plane dot products. */
+  /** LSH bucket ids, one per table: sign bits of plane dot products.
+    * DECLARATIVE PARITY REFERENCE ONLY — the operators bucket through the
+    * [[graft.functions.LshBuckets]] kernel (broadcast plane matrix,
+    * constant-size plan); this literal rendering grows the plan linearly
+    * in tables × planesPer. graft.KernelSpec asserts the two agree. */
   private[graft] def bucketCols(v: Column, tables: Int, planesPer: Int,
       dim: Int = Dim): Seq[Column] = {
     val ps = planesFor(tables * planesPer, dim)
@@ -175,6 +179,15 @@ object SimilarityOps {
     }
   }
 
+  /** The kernel path: per-table bucket ids as one array column, planes
+    * broadcast once per (tables, planesPer, dim) call site. */
+  private def lshBucketArr(rows: DataFrame, v: Column, tables: Int,
+      planesPer: Int, dim: Int = Dim): Column = {
+    val bc = rows.sparkSession.sparkContext
+      .broadcast(planesFor(tables * planesPer, dim))
+    graft.functions.LshBuckets.lshBuckets(v, bc, tables, planesPer)
+  }
+
   /** ANN top-20 for vec_id=0 under an explicit (tables, planes) config:
     * candidates share an LSH bucket in ≥1 table, then exact cosine ranks
     * the candidates only. Candidate dedup keys on `vec_id` (multi-table
@@ -182,13 +195,8 @@ object SimilarityOps {
   private[graft] def annTopKWith(
       s: SparkSession, d: String, tables: Int, planesPer: Int): DataFrame = {
     val e = emb(s, d)
-    val withBuckets = e.select(
-      (col("vec_id") +: col("label") +: col("embedding") +:
-        bucketCols(col("embedding"), tables, planesPer).zipWithIndex
-          .map { case (c, t) => c.as(s"b$t") }): _*)
-    val buckets = withBuckets.select(col("vec_id"), col("label"),
-      col("embedding"),
-      posexplode(array((0 until tables).map(t => col(s"b$t")): _*))
+    val buckets = e.select(col("vec_id"), col("label"), col("embedding"),
+      posexplode(lshBucketArr(e, col("embedding"), tables, planesPer))
         .as(Seq("tbl", "bucket")))
     val qb = buckets.filter(col("vec_id") === 0)
       .select(col("tbl"), col("bucket"), col("embedding").as("qe"))
@@ -240,7 +248,7 @@ object SimilarityOps {
         sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"))
       .filter(col("nrm") > 0)
     val buckets = e.select(col("vec_id"), col("embedding"), col("nrm"),
-      posexplode(array(bucketCols(col("embedding"), tables, planesPer, dim): _*))
+      posexplode(lshBucketArr(e, col("embedding"), tables, planesPer, dim))
         .as(Seq("tbl", "bucket")))
     val a = buckets.select(col("vec_id").as("va"), col("embedding").as("ea"),
       col("nrm").as("na"), col("tbl"), col("bucket"))

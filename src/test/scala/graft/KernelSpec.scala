@@ -180,6 +180,23 @@ class KernelSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("LshBuckets equals the literal bucketCols rendering on every embedding") {
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    for ((tables, planesPer) <- Seq((8, 2), (4, 5))) {
+      val ps = graft.operators.SimilarityOps.planesFor(tables * planesPer)
+      val bc = spark.sparkContext.broadcast(ps)
+      val literal = array(graft.operators.SimilarityOps
+        .bucketCols(col("embedding"), tables, planesPer): _*)
+      val bad = emb.select(
+        graft.functions.LshBuckets
+          .lshBuckets(col("embedding"), bc, tables, planesPer).as("n"),
+        literal.as("h"))
+        .filter(not(col("n") === col("h")))
+        .count()
+      assert(bad == 0, s"LshBuckets mismatch at ($tables, $planesPer)")
+    }
+  }
+
   test("kernels are SQL-callable via GraftExtensions") {
     val r = spark.sql(
       """SELECT simhash64('a b c') AS s, size(minhash_sig64('a b c d e')) AS n,
