@@ -100,6 +100,30 @@ class KernelPropertySpec extends SparkSpec {
       }
   }
 
+  test("LshBuckets equals the literal bucketCols rendering on generated vectors") {
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    val vecGen: Gen[Array[Float]] =
+      Gen.listOfN(dim, Gen.chooseNum(-10f, 10f)).map(_.toArray)
+    // a wrong-length vector exercises the null-dot path: every plane dot
+    // nulls, the rendering's otherwise-branch gives all-zero buckets and
+    // the kernel must agree
+    val vecs = Gen.listOfN(50, vecGen).sample.get :+ Array.fill(3)(1f)
+    val (tables, planesPer) = (4, 3)
+    val ps = graft.operators.SimilarityOps.planesFor(tables * planesPer, dim)
+    val bc = spark.sparkContext.broadcast(ps)
+    val literal = array(graft.operators.SimilarityOps
+      .bucketCols(col("v"), tables, planesPer, dim): _*)
+    val bad = vecs.toDF("v").select(
+      graft.functions.LshBuckets
+        .lshBuckets(col("v"), bc, tables, planesPer).as("n"),
+      literal.as("h"))
+      .filter(not(col("n") === col("h")))
+      .count()
+    assert(bad == 0)
+  }
+
   test("ArgTopDot equals the literal rendering on generated vectors (incl. ties)") {
     val s = spark
     import s.implicits._
