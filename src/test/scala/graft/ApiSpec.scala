@@ -154,6 +154,35 @@ class ApiSpec extends SparkSpec {
     assert(knn.get(1L).contains(2L) && knn.get(2L).contains(1L), s"got $knn")
   }
 
+  test("ivfKnnJoin recovers planted clusters on a generic frame (incl. quantizer reuse)") {
+    val s = spark
+    import s.implicits._
+    // two well-separated direction clusters; with nlist=2 / nprobe=1 each
+    // vector only ever scans its own list, so its top-1 must be a
+    // same-cluster partner
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.05f, 0.0f)), (2L, Array(0.95f, 0.1f, 0.0f)),
+      (3L, Array(0.9f, 0.0f, 0.1f)), (4L, Array(1.0f, 0.0f, 0.05f)),
+      (5L, Array(0.0f, 0.1f, 1.0f)), (6L, Array(0.05f, 0.0f, 0.95f)),
+      (7L, Array(0.1f, 0.05f, 1.0f)), (8L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("rid", "v")
+    val cluster = Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1,
+      5L -> 2, 6L -> 2, 7L -> 2, 8L -> 2)
+    def check(pc: Option[org.apache.spark.sql.DataFrame]): Unit = {
+      val knn = graft.operators.SimilarityOps
+        .ivfKnnJoin(vecs, "rid", "v", k = 1, nlist = 2, nprobe = 1,
+          precomputedCentroids = pc)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(knn.size == 8, s"every vector should get a neighbor: $knn")
+      knn.foreach { case (a, b) =>
+        assert(cluster(a) == cluster(b), s"$a matched cross-cluster $b: $knn")
+      }
+    }
+    check(None)
+    check(Some(graft.operators.SimilarityOps
+      .ivfTrain(vecs, "rid", "v", nlist = 2)))
+  }
+
   test("quantizeError reconstructs a planted two-point dimension exactly") {
     val s = spark
     import s.implicits._
