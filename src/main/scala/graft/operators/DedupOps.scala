@@ -128,10 +128,12 @@ object DedupOps {
     // the post-Jaccard pair list and can blow past broadcast limits. AQE
     // still broadcasts at runtime when the aggregate is genuinely small;
     // forcing it here turns the operator's primary use case into an OOM.
+    // pair generation through the ListPairs kernel (one primitive loop
+    // per bucket; the declarative flatten/transform/slice rendering —
+    // kept as KernelSpec's parity reference — copied the list suffix per
+    // element and dispatched two interpreted lambdas per pair)
     val pairs = grp
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
-          struct(least(x, y).as("da"), greatest(x, y).as("db")))))).as("p"))
+      .select(explode(graft.functions.ListPairs.listPairs(col("ds"))).as("p"))
       .groupBy(col("p.da").as("da"), col("p.db").as("db"))
       .agg(count(lit(1)).as("inter"))
     pairs
@@ -184,9 +186,7 @@ object DedupOps {
       .crossJoin(broadcast(cap))
       .filter(col("df") <= col("max_df") && col("df") > 1)
     buckets
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
-          struct(least(x, y).as("da"), greatest(x, y).as("db")))))).as("p"))
+      .select(explode(graft.functions.ListPairs.listPairs(col("ds"))).as("p"))
       .groupBy(col("p.da").as("da"), col("p.db").as("db"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

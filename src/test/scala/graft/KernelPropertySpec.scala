@@ -100,6 +100,26 @@ class KernelPropertySpec extends SparkSpec {
       }
   }
 
+  test("ListPairs equals the declarative rendering on generated lists (incl. empty/singleton)") {
+    val s = spark
+    import s.implicits._
+    val listGen: Gen[Array[Long]] = for {
+      n <- Gen.oneOf(0, 1, 2, 3, 7, 40)
+      // chooseNum duplicates freely at small ranges — duplicates exercise
+      // the (min, max) tie behavior (da == db pairs)
+      xs <- Gen.listOfN(n, Gen.chooseNum(-5L, 5L))
+    } yield xs.toArray
+    val lists = Gen.listOfN(60, listGen).sample.get
+    val hof = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+        struct(least(x, y).as("da"), greatest(x, y).as("db")))))
+    val bad = lists.toDF("ds").select(
+      graft.functions.ListPairs.listPairs(col("ds")).as("n"), hof.as("h"))
+      .filter(not(col("n") === col("h")))
+      .count()
+    assert(bad == 0)
+  }
+
   test("LshBuckets equals the literal bucketCols rendering on generated vectors") {
     val s = spark
     import s.implicits._

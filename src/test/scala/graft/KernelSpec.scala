@@ -180,6 +180,23 @@ class KernelSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("ListPairs equals the flatten/transform/slice rendering on the corpus's buckets") {
+    // real bucket lists: the shingle index's capped doc lists
+    val ds = docs
+      .select(col("doc_id"),
+        explode(TextKernels.shingleSet64(col("text"))).as("sh64"))
+      .groupBy("sh64").agg(collect_list("doc_id").as("ds"))
+    val hof = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+        struct(least(x, y).as("da"), greatest(x, y).as("db")))))
+    val bad = ds.select(
+      graft.functions.ListPairs.listPairs(col("ds")).as("native"),
+      hof.as("hof"))
+      .filter(not(col("native") === col("hof")))
+      .count()
+    assert(bad == 0)
+  }
+
   test("LshBuckets equals the literal bucketCols rendering on every embedding") {
     val emb = graft.sources.Tables(spark, sf, "embeddings")
     for ((tables, planesPer) <- Seq((8, 2), (4, 5))) {
