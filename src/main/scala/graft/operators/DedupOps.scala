@@ -275,16 +275,14 @@ object DedupOps {
     val buckets = bands.groupBy("band_idx", "band_key")
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ms"))
       .filter(size(col("ms")) > 1)
+    // pair generation + signature verification through the
+    // MinhashBucketPairs kernel: one primitive loop per bucket (the
+    // declarative rendering — KernelSpec's parity reference — dispatched
+    // two interpreted lambdas per pair plus 64 zip_with lambda calls for
+    // the agreement count); the est filter stays outside the kernel
     buckets
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + 2, size(col("ms"))), y =>
-          struct(
-            least(x.getField("doc_id"), y.getField("doc_id")).as("da"),
-            greatest(x.getField("doc_id"), y.getField("doc_id")).as("db"),
-            (size(filter(
-              zip_with(x.getField("sig"), y.getField("sig"), (p, q) => p === q),
-              m => m)) / lit(NumPerms.toDouble)).as("est"))))))
-        .as("pr"))
+      .select(explode(graft.functions.BucketPairs
+        .minhashBucketPairs(col("ms"))).as("pr"))
       .filter(col("pr.est") >= minEst)
       .select(col("pr.da").as("da"), col("pr.db").as("db"),
         Det.r4(col("pr.est")).as("jaccard_est"))
@@ -347,15 +345,11 @@ object DedupOps {
     val buckets = bands.groupBy("band", "bkey")
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
       .filter(size(col("ms")) > 1)
+    // same kernelized pair generation as MinHash (one XOR + popcount per
+    // pair in a primitive loop); the Hamming filter stays outside
     buckets
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + 2, size(col("ms"))), y =>
-          struct(
-            least(x.getField("doc_id"), y.getField("doc_id")).as("da"),
-            greatest(x.getField("doc_id"), y.getField("doc_id")).as("db"),
-            bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash")))
-              .as("hamming"))))))
-        .as("pr"))
+      .select(explode(graft.functions.BucketPairs
+        .simhashBucketPairs(col("ms"))).as("pr"))
       .filter(col("pr.hamming") <= maxHamming)
       .select(col("pr.da").as("da"), col("pr.db").as("db"),
         col("pr.hamming").as("hamming"))

@@ -197,6 +197,44 @@ class KernelSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("Minhash/SimhashBucketPairs equal the declarative renderings on corpus buckets") {
+    // synthetic LSH-shaped buckets straight off the corpus kernels: group
+    // docs by a coarse key so buckets hold >1 element, carry real
+    // (doc_id, signature) structs through both paths
+    val sigs = docs.select(
+      monotonically_increasing_id().as("doc_id"),
+      TextKernels.minhashSig64(col("text")).as("sig"),
+      TextKernels.simHash64(col("text")).as("simhash"),
+      (length(col("text")) % 7).as("bkey"))
+    val mh = sigs.groupBy("bkey")
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ms"))
+    val mhHof = flatten(transform(col("ms"), (x, i) =>
+      transform(slice(col("ms"), i + 2, size(col("ms"))), y =>
+        struct(
+          least(x.getField("doc_id"), y.getField("doc_id")).as("da"),
+          greatest(x.getField("doc_id"), y.getField("doc_id")).as("db"),
+          (size(filter(
+            zip_with(x.getField("sig"), y.getField("sig"), (p, q) => p === q),
+            m => m)) / lit(TextKernels.NumPerms.toDouble)).as("est")))))
+    assert(mh.select(
+      graft.functions.BucketPairs.minhashBucketPairs(col("ms")).as("n"),
+      mhHof.as("h"))
+      .filter(not(col("n") === col("h"))).count() == 0)
+    val sh = sigs.groupBy("bkey")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
+    val shHof = flatten(transform(col("ms"), (x, i) =>
+      transform(slice(col("ms"), i + 2, size(col("ms"))), y =>
+        struct(
+          least(x.getField("doc_id"), y.getField("doc_id")).as("da"),
+          greatest(x.getField("doc_id"), y.getField("doc_id")).as("db"),
+          bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash")))
+            .as("hamming")))))
+    assert(sh.select(
+      graft.functions.BucketPairs.simhashBucketPairs(col("ms")).as("n"),
+      shHof.as("h"))
+      .filter(not(col("n") === col("h"))).count() == 0)
+  }
+
   test("LshBuckets equals the literal bucketCols rendering on every embedding") {
     val emb = graft.sources.Tables(spark, sf, "embeddings")
     for ((tables, planesPer) <- Seq((8, 2), (4, 5))) {
