@@ -121,7 +121,8 @@ object Bench {
     val memoBuilds =
       graft.operators.DedupOps.memoBuilds ++
         graft.operators.TokenizerOps.memoBuilds ++
-        graft.operators.PipelineOps.memoBuilds
+        graft.operators.PipelineOps.memoBuilds ++
+        graft.operators.SimilarityOps.memoBuilds
     // A subset run that selects consumers but not their memo prebuild
     // makes the first rep pay the Materialize build silently — numbers
     // from such a run are incomparable with full-suite medians. Say so.

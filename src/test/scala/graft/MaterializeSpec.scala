@@ -49,6 +49,18 @@ class MaterializeSpec extends SparkSpec {
     assert(shared.toSeq == direct.toSeq)
   }
 
+  test("q_similarity_ivf through the memoized quantizer equals the self-trained join") {
+    val e = graft.sources.Tables(spark, sf, "embeddings")
+    val direct = graft.operators.SimilarityOps
+      .ivfKnnJoin(e, "vec_id", "embedding", k = 5, trainFraction = 0.3)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
+    val memoized = SparkEntry.queries("q_similarity_ivf")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(memoized.toSeq == direct.toSeq)
+  }
+
   test("q_curate through the memoized train-split pair list equals the direct pipeline") {
     val sp = graft.operators.TextOps.splitAssign(spark, sf)
     val direct = graft.operators.PipelineOps.curate(
