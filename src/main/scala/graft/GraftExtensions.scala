@@ -42,6 +42,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinShingleMd5].getName, "min_shingle_md5"),
       (children: Seq[Expr]) => MinShingleMd5(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("list_pairs"),
+      new ExpressionInfo(classOf[graft.functions.ListPairs].getName,
+        "list_pairs"),
+      (children: Seq[Expr]) => graft.functions.ListPairs(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_bucket_pairs"),
+      new ExpressionInfo(classOf[graft.functions.MinhashBucketPairs].getName,
+        "minhash_bucket_pairs"),
+      (children: Seq[Expr]) =>
+        graft.functions.MinhashBucketPairs(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_bucket_pairs"),
+      new ExpressionInfo(classOf[graft.functions.SimhashBucketPairs].getName,
+        "simhash_bucket_pairs"),
+      (children: Seq[Expr]) =>
+        graft.functions.SimhashBucketPairs(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("ngram_set64"),
       new ExpressionInfo(classOf[NGramSet64].getName, "ngram_set64"),
       (children: Seq[Expr]) => {

@@ -288,5 +288,20 @@ class KernelSpec extends SparkSpec {
     assert(msgOf("SELECT ngram_set64('a b c')").contains("2 arguments"))
     assert(msgOf("SELECT ngram_set64('a b c', NULL)").contains("INT literal"))
     assert(msgOf("SELECT ngram_set64('a b c', 2.5)").contains("INT literal"))
+    // pair kernels: 3 ids -> 3 unordered pairs; simhash distance 0/1/1...
+    val r3 = spark.sql(
+      """SELECT size(list_pairs(array(3L, 1L, 2L))) AS np,
+        |  list_pairs(array(3L, 1L))[0] AS p0,
+        |  simhash_bucket_pairs(array(
+        |    struct(1L AS doc_id, 5L AS simhash),
+        |    struct(2L AS doc_id, 7L AS simhash)))[0].hamming AS hd,
+        |  minhash_bucket_pairs(array(
+        |    struct(1L AS doc_id, array(1L, 2L) AS sig),
+        |    struct(2L AS doc_id, array(1L, 9L) AS sig)))[0].est AS est
+        |""".stripMargin).collect().head
+    assert(r3.getInt(0) == 3)
+    assert(r3.getStruct(1).getLong(0) == 1L && r3.getStruct(1).getLong(1) == 3L)
+    assert(r3.getInt(2) == 1) // 5 xor 7 = 2 -> one bit
+    assert(r3.getDouble(3) == 0.5)
   }
 }
