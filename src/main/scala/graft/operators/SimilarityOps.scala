@@ -306,16 +306,16 @@ object SimilarityOps {
     *
     * LIBRARY ENTRY POINT — generic over any (id, array-of-float) frame. */
   /** L2-normalized double vectors (`vec_id`, `ne`); zero vectors dropped
-    * (no direction — they can neither train nor match on cosine). */
+    * (no direction — they can neither train nor match on cosine). One
+    * [[graft.functions.VecNormalize]] kernel call per row — the
+    * declarative transform-divide this replaced paid dim interpreted
+    * lambda dispatches per row on a full-corpus pass (KernelSpec pins
+    * bit-parity). */
   private def normalizedVecs(rows: DataFrame, id: String,
       vec: String): DataFrame =
-    rows.select(col(id).as("vec_id"), col(vec).as("embedding"))
-      .select(col("vec_id"), col("embedding"),
-        sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"))
-      .filter(col("nrm") > 0)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double") / col("nrm"))
-          .as("ne"))
+    rows.select(col(id).as("vec_id"),
+        graft.functions.VecNormalize.vecNormalize(col(vec)).as("ne"))
+      .filter(col("ne").isNotNull)
 
   /** Spherical k-means (Lloyd) over normalized vectors — the IVF coarse
     * quantizer's training loop. Deterministic end to end: hash-ranked

@@ -100,6 +100,26 @@ class KernelPropertySpec extends SparkSpec {
       }
   }
 
+  test("VecNormalize equals the rendering on generated vectors; zero/empty go NULL") {
+    val s = spark
+    import s.implicits._
+    val vecGen: Gen[Array[Float]] = for {
+      n <- Gen.oneOf(1, 3, 64)
+      xs <- Gen.listOfN(n, Gen.chooseNum(-1e6f, 1e6f))
+    } yield xs.toArray
+    val vecs = Gen.listOfN(50, vecGen).sample.get ++
+      Seq(Array.empty[Float], Array(0f, 0f, 0f)) // -> NULL by contract
+    val nrm = sqrt(graft.functions.DotF.dotf(col("v"), col("v")))
+    val hof = when(nrm > 0,
+      transform(col("v"), x => x.cast("double") / nrm))
+    val bad = vecs.toDF("v").select(
+      graft.functions.VecNormalize.vecNormalize(col("v")).as("n"),
+      hof.as("h"))
+      .filter(not(col("n") <=> col("h")))
+      .count()
+    assert(bad == 0)
+  }
+
   test("ListPairs equals the declarative rendering on generated lists (incl. empty/singleton)") {
     val s = spark
     import s.implicits._

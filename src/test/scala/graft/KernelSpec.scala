@@ -180,6 +180,19 @@ class KernelSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("VecNormalize equals the transform-divide rendering on every embedding") {
+    import graft.functions.DotF.dotf
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val nrm = sqrt(dotf(col("embedding"), col("embedding")))
+    val hof = transform(col("embedding"), x => x.cast("double") / nrm)
+    val bad = emb.select(
+      graft.functions.VecNormalize.vecNormalize(col("embedding")).as("n"),
+      hof.as("h"))
+      .filter(not(col("n") === col("h")))
+      .count()
+    assert(bad == 0)
+  }
+
   test("ListPairs equals the flatten/transform/slice rendering on the corpus's buckets") {
     // real bucket lists: the shingle index's capped doc lists
     val ds = docs
