@@ -42,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinShingleMd5].getName, "min_shingle_md5"),
       (children: Seq[Expr]) => MinShingleMd5(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("vec_normalize"),
+      new ExpressionInfo(classOf[graft.functions.VecNormalize].getName,
+        "vec_normalize"),
+      (children: Seq[Expr]) => graft.functions.VecNormalize(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("list_pairs"),
       new ExpressionInfo(classOf[graft.functions.ListPairs].getName,
         "list_pairs"),

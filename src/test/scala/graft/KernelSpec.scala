@@ -316,5 +316,9 @@ class KernelSpec extends SparkSpec {
     assert(r3.getStruct(1).getLong(0) == 1L && r3.getStruct(1).getLong(1) == 3L)
     assert(r3.getInt(2) == 1) // 5 xor 7 = 2 -> one bit
     assert(r3.getDouble(3) == 0.5)
+    val r4 = spark.sql(
+      """SELECT vec_normalize(array(3.0F, 4.0F)) AS u,
+        |  vec_normalize(array(0.0F)) AS z""".stripMargin).collect().head
+    assert(r4.getSeq[Double](0) == Seq(0.6, 0.8) && r4.isNullAt(1))
   }
 }
