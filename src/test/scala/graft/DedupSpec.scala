@@ -61,6 +61,29 @@ class DedupSpec extends SparkSpec {
       f"simhash covered only ${covered * 100}%.0f%% of near-identical docs")
   }
 
+  test("ngramJaccardPairs is exact on a dup-heavy corpus (the un-broadcast regime)") {
+    // the adversarial shape from the r5 plan audit: heavy duplication
+    // makes the pre-filter candidate pair list orders of magnitude larger
+    // than a normal corpus's — 20 distinct texts x 12 verbatim copies.
+    // Every same-text pair must come back at jaccard exactly 1.0 and
+    // count C(12,2) per group; differently-texted docs share no 3-shingle
+    // (distinct trailing token) so no cross-group pair may appear.
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 240).map { i =>
+      val g = i % 20
+      (i.toLong, s"group $g body token alpha beta gamma delta tail$g")
+    }.toDF("doc_id", "text")
+    val pairs = DedupOps
+      .ngramJaccardPairs(docs, "doc_id", "text", minJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 20 * (12 * 11) / 2, s"got ${pairs.length} pairs")
+    pairs.foreach { case (da, db, j) =>
+      assert(da % 20 == db % 20, s"cross-group pair ($da, $db)")
+      assert(j == 1.0, s"verbatim copies must score 1.0, got $j")
+    }
+  }
+
   test("exact dedup groups match distinct text count") {
     val docs = graft.sources.Tables(spark, sf, "documents")
     val distinctTexts = docs.select("text").distinct().count()
