@@ -108,7 +108,8 @@ object BucketPairs {
       sigs(i) = r.getArray(1).toLongArray()
       i += 1
     }
-    val out = new Array[Any](n * (n - 1) / 2)
+    val out = new Array[Any](
+      ListPairs.pairCount(n, "minhash_bucket_pairs"))
     var k = 0
     i = 0
     while (i < n) {
@@ -149,7 +150,8 @@ object BucketPairs {
       fps(i) = r.getLong(1)
       i += 1
     }
-    val out = new Array[Any](n * (n - 1) / 2)
+    val out = new Array[Any](
+      ListPairs.pairCount(n, "simhash_bucket_pairs"))
     var k = 0
     i = 0
     while (i < n) {

@@ -63,12 +63,24 @@ case class ListPairs(child: Expression) extends UnaryExpression {
 
 object ListPairs {
 
+  /** Guard shared by the pair kernels: n(n-1)/2 must fit an array. The
+    * operators' buckets are df-capped (≤1000 → ≤499,500 pairs), but the
+    * SQL-registered kernels accept arbitrary lists — an uncapped 66k+
+    * list would overflow Int and crash with a negative array size. */
+  private[functions] def pairCount(n: Int, name: String): Int = {
+    val c = n.toLong * (n - 1) / 2
+    require(c <= Int.MaxValue,
+      s"$name: $n elements -> $c pairs exceeds the array limit; " +
+        "cap the bucket (see shingleBuckets' df cap) before pairing")
+    c.toInt
+  }
+
   /** Kernel body, shared by interpreted eval and codegen. */
   def pairs(v: ArrayData): ArrayData = {
     val n = v.numElements()
     if (n < 2) return new GenericArrayData(new Array[Any](0))
     val xs = v.toLongArray()
-    val out = new Array[Any](n * (n - 1) / 2)
+    val out = new Array[Any](pairCount(n, "list_pairs"))
     var k = 0
     var i = 0
     while (i < n) {
