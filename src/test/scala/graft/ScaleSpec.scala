@@ -29,6 +29,41 @@ class ScaleSpec extends SparkSpec {
     assert(d == s2)
   }
 
+  test("broadcast-matrix kernels hold at production parameters (nlist=4096, 32x16 planes)") {
+    // the r5 literal renderings grew the expression tree linearly in
+    // nlist / tables*planes and could not plan at these sizes; the
+    // kernels must stay ONE constant-size node with the matrix riding a
+    // broadcast. Deterministic matrices from the LSH plane generator.
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = graft.operators.SimilarityOps.planesFor(4096)
+    val probes = emb.select(graft.functions.ArgTopDot
+      .argTopDot(col("embedding"), spark.sparkContext.broadcast(cents), 16)
+      .as("p"))
+    val pr = probes
+      .agg(min(size(col("p"))).as("lo"), max(size(col("p"))).as("hi"),
+        min(array_min(col("p"))).as("mn"), max(array_max(col("p"))).as("mx"))
+      .collect().head
+    assert(pr.getInt(0) == 16 && pr.getInt(1) == 16,
+      "every vector gets exactly nprobe lists")
+    assert(pr.getInt(2) >= 0 && pr.getInt(3) < 4096, "list ids in range")
+    assert(probes.queryExecution.executedPlan.toString.length < 20000,
+      "plan must stay constant-size in nlist")
+
+    val planes = graft.operators.SimilarityOps.planesFor(32 * 16)
+    val buckets = emb.select(graft.functions.LshBuckets
+      .lshBuckets(col("embedding"),
+        spark.sparkContext.broadcast(planes), 32, 16).as("b"))
+    val br = buckets
+      .agg(min(size(col("b"))).as("lo"), max(size(col("b"))).as("hi"),
+        min(array_min(col("b"))).as("mn"), max(array_max(col("b"))).as("mx"))
+      .collect().head
+    assert(br.getInt(0) == 32 && br.getInt(1) == 32,
+      "one bucket id per table")
+    assert(br.getInt(2) >= 0 && br.getInt(3) < (1 << 16), "bucket ids in range")
+    assert(buckets.queryExecution.executedPlan.toString.length < 20000,
+      "plan must stay constant-size in tables*planes")
+  }
+
   test("observe() surfaces inline QA metrics without an extra pass") {
     val observed = Tables(spark, sf, "documents")
       .observe("qa",
