@@ -153,22 +153,19 @@ object PipelineOps {
   // Intra-document repetition: fraction of duplicate tokens and duplicate
   // adjacent bigrams (Gopher-style "repetitious text" signals). Pure array
   // arithmetic per row — the token list is bound once, never exploded.
+  // token/bigram counts from the TokenRepetitionStats kernel — one pass
+  // per document (the declarative form built every bigram string through
+  // interpreted transform lambdas; it survives as KernelSpec's parity
+  // reference, `repetitionStatsDeclarative`)
   private def repetition(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .select(col("doc_id"), graft.functions.bindOnce(TextOps.toks(col("text")),
-        l => struct(
-          size(l).cast("long").as("n_tok"),
-          size(array_distinct(l)).cast("long").as("n_uniq"),
-          when(size(l) >= 2,
-            transform(sequence(lit(1), size(l) - 1),
-              i => concat_ws(" ", element_at(l, i), element_at(l, i + 1))))
-            .otherwise(array().cast("array<string>")).as("bi")))
-        .as("t"))
+      .select(col("doc_id"),
+        graft.functions.TextStats.tokenRepetitionStats(col("text")).as("t"))
       .select(col("doc_id"),
         col("t.n_tok").as("n_tok"),
         col("t.n_uniq").as("n_uniq"),
-        size(col("t.bi")).cast("long").as("n_bi"),
-        size(array_distinct(col("t.bi"))).cast("long").as("n_uniq_bi"))
+        col("t.n_bi").as("n_bi"),
+        col("t.n_uniq_bi").as("n_uniq_bi"))
       .filter(col("n_tok") > 0)
       .select(col("doc_id"), col("n_tok"),
         Det.r4(lit(1.0d) - col("n_uniq") / col("n_tok")).as("dup_tok_ratio"),
@@ -176,6 +173,21 @@ object PipelineOps {
           Det.r4(lit(1.0d) - col("n_uniq_bi") / col("n_bi")))
           .otherwise(lit(0.0d)).as("dup_bigram_ratio"))
       .orderBy("doc_id")
+
+  /** DECLARATIVE PARITY REFERENCE for [[graft.functions.TextStats]]'
+    * repetition kernel (graft.KernelSpec). */
+  private[graft] def repetitionStatsDeclarative(text: Column): Column =
+    graft.functions.bindOnce(TextOps.toks(text), l =>
+      struct(
+        size(l).cast("long").as("n_tok"),
+        size(array_distinct(l)).cast("long").as("n_uniq"),
+        graft.functions.bindOnce(
+          when(size(l) >= 2,
+            transform(sequence(lit(1), size(l) - 1),
+              i => concat_ws(" ", element_at(l, i), element_at(l, i + 1))))
+            .otherwise(array().cast("array<string>")), bi =>
+          struct(size(bi).cast("long").as("n_bi"),
+            size(array_distinct(bi)).cast("long").as("n_uniq_bi"))).as("b")))
 
   // Deterministic exact-k uniform sample via bottom-k hashing: the k
   // smallest md5(doc_id) values ARE a uniform random sample of size

@@ -474,19 +474,37 @@ object TextOps {
   // parallel at any corpus size (the exploded groupBy(doc, tok) shape
   // would shuffle one row per token occurrence).
   // LIBRARY ENTRY POINT — generic over any corpus (id + text columns).
-  def tokenEntropy(rows: DataFrame, id: String, text: String): DataFrame = {
+  def tokenEntropy(rows: DataFrame, id: String, text: String): DataFrame =
+    // the (n_tok, n_types, sclog) inputs come from the TokenEntropyStats
+    // kernel — one pass per document; the declarative sorted run-length
+    // fold it replaced (KernelSpec's parity reference,
+    // `tokenEntropyDeclarative`) allocated one struct per TOKEN through
+    // interpreted aggregate() lambdas
+    rows
+      .select(col(id).as("doc_id"),
+        graft.functions.TextStats.tokenEntropyStats(col(text)).as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("doc_id"),
+        col("st.n_tok").as("n_tok"), col("st.n_types").as("n_types"),
+        Det.r4(col("st.n_types") / col("st.n_tok")).as("ttr"),
+        Det.r4(log2(col("st.n_tok")) - col("st.sclog") / col("st.n_tok"))
+          .as("entropy"))
+      .orderBy("doc_id")
+
+  /** DECLARATIVE PARITY REFERENCE for [[graft.functions.TextStats]]'
+    * entropy kernel — the sorted run-length fold the kernel replaced;
+    * graft.KernelSpec asserts the two agree bitwise. */
+  private[graft] def tokenEntropyStatsDeclarative(text: Column): Column = {
     def clog(c: Column): Column =
       when(c > 0, c.cast("double") * log2(c.cast("double")))
         .otherwise(lit(0.0d))
     def st(prev: Column, run: Column, s: Column) =
       struct(prev.as("prev"), run.as("run"), s.as("s"))
-    rows
-      .select(col(id).as("doc_id"), array_sort(toks(col(text))).as("l"))
-      .filter(size(col("l")) > 0)
-      .select(col("doc_id"),
-        size(col("l")).cast("long").as("n_tok"),
-        size(array_distinct(col("l"))).cast("long").as("n_types"),
-        aggregate(col("l"),
+    graft.functions.bindOnce(array_sort(toks(text)), l =>
+      when(size(l) > 0, struct(
+        size(l).cast("long").as("n_tok"),
+        size(array_distinct(l)).cast("long").as("n_types"),
+        aggregate(l,
           st(lit(""), lit(0L), lit(0.0d)),
           (acc, x) => {
             val same = x === acc.getField("prev")
@@ -495,12 +513,7 @@ object TextOps {
               when(same, acc.getField("s"))
                 .otherwise(acc.getField("s") + clog(acc.getField("run"))))
           },
-          acc => acc.getField("s") + clog(acc.getField("run"))).as("sclog"))
-      .select(col("doc_id"), col("n_tok"), col("n_types"),
-        Det.r4(col("n_types") / col("n_tok")).as("ttr"),
-        Det.r4(log2(col("n_tok")) - col("sclog") / col("n_tok"))
-          .as("entropy"))
-      .orderBy("doc_id")
+          acc => acc.getField("s") + clog(acc.getField("run"))).as("sclog"))))
   }
 
   private def entropyQuery(s: SparkSession, d: String): DataFrame =

@@ -100,6 +100,36 @@ class KernelPropertySpec extends SparkSpec {
       }
   }
 
+  test("TextStats kernels equal the declarative folds on generated strings") {
+    val s = spark
+    import s.implicits._
+    // short alphabet forces repeated tokens and bigrams (runs > 1, the
+    // entropy fold's interesting regime)
+    val repWord: Gen[String] = Gen.oneOf("aa", "bb", "cc", "ä")
+    val repText: Gen[String] = for {
+      words <- Gen.listOfN(12, repWord)
+      seps <- Gen.listOfN(12, sep)
+    } yield words.zip(seps).map { case (w, sp) => w + sp }.mkString
+    val samples = (Gen.listOfN(40, repText).sample.get ++
+      Gen.listOfN(30, text).sample.get ++
+      Seq("", " ", "x", "x x x x", "a b a b a")).toDF("text")
+    val e = samples.select(
+      graft.functions.TextStats.tokenEntropyStats(col("text")).as("n"),
+      graft.operators.TextOps.tokenEntropyStatsDeclarative(col("text")).as("h"))
+      .filter(not(col("n") <=> col("h")))
+      .count()
+    assert(e == 0)
+    val r = samples.select(
+      graft.functions.TextStats.tokenRepetitionStats(col("text")).as("n"),
+      graft.operators.PipelineOps.repetitionStatsDeclarative(col("text")).as("h"))
+      .filter(col("n.n_tok") =!= col("h.n_tok") ||
+        col("n.n_uniq") =!= col("h.n_uniq") ||
+        col("n.n_bi") =!= col("h.b.n_bi") ||
+        col("n.n_uniq_bi") =!= col("h.b.n_uniq_bi"))
+      .count()
+    assert(r == 0)
+  }
+
   test("VecNormalize equals the rendering on generated vectors; zero/empty go NULL") {
     val s = spark
     import s.implicits._

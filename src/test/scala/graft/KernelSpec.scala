@@ -180,6 +180,24 @@ class KernelSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("TextStats kernels equal the declarative entropy/repetition folds on every doc") {
+    val e = docs.select(
+      graft.functions.TextStats.tokenEntropyStats(col("text")).as("n"),
+      graft.operators.TextOps.tokenEntropyStatsDeclarative(col("text")).as("h"))
+      .filter(not(col("n") <=> col("h")))
+      .count()
+    assert(e == 0)
+    val r = docs.select(
+      graft.functions.TextStats.tokenRepetitionStats(col("text")).as("n"),
+      graft.operators.PipelineOps.repetitionStatsDeclarative(col("text")).as("h"))
+      .filter(col("n.n_tok") =!= col("h.n_tok") ||
+        col("n.n_uniq") =!= col("h.n_uniq") ||
+        col("n.n_bi") =!= col("h.b.n_bi") ||
+        col("n.n_uniq_bi") =!= col("h.b.n_uniq_bi"))
+      .count()
+    assert(r == 0)
+  }
+
   test("VecNormalize equals the transform-divide rendering on every embedding") {
     import graft.functions.DotF.dotf
     val emb = graft.sources.Tables(spark, sf, "embeddings")
