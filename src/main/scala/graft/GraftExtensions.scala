@@ -15,60 +15,58 @@ import graft.functions.{DotF, MinHashSig64, MinShingleMd5, NGramSet64, ShingleHa
   * Column-level APIs (graft.functions._) work without it.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private type Expr = org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Every registration goes through an arity gate so a wrong-arg-count SQL
+    * call fails with the function's signature, not a bare
+    * NoSuchElementException out of `children.head`. */
+  private def arity(children: Seq[Expr], n: Int, sig: String): Seq[Expr] = {
+    require(children.length == n,
+      s"$sig takes $n argument${if (n == 1) "" else "s"}, " +
+        s"got ${children.length}")
+    children
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    type Expr = org.apache.spark.sql.catalyst.expressions.Expression
+    def one(name: String, sig: String, cls: Class[_], mk: Expr => Expr): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (children: Seq[Expr]) => mk(arity(children, 1, sig).head)))
+
     ext.injectFunction((
       FunctionIdentifier("dotf"),
       new ExpressionInfo(classOf[DotF].getName, "dotf"),
-      (children: Seq[Expr]) => DotF(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("shingle_hashes64"),
-      new ExpressionInfo(classOf[ShingleHashes64].getName, "shingle_hashes64"),
-      (children: Seq[Expr]) => ShingleHashes64(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("shingle_set64"),
-      new ExpressionInfo(classOf[ShingleSet64].getName, "shingle_set64"),
-      (children: Seq[Expr]) => ShingleSet64(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("minhash_sig64"),
-      new ExpressionInfo(classOf[MinHashSig64].getName, "minhash_sig64"),
-      (children: Seq[Expr]) => MinHashSig64(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[Expr]) => SimHash64(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("min_shingle_md5"),
-      new ExpressionInfo(classOf[MinShingleMd5].getName, "min_shingle_md5"),
-      (children: Seq[Expr]) => MinShingleMd5(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("vec_normalize"),
-      new ExpressionInfo(classOf[graft.functions.VecNormalize].getName,
-        "vec_normalize"),
-      (children: Seq[Expr]) => graft.functions.VecNormalize(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("list_pairs"),
-      new ExpressionInfo(classOf[graft.functions.ListPairs].getName,
-        "list_pairs"),
-      (children: Seq[Expr]) => graft.functions.ListPairs(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("minhash_bucket_pairs"),
-      new ExpressionInfo(classOf[graft.functions.MinhashBucketPairs].getName,
-        "minhash_bucket_pairs"),
-      (children: Seq[Expr]) =>
-        graft.functions.MinhashBucketPairs(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("simhash_bucket_pairs"),
-      new ExpressionInfo(classOf[graft.functions.SimhashBucketPairs].getName,
-        "simhash_bucket_pairs"),
-      (children: Seq[Expr]) =>
-        graft.functions.SimhashBucketPairs(children.head)))
+      (children: Seq[Expr]) => {
+        val c = arity(children, 2, "dotf(a, b)")
+        DotF(c(0), c(1))
+      }))
+    one("shingle_hashes64", "shingle_hashes64(text)",
+      classOf[ShingleHashes64], ShingleHashes64(_))
+    one("shingle_set64", "shingle_set64(text)",
+      classOf[ShingleSet64], ShingleSet64(_))
+    one("minhash_sig64", "minhash_sig64(shingles)",
+      classOf[MinHashSig64], MinHashSig64(_))
+    one("simhash64", "simhash64(shingles)",
+      classOf[SimHash64], SimHash64(_))
+    one("min_shingle_md5", "min_shingle_md5(text)",
+      classOf[MinShingleMd5], MinShingleMd5(_))
+    one("vec_normalize", "vec_normalize(vec)",
+      classOf[graft.functions.VecNormalize], graft.functions.VecNormalize(_))
+    one("list_pairs", "list_pairs(ids)",
+      classOf[graft.functions.ListPairs], graft.functions.ListPairs(_))
+    one("minhash_bucket_pairs", "minhash_bucket_pairs(bucket)",
+      classOf[graft.functions.MinhashBucketPairs],
+      graft.functions.MinhashBucketPairs(_))
+    one("simhash_bucket_pairs", "simhash_bucket_pairs(bucket)",
+      classOf[graft.functions.SimhashBucketPairs],
+      graft.functions.SimhashBucketPairs(_))
     ext.injectFunction((
       FunctionIdentifier("ngram_set64"),
       new ExpressionInfo(classOf[NGramSet64].getName, "ngram_set64"),
       (children: Seq[Expr]) => {
-        require(children.length == 2,
-          s"ngram_set64(text, n) takes 2 arguments, got ${children.length}")
+        arity(children, 2, "ngram_set64(text, n)")
         require(children(1).foldable,
           "ngram_set64(text, n): n must be a literal")
         val n = children(1).eval() match {

@@ -117,8 +117,19 @@ object ArgTopDot {
       var best = -1
       i = 0
       while (i < n) {
-        if (!taken(i) && (best < 0 || dots(i) > dots(best) ||
-            (dots(i) == dots(best) && i > best))) best = i
+        // Spark's double ordering (SQLOrderingUtil.compareDoubles): == first
+        // so -0.0 ties 0.0, then Double.compare so NaN ranks LARGEST — keeps
+        // bit-parity with the struct-sort rendering even for NaN-bearing
+        // inputs (unreachable via normalizedVecs, but this is a library
+        // entry point).
+        if (!taken(i)) {
+          if (best < 0) best = i
+          else {
+            val cmp = if (dots(i) == dots(best)) 0
+              else java.lang.Double.compare(dots(i), dots(best))
+            if (cmp > 0 || (cmp == 0 && i > best)) best = i
+          }
+        }
         i += 1
       }
       taken(best) = true

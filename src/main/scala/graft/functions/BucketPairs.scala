@@ -95,7 +95,11 @@ object BucketPairs {
   /** Kernel body (MinHash): one primitive loop, signatures extracted once
     * per bucket element, agreement counted over primitive longs. The
     * estimate divides by the signature LENGTH (= NumPerms), exactly like
-    * the rendering's `/ lit(NumPerms)`. */
+    * the rendering's `/ lit(NumPerms)`. Signature lengths must be uniform
+    * within a bucket — with ragged lengths the estimate would depend on
+    * bucket element order, so the kernel fails loudly instead (the
+    * in-pipeline path always emits uniform NumPerms-length signatures;
+    * this guards the SQL-registered surface). */
   def minhashPairs(v: ArrayData): ArrayData = {
     val n = v.numElements()
     if (n < 2) return new GenericArrayData(new Array[Any](0))
@@ -106,6 +110,9 @@ object BucketPairs {
       val r = v.getStruct(i, 2)
       ids(i) = r.getLong(0)
       sigs(i) = r.getArray(1).toLongArray()
+      if (sigs(i).length != sigs(0).length) throw new IllegalArgumentException(
+        s"minhash_bucket_pairs requires uniform signature lengths within a " +
+          s"bucket, got ${sigs(0).length} and ${sigs(i).length}")
       i += 1
     }
     val out = new Array[Any](

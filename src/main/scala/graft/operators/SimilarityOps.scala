@@ -361,6 +361,11 @@ object SimilarityOps {
         .agg(array_sort(collect_list(struct(col("p"), col("m")))).as("pm"))
         .select(col("l"), transform(col("pm"), x => x.getField("m")).as("c"))
         .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      // the collect above fully executed this round's assignment — the
+      // round's broadcast is dead; release its blocks now instead of
+      // waiting on ContextCleaner GC (matters in long sessions running
+      // many train calls)
+      bc.destroy()
       val next = centroids.clone()
       means.foreach { case (l, c) =>
         val n = math.sqrt(c.map(x => x * x).sum)
@@ -412,6 +417,10 @@ object SimilarityOps {
   def memoBuilds: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("_memo_ivf_centroids" -> ((s, d) => sharedIvfCentroids(s, d)))
 
+  /** IVF k-NN self-join. When `precomputedCentroids` is set (the
+    * train-once/search-many path), the quantizer comes entirely from the
+    * supplied table and the training parameters `iters` / `trainFraction`
+    * are UNUSED — they only govern the self-training fallback. */
   def ivfKnnJoin(rows: DataFrame, id: String, vec: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
       trainFraction: Double = 1.0,
@@ -437,6 +446,17 @@ object SimilarityOps {
           cs.map(_._1).sameElements(0 until nlist),
           s"precomputed centroid table must carry lists 0..${nlist - 1}, " +
             s"got ${cs.length} rows")
+        // a wrong-dimension centroid table would make ArgTopDot return null
+        // per row and the join silently return zero rows — fail loudly here
+        // instead, against the corpus's actual vector dimension
+        val cdims = cs.map(_._2.length).distinct
+        require(cdims.length == 1,
+          s"precomputed centroids have mixed dimensions: ${cdims.sorted.mkString(", ")}")
+        ne.select(size(col("ne"))).take(1).foreach { r =>
+          require(r.getInt(0) == cdims.head,
+            s"precomputed centroid dim ${cdims.head} does not match vector " +
+              s"dim ${r.getInt(0)}")
+        }
         cs.map(_._2)
       case None => kmeansCentroids(ne, nlist, iters, trainFraction)
     }
@@ -446,6 +466,12 @@ object SimilarityOps {
     // never rendered into the expression tree. Tie order (dot DESC, index
     // DESC) matches the struct-max rendering; KernelSpec pins the parity.
     val sc = rows.sparkSession.sparkContext
+    // These broadcasts are captured by the RETURNED lazy plan, so the
+    // library cannot destroy them here (execution happens later, possibly
+    // many times). They are kilobyte-scale (nlist × dim doubles) and
+    // reclaimed by ContextCleaner once the plan is garbage; long-lived
+    // sessions that re-call this in a loop should drop plan references
+    // between calls (the bench's GC barrier does exactly that).
     def bcast(cs: Array[Seq[Double]]) = sc.broadcast(cs.map(_.toArray))
 
     val assigned = ne

@@ -180,6 +180,63 @@ class KernelSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("ArgTopDot keeps struct-sort parity on NaN dots (Spark total order: NaN largest)") {
+    // unreachable via normalizedVecs, but argTopDot is a library entry
+    // point: a NaN dot must rank LARGEST, exactly like Spark's double
+    // ordering in the struct-sort rendering (SQLOrderingUtil semantics)
+    import graft.functions.ArgTopDot.{argMaxDot, argTopDot}
+    import graft.functions.DotF.dotf
+    val s = spark
+    import s.implicits._
+    val cents: Array[Array[Double]] = Array(
+      Array(Double.NaN, 0.0), Array(0.5, 0.0), Array(0.9, 0.0))
+    val bc = spark.sparkContext.broadcast(cents)
+    val df = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(-1.0, 2.0)))
+      .toDF("id", "v")
+    val structs = array(cents.zipWithIndex.toSeq.map { case (c, i) =>
+      struct(dotf(col("v"), typedLit(c.toSeq)).as("d"), lit(i).as("i"))
+    }: _*)
+    val literalTop = transform(
+      reverse(array_sort(structs)), x => x.getField("i"))
+    val rows = df.select(
+      argMaxDot(col("v"), bc).as("km"),
+      argTopDot(col("v"), bc, 3).as("kt"), literalTop.as("lt"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"NaN order diverged: $r")
+      assert(r.getInt(0) == r.getSeq[Int](1).head)
+    }
+    // the NaN-dot centroid (index 0) outranks every finite dot
+    assert(rows.forall(_.getInt(0) == 0))
+  }
+
+  test("minhash_bucket_pairs rejects ragged signature lengths loudly") {
+    // with ragged signatures the agreement estimate would depend on
+    // bucket element ORDER — the kernel fails instead of guessing
+    val e = intercept[Exception](
+      spark.sql(
+        """SELECT minhash_bucket_pairs(array(
+          |  struct(1L AS doc_id, array(1L, 2L) AS sig),
+          |  struct(2L AS doc_id, array(1L) AS sig)))""".stripMargin)
+        .collect())
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("uniform signature lengths"))
+  }
+
+  test("SQL-registered kernels reject wrong arity with the signature, not NoSuchElement") {
+    def msgOf(sql: String): String = {
+      val ex = intercept[Exception](spark.sql(sql).collect())
+      ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse("")
+    }
+    assert(msgOf("SELECT vec_normalize()").contains("vec_normalize(vec) takes 1 argument"))
+    assert(msgOf("SELECT list_pairs(array(1L), 2)").contains("list_pairs(ids) takes 1 argument"))
+    assert(msgOf("SELECT minhash_bucket_pairs()").contains("takes 1 argument"))
+    assert(msgOf("SELECT simhash_bucket_pairs()").contains("takes 1 argument"))
+    assert(msgOf("SELECT dotf(array(1.0D))").contains("dotf(a, b) takes 2 arguments"))
+    assert(msgOf("SELECT simhash64()").contains("takes 1 argument"))
+  }
+
   test("TextStats kernels equal the declarative entropy/repetition folds on every doc") {
     val e = docs.select(
       graft.functions.TextStats.tokenEntropyStats(col("text")).as("n"),

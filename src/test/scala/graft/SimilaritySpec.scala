@@ -129,6 +129,14 @@ class SimilaritySpec extends SparkSpec {
         nlist = 16, nprobe = 8,
         precomputedCentroids = Some(ct.filter(col("list") < 8))).collect())
     assert(bad.getMessage.contains("lists 0..15"))
+    // ...and so is a wrong-dimension one, which would otherwise null out
+    // every ArgTopDot assignment and silently return ZERO rows
+    val badDim = intercept[Exception](
+      graft.operators.SimilarityOps.ivfKnnJoin(e, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 8,
+        precomputedCentroids = Some(ct.select(col("list"),
+          slice(col("centroid"), 1, 3).as("centroid")))).collect())
+    assert(badDim.getMessage.contains("does not match vector dim"))
   }
 
   test("IVF quantizer trained on a 30% hash-sample still beats the random-scan baseline") {
