@@ -223,22 +223,52 @@ object RelationalOps {
       .orderBy("r_name", "n_name")
   }
 
-  // Exact quantiles per group (sort-based `percentile`, linear
-  // interpolation — the oracle-checkable path). The at-scale variant is
-  // quantilesApprox below.
-  private def quantiles(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
+  // Exact quantiles per group — the oracle-checkable path; the at-scale
+  // variant is quantilesApprox below. r7: the `percentile` AGGREGATE
+  // (boxed value->count OpenHashMap per group buffer) was the suite's most
+  // allocation-bound query and its timings tracked GC pressure (isolated
+  // 9-rep spread 1.65× on unchanged code). This sort-based form ranks each
+  // group with a Tungsten window sort (primitive, spillable) and
+  // interpolates exactly like Percentile.getPercentile: pos = p·(n-1),
+  // result = v_lo·(hi-pos) + v_hi·(pos-lo), lower value when pos is
+  // integral — same doubles, same answers. Group parallelism is one task
+  // per group (fine at gate SF; at 100 TB exact quantiles over a
+  // table-scale group is the wrong tool regardless — use quantilesApprox).
+  private val QuantileFracs = Seq("q25" -> 0.25, "q50" -> 0.5,
+    "q75" -> 0.75, "q95" -> 0.95)
+  private def quantiles(s: SparkSession, d: String): DataFrame = {
+    val vals = t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
+    val counts = vals.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy("v")
+    val ranked = vals.join(broadcast(counts), Seq("l_returnflag"))
+      .withColumn("rn", row_number().over(w).cast("long") - 1L)
+    val qCols = QuantileFracs.map { case (name, p) =>
+      val pos = lit(p) * (col("n") - 1).cast("double")
+      val lo = floor(pos)
+      val hi = ceil(pos)
+      val vLo = max(when(col("rn") === lo.cast("long"), col("v")))
+      val vHi = max(when(col("rn") === hi.cast("long"), col("v")))
+      // n is group-constant: max() just extracts it for the interpolation
+      val posA = lit(p) * (max(col("n")) - 1).cast("double")
+      val loA = floor(posA)
+      val hiA = ceil(posA)
+      Det.r4(when(loA === hiA, vLo)
+        .otherwise(vLo * (hiA - posA) + vHi * (posA - loA))).as(name)
+    }
+    ranked
+      // only the rank-adjacent rows feed the interpolation — drop the rest
+      // before the aggregation
+      .filter(QuantileFracs.map { case (_, p) =>
+        val pos = lit(p) * (col("n") - 1).cast("double")
+        col("rn") === floor(pos).cast("long") ||
+          col("rn") === ceil(pos).cast("long")
+      }.reduce(_ || _))
       .groupBy("l_returnflag")
-      // ONE percentile call with an array of fractions: a call per
-      // fraction buffers the whole group once per call
-      .agg(percentile(col("l_extendedprice"),
-        array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("qs"))
-      .select(col("l_returnflag"),
-        Det.r4(element_at(col("qs"), 1)).as("q25"),
-        Det.r4(element_at(col("qs"), 2)).as("q50"),
-        Det.r4(element_at(col("qs"), 3)).as("q75"),
-        Det.r4(element_at(col("qs"), 4)).as("q95"))
+      .agg(qCols.head, qCols.tail: _*)
       .orderBy("l_returnflag")
+  }
 
   // Quantiles at scale: percentile_approx (GK sketch — bounded memory, one
   // pass, mergeable across partitions). Rank-error bound vs the exact
