@@ -215,7 +215,12 @@ object DedupOps {
     * each as its own `_memo_*` line — otherwise the first consumer pays
     * the index build and its timing is incomparable across rounds. */
   def memoBuilds: Seq[(String, (SparkSession, String) => DataFrame)] =
-    Seq("_memo_ngram_pairs" -> ((s, d) => sharedNgramPairs(s, d)))
+    Seq("_memo_ngram_pairs" -> ((s, d) => sharedNgramPairs(s, d)),
+      // signature/fingerprint aux tables (OracleAux): built once per JVM,
+      // so their per-doc kernel cost reports here, not in the consumers'
+      // q_dedup_*_verify timings (which measure the verification stage)
+      "_memo_minhash_sigs" -> ((s, d) => minhashSigAux(s, d)),
+      "_memo_simhash_fps" -> ((s, d) => simhashFpAux(s, d)))
 
   private def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
     sharedNgramPairs(s, d).orderBy("da", "db")
@@ -258,15 +263,30 @@ object DedupOps {
     * of identical docs → one hot bucket) would need a bucket-size cap or
     * pre-pass exact dedup; noted, not needed here. */
   def minhashPairs(rows: DataFrame, id: String, text: String,
-      minEst: Double): DataFrame = {
-    val nBands = NumPerms / BandRows
-    // Sub-3-token docs keep the [p,...,p] seed signature; without this
-    // guard any two of them would band-collide and "verify" at ĵ = 1.0.
-    val sigs = rows
+      minEst: Double): DataFrame =
+    minhashPairStream(minhashSignatures(rows, id, text))
+      .filter(col("est") >= minEst)
+      .select(col("da"), col("db"), Det.r4(col("est")).as("jaccard_est"))
+      .distinct()
+      .orderBy("da", "db")
+
+  /** The signature stage: one kernel call per doc → `(doc_id, sig)`.
+    * Sub-3-token docs keep the [p,...,p] seed signature; without this
+    * guard any two of them would band-collide and "verify" at ĵ = 1.0. */
+  private[graft] def minhashSignatures(rows: DataFrame, id: String,
+      text: String): DataFrame =
+    rows
       .select(col(id).as("doc_id"),
         graft.functions.TextKernels.minhashSig64(col(text)).as("sig"))
       .filter(element_at(col("sig"), 1) =!=
         graft.functions.TextKernels.MersenneP)
+
+  /** The verification stage over a `(doc_id, sig)` frame: LSH banding →
+    * bucket-grouped pair generation → signature-agreement estimate,
+    * UN-thresholded `(da, db, est)` — a pure function of the signature
+    * columns ([[graft.sources.OracleAux]] exploits exactly that). */
+  private def minhashPairStream(sigs: DataFrame): DataFrame = {
+    val nBands = NumPerms / BandRows
     val bands = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until nBands).map(bI =>
         xxhash64(concat_ws("_", (0 until BandRows).map(r =>
@@ -283,15 +303,34 @@ object DedupOps {
     buckets
       .select(explode(graft.functions.BucketPairs
         .minhashBucketPairs(col("ms"))).as("pr"))
-      .filter(col("pr.est") >= minEst)
       .select(col("pr.da").as("da"), col("pr.db").as("db"),
-        Det.r4(col("pr.est")).as("jaccard_est"))
-      .distinct()
-      .orderBy("da", "db")
+        col("pr.est").as("est"))
   }
 
   private def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
     minhashPairs(docsSpread(s, d), "doc_id", "text", minEst = 0.5)
+
+  /** The corpus's signature table persisted for the oracle
+    * ([[graft.sources.OracleAux]]) — also the production shape: signatures
+    * are the expensive per-doc stage, computed once and reused across
+    * banding configs. */
+  private def minhashSigAux(s: SparkSession, d: String): DataFrame =
+    graft.sources.OracleAux.table(s, d, "minhash_sigs") {
+      minhashSignatures(docsSpread(s, d), "doc_id", "text")
+    }
+
+  /** Oracle-checked verification stage: banding + agreement COUNT over the
+    * persisted signature table — DuckDB re-derives the same pairs from the
+    * same parquet (grouping by the raw 4-element band slice where Spark
+    * groups by its xxhash64; equivalent barring a 64-bit collision between
+    * two live band tuples). n_agree ≥ 32 ⟺ est ≥ 0.5 exactly (est = k/64). */
+  private def dedupMinhashVerify(s: SparkSession, d: String): DataFrame =
+    minhashPairStream(minhashSigAux(s, d))
+      .select(col("da"), col("db"),
+        (col("est") * NumPerms).cast("int").as("n_agree"))
+      .filter(col("n_agree") >= NumPerms / 2)
+      .distinct()
+      .orderBy("da", "db")
 
   // --- SimHash ----------------------------------------------------------
   /** 64-bit SimHash per doc: bit k of the fingerprint is the sign of the
@@ -327,16 +366,33 @@ object DedupOps {
     * the q_dedup_simhash query binds the test table, graft.ApiSpec a
     * synthetic frame. */
   def simhashPairs(rows: DataFrame, id: String, text: String,
-      maxHamming: Int): DataFrame = {
-    val bandBits = Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
-    // Token-less docs all hash to fingerprint 0 and would pair with each
-    // other at Hamming 0 (a real doc hits 0 with probability 2^-64).
-    val fp = rows
+      maxHamming: Int): DataFrame =
+    simhashPairStream(simhashFingerprints(rows, id, text))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("da", "db")
+
+  /** The fingerprint stage: one kernel call per doc → `(doc_id, simhash)`.
+    * Token-less docs all hash to fingerprint 0 and would pair with each
+    * other at Hamming 0 (a real doc hits 0 with probability 2^-64). */
+  private[graft] def simhashFingerprints(rows: DataFrame, id: String,
+      text: String): DataFrame =
+    rows
       .select(col(id).as("doc_id"),
         graft.functions.TextKernels.simHash64(col(text)).as("simhash"))
       .filter(col("simhash") =!= 0L)
+
+  /** Band layout shared with the oracle SQL: (start bit, width). */
+  private[graft] val SimhashBands =
+    Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
+
+  /** The verification stage over a `(doc_id, simhash)` frame: 6-band
+    * bucketing → per-bucket pair generation → full 64-bit Hamming,
+    * UN-thresholded `(da, db, hamming)` — a pure function of the
+    * fingerprint columns. */
+  private def simhashPairStream(fp: DataFrame): DataFrame = {
     val bands = fp.select(col("doc_id"), col("simhash"),
-      posexplode(array(bandBits.map { case (start, width) =>
+      posexplode(array(SimhashBands.map { case (start, width) =>
         shiftright(col("simhash"), start).bitwiseAND(lit((1L << width) - 1))
       }: _*))
         .as(Seq("band", "bkey")))
@@ -350,15 +406,29 @@ object DedupOps {
     buckets
       .select(explode(graft.functions.BucketPairs
         .simhashBucketPairs(col("ms"))).as("pr"))
-      .filter(col("pr.hamming") <= maxHamming)
       .select(col("pr.da").as("da"), col("pr.db").as("db"),
         col("pr.hamming").as("hamming"))
-      .distinct()
-      .orderBy("da", "db")
   }
 
   private def dedupSimhash(s: SparkSession, d: String): DataFrame =
     simhashPairs(docsSpread(s, d), "doc_id", "text", maxHamming = 5)
+
+  /** The corpus's fingerprint table persisted for the oracle
+    * ([[graft.sources.OracleAux]]). */
+  private def simhashFpAux(s: SparkSession, d: String): DataFrame =
+    graft.sources.OracleAux.table(s, d, "simhash_fps") {
+      simhashFingerprints(docsSpread(s, d), "doc_id", "text")
+    }
+
+  /** Oracle-checked verification stage: banding + Hamming over the
+    * persisted fingerprint table — DuckDB re-derives the same pairs from
+    * the same parquet with `>>`/`&`/`xor`/`bit_count` (both engines use
+    * arithmetic shifts and two's-complement popcount on int64). */
+  private def dedupSimhashVerify(s: SparkSession, d: String): DataFrame =
+    simhashPairStream(simhashFpAux(s, d))
+      .filter(col("hamming") <= 5)
+      .distinct()
+      .orderBy("da", "db")
 
   /** Near-dup CLUSTERS: connected components over the (exact) pair list,
     * each doc labeled with the smallest doc_id in its component — the step
@@ -502,10 +572,54 @@ object DedupOps {
         | FROM g a JOIN k USING (gram)
         | JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
         | GROUP BY 1, 2 HAVING count(*) >= 1 ORDER BY da, db""".stripMargin)),
-    // xxhash64-based — not expressible in DuckDB; verified by graft.DedupSpec
-    // (pairs ⊇ high-Jaccard ground truth) + driver rows-only check.
+    // xxhash64-based SIGNATURES — not expressible in DuckDB; verified by
+    // graft.DedupSpec (pairs ⊇ high-Jaccard ground truth) + driver
+    // rows-only check. Their VERIFICATION stages are oracle-checked via
+    // the q_dedup_*_verify queries below (OracleAux).
     QDef("q_dedup_minhash", dedupMinhashLsh, None),
     QDef("q_dedup_simhash", dedupSimhash, None),
+    // Banding/agreement over the persisted signature table: DuckDB groups
+    // by the raw 4-element band slice where Spark groups by its xxhash64
+    // (equivalent barring an in-bucket 64-bit collision); agreement is
+    // counted position-by-position over the same 64-long signatures.
+    QDef("q_dedup_minhash_verify", dedupMinhashVerify, Some {
+      val glob = graft.sources.OracleAux.gateGlob("minhash_sigs")
+      s"""WITH s AS (SELECT doc_id, sig FROM read_parquet('$glob')),
+         |b AS (SELECT doc_id, sig, gs.b AS band,
+         |        list_slice(sig, 4*gs.b+1, 4*gs.b+4) AS bkey
+         |      FROM s, generate_series(0, 15) AS gs(b)),
+         |cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS da,
+         |                greatest(x.doc_id, y.doc_id) AS db
+         |         FROM b x JOIN b y ON x.band = y.band AND x.bkey = y.bkey
+         |              AND x.doc_id < y.doc_id)
+         |SELECT c.da, c.db,
+         |  CAST(len(list_filter(range(1, 65),
+         |    i -> sa.sig[i] = sb.sig[i])) AS INT) AS n_agree
+         |FROM cand c JOIN s sa ON sa.doc_id = c.da
+         |            JOIN s sb ON sb.doc_id = c.db
+         |WHERE n_agree >= 32 ORDER BY da, db""".stripMargin
+    }),
+    // Banding/Hamming over the persisted fingerprint table: both engines
+    // use arithmetic >> and two's-complement popcount on int64.
+    QDef("q_dedup_simhash_verify", dedupSimhashVerify, Some {
+      val glob = graft.sources.OracleAux.gateGlob("simhash_fps")
+      val bandVals = SimhashBands
+        .map { case (st, w) => s"($st, $w)" }.mkString(", ")
+      s"""WITH f AS (SELECT doc_id, simhash FROM read_parquet('$glob')),
+         |bb(start, width) AS (VALUES $bandVals),
+         |b AS (SELECT doc_id, simhash, start,
+         |        (simhash >> start) & ((1::BIGINT << width) - 1) AS bkey
+         |      FROM f, bb),
+         |cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS da,
+         |                greatest(x.doc_id, y.doc_id) AS db
+         |         FROM b x JOIN b y ON x.start = y.start AND x.bkey = y.bkey
+         |              AND x.doc_id < y.doc_id)
+         |SELECT c.da, c.db,
+         |  CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
+         |FROM cand c JOIN f fa ON fa.doc_id = c.da
+         |            JOIN f fb ON fb.doc_id = c.db
+         |WHERE hamming <= 5 ORDER BY da, db""".stripMargin
+    }),
     QDef("q_dedup_clusters", dedupClusters, Some {
       val pairSql = ngramOracleSql
       s"""WITH RECURSIVE sym AS (

@@ -1,0 +1,51 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.function.{Function => JFunction}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted intermediates the DuckDB oracle can read.
+  *
+  * The LSH dedups' signature stages use engine hashes (xxhash64) DuckDB
+  * cannot reproduce, which made their queries rows-only at the gate. But
+  * their VERIFICATION stages — banding, signature agreement, Hamming
+  * distance — are pure functions of the Spark-computed columns. This
+  * helper writes those columns to parquet once per JVM and both engines
+  * then run the verification over the SAME file: Spark reads it back for
+  * the `q_*_verify` queries, and their `oracleSql` re-derives the
+  * banding/agreement/Hamming logic in DuckDB from the identical bytes.
+  *
+  * The path is ABSOLUTE and scale-factor-suffixed because `oracleSql` is
+  * a static string: the driver's gate always runs at sf0.01, so the SQL
+  * hardcodes that directory; a Verify/Bench run at another SF writes its
+  * own suffix and never clobbers the gate's input. Unlike
+  * [[Materialize]] (process-private scratch), these files intentionally
+  * OUTLIVE the Spark JVM — the gate's DuckDB pass runs after it exits.
+  */
+object OracleAux {
+
+  /** Root for emitted tables — inside the repo's build dir (gitignored). */
+  val Root = "/root/repo/target/oracle_aux"
+
+  /** The glob `oracleSql` should embed for table `name` at the gate SF. */
+  def gateGlob(name: String): String = s"$Root/sf0.01/$name/*.parquet"
+
+  private val written = new ConcurrentHashMap[String, String]()
+
+  /** Write `build` to `<Root>/<sf-basename>/<name>` (once per JVM and
+    * application) and return a read-back frame of the written bytes. */
+  def table(s: SparkSession, sfDir: String, name: String)
+      (build: => DataFrame): DataFrame = {
+    val sf = new java.io.File(sfDir).getName
+    val key = s.sparkContext.applicationId + "/" + sf + "/" + name
+    val path = written.computeIfAbsent(key, new JFunction[String, String] {
+      override def apply(k: String): String = {
+        val p = s"$Root/$sf/$name"
+        build.write.mode("overwrite").parquet(p)
+        p
+      }
+    })
+    s.read.parquet(path)
+  }
+}
