@@ -62,22 +62,26 @@ object SimilarityOps {
       .limit(20)
   }
 
-  /** Block count for the all-pairs grid. 8 → 64 equi-join groups, enough to
-    * saturate local[32]; at cluster scale set ≈ √(total cores). */
+  /** Default block count for the all-pairs grid. 8 → 64 equi-join groups,
+    * enough to saturate local[32]; at cluster scale pass ≈ √(total cores)
+    * to [[knnJoin]]/[[embNearDupPairs]] instead of editing the library. */
   private val NumBlocks = 8
 
-  /** B×B block-grid scaffolding shared by [[embNearDup]] and [[knnJoin]]:
-    * every pair of input rows meets in exactly one of B² equi-join groups.
+  /** B×B block-grid scaffolding shared by [[embNearDupPairs]] and
+    * [[knnJoin]]: every pair of input rows meets in exactly one of B²
+    * equi-join groups.
     * Zero-norm vectors (empty docs, failed model calls) are dropped UP
     * FRONT: their cosine is 0/0 = NaN, and Spark sorts NaN above every
     * real value — one zero vector would otherwise corrupt every top-k
     * list it touches. Returns (va, ea, na, ba, bb) ⋈ (vb, eb, nb). */
-  private def gridPairs(rows: DataFrame, id: String, vec: String): DataFrame = {
-    val grid = array((0 until NumBlocks).map(lit): _*)
+  private def gridPairs(rows: DataFrame, id: String, vec: String,
+      numBlocks: Int): DataFrame = {
+    require(numBlocks >= 1, s"numBlocks must be >= 1, got $numBlocks")
+    val grid = array((0 until numBlocks).map(lit): _*)
     val e = rows.select(col(id).as("vec_id"), col(vec).as("embedding"))
       .select(col("vec_id"), col("embedding"),
         sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"),
-        pmod(col("vec_id"), lit(NumBlocks)).cast("int").as("blk"))
+        pmod(col("vec_id"), lit(numBlocks)).cast("int").as("blk"))
       .filter(col("nrm") > 0)
     val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
       col("nrm").as("na"), col("blk").as("ba"), explode(grid).as("bb"))
@@ -86,19 +90,27 @@ object SimilarityOps {
     a.join(b, Seq("ba", "bb"))
   }
 
-  // All-pairs near-duplicate by embedding cosine — exact, via the block
-  // grid (see scale notes in the header). Norms are computed once per
-  // VECTOR inside gridPairs — per pair they'd be n² sqrt-of-self-dots for
-  // the same values (bit-identical either way: sqrt(dotf(e,e)) is
-  // deterministic per vector).
-  private def embNearDup(s: SparkSession, d: String): DataFrame = {
-    gridPairs(emb(s, d), "vec_id", "embedding")
+  /** All-pairs near-duplicate by embedding cosine — exact, via the block
+    * grid (see scale notes in the header). Norms are computed once per
+    * VECTOR inside gridPairs — per pair they'd be n² sqrt-of-self-dots for
+    * the same values (bit-identical either way: sqrt(dotf(e,e)) is
+    * deterministic per vector).
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, vector-array) frame;
+    * `numBlocks` ≈ √(total cores) at cluster scale. The block count only
+    * partitions the WORK — the pair set is block-count-invariant
+    * (graft.ApiSpec asserts B=3 ≡ B=16 ≡ default). */
+  def embNearDupPairs(rows: DataFrame, id: String, vec: String,
+      minCos: Double, numBlocks: Int = NumBlocks): DataFrame =
+    gridPairs(rows, id, vec, numBlocks)
       .filter(col("va") < col("vb"))
       .withColumn("cos", dotf(col("ea"), col("eb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= 0.4)
+      .filter(col("cos") >= minCos)
       .select(col("va"), col("vb"), Det.r4(col("cos")).as("cos"))
       .orderBy("va", "vb")
-  }
+
+  private def embNearDup(s: SparkSession, d: String): DataFrame =
+    embNearDupPairs(emb(s, d), "vec_id", "embedding", minCos = 0.4)
 
   /** Exact k-NN JOIN: top-k neighbors for EVERY vector (the batch
     * generalization of [[cosineTopK]]'s one-query scan — what an embedding
@@ -114,7 +126,8 @@ object SimilarityOps {
     * LIBRARY ENTRY POINT — generic over any (id, vector-array) frame; the
     * q_similarity_knn query binds the test table, graft.ApiSpec a
     * synthetic frame. */
-  def knnJoin(rows: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+  def knnJoin(rows: DataFrame, id: String, vec: String, k: Int,
+      numBlocks: Int = NumBlocks): DataFrame = {
     val wLocal = Window.partitionBy("va", "cb")
       .orderBy(desc("cos"), col("vb"))
     val wFinal = Window.partitionBy("va").orderBy(desc("cos"), col("vb"))
@@ -128,7 +141,7 @@ object SimilarityOps {
     // localCheckpoint of `half` (~1.5×, materialization barrier). `cb` is
     // the candidate's block in each direction (bb original, ba mirror), so
     // the partial top-k phase still groups by candidate block.
-    val half = gridPairs(rows, id, vec)
+    val half = gridPairs(rows, id, vec, numBlocks)
       .filter(col("va") < col("vb"))
       .select(col("va"), col("vb"), col("ba"), col("bb"),
         Det.r4(dotf(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))

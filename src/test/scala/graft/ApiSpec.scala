@@ -90,6 +90,37 @@ class ApiSpec extends SparkSpec {
     assert(knn(300L) == 400L && knn(400L) == 300L)
   }
 
+  test("block count only partitions the work: B=3 ≡ B=16 ≡ default for knnJoin and embNearDupPairs") {
+    // the operator's own scale advice is numBlocks ≈ √(total cores) — a
+    // caller must be able to follow it without editing the library, and
+    // the answer must not depend on the chosen B
+    val s = spark
+    import s.implicits._
+    val vecs = (1 to 40).map { i =>
+      (i * 7L, Array.tabulate(6)(j =>
+        (math.sin(i * 13 + j * 5) * 10).toFloat))
+    }.toDF("row_id", "vec")
+    def knnAt(b: Int) =
+      SimilarityOps.knnJoin(vecs, "row_id", "vec", k = 3, numBlocks = b)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val base = knnAt(8)
+    assert(knnAt(3) == base && knnAt(16) == base,
+      "knnJoin result varies with numBlocks")
+    def ndAt(b: Int) =
+      SimilarityOps.embNearDupPairs(vecs, "row_id", "vec", minCos = 0.4,
+        numBlocks = b)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val ndBase = ndAt(8)
+    assert(ndBase.nonEmpty, "near-dup fixture found no pairs")
+    assert(ndAt(3) == ndBase && ndAt(16) == ndBase,
+      "embNearDupPairs result varies with numBlocks")
+    val bad = intercept[IllegalArgumentException](
+      SimilarityOps.knnJoin(vecs, "row_id", "vec", k = 1, numBlocks = 0))
+    assert(bad.getMessage.contains("numBlocks"))
+  }
+
   test("text/pipeline entry points run on a generic frame with foreign column names") {
     val s = spark
     import s.implicits._
