@@ -301,12 +301,21 @@ object PipelineOps {
     * rebuilding — the frame must carry (da, db) over THIS corpus's ids.
     * Parity with the self-computed path is asserted in graft.ApiSpec.
     *
+    * `scrubPii = true` adds the REDACTION stage a released corpus runs
+    * ([[TextOps.piiScrub]]): the manifest gains `text_redacted` plus the
+    * per-kind audit counts (`n_email`, `n_phone`, `n_ipv4`, `n_pii`).
+    * Redaction never decides a fate — PII-bearing docs are redacted, not
+    * dropped — so the `fate` column is identical with the stage on or off
+    * (asserted in graft.ApiSpec on planted PII). A pure projection joined
+    * on doc_id: no extra shuffle beyond the manifest's own joins.
+    *
     * LIBRARY ENTRY POINT — generic over any (corpus, benchmark) pair with
     * (id, text) columns; the q_curate query binds the md5-split test
     * table, graft.ApiSpec a synthetic frame with one planted doc per
     * fate. */
   def curate(corpus: DataFrame, bench: DataFrame, id: String, text: String,
       minJaccard: Double = 0.1, contamN: Int = 8,
+      scrubPii: Boolean = false,
       precomputedPairs: Option[DataFrame] = None): DataFrame = {
     val base = corpus.select(col(id).as("doc_id"), col(text).as("text"))
     val q = TextOps.qualityFilter(base, "doc_id", "text")
@@ -321,7 +330,7 @@ object PipelineOps {
         bench.select(col(id).as("doc_id"), col(text).as("text")),
         "doc_id", "text", contamN)
       .select(col("doc_id"), lit(true).as("contaminated"))
-    base.select("doc_id")
+    val manifest = base.select("doc_id")
       .join(q, Seq("doc_id"))
       .join(ex, Seq("doc_id"))
       .join(cl, Seq("doc_id"), "left")
@@ -333,7 +342,11 @@ object PipelineOps {
             col("doc_id") =!= col("cluster_rep"), "near_dup")
           .when(col("contaminated"), "contaminated")
           .otherwise("kept").as("fate"))
-      .orderBy("doc_id")
+    val out =
+      if (!scrubPii) manifest
+      else manifest.join(
+        TextOps.piiScrubCols(base, "doc_id", "text"), Seq("doc_id"))
+    out.orderBy("doc_id")
   }
 
   /** The TRAIN-SPLIT near-dup pair list, materialized once per

@@ -612,7 +612,14 @@ object TextOps {
     * verified on planted fixtures in graft.ApiSpec (the synthetic corpus
     * contains no PII, so a corpus-facing query here would assert nothing).
     */
-  def piiScrub(rows: DataFrame, id: String, text: String): DataFrame = {
+  def piiScrub(rows: DataFrame, id: String, text: String): DataFrame =
+    piiScrubCols(rows, id, text).orderBy("doc_id")
+
+  /** [[piiScrub]] without the output sort — the composition form
+    * ([[PipelineOps.curate]]'s optional redaction stage joins it on
+    * doc_id, where a pre-join sort would be wasted work). */
+  private[operators] def piiScrubCols(rows: DataFrame, id: String,
+      text: String): DataFrame = {
     val counted = PiiPatterns.foldLeft(
       rows.select(col(id).as("doc_id"), col(text).as("t"))) {
       case (df, (kind, pat)) =>
@@ -628,7 +635,6 @@ object TextOps {
         PiiPatterns.map { case (k, _) => col(s"n_$k") }.reduce(_ + _))
       .select(col("doc_id") +: col("t").as("text_redacted") +:
         PiiPatterns.map { case (k, _) => col(s"n_$k") } :+ col("n_pii"): _*)
-      .orderBy("doc_id")
   }
 
   private[operators] val oracleToks =

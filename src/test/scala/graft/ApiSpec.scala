@@ -566,6 +566,49 @@ class ApiSpec extends SparkSpec {
     assert(fates2 == fates, s"precomputed-pairs path diverged: $fates2")
   }
 
+  test("curate(scrubPii = true) redacts planted PII without changing any fate") {
+    val s = spark
+    import s.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => f"$prefix$i%02d")
+    def clean(prefix: String): String =
+      ("the" +: words(prefix, 31) :+ "and").mkString(" ")
+    // PII planted inside otherwise-clean docs: redaction must not decide
+    // fates, only rewrite text and count matches
+    val withEmail = clean("alpha") + " mail bob.smith@example.org now"
+    val withPhone = clean("beta") + " call 555-123-4567 soon"
+    val corpus = Seq(
+      (1L, withEmail),            // kept, 1 email
+      (2L, withPhone),            // kept, 1 phone
+      (3L, clean("gamma")),       // kept, clean
+      (4L, "ip 10.0.0.1 short"))  // quality (too short), 1 ipv4
+      .toDF("id", "body")
+    val emptyBench = Seq.empty[(Long, String)].toDF("id", "body")
+    val plain = PipelineOps.curate(corpus, emptyBench, "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scrubbed = PipelineOps.curate(corpus, emptyBench, "id", "body",
+      scrubPii = true).collect()
+    assert(scrubbed.map(_.schema.fieldNames.toSeq).head ==
+      Seq("doc_id", "fate", "text_redacted",
+        "n_email", "n_phone", "n_ipv4", "n_pii"))
+    val byId = scrubbed.map(r => r.getLong(0) ->
+      (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toMap
+    // fates identical with the stage on or off
+    assert(byId.map { case (k, v) => k -> v._1 } == plain,
+      s"scrubPii changed fates: $byId vs $plain")
+    // typed counts + redactions on the planted docs
+    assert(byId(1L)._3 == 1L && byId(1L)._6 == 1L &&
+      byId(1L)._2.contains("<EMAIL>") && !byId(1L)._2.contains("@"))
+    assert(byId(2L)._4 == 1L && byId(2L)._6 == 1L &&
+      byId(2L)._2.contains("<PHONE>"))
+    assert(byId(4L)._1 == "quality" && byId(4L)._5 == 1L &&
+      byId(4L)._2 == "ip <IPV4> short",
+      "PII in a quality-dropped doc must still be counted and redacted")
+    // clean docs pass through byte-identical
+    assert(byId(3L)._6 == 0L && byId(3L)._2 == clean("gamma"))
+  }
+
   test("curate edge cases: empty benchmark disables contamination; degenerate corpora") {
     val s = spark
     import s.implicits._
