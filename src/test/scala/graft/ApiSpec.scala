@@ -566,6 +566,50 @@ class ApiSpec extends SparkSpec {
     assert(fates2 == fates, s"precomputed-pairs path diverged: $fates2")
   }
 
+  test("README reuse story: persisted quantizer and pair list round-trip through parquet bit-identically") {
+    // the exact flow the README's "train once, search many" section
+    // shows: build artifact -> write parquet -> NEW read -> feed back in;
+    // the parquet round trip stands in for the session boundary
+    val s = spark
+    import s.implicits._
+    val vectors = (1 to 60).map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        (math.cos(i * 17 + j * 3) * 5).toFloat))
+    }.toDF("vec_id", "emb")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-artifacts-").toString
+    SimilarityOps.ivfTrain(vectors, "vec_id", "emb", nlist = 4)
+      .write.mode("overwrite").parquet(s"$tmp/ivf_quantizer")
+    val quant = spark.read.parquet(s"$tmp/ivf_quantizer")
+    def rows(pc: Option[org.apache.spark.sql.DataFrame]) =
+      SimilarityOps.ivfKnnJoin(vectors, "vec_id", "emb", k = 3,
+        nlist = 4, nprobe = 2, precomputedCentroids = pc)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(Some(quant)) == rows(None),
+      "persisted quantizer diverged from self-training")
+
+    def words(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => f"$prefix$i%02d")
+    def clean(prefix: String): String =
+      ("the" +: words(prefix, 31) :+ "and").mkString(" ")
+    val docs = Seq((1L, clean("alpha")), (2L, clean("alpha")),
+      (3L, clean("beta")),
+      (4L, ("the" +: (words("beta", 28) ++ words("zeta", 3)) :+ "and")
+        .mkString(" ")))
+      .toDF("id", "body")
+    val benchmark = Seq.empty[(Long, String)].toDF("id", "body")
+    DedupOps.ngramJaccardPairs(docs, "id", "body", minJaccard = 0.1)
+      .write.mode("overwrite").parquet(s"$tmp/neardup_pairs")
+    val pairs = spark.read.parquet(s"$tmp/neardup_pairs")
+    def manifest(pp: Option[org.apache.spark.sql.DataFrame]) =
+      PipelineOps.curate(docs, benchmark, "id", "body",
+        precomputedPairs = pp)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(manifest(Some(pairs)) == manifest(None),
+      "persisted pair list diverged from self-computation")
+  }
+
   test("curate(scrubPii = true) redacts planted PII without changing any fate") {
     val s = spark
     import s.implicits._
