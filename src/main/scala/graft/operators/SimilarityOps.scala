@@ -430,27 +430,20 @@ object SimilarityOps {
   def memoBuilds: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("_memo_ivf_centroids" -> ((s, d) => sharedIvfCentroids(s, d)))
 
-  /** IVF k-NN self-join. When `precomputedCentroids` is set (the
-    * train-once/search-many path), the quantizer comes entirely from the
-    * supplied table and the training parameters `iters` / `trainFraction`
-    * are UNUSED — they only govern the self-training fallback. */
-  def ivfKnnJoin(rows: DataFrame, id: String, vec: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
-      trainFraction: Double = 1.0,
-      precomputedCentroids: Option[DataFrame] = None): DataFrame = {
-    require(nlist >= 2 && nprobe >= 1 && nprobe <= nlist && iters >= 1,
-      s"bad IVF config: nlist=$nlist nprobe=$nprobe iters=$iters")
-    // One normalized pass feeds `iters` assign/mean rounds + the final
-    // assignment: materialize it once (released by the caller's unpersist
-    // sweep, like the dedup family's intermediates).
-    val ne = normalizedVecs(rows, id, vec).localCheckpoint(true)
-    // Quantizer reuse (mirrors curate's precomputedPairs): a production
-    // pipeline trains ONCE ([[ivfTrain]]), persists the nlist-row centroid
-    // table, and every later query/session skips training — at moderate SF
-    // training dominates this operator's cost. Self-trained ≡ precomputed
-    // parity is asserted in graft.SimilaritySpec (training is
-    // deterministic, so the two paths are bit-identical).
-    val centroids: Array[Seq[Double]] = precomputedCentroids match {
+  /** The coarse quantizer for a cluster-bounded operator, as centroid
+    * arrays: either validate + collect a precomputed centroid table
+    * ([[ivfTrain]]'s persisted output — the train-once/search-many path)
+    * or train in place. Quantizer reuse mirrors curate's
+    * `precomputedPairs`: a production pipeline trains ONCE, persists the
+    * nlist-row table, and every later query/session skips training — at
+    * moderate SF training dominates the calling operators' cost.
+    * Self-trained ≡ precomputed parity is asserted in graft.SimilaritySpec
+    * (training is deterministic, so the two paths are bit-identical).
+    * Shared by [[ivfKnnJoin]] and [[semanticDedupPairs]]. */
+  private def resolveCentroids(ne: DataFrame, nlist: Int, iters: Int,
+      trainFraction: Double,
+      precomputedCentroids: Option[DataFrame]): Array[Seq[Double]] =
+    precomputedCentroids match {
       case Some(ct) =>
         val cs = ct.select(col("list").cast("int"), col("centroid"))
           .orderBy("list").collect()
@@ -473,6 +466,23 @@ object SimilarityOps {
         cs.map(_._2)
       case None => kmeansCentroids(ne, nlist, iters, trainFraction)
     }
+
+  /** IVF k-NN self-join. When `precomputedCentroids` is set (the
+    * train-once/search-many path), the quantizer comes entirely from the
+    * supplied table and the training parameters `iters` / `trainFraction`
+    * are UNUSED — they only govern the self-training fallback. */
+  def ivfKnnJoin(rows: DataFrame, id: String, vec: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      trainFraction: Double = 1.0,
+      precomputedCentroids: Option[DataFrame] = None): DataFrame = {
+    require(nlist >= 2 && nprobe >= 1 && nprobe <= nlist && iters >= 1,
+      s"bad IVF config: nlist=$nlist nprobe=$nprobe iters=$iters")
+    // One normalized pass feeds `iters` assign/mean rounds + the final
+    // assignment: materialize it once (released by the caller's unpersist
+    // sweep, like the dedup family's intermediates).
+    val ne = normalizedVecs(rows, id, vec).localCheckpoint(true)
+    val centroids: Array[Seq[Double]] =
+      resolveCentroids(ne, nlist, iters, trainFraction, precomputedCentroids)
 
     // argmax_i dot(ne, c_i) through the ArgTopDot kernel: the centroid
     // matrix is broadcast (re-broadcast per k-means round — kilobytes),
@@ -508,6 +518,108 @@ object SimilarityOps {
       .select(col("va"), col("rk"), col("vb"), col("cos"))
       .orderBy("va", "rk")
   }
+
+  // --- SemDeDup: cluster-bounded semantic dedup --------------------------
+
+  /** Cluster assignment `(vec_id, ne, l)` over the coarse quantizer — the
+    * train-dependent half of [[semanticDedupPairs]], split out so the
+    * corpus query can persist it for the oracle ([[OracleAux]] exploits
+    * that the pair stage downstream is a pure function of these columns). */
+  private def assignClusters(rows: DataFrame, id: String, vec: String,
+      nlist: Int, iters: Int, trainFraction: Double,
+      precomputedCentroids: Option[DataFrame]): DataFrame = {
+    val ne = normalizedVecs(rows, id, vec).localCheckpoint(true)
+    val centroids =
+      resolveCentroids(ne, nlist, iters, trainFraction, precomputedCentroids)
+    val bc = rows.sparkSession.sparkContext.broadcast(centroids.map(_.toArray))
+    ne.select(col("vec_id"), col("ne"),
+      graft.functions.ArgTopDot.argMaxDot(col("ne"), bc).as("l"))
+  }
+
+  /** The pair stage over an assigned `(vec_id, ne, l)` frame: within-list
+    * candidate join — optionally sub-blocked so one oversized cluster
+    * splits into numBlocks² independent tasks instead of one straggler —
+    * then exact cosine (= dot of the L2-normalized vectors) and the
+    * threshold. The pair set is block-count-invariant (blocks partition
+    * ids, so every within-list pair meets in exactly one (l, ba, bb)
+    * group — same argument as [[gridPairs]]). */
+  private def withinClusterPairs(assigned: DataFrame, minCos: Double,
+      numBlocks: Int): DataFrame = {
+    require(numBlocks >= 1, s"numBlocks must be >= 1, got $numBlocks")
+    val grid = array((0 until numBlocks).map(lit): _*)
+    val e = assigned.withColumn("blk",
+      pmod(col("vec_id"), lit(numBlocks)).cast("int"))
+    val a = e.select(col("l"), col("vec_id").as("va"), col("ne").as("ea"),
+      col("blk").as("ba"), explode(grid).as("bb"))
+    val b = e.select(col("l"), col("vec_id").as("vb"), col("ne").as("eb"),
+      explode(grid).as("ba"), col("blk").as("bb"))
+    a.join(b, Seq("l", "ba", "bb"))
+      .filter(col("va") < col("vb"))
+      .withColumn("c", dotf(col("ea"), col("eb")))
+      .filter(col("c") >= minCos)
+      .select(col("va"), col("vb"), Det.r4(col("c")).as("cos"))
+      .orderBy("va", "vb")
+  }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the spherical-k-means
+    * coarse quantizer (the same one IVF search uses), then compare
+    * embeddings ONLY within clusters. This is the published scale answer
+    * for embedding dedup: pairwise cost drops from n² to Σ|cluster|²
+    * (≈ n²/nlist balanced), the one full shuffle keys on the cluster id,
+    * and the quantizer trains on a sample ([[ivfTrain]]) so training is
+    * corpus-size-independent. The price is recall at cluster BOUNDARIES —
+    * a pair split across clusters is never compared ([[embNearDupPairs]]
+    * is the exact reference; graft.SimilaritySpec measures the capture
+    * rate on the corpus, graft.ApiSpec pins exactness when clusters are
+    * separated). Returned pairs' cosines are exact — the clustering only
+    * prunes CANDIDATES, it never approximates the similarity itself.
+    *
+    * Composes downstream like every pair source:
+    * [[graft.operators.DedupOps.connectedComponents]] turns the pair list
+    * into keep/drop decisions.
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, vector-array) frame.
+    * `precomputedCentroids` is the train-once/search-many path (iters /
+    * trainFraction then UNUSED); `numBlocks` > 1 sub-blocks skewed
+    * clusters at cluster scale. */
+  def semanticDedupPairs(rows: DataFrame, id: String, vec: String,
+      minCos: Double, nlist: Int = 16, iters: Int = 3,
+      trainFraction: Double = 1.0,
+      precomputedCentroids: Option[DataFrame] = None,
+      numBlocks: Int = 1): DataFrame = {
+    require(nlist >= 2 && iters >= 1,
+      s"bad SemDeDup config: nlist=$nlist iters=$iters")
+    // fail on a bad block count BEFORE paying for training
+    require(numBlocks >= 1, s"numBlocks must be >= 1, got $numBlocks")
+    withinClusterPairs(
+      assignClusters(rows, id, vec, nlist, iters, trainFraction,
+        precomputedCentroids),
+      minCos, numBlocks)
+  }
+
+  /** Corpus binding's threshold: the corpus's qualifying near-dups sit at
+    * cos 0.40+ (q_embed_neardup) — same bar here. */
+  private val SemMinCos = 0.4
+
+  /** The corpus's cluster assignment persisted for the oracle
+    * ([[graft.sources.OracleAux]]) — also the production shape: the
+    * k-means quantizer (not DuckDB-expressible) runs once, reusing the
+    * SAME trained centroid table as q_similarity_ivf, and the
+    * within-cluster verification downstream is a pure function of the
+    * persisted (vec_id, l, ne) columns. */
+  private def semdedupAssignAux(s: SparkSession, d: String): DataFrame =
+    graft.sources.OracleAux.table(s, d, "semdedup_assign") {
+      assignClusters(emb(s, d), "vec_id", "embedding", nlist = 16,
+        iters = 3, trainFraction = 0.3,
+        Some(sharedIvfCentroids(s, d)))
+    }
+
+  /** Oracle-checked SemDeDup verification: within-cluster pairs over the
+    * persisted assignment — DuckDB re-derives the same pairs + cosines
+    * from the same parquet. */
+  private def dedupSemantic(s: SparkSession, d: String): DataFrame =
+    withinClusterPairs(semdedupAssignAux(s, d), SemMinCos, numBlocks = 1)
 
   /** Per-label centroids (class prototypes): element-wise mean per label —
     * the building block for prototype classifiers, IVF coarse quantizers,
@@ -599,6 +711,21 @@ object SimilarityOps {
       (s, d) => ivfKnnJoin(emb(s, d), "vec_id", "embedding", k = 5,
         trainFraction = 0.3,
         precomputedCentroids = Some(sharedIvfCentroids(s, d))), None),
+    // SemDeDup: training is k-means (not DuckDB-expressible), but the
+    // within-cluster pair verification is a pure function of the persisted
+    // (vec_id, l, ne) assignment — both engines read the same parquet and
+    // re-derive pairs + exact cosines (ne is L2-normalized, so cosine =
+    // plain dot).
+    QDef("q_dedup_semantic", dedupSemantic, Some {
+      val glob = graft.sources.OracleAux.gateGlob("semdedup_assign")
+      s"""WITH a AS (SELECT vec_id, l, ne FROM read_parquet('$glob')),
+         |p AS (SELECT x.vec_id AS va, y.vec_id AS vb,
+         |  list_sum(list_transform(list_zip(x.ne, y.ne),
+         |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS c
+         | FROM a x JOIN a y ON x.l = y.l AND x.vec_id < y.vec_id)
+         |SELECT va, vb, ${Det.r4Sql("c")} AS cos FROM p
+         | WHERE c >= $SemMinCos ORDER BY va, vb""".stripMargin
+    }),
     QDef("q_similarity_knn", knnJoinQuery, Some(
       s"""WITH p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
          |  ${Det.r4Sql(cosSql.format("a.embedding", "b.embedding", "a.embedding", "b.embedding"))} AS cos

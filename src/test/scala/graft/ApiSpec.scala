@@ -214,6 +214,40 @@ class ApiSpec extends SparkSpec {
       .ivfTrain(vecs, "rid", "v", nlist = 2)))
   }
 
+  test("semanticDedupPairs equals the exact join when clusters are separated (incl. quantizer reuse and sub-blocking)") {
+    val s = spark
+    import s.implicits._
+    // the ivfKnnJoin fixture's two direction clusters: at minCos = 0.8 no
+    // cross-cluster pair qualifies, so within-cluster search loses nothing
+    // and SemDeDup must reproduce the exact all-pairs join verbatim
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.05f, 0.0f)), (2L, Array(0.95f, 0.1f, 0.0f)),
+      (3L, Array(0.9f, 0.0f, 0.1f)), (4L, Array(1.0f, 0.0f, 0.05f)),
+      (5L, Array(0.0f, 0.1f, 1.0f)), (6L, Array(0.05f, 0.0f, 0.95f)),
+      (7L, Array(0.1f, 0.05f, 1.0f)), (8L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("rid", "v")
+    val exact = SimilarityOps.embNearDupPairs(vecs, "rid", "v", minCos = 0.8)
+      .select("va", "vb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture found no exact near-dups")
+    def semAt(pc: Option[org.apache.spark.sql.DataFrame], b: Int) =
+      SimilarityOps.semanticDedupPairs(vecs, "rid", "v", minCos = 0.8,
+        nlist = 2, precomputedCentroids = pc, numBlocks = b)
+        .select("va", "vb")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = semAt(None, 1)
+    assert(base == exact, s"semantic $base != exact $exact")
+    // blocks only partition the work, and a persisted quantizer only skips
+    // training — neither may change the answer
+    assert(semAt(None, 3) == base, "pair set varies with numBlocks")
+    assert(semAt(Some(SimilarityOps.ivfTrain(vecs, "rid", "v", nlist = 2)),
+      1) == base, "pair set varies with quantizer reuse")
+    val bad = intercept[IllegalArgumentException](
+      SimilarityOps.semanticDedupPairs(vecs, "rid", "v", minCos = 0.8,
+        numBlocks = 0))
+    assert(bad.getMessage.contains("numBlocks"))
+  }
+
   test("quantizeError reconstructs a planted two-point dimension exactly") {
     val s = spark
     import s.implicits._

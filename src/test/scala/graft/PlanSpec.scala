@@ -57,6 +57,15 @@ class PlanSpec extends SparkSpec {
       s"expected an equi-join on (ba, bb):\n$p")
   }
 
+  test("q_dedup_semantic joins within clusters — an equi-join on the list id, never all pairs") {
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"semantic dedup must not compare across clusters:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected an equi-join on (l, ba, bb):\n$p")
+  }
+
   test("q_join_range plans as an equi-join on (user, bin) — not a nested loop") {
     val p = plan("q_join_range")
     assert(!p.contains("BroadcastNestedLoopJoin"),

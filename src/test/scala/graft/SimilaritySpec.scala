@@ -152,6 +152,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, f"sampled-train ivf recall@5 = $recall%.3f < 0.6")
   }
 
+  test("semanticDedupPairs prunes candidates, never corrupts similarities") {
+    // SemDeDup only restricts WHICH pairs are compared (same k-means
+    // list); the cosines themselves are exact. So against the
+    // oracle-verified exact all-pairs join: (1) every semantic pair is an
+    // exact pair, (2) its cosine agrees to rounding (normalize-then-dot
+    // vs dot-then-divide differ in the last ulp), (3) the cluster-boundary
+    // recall loss stays bounded on the corpus — everything is
+    // deterministic (fixed data, deterministic training), so the observed
+    // capture is stable, not a flaky sample.
+    val e = graft.sources.Tables(spark, sf, "embeddings")
+    val exact = SparkEntry.queries("q_embed_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sem = graft.operators.SimilarityOps
+      .semanticDedupPairs(e, "vec_id", "embedding", minCos = 0.4, nlist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sem.nonEmpty, "semantic dedup found no within-cluster pairs")
+    assert(sem.keySet.subsetOf(exact.keySet),
+      s"phantom pairs not in the exact join: ${sem.keySet -- exact.keySet}")
+    sem.foreach { case (p, c) =>
+      assert(math.abs(c - exact(p)) <= 1e-4, s"cosine drifted at $p: $c vs ${exact(p)}")
+    }
+    val capture = sem.size.toDouble / exact.size
+    assert(capture >= 0.5,
+      f"cluster-boundary loss too high: captured $capture%.2f of ${exact.size} exact pairs")
+  }
+
   test("DotF is bit-identical to the declarative aggregate/zip_with fold") {
     val e = graft.sources.Tables(spark, sf, "embeddings").limit(200)
     val hof = aggregate(
