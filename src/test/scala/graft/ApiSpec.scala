@@ -224,7 +224,10 @@ class ApiSpec extends SparkSpec {
       (1L, Array(1.0f, 0.05f, 0.0f)), (2L, Array(0.95f, 0.1f, 0.0f)),
       (3L, Array(0.9f, 0.0f, 0.1f)), (4L, Array(1.0f, 0.0f, 0.05f)),
       (5L, Array(0.0f, 0.1f, 1.0f)), (6L, Array(0.05f, 0.0f, 0.95f)),
-      (7L, Array(0.1f, 0.05f, 1.0f)), (8L, Array(0.0f, 0.0f, 1.0f)))
+      (7L, Array(0.1f, 0.05f, 1.0f)), (8L, Array(0.0f, 0.0f, 1.0f)),
+      // zero vector: no direction → dropped by normalization, must not
+      // pair with anything (its cosine is 0/0 = NaN)
+      (9L, Array(0.0f, 0.0f, 0.0f)))
       .toDF("rid", "v")
     val exact = SimilarityOps.embNearDupPairs(vecs, "rid", "v", minCos = 0.8)
       .select("va", "vb")
@@ -237,6 +240,8 @@ class ApiSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val base = semAt(None, 1)
     assert(base == exact, s"semantic $base != exact $exact")
+    assert(!base.exists(p => p._1 == 9L || p._2 == 9L),
+      "zero vector leaked into the semantic pair set")
     // blocks only partition the work, and a persisted quantizer only skips
     // training — neither may change the answer
     assert(semAt(None, 3) == base, "pair set varies with numBlocks")
