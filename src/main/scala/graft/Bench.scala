@@ -128,7 +128,8 @@ object Bench {
       graft.operators.DedupOps.memoBuilds ++
         graft.operators.TokenizerOps.memoBuilds ++
         graft.operators.PipelineOps.memoBuilds ++
-        graft.operators.SimilarityOps.memoBuilds
+        graft.operators.SimilarityOps.memoBuilds ++
+        graft.operators.PqOps.memoBuilds
     // A subset run that selects consumers but not their memo prebuild
     // makes the first rep pay the Materialize build silently — numbers
     // from such a run are incomparable with full-suite medians. Say so.

@@ -18,7 +18,7 @@ object SparkEntry {
     FrolykOps.defs ++ RelationalOps.defs ++ AnalyticOps.defs ++
       WindowOps.defs ++ TemporalOps.defs ++ DedupOps.defs ++ TextOps.defs ++
       TokenizerOps.defs ++ PipelineOps.defs ++ SimilarityOps.defs ++
-      MultimodalOps.defs
+      PqOps.defs ++ MultimodalOps.defs
 
   /** Flagship query on sf=0.001 (the reference's motivating example,
     * /root/reference/examples/introduction.ts:12-27: tumbling-window

@@ -1,0 +1,291 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Det, QDef}
+import graft.functions.DotF.dotf
+import graft.functions.PqKernels
+import graft.sources.Tables
+
+/** Product quantization — the memory-bound member of the ANN family.
+  *
+  * LSH ([[SimilarityOps.annKnnJoin]]) and IVF ([[SimilarityOps.ivfKnnJoin]])
+  * cut the CANDIDATE count; neither cuts the BYTES each candidate costs.
+  * At 100 TB the indexed side of a k-NN join is billions of vectors, and
+  * shuffling 256+ bytes of floats per candidate row dominates the join. PQ
+  * (Jégou et al., TPAMI 2011) stores each indexed vector as `m` small
+  * codes — 8 ints here vs 64 floats, a ~30× shrink of everything that
+  * moves through the join — and scores candidates by asymmetric distance:
+  * the raw query against each candidate's reconstruction, no decode
+  * materialized. The classic IVFADC layout composes both families: the
+  * IVF coarse quantizer bounds candidates, PQ bounds bytes, and a final
+  * exact re-rank over the shortlist restores precision.
+  *
+  * Everything is deterministic end to end (hash-ranked seeds, exact
+  * decimal means, fixed tie orders), so codebooks trained twice on the
+  * same corpus — or trained once, persisted, and reloaded via
+  * `precomputedCodebooks` — are bit-identical; the same
+  * train-once/search-many artifact pattern as [[SimilarityOps.ivfTrain]]
+  * and curate's `precomputedPairs`.
+  *
+  * The reference has no similarity surface (payloads are opaque bytes,
+  * /root/reference/src/streams.ts:12-13); this extends the engine's
+  * LLM-pipeline additions.
+  */
+object PqOps {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
+
+  /** Collected codebook as the kernels' `cb(sub)(code)(j)` shape. */
+  private type Codebook = Array[Array[Array[Double]]]
+
+  /** Per-subspace Lloyd iterations over the normalized corpus — all `m`
+    * subspaces train in ONE Spark job per round: [[PqKernels.pqEncode]]
+    * assigns every subspace's code in a single kernel call, positions
+    * explode once, and the means group by (subspace, code, position).
+    * Plain Euclidean k-means in each subspace (PQ centroids are NOT
+    * renormalized — subvectors of unit vectors are not unit vectors).
+    *
+    * Deterministic: seeds are the first `ksub` hash-ranked vectors'
+    * subvectors, means are exact decimals ([[Det.dsum]]), the encode
+    * kernel's argmin tie order is fixed — so retraining reproduces the
+    * same codebook at any parallelism, and an emptied code keeps its
+    * previous centroid (same policy as the IVF trainer).
+    *
+    * At 100 TB the codebook trains on a hash-sample (`trainFraction`),
+    * corpus-size-independent like the IVF quantizer; encode and search
+    * stay full-corpus. */
+  private def trainCodebook(ne: DataFrame, m: Int, ksub: Int, iters: Int,
+      trainFraction: Double): Codebook = {
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
+    val dim = ne.select(size(col("ne"))).take(1) match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalArgumentException(
+        "cannot train a PQ codebook on an empty corpus")
+    }
+    require(dim % m == 0,
+      s"vector dim $dim is not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val trainNe =
+      if (trainFraction >= 1.0) ne
+      else ne.filter(pmod(xxhash64(col("vec_id")), lit(1000000L))
+        < (trainFraction * 1000000L).toLong)
+
+    val seeds = trainNe
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ksub)
+      .collect().map(_.getSeq[Double](1))
+    require(seeds.length == ksub,
+      s"training sample has fewer than ksub=$ksub vectors — " +
+        "raise trainFraction or lower ksub")
+    var cb: Codebook = Array.tabulate(m, ksub) { (s, c) =>
+      seeds(c).slice(s * dsub, (s + 1) * dsub).toArray
+    }
+
+    val sc = ne.sparkSession.sparkContext
+    var round = 0
+    while (round < iters) {
+      val bc = sc.broadcast(cb)
+      val sub = (col("p") / dsub).cast("int")
+      val means = trainNe
+        .select(PqKernels.pqEncode(col("ne"), bc).as("codes"),
+          posexplode(col("ne")).as(Seq("p", "v")))
+        .select(sub.as("sub"), pmod(col("p"), lit(dsub)).cast("int").as("q"),
+          element_at(col("codes"), sub + 1).as("code"), col("v"))
+        .groupBy("sub", "code", "q")
+        .agg((Det.dsum(col("v")) / count(lit(1))).as("m"))
+        .groupBy("sub", "code")
+        .agg(array_sort(collect_list(struct(col("q"), col("m")))).as("qm"))
+        .select(col("sub"), col("code"),
+          transform(col("qm"), x => x.getField("m")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      // the collect above fully executed this round's assignment — release
+      // the round's broadcast now rather than waiting on ContextCleaner
+      bc.destroy()
+      val next = cb.map(_.map(identity))
+      means.foreach { case (s, c, cent) => next(s)(c) = cent.toArray }
+      cb = next
+      round += 1
+    }
+    cb
+  }
+
+  /** Train the PQ codebooks and return them as a persistable table
+    * `(sub INT, code INT, centroid ARRAY<DOUBLE>)` — `m × ksub` rows, the
+    * reusable artifact a production pipeline writes once and feeds back
+    * into [[pqEncode]] / [[ivfPqKnnJoin]] via `precomputedCodebooks`
+    * across queries and sessions. Training is deterministic, so
+    * train-once-then-reuse is bit-identical to self-training (pinned in
+    * graft.SimilaritySpec).
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, array-of-float) frame. */
+  def pqTrain(rows: DataFrame, id: String, vec: String, m: Int = 8,
+      ksub: Int = 16, iters: Int = 3, trainFraction: Double = 1.0): DataFrame = {
+    require(m >= 1 && ksub >= 2 && iters >= 1,
+      s"bad PQ config: m=$m ksub=$ksub iters=$iters")
+    val ne = SimilarityOps.normalizedVecs(rows, id, vec).localCheckpoint(true)
+    val cb = trainCodebook(ne, m, ksub, iters, trainFraction)
+    val s = rows.sparkSession
+    import s.implicits._
+    cb.zipWithIndex.flatMap { case (codes, sub) =>
+      codes.zipWithIndex.map { case (cent, code) =>
+        (sub, code, cent.toSeq)
+      }
+    }.toSeq.toDF("sub", "code", "centroid")
+  }
+
+  /** The codebook for an encode/search call: either validate + collect a
+    * precomputed `(sub, code, centroid)` table ([[pqTrain]]'s persisted
+    * output) or train in place. Mirrors
+    * [[SimilarityOps.resolveCentroids]]: a malformed table fails loudly
+    * here — silently dropping every row downstream is the failure mode
+    * this guards against — and `iters`/`trainFraction` are UNUSED when
+    * `precomputedCodebooks` is set. */
+  private def resolveCodebook(ne: DataFrame, m: Int, ksub: Int, iters: Int,
+      trainFraction: Double,
+      precomputedCodebooks: Option[DataFrame]): Codebook =
+    precomputedCodebooks match {
+      case Some(ct) =>
+        val rows = ct.select(col("sub").cast("int"), col("code").cast("int"),
+            col("centroid"))
+          .orderBy("sub", "code").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        require(rows.length == m * ksub &&
+          rows.map(r => (r._1, r._2)).sameElements(
+            for (s <- 0 until m; c <- 0 until ksub) yield (s, c)),
+          s"precomputed codebook must carry (sub, code) = (0..${m - 1}, " +
+            s"0..${ksub - 1}), got ${rows.length} rows")
+        val dims = rows.map(_._3.length).distinct
+        require(dims.length == 1,
+          s"precomputed codebook has mixed centroid dimensions: " +
+            dims.sorted.mkString(", "))
+        ne.select(size(col("ne"))).take(1).foreach { r =>
+          require(r.getInt(0) == m * dims.head,
+            s"codebook reconstruction dim ${m * dims.head} (m=$m × dsub=" +
+              s"${dims.head}) does not match vector dim ${r.getInt(0)}")
+        }
+        val grouped = rows.grouped(ksub).toArray
+        Array.tabulate(m, ksub)((s, c) => grouped(s)(c)._3.toArray)
+      case None => trainCodebook(ne, m, ksub, iters, trainFraction)
+    }
+
+  /** Encode a corpus to PQ codes `(id, codes ARRAY<INT>)` — the compact
+    * index a production pipeline persists next to the codebook: 8 codes
+    * replace 64 floats per vector, and every later search session scans
+    * codes, not vectors. Encoding is a single kernel projection (no
+    * shuffle, no join).
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, array-of-float) frame. */
+  def pqEncode(rows: DataFrame, id: String, vec: String,
+      codebooks: DataFrame, m: Int = 8, ksub: Int = 16): DataFrame = {
+    val ne = SimilarityOps.normalizedVecs(rows, id, vec)
+    val cb = resolveCodebook(ne, m, ksub, iters = 1, trainFraction = 1.0,
+      Some(codebooks))
+    val bc = rows.sparkSession.sparkContext.broadcast(cb)
+    ne.select(col("vec_id").as(id),
+      PqKernels.pqEncode(col("ne"), bc).as("codes"))
+  }
+
+  /** IVFADC k-NN self-join: IVF coarse lists bound the candidates, PQ
+    * codes bound the bytes, exact re-rank restores precision.
+    *
+    * Shape: the indexed side is `(vb, list, codes)` — the embedding is
+    * DROPPED before the join, so the shuffle moves `m` ints per candidate
+    * instead of the vector (at 100 TB this is the difference between a
+    * feasible and an infeasible index-side shuffle). The query side keeps
+    * its raw vector (queries are the streamed, small side of the
+    * asymmetric design). Candidates score by [[PqKernels.pqAdcDot]]
+    * inside whole-stage codegen; the top `refineFactor·k` per query — and
+    * only those — join back to real vectors for exact cosine re-ranking.
+    * `refineFactor` trades recall for re-rank volume (FAISS's
+    * IndexRefineFlat pattern); recall vs the exact join is asserted in
+    * graft.SimilaritySpec.
+    *
+    * Output matches [[SimilarityOps.ivfKnnJoin]]: `(va, rk, vb, cos)`
+    * with exact cosines on the survivors.
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, array-of-float) frame. */
+  def ivfPqKnnJoin(rows: DataFrame, id: String, vec: String, k: Int,
+      m: Int = 8, ksub: Int = 16, nlist: Int = 16, nprobe: Int = 4,
+      refineFactor: Int = 4, iters: Int = 3, trainFraction: Double = 1.0,
+      precomputedCentroids: Option[DataFrame] = None,
+      precomputedCodebooks: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1 && refineFactor >= 1 && nlist >= 2 &&
+      nprobe >= 1 && nprobe <= nlist,
+      s"bad IVFPQ config: k=$k refineFactor=$refineFactor nlist=$nlist " +
+        s"nprobe=$nprobe")
+    val ne = SimilarityOps.normalizedVecs(rows, id, vec).localCheckpoint(true)
+    val centroids = SimilarityOps.resolveCentroids(ne, nlist, iters,
+      trainFraction, precomputedCentroids)
+    val cb = resolveCodebook(ne, m, ksub, iters, trainFraction,
+      precomputedCodebooks)
+
+    val sc = rows.sparkSession.sparkContext
+    // captured by the returned lazy plan — reclaimed by ContextCleaner
+    // once the plan is garbage (same lifecycle note as ivfKnnJoin)
+    val bcC = sc.broadcast(centroids.map(_.toArray))
+    val bcCb = sc.broadcast(cb)
+
+    // indexed side: list + codes only — the vector is gone before any join
+    val indexed = ne.select(col("vec_id").as("vb"),
+      graft.functions.ArgTopDot.argMaxDot(col("ne"), bcC).as("l"),
+      PqKernels.pqEncode(col("ne"), bcCb).as("codes"))
+    val probes = ne.select(col("vec_id").as("va"), col("ne").as("ea"),
+      explode(graft.functions.ArgTopDot.argTopDot(
+        col("ne"), bcC, nprobe)).as("l"))
+
+    // each vb lives in exactly one list, so a (va, vb) candidate appears
+    // at most once across the nprobe probes — no dedup aggregation needed
+    val wAdc = Window.partitionBy("va").orderBy(desc("adc"), col("vb"))
+    val shortlist = probes
+      .join(indexed, Seq("l"))
+      .filter(col("va") =!= col("vb"))
+      .select(col("va"), col("ea"), col("vb"),
+        PqKernels.pqAdcDot(col("codes"), col("ea"), bcCb).as("adc"))
+      .withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= refineFactor * k)
+
+    val wCos = Window.partitionBy("va").orderBy(desc("cos"), col("vb"))
+    shortlist
+      .join(ne.select(col("vec_id").as("vb"), col("ne").as("eb")), Seq("vb"))
+      .select(col("va"), col("vb"), Det.r4(dotf(col("ea"), col("eb"))).as("cos"))
+      .withColumn("rk", row_number().over(wCos))
+      .filter(col("rk") <= k)
+      .select(col("va"), col("rk"), col("vb"), col("cos"))
+      .orderBy("va", "rk")
+  }
+
+  /** The corpus's trained PQ codebook, materialized once per application —
+    * the train-once/search-many pattern applied to the benchmark binding
+    * (the one-time training cost reports as its own `_memo_*` line; the
+    * query's number measures encode + search). Same trainFraction as the
+    * IVF quantizer memo it composes with. */
+  private[operators] def sharedPqCodebook(s: SparkSession, d: String): DataFrame =
+    graft.sources.Materialize.table(s, s"pq_codebook:$d") {
+      pqTrain(emb(s, d), "vec_id", "embedding", m = 8, ksub = 64,
+        trainFraction = 0.3)
+    }
+
+  /** Bench accounting hook (see [[DedupOps.memoBuilds]]). */
+  def memoBuilds: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq("_memo_pq_codebooks" -> ((s, d) => sharedPqCodebook(s, d)))
+
+  // (ksub=64, refineFactor=10): the configuration PqSpec proves at 0.78
+  // recall@5 — ~95% of the IVF ceiling at the same probes — while the
+  // indexed side still shrinks 64 floats -> 8 codes
+  private def similarityPq(s: SparkSession, d: String): DataFrame =
+    ivfPqKnnJoin(emb(s, d), "vec_id", "embedding", k = 5, ksub = 64,
+      refineFactor = 10, trainFraction = 0.3,
+      precomputedCentroids = Some(SimilarityOps.sharedIvfCentroids(s, d)),
+      precomputedCodebooks = Some(sharedPqCodebook(s, d)))
+
+  val defs: Seq[QDef] = Seq(
+    // PQ codebooks come from iterative k-means — not DuckDB-expressible;
+    // recall vs the exact join, kernel parity, and train/reuse
+    // bit-identity are asserted in graft.SimilaritySpec + graft.KernelSpec.
+    QDef("q_similarity_pq", similarityPq, None))
+}

@@ -324,7 +324,7 @@ object SimilarityOps {
     * declarative transform-divide this replaced paid dim interpreted
     * lambda dispatches per row on a full-corpus pass (KernelSpec pins
     * bit-parity). */
-  private def normalizedVecs(rows: DataFrame, id: String,
+  private[operators] def normalizedVecs(rows: DataFrame, id: String,
       vec: String): DataFrame =
     rows.select(col(id).as("vec_id"),
         graft.functions.VecNormalize.vecNormalize(col(vec)).as("ne"))
@@ -440,7 +440,7 @@ object SimilarityOps {
     * Self-trained ≡ precomputed parity is asserted in graft.SimilaritySpec
     * (training is deterministic, so the two paths are bit-identical).
     * Shared by [[ivfKnnJoin]] and [[semanticDedupPairs]]. */
-  private def resolveCentroids(ne: DataFrame, nlist: Int, iters: Int,
+  private[operators] def resolveCentroids(ne: DataFrame, nlist: Int, iters: Int,
       trainFraction: Double,
       precomputedCentroids: Option[DataFrame]): Array[Seq[Double]] =
     precomputedCentroids match {

@@ -173,6 +173,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("dotf(ne"), s"centroid-literal dotf chain crept back:\n$p")
   }
 
+  test("IVFPQ scores candidates through the PQ kernels with no vectors on the indexed side") {
+    // the whole point of the PQ index is that the join's indexed side
+    // carries codes, not embeddings — a regression that rejoins `ne`
+    // before the ADC shortlist re-inflates the shuffle ~30×
+    val df = graft.operators.PqOps.ivfPqKnnJoin(
+      spark.read.parquet(s"$sf/embeddings.parquet"),
+      "vec_id", "embedding", 5, nlist = 16, nprobe = 8)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("pq_encode"), s"expected PqEncode kernel:\n$p")
+    assert(p.contains("pq_adc_dot"), s"expected PqAdcDot kernel:\n$p")
+    // the candidate join (on the list id `l`) must see `codes` but not a
+    // normalized-vector column on the indexed input; `eb` only appears in
+    // the post-shortlist refine join
+    val joinInputs = p.linesIterator.filter(_.contains("pq_adc_dot")).toSeq
+    assert(joinInputs.nonEmpty &&
+      joinInputs.forall(l => !l.contains("eb")),
+      s"indexed-side vector reached the ADC stage:\n$p")
+  }
+
   test("ngramJaccardPairs never forces a broadcast of the candidate pair list") {
     // r5 verdict: the pre-filter pair aggregate (every pair sharing ≥1
     // surviving shingle) must not carry an explicit broadcast hint — on a
