@@ -111,4 +111,56 @@ class DedupSpec extends SparkSpec {
       assert(can.count() == clustered)
     } finally can.unpersist()
   }
+
+  test("exact incremental dedup assigns the planted fates (corpus dup, batch dup, unique)") {
+    val sess = spark
+    import sess.implicits._
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma"),    // exact copy of corpus doc 1
+      (11L, "eta theta iota"),      // fresh
+      (12L, "eta theta iota"),      // in-batch copy of 11 (11 wins by id)
+      (13L, "kappa lambda mu"))     // fresh
+      .toDF("doc_id", "text")
+    val hashes = corpus.select(md5(col("text").cast("binary")).as("h"))
+    val fates = DedupOps
+      .exactDedupIncremental(batch, "doc_id", "text", hashes)
+      .select("doc_id", "fate").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fates == Map(10L -> "dup_of_corpus", 11L -> "unique",
+      12L -> "dup_in_batch", 13L -> "unique"))
+  }
+
+  test("incremental minhash finds increment-touching pairs and never re-reports corpus pairs") {
+    val sess = spark
+    import sess.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val mut = base.replace("tok7 ", "zzz ")   // near-dup of base
+    // corpus docs 1 and 2 are near-dups of EACH OTHER — historic, must
+    // not be re-reported; increment docs 10 (near-dups corpus 1) and
+    // 11/12 (near-dups of each other) must be
+    val corpus = Seq((1L, base), (2L, mut)).toDF("doc_id", "text")
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val batch = Seq(
+      (10L, base.replace("tok3 ", "yyy ")),
+      (11L, other),
+      (12L, other.replace("w105 ", "qqq ")))
+      .toDF("doc_id", "text")
+    val corpusSigs = DedupOps.minhashSignatures(corpus, "doc_id", "text")
+    val got = DedupOps
+      .minhashPairsIncremental(batch, "doc_id", "text", corpusSigs,
+        minEst = 0.5)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 10L)), s"missed the corpus near-dup: $got")
+    assert(got.contains((11L, 12L)), s"missed the in-batch near-dup: $got")
+    assert(!got.contains((1L, 2L)),
+      s"historic corpus pair re-reported: $got")
+    // 2-10 may or may not band-collide (both are 1-token mutations of
+    // base); anything else would be a false candidate surviving a 32/64
+    // agreement — assert none
+    assert((got - ((1L, 10L)) - ((11L, 12L)) - ((2L, 10L))).isEmpty,
+      s"unexpected pairs: $got")
+  }
 }
