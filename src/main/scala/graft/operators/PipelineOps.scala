@@ -80,6 +80,41 @@ object PipelineOps {
   private def packSequencesQuery(s: SparkSession, d: String): DataFrame =
     packSequences(docs(s, d), "doc_id", "text", Cap)
 
+  /** Deterministic per-epoch global training order: `md5(epoch:id)`
+    * re-permutes the corpus every epoch with no RNG — the order is
+    * reproducible across runs, restarts, and cluster sizes, and a trainer
+    * resuming mid-epoch re-derives it from the epoch label alone. Returns
+    * a DENSE rank 0..n-1 (what a sharded data loader consumes: shard k of
+    * S reads ranks ≡ k mod S), assigned scalably by the same two-phase
+    * shape as [[packSequences]]: a local rank within each of 256
+    * md5-prefix range buckets plus a 256-row exclusive prefix of bucket
+    * counts — the ONE unpartitioned window is bounded at 256 rows at any
+    * corpus size, never a global single-partition sort.
+    *
+    * LIBRARY ENTRY POINT — generic over any frame with an id column. */
+  def epochOrder(rows: DataFrame, id: String, epoch: String): DataFrame = {
+    val base = rows.select(col(id).as("doc_id"),
+      md5(concat(lit(epoch + ":"), col(id).cast("string"))).as("ord"))
+      // hex-string sort order equals bucket-number order, so
+      // (bucket, ord) sorts like global ord — same argument as pack
+      .withColumn("bucket",
+        conv(substring(col("ord"), 1, 2), 16, 10).cast("int"))
+    val wLocal = Window.partitionBy("bucket").orderBy("ord", "doc_id")
+    val wPrefix = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = base.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("prefix", coalesce(sum("n").over(wPrefix), lit(0L)))
+      .select("bucket", "prefix")
+    base.join(broadcast(prefix), Seq("bucket"))
+      .withColumn("rank", row_number().over(wLocal).cast("long")
+        + col("prefix") - 1)
+      .select(col("doc_id"), col("ord"), col("rank"))
+      .orderBy("rank")
+  }
+
+  private def shuffleOrderQuery(s: SparkSession, d: String): DataFrame =
+    epochOrder(docs(s, d), "doc_id", "ep1")
+
   /** Sliding-window document chunking — the retrieval/embedding prep step
     * (packSequences CONCATENATES documents into context windows; this
     * SPLITS each document into overlapping token windows for embedding,
@@ -428,6 +463,12 @@ object PipelineOps {
          |   FROM (SELECT doc_id, $oracleNTok AS n_tok,
          |     md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents)))
          | GROUP BY 1 ORDER BY chunk""".stripMargin)),
+    QDef("q_shuffle_order", shuffleOrderQuery, Some(
+      """SELECT doc_id, md5('ep1:' || CAST(doc_id AS VARCHAR)) AS ord,
+        |  ROW_NUMBER() OVER (
+        |    ORDER BY md5('ep1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |    AS rank
+        | FROM documents ORDER BY rank""".stripMargin)),
     QDef("q_mixture_sample", mixtureSample, Some(
       s"""WITH base AS (SELECT doc_id, source, $oracleNTok AS n_tok,
          |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000

@@ -731,4 +731,26 @@ class ApiSpec extends SparkSpec {
     assert(got(2L) == ((4L, 1L, 0.25, 0.0)), s"got ${got(2L)}")
     assert(got(3L) == ((4L, 4L, 1.0, 2.0)), s"got ${got(3L)}")
   }
+
+  test("epochOrder is a dense per-epoch permutation, stable within and distinct across epochs") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 300L).map(i => Tuple1(i)).toDF("item")
+    def order(epoch: String): Seq[Long] =
+      PipelineOps.epochOrder(rows, "item", epoch)
+        .orderBy("rank").select("doc_id").collect().map(_.getLong(0)).toSeq
+    val e1 = order("ep1")
+    // dense permutation: every item exactly once, ranks 0..n-1
+    assert(e1.sorted == (0L until 300L))
+    val ranks = PipelineOps.epochOrder(rows, "item", "ep1")
+      .select("rank").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ranks == (0L until 300L))
+    // same epoch → identical order; different epoch → a different one
+    assert(order("ep1") == e1)
+    val e2 = order("ep2")
+    assert(e2.sorted == (0L until 300L))
+    assert(e2 != e1, "ep2 must re-permute the corpus")
+    // and it is genuinely shuffled, not id order
+    assert(e1 != (0L until 300L).toSeq, "ep1 left the corpus in id order")
+  }
 }
