@@ -115,6 +115,32 @@ object PipelineOps {
   private def shuffleOrderQuery(s: SparkSession, d: String): DataFrame =
     epochOrder(docs(s, d), "doc_id", "ep1")
 
+  /** Exactly-n-per-stratum uniform sample — the "balance the mixture"
+    * primitive (n docs per source/language/domain regardless of stratum
+    * size; [[AnalyticOps]]' stratified sample keeps a FRACTION instead).
+    * The smallest-n md5-ranked rows of each stratum are a uniform draw
+    * (same argument as q_sample_bottomk), deterministic with no RNG.
+    * The rank-≤-n predicate lets Spark plan a WindowGroupLimit below the
+    * shuffle (pinned in PlanSpec): each map task forwards at most n rows
+    * per stratum, so a giant stratum never funnels through one sort —
+    * shuffle volume is ≤ n·strata·tasks, not the corpus.
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, stratum) frame. */
+  def quotaSample(rows: DataFrame, id: String, stratum: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"quota must be >= 1, got $n")
+    val w = Window.partitionBy("stratum").orderBy("h", "doc_id")
+    rows.select(col(id).as("doc_id"), col(stratum).as("stratum"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .select(col("stratum"), col("rk"), col("doc_id"))
+      .orderBy("stratum", "rk")
+  }
+
+  private def quotaSampleQuery(s: SparkSession, d: String): DataFrame =
+    quotaSample(docs(s, d), "doc_id", "source", n = 20)
+
   /** Sliding-window document chunking — the retrieval/embedding prep step
     * (packSequences CONCATENATES documents into context windows; this
     * SPLITS each document into overlapping token windows for embedding,
@@ -469,6 +495,12 @@ object PipelineOps {
         |    ORDER BY md5('ep1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
         |    AS rank
         | FROM documents ORDER BY rank""".stripMargin)),
+    QDef("q_sample_quota", quotaSampleQuery, Some(
+      """SELECT source AS stratum, rk, doc_id FROM (
+        | SELECT source, doc_id, ROW_NUMBER() OVER (
+        |   PARTITION BY source
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        | FROM documents) WHERE rk <= 20 ORDER BY stratum, rk""".stripMargin)),
     QDef("q_mixture_sample", mixtureSample, Some(
       s"""WITH base AS (SELECT doc_id, source, $oracleNTok AS n_tok,
          |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000

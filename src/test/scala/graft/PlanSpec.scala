@@ -192,6 +192,16 @@ class PlanSpec extends SparkSpec {
       s"indexed-side vector reached the ADC stage:\n$p")
   }
 
+  test("q_sample_quota plans a WindowGroupLimit below the shuffle (no full per-stratum sort)") {
+    // the rank <= n predicate must reach the map side: each task forwards
+    // at most n rows per stratum, so one giant stratum never funnels the
+    // corpus through a single window sort
+    val p = plan("q_sample_quota")
+    assert(p.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$p")
+    assert(p.linesIterator.count(_.trim.startsWith("WindowGroupLimit")) >= 2 ||
+      p.contains("Partial"), s"expected a map-side (partial) group limit:\n$p")
+  }
+
   test("ngramJaccardPairs never forces a broadcast of the candidate pair list") {
     // r5 verdict: the pre-filter pair aggregate (every pair sharing ≥1
     // surviving shingle) must not carry an explicit broadcast hint — on a
