@@ -64,6 +64,35 @@ class ScaleSpec extends SparkSpec {
       "plan must stay constant-size in tables*planes")
   }
 
+  test("PQ kernels hold at production parameters (m=16, ksub=256)") {
+    // the standard PQ configuration is 256 centroids per subspace (one
+    // byte per code); the codebook is 16×256×4 doubles riding a
+    // broadcast, and the plan must stay one constant-size node — a
+    // literal rendering would explode at m·ksub = 4096 struct branches.
+    // Deterministic codebook from the LSH plane generator.
+    val emb = Tables(spark, sf, "embeddings")
+    val flat = graft.operators.SimilarityOps.planesFor(16 * 256, dim = 4)
+    val cb = Array.tabulate(16, 256)((s, c) => flat(s * 256 + c))
+    val bc = spark.sparkContext.broadcast(cb)
+    val coded = emb.select(
+      graft.functions.PqKernels.pqEncode(col("embedding"), bc).as("codes"),
+      graft.functions.PqKernels.pqAdcDot(
+        graft.functions.PqKernels.pqEncode(col("embedding"), bc),
+        col("embedding"), bc).as("adc"))
+    val r = coded
+      .agg(min(size(col("codes"))).as("lo"), max(size(col("codes"))).as("hi"),
+        min(array_min(col("codes"))).as("mn"),
+        max(array_max(col("codes"))).as("mx"),
+        count(when(col("adc").isNull, 1)).as("null_adc"))
+      .collect().head
+    assert(r.getInt(0) == 16 && r.getInt(1) == 16,
+      "every vector gets exactly m codes")
+    assert(r.getInt(2) >= 0 && r.getInt(3) < 256, "codes in byte range")
+    assert(r.getLong(4) == 0, "ADC must score every coded vector")
+    assert(coded.queryExecution.executedPlan.toString.length < 20000,
+      "plan must stay constant-size in m*ksub")
+  }
+
   test("observe() surfaces inline QA metrics without an extra pass") {
     val observed = Tables(spark, sf, "documents")
       .observe("qa",
