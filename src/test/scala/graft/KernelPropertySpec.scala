@@ -222,4 +222,47 @@ class KernelPropertySpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("PQ kernels equal their declarative renderings on generated vectors (incl. ties)") {
+    val s = spark
+    import s.implicits._
+    val (m, ksub, dsub) = (2, 4, 3)
+    val dim = m * dsub
+    val vecGen: Gen[Array[Float]] =
+      Gen.listOfN(dim, Gen.chooseNum(-10f, 10f)).map(_.toArray)
+    val vecs = Gen.listOfN(60, vecGen).sample.get :+ Array.fill(dim)(0f)
+    // duplicate one centroid per subspace: exact-equal distances force the
+    // tie, and the contract (smaller code wins) must match the struct-min
+    // rendering's lexicographic order
+    val baseC = Gen.listOfN(ksub - 1,
+      Gen.listOfN(dsub, Gen.chooseNum(-10.0, 10.0))).sample.get
+      .map(_.toArray)
+    val cb: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(_ => (baseC :+ baseC(1).clone()).toArray)
+    val bc = spark.sparkContext.broadcast(cb)
+    // declarative argmin-L2 per subspace: left-to-right squared-diff fold
+    // (the kernel's exact accumulation order), struct-min tie-break
+    def sq(sub: Int, code: Int) = {
+      val xs = slice(col("v"), sub * dsub + 1, dsub)
+      aggregate(zip_with(xs, typedLit(cb(sub)(code).toSeq),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    val literalCodes = array((0 until m).map(sub =>
+      array_min(array((0 until ksub).map(c0 =>
+        struct(sq(sub, c0).as("d"), lit(c0).as("i"))): _*)).getField("i")): _*)
+    // declarative ADC: reconstruct from the codes by literal codebook
+    // lookup, then the shared DotF (same left-to-right order as the kernel)
+    val cbLit = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val codesK = graft.functions.PqKernels.pqEncode(col("v"), bc)
+    val recon = flatten(transform(codesK,
+      (c, i) => element_at(element_at(cbLit, i + 1), c + 1)))
+    val bad = vecs.toDF("v").select(
+      codesK.as("n"), literalCodes.as("h"),
+      graft.functions.PqKernels.pqAdcDot(codesK, col("v"), bc).as("nadc"),
+      graft.functions.DotF.dotf(col("v"), recon).as("hadc"))
+      .filter(not(col("n") === col("h")) or not(col("nadc") <=> col("hadc")))
+      .count()
+    assert(bad == 0)
+  }
 }
