@@ -112,4 +112,40 @@ class StreamingDedupSpec extends SparkSpec {
         s"in-horizon duplicate leaked or original lost: $kept")
     } finally q.stop()
   }
+
+  test("streaming incremental dedup: the persisted corpus hash table gates the ingest stream") {
+    // the streaming twin of DedupOps.exactDedupIncremental: the corpus's
+    // persisted content-hash table joins the ingest stream STATIC-side
+    // (stream-static left join is stateless — no stream state grows with
+    // the corpus), then dropDuplicates bounds the in-stream copies; what
+    // survives is exactly what a nightly batch ingest would keep
+    val s = spark
+    import s.implicits._
+    val corpusHashes = Seq("known doc one", "known doc two")
+      .toDF("text").select(md5(col("text").cast("binary")).as("h"))
+      .withColumn("in_corpus", lit(true))
+    val in = MemoryStream[(Long, String)](s)
+    val fresh = in.toDS().toDF("doc_id", "text")
+      .withColumn("h", md5(col("text").cast("binary")))
+      .join(corpusHashes, Seq("h"), "left")
+      .filter(col("in_corpus").isNull)
+      .dropDuplicates("h")
+    val q = fresh.writeStream
+      .format("memory").queryName("incr_gate")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData((1L, "known doc one"), (2L, "brand new doc"))
+      q.processAllAvailable()
+      // corpus dup in a later batch still dropped (static side, not
+      // state); in-stream dup across batches dropped by state
+      in.addData((3L, "known doc two"), (4L, "brand new doc"),
+        (5L, "another new doc"))
+      q.processAllAvailable()
+      val kept = s.table("incr_gate").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L, 5L),
+        s"expected only the genuinely new docs to survive, got $kept")
+    } finally q.stop()
+  }
 }
