@@ -645,7 +645,98 @@ object DedupOps {
        |SELECT da, db, floor((inter / (na + nb - inter)) * 10000 + 0.5) / 10000 AS jaccard
        | FROM njp ORDER BY da, db""".stripMargin
 
+  /** Repeated-segment (line-level) dedup — the CCNet/RefinedWeb
+    * boilerplate-removal pass: segments (split on `sep`) whose corpus
+    * DOCUMENT frequency exceeds `dfFrac` of the corpus are removed from
+    * every document, the remainder re-joined in original order. Headers,
+    * navigation chrome, cookie banners — content repeated across a large
+    * share of documents carries no training signal and inflates exact-dup
+    * rates downstream.
+    *
+    * Shape at 100 TB: the blocklist is the set of segments MORE frequent
+    * than `dfFrac × corpus` — heavy hitters, so its size is bounded by
+    * construction (≤ total segment occurrences / (dfFrac × docs), and in
+    * real corpora boilerplate is a tiny vocabulary). It is computed with
+    * one hash-keyed aggregation (the shuffle carries 8-byte xxhash64 keys,
+    * never segment text), collapsed to a single array row, and BROADCAST;
+    * the removal pass is then a pure per-document projection (split →
+    * filter → re-join) with no explode and no reassembly shuffle — each
+    * document is touched exactly once, and per-doc segment order never
+    * leaves the row. Total cost: one corpus pass for frequencies + one
+    * corpus pass for removal, one broadcast, zero row-multiplying joins.
+    *
+    * Exactness stance matches the shingle ops: segments are keyed by
+    * xxhash64, so two distinct segments colliding in 64 bits within one
+    * corpus would merge their counts (~2^-64 per pair; immaterial).
+    *
+    * Returns (`id`, clean_text, n_removed) — n_removed counts removed
+    * OCCURRENCES in that document.
+    *
+    * LIBRARY ENTRY POINT — generic over any corpus (id + text columns);
+    * ApiSpec exercises it on a planted newline-separated corpus. */
+  def lineDedup(rows: DataFrame, id: String, text: String,
+      sep: String = "\n", dfFrac: Double = 0.5): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    require(dfFrac > 0 && dfFrac < 1,
+      s"dfFrac must be in (0, 1), got $dfFrac")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val segs = rows.select(col(id).as("__id"),
+      explode(split(col(text), sepRe)).as("ln"))
+    // document frequency per segment hash: count_distinct(__id) makes a
+    // doc with a segment repeated in-document count once, mirroring the
+    // "share of DOCUMENTS containing it" definition
+    val dfreq = segs.groupBy(xxhash64(col("ln")).as("h"))
+      .agg(count_distinct(col("__id")).as("df"))
+    // threshold from the same frame (no separate count() action); explicit
+    // floor because Spark's double→long cast truncates while DuckDB's
+    // CAST rounds — the oracle mirrors the floor
+    val thr = rows.agg(
+      floor(count(lit(1)) * dfFrac).cast("long").as("max_df"))
+    val heavy = dfreq.crossJoin(broadcast(thr))
+      .filter(col("df") > col("max_df"))
+      .agg(sort_array(collect_list(col("h"))).as("hv"))
+    rows.crossJoin(broadcast(heavy))
+      .withColumn("__segs", split(col(text), sepRe))
+      .withColumn("__kept",
+        filter(col("__segs"), t => !array_contains(col("hv"), xxhash64(t))))
+      .select(col(id),
+        array_join(col("__kept"), sep).as("clean_text"),
+        (size(col("__segs")) - size(col("__kept"))).cast("long")
+          .as("n_removed"))
+  }
+
+  /** q_dedup_lines binding: the corpus's documents are single-line
+    * (space-joined tokens), so `sep = " "` exercises the operator at token
+    * granularity — the removed "segments" are the corpus's stop-tokens,
+    * which is exactly the corpus-frequency vocabulary-pruning variant of
+    * the same operator. 0.78 sits inside the corpus's token-DF spread
+    * (top fracs ≈ 0.78-0.80 at both gate and bench SF), so the blocklist
+    * is non-empty but far from total — 15 of 31 tokens at sf0.01, 3 of 31
+    * at sf0.1. */
+  private def dedupLines(s: SparkSession, d: String): DataFrame =
+    lineDedup(docs(s, d), "doc_id", "text", sep = " ", dfFrac = 0.78)
+      .orderBy("doc_id")
+
   lazy val defs: Seq[QDef] = Seq(
+    QDef("q_dedup_lines", dedupLines, Some(
+      // raw segment strings where Spark carries xxhash64 keys (equivalent
+      // barring a 64-bit collision); string_agg skips the NULLs the left
+      // join leaves on kept tokens, preserving position order
+      """WITH thr AS (
+        |  SELECT CAST(floor(count(*) * 0.78) AS BIGINT) AS max_df FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |hv AS (SELECT tok FROM toks, thr
+        |       GROUP BY tok, max_df
+        |       HAVING count(DISTINCT doc_id) > max_df)
+        |SELECT t.doc_id,
+        |  coalesce(string_agg(CASE WHEN h.tok IS NULL THEN t.tok END,
+        |                      ' ' ORDER BY t.pos), '') AS clean_text,
+        |  count(h.tok) AS n_removed
+        | FROM toks t LEFT JOIN hv h ON t.tok = h.tok
+        | GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
     QDef("q_dedup_exact", dedupExact, Some(
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         | FROM documents GROUP BY 1 ORDER BY h""".stripMargin)),

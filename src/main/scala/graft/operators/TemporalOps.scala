@@ -215,7 +215,146 @@ object TemporalOps {
       .orderBy("user_id")
   }
 
+  /** Cohort retention — users cohorted by first-active week, activity
+    * counted per whole-week offset from that first day. THE
+    * warehouse-standard engagement query, shaped join-free: the cohort
+    * anchor is a `min` window over the user partition, so the whole query
+    * is two shuffles — one on `user` (window), one on (cohort, offset)
+    * (count-distinct aggregate) — and the shuffled rows are (user, day)
+    * pairs, never events. All calendar math is integer epoch-day
+    * arithmetic (`day + 3` Monday-aligns the 1970-01-01-Thursday epoch),
+    * bit-identical in any engine — no DATE/TZ semantics in the result.
+    *
+    * Returns (cohort_week, week_offset, active_users): cohort_week is a
+    * Monday-aligned epoch-week index, week_offset 0 is the user's first
+    * week (so offset 0 counts the cohort's size).
+    *
+    * LIBRARY ENTRY POINT — generic over any keyed, timestamped activity
+    * frame (ApiSpec exercises it on a synthetic activity log). */
+  def cohortRetention(rows: DataFrame, user: String, ts: String): DataFrame = {
+    // epoch-µs → epoch-day → epoch-week in explicit floor arithmetic:
+    // Spark's `/` on longs is double division, so wrap in floor — exact
+    // here (all values < 2^53 and nonnegative), and it renders as `//` in
+    // the DuckDB oracle
+    val day = floor(tsLong(rows, ts) / lit(86400000000L)).cast("long").as("day")
+    val w = Window.partitionBy("__u")
+    rows.select(col(user).as("__u"), day)
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .groupBy(floor((col("cohort_day") + 3) / 7).cast("long").as("cohort_week"),
+        floor((col("day") - col("cohort_day")) / 7).cast("long").as("week_offset"))
+      .agg(count_distinct(col("__u")).as("active_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private def qCohortRetention(s: SparkSession, d: String): DataFrame =
+    cohortRetention(Tables(s, d, "events"), "user_id", "ts")
+
+  /** Resample an irregular per-key series onto a regular `stepUs` grid
+    * with forward fill — the time-series regularization pass feature
+    * pipelines need before windowed models (irregular telemetry → one row
+    * per (key, step), last observation carried forward). Per (key,
+    * bucket) the LAST observation wins (ties on timestamp broken by
+    * `tieBreak` descending); buckets between a key's first and last
+    * observation with no rows are emitted with the carried value and
+    * `observed = false`. The grid never extends beyond a key's own span,
+    * so no trailing extrapolation is invented.
+    *
+    * Shape at scale: every stage is keyed by `key` (in-bucket last pick,
+    * span bounds, grid join, fill window) — each observation row is
+    * shuffled a constant number of times and the only generated rows are
+    * the grid itself, span/stepUs per key BY CONSTRUCTION (the caller's
+    * step choice bounds the blow-up; there is no observation-count term
+    * in the grid size). Forward fill is one `last(ignoreNulls)` running
+    * window, never a self-join.
+    *
+    * Returns (`key`, bucket, `value`, observed): bucket = floor(ts /
+    * stepUs) as an epoch bucket index, `value` forward-filled, observed
+    * marking real vs carried rows.
+    *
+    * LIBRARY ENTRY POINT — generic over any keyed, timestamped frame
+    * (ApiSpec exercises gaps, in-bucket ties, and span bounds). */
+  def resampleFill(rows: DataFrame, key: String, ts: String, value: String,
+      stepUs: Long, tieBreak: String): DataFrame = {
+    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    val t = tsLong(rows, ts)
+    val obs = rows.select(col(key).as("__k"),
+      floor(t / lit(stepUs)).cast("long").as("__b"),
+      t.as("__t"), col(tieBreak).as("__tb"), col(value).as("__v"))
+    val w1 = Window.partitionBy("__k", "__b")
+      .orderBy(desc("__t"), desc("__tb"))
+    val lastPer = obs.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") === 1)
+      .select(col("__k"), col("__b"), col("__v"), lit(true).as("__obs"))
+    val grid = lastPer.groupBy("__k")
+      .agg(min("__b").as("__mn"), max("__b").as("__mx"))
+      .select(col("__k"), explode(sequence(col("__mn"), col("__mx"))).as("__b"))
+    val w2 = Window.partitionBy("__k").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(lastPer, Seq("__k", "__b"), "left")
+      .select(col("__k").as(key), col("__b").as("bucket"),
+        last(col("__v"), ignoreNulls = true).over(w2).as(value),
+        coalesce(col("__obs"), lit(false)).as("observed"))
+  }
+
+  private def qResampleFill(s: SparkSession, d: String): DataFrame =
+    resampleFill(Tables(s, d, "events"), "user_id", "ts", "value",
+      stepUs = 86400000000L, tieBreak = "event_id")
+      .orderBy("user_id", "bucket")
+
+  /** Per-user next-event transition counts — the first-order Markov view
+    * of the event stream (what follows what, per user, in time order),
+    * with the per-from-state transition probability. One window pass for
+    * the successor + one aggregation; the probability window runs over
+    * ≤ |event_type|² rows. Ties are impossible here (distinct µs
+    * timestamps) but the ordering carries event_id anyway so replays are
+    * deterministic. */
+  private def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val pw = Window.partitionBy("event_type")
+    ev(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", graft.Det.r4(col("n") / sum(col("n")).over(pw)))
+      .orderBy("event_type", "next_type")
+  }
+
   val defs: Seq[QDef] = Seq(
+    QDef("q_cohort_retention", qCohortRetention, Some(
+      """SELECT (cohort_day + 3) // 7 AS cohort_week,
+        | (day - cohort_day) // 7 AS week_offset,
+        | count(DISTINCT user_id) AS active_users
+        | FROM (SELECT user_id, day,
+        |   min(day) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |        FROM events))
+        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QDef("q_resample_fill", qResampleFill, Some(
+      """WITH obs AS (SELECT user_id, epoch_us(ts) // 86400000000 AS b, value,
+        |  row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 86400000000
+        |                     ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events),
+        |lastobs AS (SELECT user_id, b, value FROM obs WHERE rn = 1),
+        |bounds AS (SELECT user_id, min(b) AS mn, max(b) AS mx
+        |           FROM lastobs GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS b
+        |         FROM bounds)
+        |SELECT g.user_id, g.b AS bucket,
+        | last_value(l.value IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |   ORDER BY g.b ROWS UNBOUNDED PRECEDING) AS value,
+        | l.b IS NOT NULL AS observed
+        | FROM grid g LEFT JOIN lastobs l ON g.user_id = l.user_id AND g.b = l.b
+        | ORDER BY 1, 2""".stripMargin)),
+    QDef("q_event_transitions", eventTransitions, Some(
+      s"""SELECT event_type, next_type, count(*) AS n,
+         | ${graft.Det.r4Sql("count(*) / sum(count(*)) OVER (PARTITION BY event_type)")} AS p
+         | FROM (SELECT event_type, user_id,
+         |   lead(event_type) OVER (PARTITION BY user_id
+         |     ORDER BY epoch_us(ts), event_id) AS next_type
+         |  FROM events)
+         | WHERE next_type IS NOT NULL
+         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QDef("q_funnel", funnel, Some(
       """SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
         | count(CASE WHEN t_view < t_click THEN 1 END) AS n_view_click,

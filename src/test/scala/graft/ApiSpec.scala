@@ -753,4 +753,87 @@ class ApiSpec extends SparkSpec {
     // and it is genuinely shuffled, not id order
     assert(e1 != (0L until 300L).toSeq, "ep1 left the corpus in id order")
   }
+
+  test("lineDedup removes the planted boilerplate line, keeps order, counts occurrences") {
+    val s = spark
+    import s.implicits._
+    val banner = "subscribe to our newsletter"
+    val docs = Seq(
+      (1L, s"$banner\nunique first line\nsecond thought"),
+      (2L, s"opening words\n$banner\nclosing words"),
+      (3L, s"standalone content\n$banner"),
+      // the banner twice in ONE doc: df counts the doc once, but both
+      // occurrences are removed and n_removed = 2
+      (4L, s"$banner\nmiddle bit\n$banner"),
+      (5L, "entirely banner-free\ntwo lines"))
+      .toDF("id", "body")
+    // banner df = 4/5 = 0.8 > 0.7; every other line df = 1/5
+    val out = DedupOps.lineDedup(docs, "id", "body", sep = "\n", dfFrac = 0.7)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) == (("unique first line\nsecond thought", 1L)), out(1L))
+    assert(out(2L) == (("opening words\nclosing words", 1L)), out(2L))
+    assert(out(3L) == (("standalone content", 1L)), out(3L))
+    assert(out(4L) == (("middle bit", 2L)), out(4L))
+    assert(out(5L) == (("entirely banner-free\ntwo lines", 0L)), out(5L))
+    // raising the threshold above the banner's df keeps everything
+    val strict = DedupOps.lineDedup(docs, "id", "body", sep = "\n",
+      dfFrac = 0.9).agg(sum("n_removed")).collect()(0).getLong(0)
+    assert(strict == 0L, s"dfFrac=0.9 should remove nothing, removed $strict")
+  }
+
+  test("resampleFill fills gaps forward, resolves in-bucket ties, stays inside each key's span") {
+    val s = spark
+    import s.implicits._
+    val obs = Seq(
+      // key "a": buckets 10 and 13 observed → 11, 12 carried from bucket 10
+      ("a", 10L * 100 + 5, 7L, 1.0),
+      ("a", 13L * 100 + 1, 8L, 2.0),
+      // in-bucket tie: bucket 10 has a LATER observation that must win
+      ("a", 10L * 100 + 50, 9L, 1.5),
+      // key "b": single observation → single-row grid, no fill
+      ("b", 20L * 100, 1L, 9.0))
+      .toDF("k", "at", "seq", "v")
+    val got = graft.operators.TemporalOps
+      .resampleFill(obs, "k", "at", "v", stepUs = 100L, tieBreak = "seq")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      ("a", 10L) -> ((1.5, true)),  // later in-bucket obs wins
+      ("a", 11L) -> ((1.5, false)), // carried
+      ("a", 12L) -> ((1.5, false)), // carried
+      ("a", 13L) -> ((2.0, true)),
+      ("b", 20L) -> ((9.0, true))   // no rows beyond the key's span
+    ), s"got $got")
+  }
+
+  test("cohortRetention builds the planted weekly retention matrix") {
+    val s = spark
+    import s.implicits._
+    // integer-ts activity log (epoch µs): user → active days
+    val us = 86400000000L // one day in µs
+    def day(d: Long) = d * us
+    val acts = Seq(
+      // cohort A: first active day 0 (epoch week of day 0 starts day -3)
+      (1L, day(0)), (1L, day(1)), (1L, day(8)),   // weeks 0 and 1
+      (2L, day(2)), (2L, day(16)),                // weeks 0 and 2
+      // cohort B: first active day 7
+      (3L, day(7)), (3L, day(14)), (3L, day(15))) // weeks 0 and 1
+      .toDF("who", "at")
+    val got = graft.operators.TemporalOps.cohortRetention(acts, "who", "at")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // epoch day 0 is a Thursday → Monday-aligned week index of day 0 is 0
+    // (days -3..3), of day 7 is 1 (days 4..10)... day(0..2) → week 0;
+    // day(7,8) → week 1; day(14..16) → week 2
+    // cohort of users 1,2 = week 0; cohort of user 3 = week 1
+    assert(got == Map(
+      (0L, 0L) -> 2L, // users 1 (d0,d1) and 2 (d2) in their first week
+      (0L, 1L) -> 1L, // user 1 returns on day 8 (offset (8-0)/7 = 1)
+      (0L, 2L) -> 1L, // user 2 returns on day 16 (offset 2)
+      (1L, 0L) -> 1L, // user 3 first active day 7
+      (1L, 1L) -> 1L  // user 3 returns days 14,15 (offset 1) — once
+    ), s"got $got")
+  }
 }

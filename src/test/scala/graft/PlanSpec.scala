@@ -225,4 +225,23 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"entropy should not shuffle token rows:\n$p")
     assert(!p.contains("Generate"), s"entropy must not explode tokens:\n$p")
   }
+
+  test("q_dedup_lines: removal pass is join-free — blocklist broadcast, no reassembly shuffle") {
+    val p = plan("q_dedup_lines")
+    // the heavy-segment list must reach the corpus as a broadcast scalar
+    // (1-row array), never as a shuffle join; and the removal pass must
+    // not explode + regroup (split/filter/re-join stay inside the row)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"blocklist must be broadcast, not shuffle-joined:\n$p")
+    // exactly one Generate (the explode feeding the frequency aggregate);
+    // a second one would mean the removal pass exploded the corpus too
+    val generates = "Generate".r.findAllIn(p).length
+    assert(generates == 1,
+      s"expected one explode (frequency agg), got $generates:\n$p")
+  }
+
+  test("q_cohort_retention plans join-free (window anchor, no self-join)") {
+    val p = plan("q_cohort_retention")
+    assert(!p.contains("Join"), s"cohort anchor must be a window, not a join:\n$p")
+  }
 }
