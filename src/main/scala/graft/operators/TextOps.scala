@@ -331,6 +331,44 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), Det.dsum(length(col("text"))).as("n_chars"))
       .orderBy("split")
 
+  /** Leakage-safe train/val/test split — the FIX half of the
+    * contamination check: q_contamination DETECTS near-dup pairs
+    * straddling a split boundary; this operator makes them impossible by
+    * assigning whole near-dup CLUSTERS atomically. Each document's split
+    * hash runs on its cluster representative (connected component of the
+    * supplied pair list; untouched docs anchor on themselves), so every
+    * member of a cluster lands in the same split BY CONSTRUCTION, and
+    * singleton assignment is bit-identical to the plain md5 split
+    * (membership stays stable under corpus growth for unclustered docs).
+    *
+    * Shape at scale: the cluster table is a vanishing fraction of the
+    * corpus (only near-dup members appear), so the anchor join
+    * broadcasts under AQE; the split itself is a pure projection. Cost =
+    * connectedComponents on the pair list + one join + one corpus pass.
+    *
+    * Returns (`id`, split_anchor, split).
+    *
+    * LIBRARY ENTRY POINT — generic over any corpus + pair list (ApiSpec
+    * plants clusters and asserts zero cross-split pairs and singleton
+    * parity with the plain split). */
+  def leakageSafeSplit(rows: DataFrame, id: String, pairs: DataFrame,
+      src: String = "da", dst: String = "db"): DataFrame = {
+    val comps = DedupOps.connectedComponents(pairs, src, dst)
+      .select(col("doc_id").as("__cv"), col("cluster_rep").as("__rep"))
+    rows.join(comps, col(id) === col("__cv"), "left")
+      .withColumn("split_anchor", coalesce(col("__rep"), col(id)))
+      .withColumn("bucket",
+        conv(substring(md5(col("split_anchor").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .select(col(id), col("split_anchor"),
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test").as("split"))
+  }
+
+  private def splitLeakageSafe(s: SparkSession, d: String): DataFrame =
+    leakageSafeSplit(docs(s, d), "doc_id", DedupOps.sharedNgramPairs(s, d))
+      .orderBy("doc_id")
+
   // Corpus bigram counts (n-gram language-model statistics): tokens bound
   // once per row, adjacent pairs materialized per doc, then the canonical
   // map-side-combine count. Top-50 keeps the result driver-small while the
@@ -743,6 +781,30 @@ object TextOps {
          |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
          |   FROM documents))
          | GROUP BY 1 ORDER BY split""".stripMargin)),
+    QDef("q_split_leakage", splitLeakageSafe, Some {
+      // clusters via the same recursive-CTE rendering as q_dedup_clusters;
+      // the split hash then runs on coalesce(cluster_rep, doc_id)
+      val pairSql = DedupOps.defs.find(_.name == "q_dedup_ngram_jaccard").get.oracle.get
+      s"""WITH RECURSIVE sym AS (
+         |  SELECT da AS a, db AS b FROM ($pairSql)
+         |  UNION ALL
+         |  SELECT db, da FROM ($pairSql)),
+         |reach(v, r) AS (
+         |  SELECT DISTINCT a, a FROM sym
+         |  UNION
+         |  SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.v),
+         |clusters AS (SELECT v AS doc_id, min(r) AS cluster_rep FROM reach
+         |  GROUP BY 1)
+         |SELECT doc_id, split_anchor,
+         | CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+         |  ELSE 'test' END AS split
+         | FROM (SELECT d.doc_id,
+         |   coalesce(c.cluster_rep, d.doc_id) AS split_anchor,
+         |   CAST(('0x' || substr(md5(CAST(coalesce(c.cluster_rep, d.doc_id)
+         |     AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+         |  FROM documents d LEFT JOIN clusters c USING (doc_id))
+         | ORDER BY doc_id""".stripMargin
+    }),
     QDef("q_text_editdist", editDistance, Some {
       // candidate pairs = the (oracle-verified) ngram-jaccard query
       val pairSql = DedupOps.defs.find(_.name == "q_dedup_ngram_jaccard").get.oracle.get

@@ -782,6 +782,45 @@ class ApiSpec extends SparkSpec {
     assert(strict == 0L, s"dfFrac=0.9 should remove nothing, removed $strict")
   }
 
+  test("leakageSafeSplit keeps clusters whole and leaves singletons on the plain split") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("id", "body")
+    // two planted near-dup clusters, members chosen so a doc-level split
+    // would scatter them (they're arbitrary ids — the point is the
+    // ATOMIC assignment, whatever split the anchor hashes to)
+    val pairs = Seq((1L, 50L), (50L, 120L), (7L, 9L)).toDF("da", "db")
+    val split = TextOps.leakageSafeSplit(docs, "id", pairs)
+    val byId = split.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(byId.size == 200)
+    // every cluster member shares its cluster's anchor and split
+    assert(Seq(1L, 50L, 120L).map(byId(_)).distinct.size == 1,
+      s"cluster {1,50,120} split apart: ${Seq(1L, 50L, 120L).map(byId(_))}")
+    assert(Seq(7L, 9L).map(byId(_)).distinct.size == 1,
+      s"cluster {7,9} split apart: ${Seq(7L, 9L).map(byId(_))}")
+    assert(byId(1L)._1 == 1L && byId(7L)._1 == 7L, "anchor must be the min id")
+    // zero cross-split pairs — the contamination check comes back empty
+    val leaks = pairs
+      .join(split.select(col("id").as("da"), col("split").as("sa")), Seq("da"))
+      .join(split.select(col("id").as("db"), col("split").as("sb")), Seq("db"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(leaks == 0L, s"$leaks near-dup pairs straddle a split boundary")
+    // singletons are bit-identical to the plain doc-keyed md5 split
+    val plain = docs.withColumn("bucket",
+      conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100)
+      .withColumn("psplit", when(col("bucket") < 90, "train")
+        .when(col("bucket") < 95, "val").otherwise("test"))
+      .select("id", "psplit").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clustered = Set(1L, 50L, 120L, 7L, 9L)
+    docs.collect().map(_.getLong(0)).filterNot(clustered).foreach { i =>
+      assert(byId(i)._2 == plain(i), s"singleton $i moved: ${byId(i)._2} vs ${plain(i)}")
+      assert(byId(i)._1 == i, s"singleton $i must anchor on itself")
+    }
+  }
+
   test("resampleFill fills gaps forward, resolves in-bucket ties, stays inside each key's span") {
     val s = spark
     import s.implicits._
