@@ -782,6 +782,72 @@ class ApiSpec extends SparkSpec {
     assert(strict == 0L, s"dfFrac=0.9 should remove nothing, removed $strict")
   }
 
+  test("lineDedup equals a sequential reference on generated corpora") {
+    val s = spark
+    import s.implicits._
+    val segPool = Vector("header", "footer", "cookie notice", "unique-α",
+      "body text", "", "  spaced  ", "nav|bar")
+    val docGen: Gen[String] = Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(segPool)).map(_.mkString("\n")))
+    for (trial <- 1 to 5) {
+      val corpus = Gen.listOfN(12, docGen).sample.get.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val dfFrac = 0.4
+      // sequential reference — NOTE split(_, -1): Spark keeps trailing
+      // empty segments, Java's default limit 0 drops them
+      def segs(t: String) = t.split(java.util.regex.Pattern.quote("\n"), -1).toSeq
+      val dfreq = corpus.flatMap { case (i, t) => segs(t).distinct.map(_ -> i) }
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val maxDf = math.floor(corpus.size * dfFrac).toLong
+      val heavy = dfreq.filter(_._2 > maxDf).keySet
+      val expect = corpus.map { case (i, t) =>
+        val ss = segs(t)
+        val kept = ss.filterNot(heavy)
+        i -> ((kept.mkString("\n"), (ss.size - kept.size).toLong))
+      }.toMap
+      val got = DedupOps.lineDedup(corpus.toDF("id", "body"), "id", "body",
+          sep = "\n", dfFrac = dfFrac)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        .toMap
+      assert(got == expect, s"trial $trial: got $got\nexpected $expect")
+    }
+  }
+
+  test("resampleFill equals a sequential reference on generated series") {
+    val s = spark
+    import s.implicits._
+    val obsGen: Gen[(String, Long, Double)] = for {
+      k <- Gen.oneOf("a", "b", "c")
+      t <- Gen.chooseNum(0L, 400L)
+      v <- Gen.chooseNum(-50, 50).map(_ / 4.0)
+    } yield (k, t, v)
+    for (trial <- 1 to 5) {
+      val step = Seq(7L, 50L)(trial % 2)
+      val raw = Gen.listOfN(40, obsGen).sample.get.zipWithIndex
+        .map { case ((k, t, v), i) => (k, t, i.toLong, v) }
+      // sequential reference: last obs per (key, bucket) by (ts, seq)
+      // desc, grid over [min, max] bucket, forward fill
+      val expect = raw.groupBy(_._1).flatMap { case (k, obs) =>
+        val byBucket = obs.groupBy(o => o._2 / step).view
+          .mapValues(_.maxBy(o => (o._2, o._3))._4).toMap
+        val (mn, mx) = (byBucket.keys.min, byBucket.keys.max)
+        var carried = 0.0
+        (mn to mx).map { b =>
+          val hit = byBucket.contains(b)
+          if (hit) carried = byBucket(b)
+          (k, b) -> ((carried, hit))
+        }
+      }
+      val got = graft.operators.TemporalOps.resampleFill(
+          raw.toDF("k", "at", "seq", "v"), "k", "at", "v",
+          stepUs = step, tieBreak = "seq")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getBoolean(3)))).toMap
+      assert(got == expect, s"trial $trial (step $step): got $got\nexpected $expect")
+    }
+  }
+
   test("leakageSafeSplit keeps clusters whole and leaves singletons on the plain split") {
     val s = spark
     import s.implicits._
