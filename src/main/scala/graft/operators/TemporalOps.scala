@@ -301,24 +301,36 @@ object TemporalOps {
       stepUs = 86400000000L, tieBreak = "event_id")
       .orderBy("user_id", "bucket")
 
-  /** Per-user next-event transition counts — the first-order Markov view
-    * of the event stream (what follows what, per user, in time order),
+  /** Per-key next-state transition counts — the first-order Markov view
+    * of a keyed event stream (what follows what, per key, in time order),
     * with the per-from-state transition probability. One window pass for
     * the successor + one aggregation; the probability window runs over
-    * ≤ |event_type|² rows. Ties are impossible here (distinct µs
-    * timestamps) but the ordering carries event_id anyway so replays are
-    * deterministic. */
-  private def eventTransitions(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    val pw = Window.partitionBy("event_type")
-    ev(s, d)
-      .withColumn("next_type", lead(col("event_type"), 1).over(w))
-      .filter(col("next_type").isNotNull)
-      .groupBy("event_type", "next_type")
+    * ≤ |states|² rows, so it is never a scale concern. Ties on (key, ts)
+    * resolve by `tieBreak` ascending, making replays deterministic even
+    * on coarse timestamps.
+    *
+    * Returns (`state` as from-state, next_<state>, n, p).
+    *
+    * LIBRARY ENTRY POINT — generic over any keyed, timestamped,
+    * state-labeled frame (ApiSpec plants a known chain). */
+  def transitionMatrix(rows: DataFrame, key: String, ts: String,
+      state: String, tieBreak: String): DataFrame = {
+    val nextCol = s"next_$state"
+    val w = Window.partitionBy(col(key))
+      .orderBy(tsLong(rows, ts), col(tieBreak))
+    val pw = Window.partitionBy(col(state))
+    rows
+      .withColumn(nextCol, lead(col(state), 1).over(w))
+      .filter(col(nextCol).isNotNull)
+      .groupBy(col(state), col(nextCol))
       .agg(count(lit(1)).as("n"))
       .withColumn("p", graft.Det.r4(col("n") / sum(col("n")).over(pw)))
-      .orderBy("event_type", "next_type")
+      .orderBy(col(state), col(nextCol))
   }
+
+  private def eventTransitions(s: SparkSession, d: String): DataFrame =
+    transitionMatrix(Tables(s, d, "events"), "user_id", "ts", "event_type",
+      tieBreak = "event_id")
 
   val defs: Seq[QDef] = Seq(
     QDef("q_cohort_retention", qCohortRetention, Some(
@@ -347,13 +359,13 @@ object TemporalOps {
         | FROM grid g LEFT JOIN lastobs l ON g.user_id = l.user_id AND g.b = l.b
         | ORDER BY 1, 2""".stripMargin)),
     QDef("q_event_transitions", eventTransitions, Some(
-      s"""SELECT event_type, next_type, count(*) AS n,
+      s"""SELECT event_type, next_event_type, count(*) AS n,
          | ${graft.Det.r4Sql("count(*) / sum(count(*)) OVER (PARTITION BY event_type)")} AS p
          | FROM (SELECT event_type, user_id,
          |   lead(event_type) OVER (PARTITION BY user_id
-         |     ORDER BY epoch_us(ts), event_id) AS next_type
+         |     ORDER BY epoch_us(ts), event_id) AS next_event_type
          |  FROM events)
-         | WHERE next_type IS NOT NULL
+         | WHERE next_event_type IS NOT NULL
          | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QDef("q_funnel", funnel, Some(
       """SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,

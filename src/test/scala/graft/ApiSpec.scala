@@ -782,6 +782,27 @@ class ApiSpec extends SparkSpec {
     assert(strict == 0L, s"dfFrac=0.9 should remove nothing, removed $strict")
   }
 
+  test("transitionMatrix counts the planted chain with deterministic tie-break") {
+    val s = spark
+    import s.implicits._
+    val evs = Seq(
+      // key "x": A→B→B→C; key "y": A→C; tie at t=5 for "y" resolved by
+      // seq ascending (so the observed order is A then C)
+      ("x", 1L, 1L, "A"), ("x", 2L, 2L, "B"), ("x", 3L, 3L, "B"),
+      ("x", 4L, 4L, "C"),
+      ("y", 5L, 1L, "A"), ("y", 5L, 2L, "C"))
+      .toDF("k", "at", "seq", "st")
+    val got = graft.operators.TemporalOps
+      .transitionMatrix(evs, "k", "at", "st", tieBreak = "seq")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      ("A", "B") -> ((1L, 0.5)), ("A", "C") -> ((1L, 0.5)),
+      ("B", "B") -> ((1L, 0.5)), ("B", "C") -> ((1L, 0.5))),
+      s"got $got")
+  }
+
   test("lineDedup equals a sequential reference on generated corpora") {
     val s = spark
     import s.implicits._
