@@ -782,6 +782,23 @@ class ApiSpec extends SparkSpec {
     assert(strict == 0L, s"dfFrac=0.9 should remove nothing, removed $strict")
   }
 
+  test("driver contract: QDef names unique, every oracle keyed to a query, no-oracle set is the documented one") {
+    val defs = SparkEntry.all
+    assert(defs.map(_.name).distinct.size == defs.size,
+      s"duplicate QDef names: ${defs.map(_.name).diff(defs.map(_.name).distinct)}")
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracles without a query: ${os -- qs}")
+    // the engine-hash-dependent queries (LSH signatures, sketches, BPE,
+    // ANN) are the ONLY ones allowed to skip the DuckDB oracle — adding a
+    // new query without an oracle must be a deliberate act, not a typo
+    val noOracle = qs -- os
+    assert(noOracle == Set("q_bpe_encode", "q_bpe_merges", "q_dedup_minhash",
+      "q_dedup_simhash", "q_distinct_users_approx", "q_quantiles_approx",
+      "q_similarity_ann", "q_similarity_ivf", "q_similarity_pq"),
+      s"unexpected no-oracle set: $noOracle")
+  }
+
   test("transitionMatrix counts the planted chain with deterministic tie-break") {
     val s = spark
     import s.implicits._
