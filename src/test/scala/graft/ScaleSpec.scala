@@ -93,6 +93,42 @@ class ScaleSpec extends SparkSpec {
       "plan must stay constant-size in m*ksub")
   }
 
+  test("lineDedup holds with a large blocklist (20k docs, 300 heavy segments, 5.4M occurrences)") {
+    // the operator's scale contract: the blocklist is the HEAVY-HITTER
+    // set, bounded by construction, riding ONE broadcast array; the
+    // removal pass stays a join-free projection whatever the blocklist
+    // size. Corpus: a 300-segment boilerplate pool where doc i carries
+    // segment j iff (i+j) % 10 != 0 — every pool segment lands in
+    // exactly 90% of docs (>> the 60% cap), 270 segments per doc, plus
+    // one unique tail segment each. 20k docs → 5.4M boilerplate
+    // occurrences through the frequency pass.
+    val nDocs = 20000L
+    val docs = spark.range(nDocs)
+      .repartition(32) // spread the synthetic corpus like a real scan
+      .select(col("id"), concat_ws("\n",
+        // concat_ws skips the nulls the `when` leaves on dropped slots
+        concat_ws("\n", transform(sequence(lit(0L), lit(299L)),
+          j => when((col("id") + j) % 10 =!= 0,
+            concat(lit("boiler "), j.cast("string"))))),
+        concat(lit("unique segment "), col("id").cast("string")))
+        .as("body"))
+    val out = graft.operators.DedupOps.lineDedup(docs, "id", "body",
+      sep = "\n", dfFrac = 0.6)
+    val agg = out.agg(
+      sum("n_removed").as("removed"),
+      count(when(col("clean_text") =!= concat(lit("unique segment "),
+        col("id").cast("string")), 1)).as("wrong"))
+      .collect().head
+    assert(agg.getLong(0) == 270L * nDocs,
+      s"expected all 270×$nDocs boilerplate occurrences removed, got ${agg.getLong(0)}")
+    assert(agg.getLong(1) == 0L, "every doc must keep exactly its unique tail")
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "blocklist must broadcast at any size")
+    assert("Generate".r.findAllIn(p).length == 1,
+      "removal pass must not explode the corpus")
+  }
+
   test("observe() surfaces inline QA metrics without an extra pass") {
     val observed = Tables(spark, sf, "documents")
       .observe("qa",
