@@ -115,4 +115,59 @@ class StreamingWindowSpec extends SparkSpec {
       assert(last == Map("u1" -> 3L, "u2" -> 1L))
     } finally q.stop()
   }
+
+  test("streaming transition matrix: per-key last-state via flatMapGroupsWithState matches the batch operator") {
+    // the streaming twin of TemporalOps.transitionMatrix: state = the
+    // key's last seen event-state, each arrival emits one (prev, curr)
+    // edge; a downstream streaming count aggregates the matrix. The
+    // stream's growth-bounded state is ONE value per key — not a window
+    // over history — which is exactly why first-order transitions stream
+    // where higher-order sequence mining would not. In-batch arrival
+    // order is the MemoryStream insertion order (single partition), so
+    // the emitted edges are deterministic here.
+    val s = spark
+    import s.implicits._
+    val in = MemoryStream[(String, String)](s)
+    val edges = in.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, values: Iterator[(String, String)],
+         state: GroupState[String]) =>
+          var prev = state.getOption
+          val out = values.flatMap { case (_, cur) =>
+            val edge = prev.map(p => (p, cur))
+            prev = Some(cur)
+            edge
+          }.toVector
+          prev.foreach(state.update)
+          out.iterator
+      }
+    val q = edges.toDF("from_state", "to_state")
+      .groupBy("from_state", "to_state").count()
+      .writeStream
+      .format("memory").queryName("stream_transitions")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      in.addData(("x", "A"), ("x", "B"), ("y", "A"))
+      q.processAllAvailable()
+      // state survives across batches: x's last state B links to C
+      in.addData(("x", "C"), ("y", "C"), ("x", "B"))
+      q.processAllAvailable()
+      val got = s.table("stream_transitions").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // batch reference on the same log (arrival order = seq)
+      val log = Seq(("x", 1L, "A"), ("x", 2L, "B"), ("y", 3L, "A"),
+        ("x", 4L, "C"), ("y", 5L, "C"), ("x", 6L, "B"))
+        .toDF("k", "at", "st")
+      val batch = graft.operators.TemporalOps
+        .transitionMatrix(log, "k", "at", "st", tieBreak = "at")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got == Map(("A", "B") -> 1L, ("B", "C") -> 1L,
+        ("A", "C") -> 1L, ("C", "B") -> 1L), s"got $got")
+    } finally q.stop()
+  }
 }
