@@ -679,6 +679,12 @@ object DedupOps {
     require(sep.nonEmpty, "sep must be non-empty")
     require(dfFrac > 0 && dfFrac < 1,
       s"dfFrac must be in (0, 1), got $dfFrac")
+    // the removal pass crossJoins the corpus with the 1-row blocklist
+    // frame (column hv) and projects __segs/__kept — a corpus already
+    // carrying those names would hit an ambiguous-column error mid-plan
+    val clash = rows.columns.toSeq.intersect(Seq("hv", "__segs", "__kept"))
+    require(clash.isEmpty,
+      s"corpus already contains internal columns $clash — rename before calling")
     val sepRe = java.util.regex.Pattern.quote(sep)
     val segs = rows.select(col(id).as("__id"),
       explode(split(col(text), sepRe)).as("ln"))

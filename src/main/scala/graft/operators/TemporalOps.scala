@@ -276,6 +276,11 @@ object TemporalOps {
   def resampleFill(rows: DataFrame, key: String, ts: String, value: String,
       stepUs: Long, tieBreak: String): DataFrame = {
     require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    // output adds bucket/observed next to key and value — a caller whose
+    // columns collide would get silently shadowed results downstream
+    val reserved = Seq("bucket", "observed")
+    require(!reserved.contains(key) && !reserved.contains(value),
+      s"key/value must not be named ${reserved.mkString("/")} — rename before calling")
     val t = tsLong(rows, ts)
     val obs = rows.select(col(key).as("__k"),
       floor(t / lit(stepUs)).cast("long").as("__b"),
@@ -316,6 +321,13 @@ object TemporalOps {
   def transitionMatrix(rows: DataFrame, key: String, ts: String,
       state: String, tieBreak: String): DataFrame = {
     val nextCol = s"next_$state"
+    // the output carries (state, next_<state>, n, p): a state column
+    // named n/p would be overwritten by the count/probability columns,
+    // and an existing next_<state> column would be shadowed by the lead
+    require(state != "n" && state != "p",
+      s"state column must not be named n or p, got '$state'")
+    require(!rows.columns.contains(nextCol),
+      s"frame already has a '$nextCol' column — rename before calling")
     val w = Window.partitionBy(col(key))
       .orderBy(tsLong(rows, ts), col(tieBreak))
     val pw = Window.partitionBy(col(state))

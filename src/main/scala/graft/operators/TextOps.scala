@@ -353,6 +353,12 @@ object TextOps {
     * parity with the plain split). */
   def leakageSafeSplit(rows: DataFrame, id: String, pairs: DataFrame,
       src: String = "da", dst: String = "db"): DataFrame = {
+    // output adds split_anchor/split (and bucket internally); colliding
+    // input columns would be silently replaced by withColumn
+    val clash = rows.columns.toSeq
+      .intersect(Seq("split_anchor", "split", "bucket", "__cv", "__rep"))
+    require(clash.isEmpty,
+      s"corpus already contains output/internal columns $clash — rename before calling")
     val comps = DedupOps.connectedComponents(pairs, src, dst)
       .select(col("doc_id").as("__cv"), col("cluster_rep").as("__rep"))
     rows.join(comps, col(id) === col("__cv"), "left")
