@@ -782,6 +782,29 @@ class ApiSpec extends SparkSpec {
     assert(strict == 0L, s"dfFrac=0.9 should remove nothing, removed $strict")
   }
 
+  test("entry-point guards refuse colliding column names loudly") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a\nb", "x")).toDF("id", "body", "hv")
+    val e1 = intercept[IllegalArgumentException](
+      DedupOps.lineDedup(docs, "id", "body"))
+    assert(e1.getMessage.contains("hv"))
+    val series = Seq(("k", 1L, 1L, 1.0)).toDF("k", "at", "seq", "bucket")
+    val e2 = intercept[IllegalArgumentException](
+      graft.operators.TemporalOps.resampleFill(series, "k", "at", "bucket",
+        stepUs = 10L, tieBreak = "seq"))
+    assert(e2.getMessage.contains("bucket"))
+    val evs = Seq(("k", 1L, "A", "B")).toDF("k", "at", "st", "next_st")
+    val e3 = intercept[IllegalArgumentException](
+      graft.operators.TemporalOps.transitionMatrix(evs, "k", "at", "st", "at"))
+    assert(e3.getMessage.contains("next_st"))
+    val corpus = Seq((1L, "t", "train")).toDF("id", "body", "split")
+    val e4 = intercept[IllegalArgumentException](
+      TextOps.leakageSafeSplit(corpus, "id",
+        Seq((1L, 2L)).toDF("da", "db")))
+    assert(e4.getMessage.contains("split"))
+  }
+
   test("driver contract: QDef names unique, every oracle keyed to a query, no-oracle set is the documented one") {
     val defs = SparkEntry.all
     assert(defs.map(_.name).distinct.size == defs.size,
