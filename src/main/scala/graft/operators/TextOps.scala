@@ -454,8 +454,13 @@ object TextOps {
     * pair with (id, text) columns; the q_decontaminate query binds the
     * md5-split test table, graft.ApiSpec a synthetic planted-overlap
     * frame. */
+  /** When `precomputedGrams` is set (a persisted [[decontaminationIndex]]
+    * table), the benchmark gram set comes entirely from it and the
+    * `bench` frame is UNUSED — pass the index across sessions instead of
+    * re-shingling the benchmark per ingest. */
   def decontaminate(train: DataFrame, bench: DataFrame, id: String,
-      text: String, n: Int, expectedGrams: Long = 0L): DataFrame = {
+      text: String, n: Int, expectedGrams: Long = 0L,
+      precomputedGrams: Option[DataFrame] = None): DataFrame = {
     require(n >= 2, s"need n >= 2, got n=$n")
     // Distinct n-token-run hashes per doc — the same NGramSet64 kernel as
     // substringPairs: runs travel as 8-byte xxhash64 keys, never text, and
@@ -469,8 +474,19 @@ object TextOps {
     // literal (which rides every task binary) proportional to the
     // benchmark, not a worst-case constant. `expectedGrams > 0` overrides
     // for callers who know the size up front and want one job fewer.
-    val benchGrams = grams(bench).select("g64").distinct()
-      .localCheckpoint(eager = true)
+    // precomputedGrams = a persisted [[decontaminationIndex]] table; the
+    // defensive distinct costs one shuffle of an eval-suite-sized table
+    // and keeps an accidentally-duplicated artifact from inflating
+    // n_hits. When absent, the index builds in place from `bench`.
+    val benchGrams = precomputedGrams match {
+      case Some(g) =>
+        require(g.columns.contains("g64"),
+          s"precomputed gram table must carry a g64 column, got ${g.columns.toSeq}")
+        g.select(col("g64").cast("long")).distinct()
+          .localCheckpoint(eager = true)
+      case None => grams(bench).select("g64").distinct()
+        .localCheckpoint(eager = true)
+    }
     val items =
       if (expectedGrams > 0) expectedGrams
       else math.max(1024L, benchGrams.count())
@@ -485,6 +501,26 @@ object TextOps {
     out.groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
+  }
+
+  /** The persistable decontamination artifact: the benchmark's distinct
+    * n-token-run hash table `(g64 BIGINT)` — write it once per benchmark
+    * release and feed it back through [[decontaminate]]'s
+    * `precomputedGrams` on every later ingest (same
+    * materialize-the-expensive-stage pattern as curate's
+    * `precomputedPairs` and ivf's `precomputedCentroids`). The Bloom
+    * sketch is NOT part of the artifact: it rebuilds from this table in
+    * one aggregation over an eval-suite-sized input, and the exact
+    * verify join needs the gram table itself anyway.
+    *
+    * LIBRARY ENTRY POINT — reuse ≡ self-build parity in ApiSpec. */
+  def decontaminationIndex(bench: DataFrame, id: String, text: String,
+      n: Int): DataFrame = {
+    require(n >= 2, s"need n >= 2, got n=$n")
+    bench.select(
+        graft.functions.TextKernels.ngramSet64(col(text), n).as("gs"))
+      .select(explode(col("gs")).as("g64"))
+      .distinct()
   }
 
   private def decontaminateQuery(s: SparkSession, d: String): DataFrame = {

@@ -491,6 +491,34 @@ class ApiSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L), (3L, 2L)), s"got ${got.toSeq}")
   }
 
+  test("decontaminationIndex round-trips through parquet and reuse equals self-build") {
+    val s = spark
+    import s.implicits._
+    val leak = (1 to 9).map(i => s"q$i").mkString(" ")
+    val train = Seq(
+      (1L, s"intro words here $leak"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, s"$leak closing remark"))
+      .toDF("id", "body")
+    val bench = Seq(
+      (100L, s"benchmark prompt $leak answer key"),
+      (200L, "totally unrelated benchmark text with many distinct tokens"))
+      .toDF("id", "body")
+    val dir = java.nio.file.Files
+      .createTempDirectory("decontam_idx").toString + "/grams"
+    TextOps.decontaminationIndex(bench, "id", "body", n = 8)
+      .write.mode("overwrite").parquet(dir)
+    val reused = TextOps.decontaminate(train,
+        bench.limit(0), // bench side must be UNUSED on the reuse path
+        "id", "body", n = 8,
+        precomputedGrams = Some(s.read.parquet(dir)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val direct = TextOps.decontaminate(train, bench, "id", "body", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(reused == direct, s"reused $reused vs direct $direct")
+    assert(reused == Seq((1L, 2L), (3L, 2L)), s"got $reused")
+  }
+
   test("decontaminate with an empty benchmark flags nothing") {
     val s = spark
     import s.implicits._
