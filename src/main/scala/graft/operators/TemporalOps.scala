@@ -306,6 +306,45 @@ object TemporalOps {
       stepUs = 86400000000L, tieBreak = "event_id")
       .orderBy("user_id", "bucket")
 
+  /** Rolling-window distinct counts — the DAU/WAU/MAU query: for every
+    * `stepUs` bucket, how many distinct keys were active in the trailing
+    * `windowBuckets` buckets (window END = the reported bucket). Exact,
+    * and scalable the standard way: distinct (key, bucket) activity is
+    * REPLICATED to each window it can serve — a bounded ×windowBuckets
+    * fan-out of the already-deduplicated activity table (never of raw
+    * events) — then one count-distinct per bucket. No self-join, no
+    * per-window scan; shuffle volume = |active (key,bucket)| ×
+    * windowBuckets. Buckets beyond the corpus's last active bucket are
+    * not invented (the cap rides the same 1-row broadcast pattern as the
+    * shingle df cap); leading windows report their partial history, the
+    * standard dashboard semantics.
+    *
+    * Returns (bucket, n_active).
+    *
+    * LIBRARY ENTRY POINT — generic over any keyed, timestamped frame
+    * (ApiSpec plants a known activity pattern). */
+  def rollingDistinct(rows: DataFrame, key: String, ts: String,
+      stepUs: Long, windowBuckets: Int): DataFrame = {
+    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    require(windowBuckets >= 1,
+      s"windowBuckets must be >= 1, got $windowBuckets")
+    val ud = rows.select(col(key).as("__k"),
+      floor(tsLong(rows, ts) / lit(stepUs)).cast("long").as("__b"))
+      .distinct()
+    val mx = ud.agg(max("__b").as("__mxb"))
+    ud.crossJoin(broadcast(mx))
+      .select(col("__k"), explode(sequence(col("__b"),
+        least(col("__b") + lit(windowBuckets - 1L), col("__mxb"))))
+        .as("bucket"))
+      .groupBy("bucket")
+      .agg(count_distinct(col("__k")).as("n_active"))
+      .orderBy("bucket")
+  }
+
+  private def qRollingActive(s: SparkSession, d: String): DataFrame =
+    rollingDistinct(Tables(s, d, "events"), "user_id", "ts",
+      stepUs = 86400000000L, windowBuckets = 7)
+
   /** Per-key next-state transition counts — the first-order Markov view
     * of a keyed event stream (what follows what, per key, in time order),
     * with the per-from-state transition probability. One window pass for
@@ -354,6 +393,15 @@ object TemporalOps {
         |  FROM (SELECT user_id, epoch_us(ts) // 86400000000 AS day
         |        FROM events))
         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QDef("q_rolling_active", qRollingActive, Some(
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // 86400000000 AS b FROM events),
+        |mx AS (SELECT max(b) AS mxb FROM ud),
+        |cover AS (SELECT user_id,
+        |  unnest(generate_series(b, least(b + 6, mxb))) AS bucket
+        | FROM ud, mx)
+        |SELECT bucket, count(DISTINCT user_id) AS n_active
+        | FROM cover GROUP BY 1 ORDER BY 1""".stripMargin)),
     QDef("q_resample_fill", qResampleFill, Some(
       """WITH obs AS (SELECT user_id, epoch_us(ts) // 86400000000 AS b, value,
         |  row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 86400000000

@@ -850,6 +850,21 @@ class ApiSpec extends SparkSpec {
       s"unexpected no-oracle set: $noOracle")
   }
 
+  test("rollingDistinct reports trailing-window actives without inventing future buckets") {
+    val s = spark
+    import s.implicits._
+    // activity (key, bucket): a@0, b@0, a@2, c@5 — step 10, window 3
+    val acts = Seq(("a", 5L), ("b", 8L), ("a", 25L), ("c", 55L), ("a", 27L))
+      .toDF("k", "at")
+    val got = graft.operators.TemporalOps
+      .rollingDistinct(acts, "k", "at", stepUs = 10L, windowBuckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bucket 0: {a,b}; 1: {a,b} (trailing); 2: {a,b}+{a}={a,b};
+    // 3: {a}; 4: {a}; 5: {c}; 6,7: not emitted (beyond last activity)
+    assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 1L,
+      4L -> 1L, 5L -> 1L), s"got $got")
+  }
+
   test("transitionMatrix counts the planted chain with deterministic tie-break") {
     val s = spark
     import s.implicits._
