@@ -952,6 +952,46 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("rollingDistinct and cohortRetention equal brute-force references on generated activity") {
+    val s = spark
+    import s.implicits._
+    val actGen: Gen[(String, Long)] = for {
+      k <- Gen.oneOf((1 to 8).map(i => s"u$i"))
+      t <- Gen.chooseNum(0L, 300L)
+    } yield (k, t)
+    for (trial <- 1 to 4) {
+      val acts = Gen.listOfN(60, actGen).sample.get
+      val df = acts.toDF("k", "at")
+      // rollingDistinct, step 10, window 4 — brute force over buckets
+      val ub = acts.map { case (k, t) => (k, t / 10) }.distinct
+      val mxb = ub.map(_._2).max
+      val expRoll = (ub.map(_._2).min to mxb).map { b =>
+        b -> ub.filter { case (_, ab) => ab <= b && ab > b - 4 }
+          .map(_._1).distinct.size.toLong
+      }.filter(_._2 > 0).toMap
+      val gotRoll = graft.operators.TemporalOps
+        .rollingDistinct(df, "k", "at", stepUs = 10L, windowBuckets = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotRoll == expRoll, s"trial $trial roll: $gotRoll vs $expRoll")
+      // cohortRetention with day-granularity buckets (stepUs=µs-day not
+      // configurable — feed epoch-day×day_µs timestamps)
+      val dayUs = 86400000000L
+      val days = acts.map { case (k, t) => (k, t * dayUs) }.toDF("k", "at")
+      val perUser = acts.map { case (k, t) => (k, t) }.groupBy(_._1)
+        .view.mapValues(_.map(_._2).distinct).toMap
+      val expCohort = perUser.toSeq.flatMap { case (_, ds) =>
+        val c = ds.min
+        ds.map(d => ((c + 3) / 7, (d - c) / 7)).distinct
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val gotCohort = graft.operators.TemporalOps
+        .cohortRetention(days, "k", "at")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(gotCohort == expCohort,
+        s"trial $trial cohort: $gotCohort vs $expCohort")
+    }
+  }
+
   test("leakageSafeSplit keeps clusters whole and leaves singletons on the plain split") {
     val s = spark
     import s.implicits._
