@@ -663,7 +663,9 @@ object DedupOps {
     * filter → re-join) with no explode and no reassembly shuffle — each
     * document is touched exactly once, and per-doc segment order never
     * leaves the row. Total cost: one corpus pass for frequencies + one
-    * corpus pass for removal, one broadcast, zero row-multiplying joins.
+    * corpus pass for removal + one count scan for the threshold (cache
+    * `rows` if it is an expensive derived frame), one broadcast, zero
+    * row-multiplying joins.
     *
     * Exactness stance matches the shingle ops: segments are keyed by
     * xxhash64, so two distinct segments colliding in 64 bits within one
@@ -693,11 +695,18 @@ object DedupOps {
     // "share of DOCUMENTS containing it" definition
     val dfreq = segs.groupBy(xxhash64(col("ln")).as("h"))
       .agg(count_distinct(col("__id")).as("df"))
-    // threshold from the same frame (no separate count() action); explicit
-    // floor because Spark's double→long cast truncates while DuckDB's
-    // CAST rounds — the oracle mirrors the floor
+    // threshold from the same frame (no separate count() action — though
+    // note this IS an extra scan of `rows` beyond the two documented
+    // corpus passes; callers with expensive derived corpora should cache).
+    // The multiply runs in DECIMAL via the double's shortest decimal
+    // rendering (BigDecimal.valueOf): floor(N * 0.7) as a double product
+    // is floor(6.9999…) = 6 at N=10 while a decimal reference (the
+    // DuckDB oracle's literal) gets 7 — decimal-exact on both sides, and
+    // the explicit floor also mirrors DuckDB (whose CAST rounds where
+    // Spark's truncates)
     val thr = rows.agg(
-      floor(count(lit(1)) * dfFrac).cast("long").as("max_df"))
+      floor(count(lit(1)) * lit(java.math.BigDecimal.valueOf(dfFrac)))
+        .cast("long").as("max_df"))
     val heavy = dfreq.crossJoin(broadcast(thr))
       .filter(col("df") > col("max_df"))
       .agg(sort_array(collect_list(col("h"))).as("hv"))

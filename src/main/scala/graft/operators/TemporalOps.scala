@@ -257,7 +257,10 @@ object TemporalOps {
     * `tieBreak` descending); buckets between a key's first and last
     * observation with no rows are emitted with the carried value and
     * `observed = false`. The grid never extends beyond a key's own span,
-    * so no trailing extrapolation is invented.
+    * so no trailing extrapolation is invented. A row whose `value` is
+    * NULL is treated as NO observation (dropped before the in-bucket
+    * pick — same contract as [[asofJoin]]'s payload), so `observed =
+    * true` always carries a real measured value.
     *
     * Shape at scale: every stage is keyed by `key` (in-bucket last pick,
     * span bounds, grid join, fill window) — each observation row is
@@ -285,6 +288,7 @@ object TemporalOps {
     val obs = rows.select(col(key).as("__k"),
       floor(t / lit(stepUs)).cast("long").as("__b"),
       t.as("__t"), col(tieBreak).as("__tb"), col(value).as("__v"))
+      .filter(col("__v").isNotNull)
     val w1 = Window.partitionBy("__k", "__b")
       .orderBy(desc("__t"), desc("__tb"))
     val lastPer = obs.withColumn("__rn", row_number().over(w1))
@@ -314,9 +318,13 @@ object TemporalOps {
     * fan-out of the already-deduplicated activity table (never of raw
     * events) — then one count-distinct per bucket. No self-join, no
     * per-window scan; shuffle volume = |active (key,bucket)| ×
-    * windowBuckets. Buckets beyond the corpus's last active bucket are
-    * not invented (the cap rides the same 1-row broadcast pattern as the
-    * shingle df cap); leading windows report their partial history, the
+    * windowBuckets. Every bucket between the corpus's first and last
+    * active bucket is reported — interior buckets whose trailing window
+    * is empty report an explicit `n_active = 0` (a dashboard consumer
+    * joining on a calendar axis must see zero, not a missing row); the
+    * zero spine is one `sequence` off the global (min, max) bounds,
+    * bucket-cardinality-sized. Buckets beyond the last active bucket are
+    * not invented; leading windows report their partial history, the
     * standard dashboard semantics.
     *
     * Returns (bucket, n_active).
@@ -331,13 +339,19 @@ object TemporalOps {
     val ud = rows.select(col(key).as("__k"),
       floor(tsLong(rows, ts) / lit(stepUs)).cast("long").as("__b"))
       .distinct()
-    val mx = ud.agg(max("__b").as("__mxb"))
-    ud.crossJoin(broadcast(mx))
+    val bounds = ud.agg(min("__b").as("__mnb"), max("__b").as("__mxb"))
+      .localCheckpoint(true) // consumed twice: replication cap + spine
+    val counts = ud.crossJoin(broadcast(bounds))
       .select(col("__k"), explode(sequence(col("__b"),
         least(col("__b") + lit(windowBuckets - 1L), col("__mxb"))))
         .as("bucket"))
       .groupBy("bucket")
       .agg(count_distinct(col("__k")).as("n_active"))
+    bounds
+      .select(explode(sequence(col("__mnb"), col("__mxb"))).as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"))
       .orderBy("bucket")
   }
 
@@ -396,17 +410,21 @@ object TemporalOps {
     QDef("q_rolling_active", qRollingActive, Some(
       """WITH ud AS (SELECT DISTINCT user_id,
         |  epoch_us(ts) // 86400000000 AS b FROM events),
-        |mx AS (SELECT max(b) AS mxb FROM ud),
+        |bounds AS (SELECT min(b) AS mnb, max(b) AS mxb FROM ud),
         |cover AS (SELECT user_id,
         |  unnest(generate_series(b, least(b + 6, mxb))) AS bucket
-        | FROM ud, mx)
-        |SELECT bucket, count(DISTINCT user_id) AS n_active
-        | FROM cover GROUP BY 1 ORDER BY 1""".stripMargin)),
+        | FROM ud, bounds),
+        |counts AS (SELECT bucket, count(DISTINCT user_id) AS n_active
+        | FROM cover GROUP BY 1),
+        |spine AS (SELECT unnest(generate_series(mnb, mxb)) AS bucket
+        | FROM bounds)
+        |SELECT s.bucket, coalesce(c.n_active, 0) AS n_active
+        | FROM spine s LEFT JOIN counts c USING (bucket) ORDER BY 1""".stripMargin)),
     QDef("q_resample_fill", qResampleFill, Some(
       """WITH obs AS (SELECT user_id, epoch_us(ts) // 86400000000 AS b, value,
         |  row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 86400000000
         |                     ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-        | FROM events),
+        | FROM events WHERE value IS NOT NULL),
         |lastobs AS (SELECT user_id, b, value FROM obs WHERE rn = 1),
         |bounds AS (SELECT user_id, min(b) AS mn, max(b) AS mx
         |           FROM lastobs GROUP BY 1),

@@ -308,14 +308,22 @@ object TextOps {
   // reproducible split every training pipeline needs (no RNG, no seed
   // drift across engines/runs; a doc's split never changes when the corpus
   // grows). 90/5/5 by the first 8 hex digits of md5(doc_id).
+  //
+  // splitBucketOf/splitNameOf are the ONE definition of that hash split:
+  // splitAssign and leakageSafeSplit both render through them, so the
+  // singleton-parity guarantee (leakageSafeSplit ≡ plain split for
+  // unclustered docs, asserted in ApiSpec) cannot drift if the ratios or
+  // the bucket expression are ever retuned.
+  private[graft] def splitBucketOf(anchor: Column): Column =
+    conv(substring(md5(anchor.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+  private[graft] def splitNameOf(bucket: Column): Column =
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+
   private[graft] def splitAssign(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .withColumn("bucket",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 100)
-      .withColumn("split",
-        when(col("bucket") < 90, "train")
-          .when(col("bucket") < 95, "val").otherwise("test"))
+      .withColumn("bucket", splitBucketOf(col("doc_id")))
+      .withColumn("split", splitNameOf(col("bucket")))
 
   private[operators] val splitAssignSql: String =
     """SELECT doc_id, text,
@@ -363,12 +371,9 @@ object TextOps {
       .select(col("doc_id").as("__cv"), col("cluster_rep").as("__rep"))
     rows.join(comps, col(id) === col("__cv"), "left")
       .withColumn("split_anchor", coalesce(col("__rep"), col(id)))
-      .withColumn("bucket",
-        conv(substring(md5(col("split_anchor").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 100)
+      .withColumn("bucket", splitBucketOf(col("split_anchor")))
       .select(col(id), col("split_anchor"),
-        when(col("bucket") < 90, "train")
-          .when(col("bucket") < 95, "val").otherwise("test").as("split"))
+        splitNameOf(col("bucket")).as("split"))
   }
 
   private def splitLeakageSafe(s: SparkSession, d: String): DataFrame =
@@ -484,7 +489,7 @@ object TextOps {
           s"precomputed gram table must carry a g64 column, got ${g.columns.toSeq}")
         g.select(col("g64").cast("long")).distinct()
           .localCheckpoint(eager = true)
-      case None => grams(bench).select("g64").distinct()
+      case None => decontaminationIndex(bench, text, n)
         .localCheckpoint(eager = true)
     }
     val items =
@@ -514,7 +519,7 @@ object TextOps {
     * verify join needs the gram table itself anyway.
     *
     * LIBRARY ENTRY POINT — reuse ≡ self-build parity in ApiSpec. */
-  def decontaminationIndex(bench: DataFrame, id: String, text: String,
+  def decontaminationIndex(bench: DataFrame, text: String,
       n: Int): DataFrame = {
     require(n >= 2, s"need n >= 2, got n=$n")
     bench.select(

@@ -506,7 +506,7 @@ class ApiSpec extends SparkSpec {
       .toDF("id", "body")
     val dir = java.nio.file.Files
       .createTempDirectory("decontam_idx").toString + "/grams"
-    TextOps.decontaminationIndex(bench, "id", "body", n = 8)
+    TextOps.decontaminationIndex(bench, "body", n = 8)
       .write.mode("overwrite").parquet(dir)
     val reused = TextOps.decontaminate(train,
         bench.limit(0), // bench side must be UNUSED on the reuse path
@@ -850,19 +850,21 @@ class ApiSpec extends SparkSpec {
       s"unexpected no-oracle set: $noOracle")
   }
 
-  test("rollingDistinct reports trailing-window actives without inventing future buckets") {
+  test("rollingDistinct reports trailing-window actives, explicit zeros, no future buckets") {
     val s = spark
     import s.implicits._
-    // activity (key, bucket): a@0, b@0, a@2, c@5 — step 10, window 3
-    val acts = Seq(("a", 5L), ("b", 8L), ("a", 25L), ("c", 55L), ("a", 27L))
-      .toDF("k", "at")
+    // activity (key, bucket): a@0, b@0, a@2, c@5, d@9 — step 10, window 3
+    val acts = Seq(("a", 5L), ("b", 8L), ("a", 25L), ("c", 55L), ("a", 27L),
+      ("d", 95L)).toDF("k", "at")
     val got = graft.operators.TemporalOps
       .rollingDistinct(acts, "k", "at", stepUs = 10L, windowBuckets = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // bucket 0: {a,b}; 1: {a,b} (trailing); 2: {a,b}+{a}={a,b};
-    // 3: {a}; 4: {a}; 5: {c}; 6,7: not emitted (beyond last activity)
+    // bucket 8's trailing window {6,7,8} has NO activity → explicit 0
+    // (a calendar-axis consumer must see zero, not a missing row);
+    // buckets past the last activity (9) are not invented
     assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 1L,
-      4L -> 1L, 5L -> 1L), s"got $got")
+      4L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L, 8L -> 0L, 9L -> 1L),
+      s"got $got")
   }
 
   test("transitionMatrix counts the planted chain with deterministic tie-break") {
@@ -968,7 +970,7 @@ class ApiSpec extends SparkSpec {
       val expRoll = (ub.map(_._2).min to mxb).map { b =>
         b -> ub.filter { case (_, ab) => ab <= b && ab > b - 4 }
           .map(_._1).distinct.size.toLong
-      }.filter(_._2 > 0).toMap
+      }.toMap // zeros included: every bucket in [min, max] is reported
       val gotRoll = graft.operators.TemporalOps
         .rollingDistinct(df, "k", "at", stepUs = 10L, windowBuckets = 4)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -1055,6 +1057,21 @@ class ApiSpec extends SparkSpec {
       ("a", 13L) -> ((2.0, true)),
       ("b", 20L) -> ((9.0, true))   // no rows beyond the key's span
     ), s"got $got")
+    // a NULL value is NO observation (asofJoin's payload contract): it
+    // neither wins its bucket nor extends the span
+    val withNull = Seq(
+      ("a", java.lang.Long.valueOf(1005L), java.lang.Long.valueOf(1L),
+        java.lang.Double.valueOf(3.0)),
+      ("a", java.lang.Long.valueOf(1099L), java.lang.Long.valueOf(2L),
+        null.asInstanceOf[java.lang.Double]), // later in-bucket but NULL
+      ("a", java.lang.Long.valueOf(1200L), java.lang.Long.valueOf(3L),
+        null.asInstanceOf[java.lang.Double])) // would extend span to 12
+      .toDF("k", "at", "seq", "v")
+    val gotNull = graft.operators.TemporalOps
+      .resampleFill(withNull, "k", "at", "v", stepUs = 100L, tieBreak = "seq")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(gotNull == Map(("a", 10L) -> ((3.0, true))), s"got $gotNull")
   }
 
   test("cohortRetention builds the planted weekly retention matrix") {
