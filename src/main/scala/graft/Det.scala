@@ -40,4 +40,14 @@ object Det {
 
   /** DuckDB rendering of [[r4]]. */
   def r4Sql(x: String): String = s"floor(($x) * 10000 + 0.5) / 10000"
+
+  /** [[r4]] at 9 decimals — for quantities whose magnitude is far below
+    * 1 (e.g. PageRank mass over a large node set, ~1/N), where 4 decimals
+    * would collapse the whole distribution. Same IEEE-only construction,
+    * same cross-engine guarantee; 1e9 is exactly representable. */
+  def r9(c: Column): Column = floor(c * 1e9d + 0.5d) / 1e9d
+
+  /** DuckDB rendering of [[r9]]. */
+  def r9Sql(x: String): String =
+    s"floor(($x) * 1000000000 + 0.5) / 1000000000"
 }

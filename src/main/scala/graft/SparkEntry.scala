@@ -16,9 +16,10 @@ object SparkEntry {
   /** Every operator of the inventory, in SURVEY.md §2 order. */
   val all: Seq[QDef] =
     FrolykOps.defs ++ RelationalOps.defs ++ AnalyticOps.defs ++
-      WindowOps.defs ++ TemporalOps.defs ++ DedupOps.defs ++ TextOps.defs ++
-      TokenizerOps.defs ++ PipelineOps.defs ++ SimilarityOps.defs ++
-      PqOps.defs ++ MultimodalOps.defs
+      WindowOps.defs ++ TemporalOps.defs ++ GraphOps.defs ++
+      DedupOps.defs ++ TextOps.defs ++ TokenizerOps.defs ++
+      PipelineOps.defs ++ SimilarityOps.defs ++ PqOps.defs ++
+      MultimodalOps.defs
 
   /** Flagship query on sf=0.001 (the reference's motivating example,
     * /root/reference/examples/introduction.ts:12-27: tumbling-window

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphOps
+
+/** [[GraphOps.pageRank]] against a sequential reference implementation.
+  *
+  * The reference below runs the SAME fixed-round formulation (teleport
+  * (1-d)/n, edge weight 1/outdeg with parallel-edge multiplicity, sinks
+  * leak) in plain driver-side doubles — so agreement checks the
+  * distributed join/agg loop, not a restatement of it. Tolerance 1e-12:
+  * the operator accumulates in exact decimals, the reference in doubles,
+  * so bits differ at the last few places of a ~1e-1 value.
+  */
+class GraphSpec extends SparkSpec {
+
+  /** Sequential PageRank; edges as (src, dst) with multiplicity. */
+  private def refPageRank(edges: Seq[(String, String)], damping: Double,
+      iters: Int): Map[String, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => r(e._1) / outdeg(e._1)).sum
+      }
+      r = nodes.map(v =>
+        v -> ((1 - damping) / n + damping * in.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(String, String)], damping: Double = 0.85,
+      iters: Int = 10): Map[String, Double] = {
+    val s = spark
+    import s.implicits._
+    GraphOps.pageRank(edges.toDF("from", "to"), "from", "to", damping, iters)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  // a directed graph with a hub (everyone links to d), a sink (d links
+  // nowhere), a cycle, and a node reachable only by teleport
+  private val directed = Seq(
+    "a" -> "b", "b" -> "c", "c" -> "a", // cycle
+    "a" -> "d", "b" -> "d", "c" -> "d", // hub in-links
+    "e" -> "a") // e has no in-links (teleport only); d is a sink
+
+  test("pageRank matches the sequential reference on a directed graph") {
+    val got = run(directed)
+    val want = refPageRank(directed, 0.85, 10)
+    assert(got.keySet == want.keySet)
+    for ((v, w) <- want)
+      assert(math.abs(got(v) - w) < 1e-12, s"node $v: ${got(v)} vs $w")
+    // structure sanity: the hub outranks everything; the teleport-only
+    // node ranks lowest
+    assert(got("d") == got.values.max)
+    assert(got("e") == got.values.min)
+  }
+
+  test("parallel edges weight their endpoint with multiplicity") {
+    val multi = Seq("a" -> "b", "a" -> "b", "a" -> "c", "b" -> "a", "c" -> "a")
+    val got = run(multi)
+    val want = refPageRank(multi, 0.85, 10)
+    for ((v, w) <- want)
+      assert(math.abs(got(v) - w) < 1e-12, s"node $v: ${got(v)} vs $w")
+    // the doubled edge pushes 2/3 of a's mass to b: b must outrank c
+    assert(got("b") > got("c"))
+  }
+
+  test("mass is conserved on a symmetric graph, leaks below 1 with a sink") {
+    val sym = directed.flatMap(e => Seq(e, e.swap))
+    assert(math.abs(run(sym).values.sum - 1.0) < 1e-9)
+    val leaky = run(directed).values.sum
+    assert(leaky < 1.0 - 1e-3, s"sink should leak mass, total $leaky")
+  }
+
+  test("pageRank is deterministic across runs") {
+    val a = run(directed, damping = 0.7, iters = 5)
+    val b = run(directed, damping = 0.7, iters = 5)
+    assert(a == b) // bit-identical, not just close
+  }
+
+  test("guards fire with actionable messages") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("a" -> "b").toDF("from", "to")
+    val e1 = intercept[IllegalArgumentException](
+      GraphOps.pageRank(df, "nope", "to"))
+    assert(e1.getMessage.contains("no column 'nope'"))
+    val e2 = intercept[IllegalArgumentException](
+      GraphOps.pageRank(df, "from", "to", damping = 1.0))
+    assert(e2.getMessage.contains("damping"))
+    val e3 = intercept[IllegalArgumentException](
+      GraphOps.pageRank(df, "from", "to", iters = 0))
+    assert(e3.getMessage.contains("iters"))
+  }
+}

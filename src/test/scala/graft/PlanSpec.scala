@@ -244,4 +244,32 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_cohort_retention")
     assert(!p.contains("Join"), s"cohort anchor must be a window, not a join:\n$p")
   }
+
+  test("pageRank's iteration round: rank frame broadcast, stationary edges, one exchange") {
+    // the loop's checkpoints truncate lineage, so the round plan is pinned
+    // on iterationRound directly, with infl in the state pageRank leaves
+    // it: hash-partitioned on the join key and checkpointed
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val infl = Seq(("a", "b", 0.5), ("a", "c", 0.5), ("b", "a", 1.0),
+      ("a", "a", 0.0), ("b", "b", 0.0), ("c", "c", 0.0))
+      .toDF("__s", "__d", "__w")
+      .repartition(col("__s")).localCheckpoint(eager = true)
+    val ranks = Seq(("a", 0.4), ("b", 0.3), ("c", 0.3)).toDF("__v", "__r")
+    val p = operators.GraphOps.iterationRound(infl, ranks, 0.85, 3.0)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"rank frame must broadcast against the stationary edges:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no all-pairs plan:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"exactly one shuffle per round (the destination agg), got $exchanges:\n$p")
+    // decimal accumulation is pushed map-side (partial agg below the shuffle)
+    assert(p.contains("partial_sum") || p.contains("partial sum") ||
+      p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected map-side partial aggregation:\n$p")
+    infl.unpersist()
+  }
 }
