@@ -24,10 +24,39 @@ import graft.sources.Tables
   * relation is built once, hash-partitioned on the per-round join key,
   * and checkpointed, so the big side of the iteration join stays put
   * across rounds; only the V-row rank frame and the product rows move.
-  * Rounds are checkpointed and the superseded round unpersisted — the
-  * same bounded-lineage loop as [[DedupOps.connectedComponents]].
+  *
+  * Round overhead (r9 rework — this was the cost floor): lineage is
+  * truncated by an eager localCheckpoint every [[CkptEvery]] rounds, not
+  * every round — a synchronous V-row materialization per round was ~10
+  * stage barriers of pure overhead for a 10-round run, while ≤3 rounds of
+  * join+agg lineage between checkpoints is well inside Catalyst's
+  * comfort. Superseded checkpoints are released by RDD id
+  * (`SparkContext.getPersistentRDDs`): `Dataset.unpersist()` on a
+  * localCheckpoint'd frame is a CacheManager no-op that leaks the
+  * underlying blocks (ADVICE r8) — the ids observed to appear across the
+  * checkpoint call are the blocks to free, and that set is released
+  * blocking once the next checkpoint supersedes it.
   */
 object GraphOps {
+
+  /** Rounds of lazy join+agg lineage between eager checkpoint barriers. */
+  private val CkptEvery = 3
+
+  /** Eagerly localCheckpoint `df`, returning the checkpointed frame plus
+    * the persistent-RDD ids the call pinned — the handle a caller needs
+    * to actually free the blocks later (`Dataset.unpersist()` cannot:
+    * the blocks belong to an internal RDD the CacheManager never saw). */
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint(eager = true)
+    (out, sc.getPersistentRDDs.keySet.toSet -- before)
+  }
+
+  private def release(spark: SparkSession, ids: Set[Int]): Unit = {
+    val persisted = spark.sparkContext.getPersistentRDDs
+    ids.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = true)))
+  }
 
   /** PageRank by fixed-round power iteration.
     *
@@ -44,10 +73,13 @@ object GraphOps {
     * exact decimal accumulator (see [[graft.Det]]) — order-independent,
     * so results are bit-stable under any parallelism; a fixed round
     * count (no convergence test) keeps the whole computation expressible
-    * as a DuckDB recursive CTE for the oracle. Zero-weight self-rows in
-    * the influence relation keep every node present as a destination
-    * each round, so in-link-free nodes still receive the teleport term
-    * and no node ever drops from the rank frame.
+    * as a DuckDB recursive CTE for the oracle. A node with no in-links
+    * receives only the teleport term, so its rank is the CONSTANT
+    * `(1-d)/n` in every round ≥ 1 — those nodes live in a one-time
+    * checkpointed constant frame unioned onto each round's aggregate
+    * (replacing r7's V zero-weight self-rows, which re-flowed every node
+    * through the join AND the decimal aggregation every round purely to
+    * keep it present as a destination).
     *
     * The one driver-side scalar is the node count (the `1/n` teleport
     * share); everything else is executor-side.
@@ -70,35 +102,50 @@ object GraphOps {
         s"edge list has no column '$c' (columns: " +
           s"${edgeList.columns.mkString(", ")})")
     }
+    val spark = edgeList.sparkSession
     val edges = edgeList.select(col(src).as("__s"), col(dst).as("__d"))
     val nodes = edges.select(col("__s").as("__v"))
       .unionByName(edges.select(col("__d").as("__v")))
       .distinct()
     val outdeg = edges.groupBy("__s").agg(count(lit(1)).as("__od"))
-    // influence = edge weights 1/outdeg, plus a zero-weight self-row per
-    // node (teleport carrier — see Scaladoc). Built and shuffled ONCE:
+    // influence = edge weights 1/outdeg. Built and shuffled ONCE:
     // hash-partitioned on the round join key and checkpointed, consumed
     // every round.
-    val infl = edges.join(outdeg, "__s")
-      .select(col("__s"), col("__d"), (lit(1.0) / col("__od")).as("__w"))
-      .unionByName(nodes.select(col("__v").as("__s"),
-        col("__v").as("__d"), lit(0.0).as("__w")))
-      .repartition(col("__s"))
-      .localCheckpoint(eager = true)
+    val (infl, inflIds) = checkpointTracked(
+      edges.join(outdeg, "__s")
+        .select(col("__s"), col("__d"), (lit(1.0) / col("__od")).as("__w"))
+        .repartition(col("__s")))
     val n = nodes.count().toDouble
-    var ranks = nodes.select(col("__v"), (lit(1.0) / lit(n)).as("__r"))
-      .localCheckpoint(eager = true)
+    // In-link-free nodes: constant rank (1-d)/n from round 1 on (Scaladoc)
+    // — empty on symmetrized graphs, ≤V rows on any graph. Checkpointed
+    // once, unioned lazily onto every round's aggregate.
+    val (noInbound, noInboundIds) = checkpointTracked(
+      nodes.join(edges.select(col("__d").as("__v")).distinct(),
+          Seq("__v"), "left_anti")
+        .select(col("__v"), (lit(1 - damping) / lit(n)).as("__r")))
+    var (ranks, ranksIds) = checkpointTracked(
+      nodes.select(col("__v"), (lit(1.0) / lit(n)).as("__r")))
     var round = 0
     while (round < iters) {
       val next = iterationRound(infl, ranks, damping, n)
-        .localCheckpoint(eager = true)
-      // release the superseded round's blocks (connectedComponents note)
-      ranks.unpersist()
-      ranks = next
+        .unionByName(noInbound)
       round += 1
+      // Lineage barrier every CkptEvery rounds. The FINAL round stays
+      // lazy (≤ CkptEvery-1 joins deep) — the caller's one consumption
+      // plans it directly; a terminal checkpoint would be a wasted
+      // materialization plus blocks nobody could ever free.
+      if (round % CkptEvery == 0 && round < iters) {
+        val (ck, ckIds) = checkpointTracked(next)
+        release(spark, ranksIds) // superseded barrier's blocks, by RDD id
+        ranks = ck
+        ranksIds = ckIds
+      } else ranks = next
     }
-    infl.unpersist()
-    ranks.select(col("__v").as("node"), col("__r").as("rank"))
+    val out = ranks.select(col("__v").as("node"), col("__r").as("rank"))
+    // infl/noInbound/last-barrier blocks stay pinned until the caller has
+    // consumed `out` (they back its lineage); Bench's release barrier (or
+    // any getPersistentRDDs sweep) frees them after the action.
+    out
   }
 
   /** One power-iteration round:

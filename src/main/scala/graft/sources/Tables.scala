@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Parquet table loader for the driver-generated star schema (TESTDATA.md).
   *
@@ -17,25 +17,36 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** The driver's parquet carries TIMESTAMP(NANOS), which Spark 4 refuses
-    * to map to TimestampType; we read nanos as long and floor-convert to
-    * microseconds — exactly DuckDB's ns→µs truncation, so oracle
-    * comparisons agree. */
-  private val nsTimestampCols: Map[String, Seq[String]] = Map(
+  /** Temporal columns the driver's writer has stamped differently across
+    * regenerations: TIMESTAMP(NANOS) (Spark 4 refuses to map to
+    * TimestampType; read nanos as long, floor to µs — DuckDB's exact ns→µs
+    * truncation) and TIMESTAMP(isAdjustedToUTC=false, MICROS) (inferred as
+    * TIMESTAMP_NTZ unless `inferTimestampNTZ` is off). The conversion here
+    * is type-driven — keyed on what the file actually reads as, not on
+    * which writer produced it — so both past variants and a plain
+    * TIMESTAMP writer all land on TimestampType. Session TZ is UTC, so the
+    * NTZ→timestamp cast is value-identical to DuckDB's read of the same
+    * file. */
+  private val temporalCols: Map[String, Seq[String]] = Map(
     "events" -> Seq("ts"),
     "lineitem" -> Seq("l_shipdate"),
     "orders" -> Seq("o_orderdate"))
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Set lazily only if the session builder didn't — avoids mutating the
-    // session conf on every call (it is also set in Bench/Verify builders).
+    // session conf on every call (both are also set in Sessions.local).
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled").contains("false"))
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    nsTimestampCols.getOrElse(name, Nil).foldLeft(df) { (acc, c) =>
-      if (acc.schema.fieldNames.contains(c) && acc.schema(c).dataType == LongType)
-        acc.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
-      else acc
+    temporalCols.getOrElse(name, Nil).foldLeft(df) { (acc, c) =>
+      if (!acc.schema.fieldNames.contains(c)) acc
+      else acc.schema(c).dataType match {
+        case LongType => acc.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+        case TimestampNTZType => acc.withColumn(c, col(c).cast("timestamp"))
+        case _ => acc
+      }
     }
   }
 }

@@ -70,6 +70,42 @@ class SourcesSpec extends SparkSpec {
       "partition pruning did not reduce the scan to one partition")
   }
 
+  test("schema-drift canary: every table loads with its contract types") {
+    // The driver regenerates /root/testdata between rounds and its parquet
+    // writer has drifted twice (TIMESTAMP(NANOS) → nanosAsLong long columns;
+    // TIMESTAMP(isAdjustedToUTC=false, MICROS) → TIMESTAMP_NTZ inference).
+    // Tables.apply exists to absorb exactly that; this test fails loudly and
+    // locally on the NEXT drift instead of letting 14 queries die in the
+    // driver's gate. Pins: (a) every table loads, (b) every declared temporal
+    // column surfaces as plain TimestampType, (c) a TIMESTAMP-only function
+    // resolves against it, (d) key join/agg columns keep their types.
+    import org.apache.spark.sql.types._
+    val temporal = Map(
+      "events" -> Seq("ts"),
+      "lineitem" -> Seq("l_shipdate"),
+      "orders" -> Seq("o_orderdate"))
+    for (name <- Tables.all) {
+      val df = Tables(spark, sf, name)
+      assert(df.limit(1).count() >= 0, s"$name failed to load")
+      for (c <- temporal.getOrElse(name, Nil)) {
+        assert(df.schema(c).dataType == TimestampType,
+          s"$name.$c read as ${df.schema(c).dataType}, expected TimestampType — " +
+            "driver writer drift not absorbed by Tables.apply")
+        // analysis-time resolution of a TIMESTAMP-only function — the exact
+        // failure mode of the r8 NTZ drift (unix_micros rejects TIMESTAMP_NTZ)
+        df.select(unix_micros(col(c))).limit(1).count()
+      }
+    }
+    val li = Tables(spark, sf, "lineitem")
+    assert(li.schema("l_orderkey").dataType == LongType)
+    assert(li.schema("l_quantity").dataType.isInstanceOf[NumericType])
+    val emb = Tables(spark, sf, "embeddings")
+    assert(emb.schema("embedding").dataType.isInstanceOf[ArrayType],
+      "embeddings.embedding must stay an array column")
+    val docs = Tables(spark, sf, "documents")
+    assert(docs.schema("text").dataType == StringType)
+  }
+
   test("orc scans receive pushed filters like parquet") {
     val dir = Files.createTempDirectory("graft-src-orc-push").toString
     events.write.format("orc").mode("overwrite").save(dir)
