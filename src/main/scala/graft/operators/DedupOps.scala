@@ -397,17 +397,23 @@ object DedupOps {
     val hotKeys = newBands.select("band_idx", "band_key").distinct()
     val corpusHot = minhashBands(corpusSigs.select(col("doc_id"), col("sig")))
       .join(hotKeys, Seq("band_idx", "band_key"), "leftsemi")
-    // pair volume is collision-bounded (tiny next to either input) —
-    // materialize it once for the two newness semi-joins below
-    val pairs = bandedPairs(corpusHot.unionByName(newBands))
+    // The "≥1 increment doc" membership test is a single pass: two
+    // left-join newness flags on the collision-bounded pair list, one
+    // filter, one distinct. (The first formulation ran two semi-joins
+    // against an eagerly localCheckpoint'd pair list and unioned them —
+    // the checkpoint had no release path, so repeated per-ingest calls
+    // accumulated pinned blocks in a long-lived session; ADVICE r8. One
+    // linear DAG needs no materialization at all.)
+    val newIds = newSigs.select(col("doc_id"))
+    bandedPairs(corpusHot.unionByName(newBands))
       .filter(col("est") >= minEst)
       .select(col("da"), col("db"), Det.r4(col("est")).as("jaccard_est"))
-      .distinct()
-      .localCheckpoint(true)
-    val newIds = newSigs.select(col("doc_id"))
-    pairs.join(newIds.withColumnRenamed("doc_id", "da"), Seq("da"), "leftsemi")
-      .unionByName(pairs.join(newIds.withColumnRenamed("doc_id", "db"),
-        Seq("db"), "leftsemi"))
+      .join(newIds.select(col("doc_id").as("da"), lit(true).as("__na")),
+        Seq("da"), "left")
+      .join(newIds.select(col("doc_id").as("db"), lit(true).as("__nb")),
+        Seq("db"), "left")
+      .filter(col("__na").isNotNull || col("__nb").isNotNull)
+      .select(col("da"), col("db"), col("jaccard_est"))
       .distinct()
       .orderBy("da", "db")
   }

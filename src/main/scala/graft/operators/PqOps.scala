@@ -259,6 +259,88 @@ object PqOps {
       .orderBy("va", "rk")
   }
 
+  // --- ADC oracle verification (q_pq_adc_verify) -----------------------
+  /** 6-decimal deterministic rounding (same IEEE-only construction as
+    * [[graft.Det.r4]]). Applied to the values PERSISTED for the ADC
+    * verification tables: products of two ≤6-decimal doubles land exactly
+    * on the decimal(38,12) grid, so the double→decimal cast is exact in
+    * BOTH engines. Without it the engines disagree in the last decimal
+    * places: Spark's double→decimal cast rounds the double's shortest
+    * decimal rendering (`BigDecimal.valueOf`) while DuckDB rounds the
+    * binary value — a ~1e-18-per-term divergence that a ranked shortlist
+    * can amplify into a rank flip. */
+  private def r6(c: Column): Column = floor(c * 1e6d + 0.5d) / 1e6d
+
+  private val AdcProbes = 16
+  private val AdcTopK = 10
+
+  /** The three persisted artifacts the ADC verification runs over (the
+    * [[graft.sources.OracleAux]] pattern, precedent `minhash_sigs`): the
+    * r6-rounded codebook, the full corpus's PQ codes (encoded from the
+    * UNROUNDED shared codebook — the production artifact), and a fixed
+    * probe set of [[AdcProbes]] hash-ranked r6-rounded normalized
+    * vectors. DuckDB re-derives every ADC distance and the shortlist from
+    * the identical bytes. */
+  private def adcCodebookAux(s: SparkSession, d: String): DataFrame =
+    graft.sources.OracleAux.table(s, d, "pq_adc_codebook") {
+      sharedPqCodebook(s, d).select(col("sub"), col("code"),
+        transform(col("centroid"), x => r6(x)).as("centroid"))
+    }
+
+  private def adcCodesAux(s: SparkSession, d: String): DataFrame =
+    graft.sources.OracleAux.table(s, d, "pq_adc_codes") {
+      pqEncode(emb(s, d), "vec_id", "embedding", sharedPqCodebook(s, d),
+        m = 8, ksub = 64)
+        .select(col("vec_id").as("vb"), col("codes"))
+    }
+
+  private def adcProbesAux(s: SparkSession, d: String): DataFrame =
+    graft.sources.OracleAux.table(s, d, "pq_adc_probes") {
+      SimilarityOps.normalizedVecs(emb(s, d), "vec_id", "embedding")
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(AdcProbes)
+        .select(col("vec_id").as("va"),
+          transform(col("ne"), x => r6(x)).as("ea"))
+    }
+
+  /** The ADC scoring + shortlist stage, re-derived declaratively over the
+    * persisted tables (NOT through [[PqKernels.pqAdcDot]] — kernel parity
+    * has its own ScalaTest pin in graft.PqSpec; this query is the
+    * cross-engine check of the arithmetic itself). Each (probe,
+    * candidate) pair's asymmetric distance is the sum over the 8
+    * subspaces of dot(centroid[sub][code], probe-subvector), accumulated
+    * as exact decimal(38,12) — order-independent and, with the r6'd
+    * inputs, bit-identical across engines — then the top [[AdcTopK]] per
+    * probe by (adc DESC, vb) is the shortlist, exactly the
+    * [[ivfPqKnnJoin]] refine stage's shape. */
+  private def pqAdcVerify(s: SparkSession, d: String): DataFrame = {
+    val cb = adcCodebookAux(s, d).select(col("sub").as("csub"),
+      col("code").as("ccode"), col("centroid"))
+    val codes = adcCodesAux(s, d)
+    val probes = adcProbesAux(s, d)
+    // decimal accumulation: product of two r6 doubles is exact at scale
+    // 12. Precision 30, NOT 38: Spark types (38,12)+(38,12) at precision
+    // 39 and resolves the overflow by CUTTING SCALE to 11 — which
+    // silently rounded every fold step and made the engines disagree in
+    // the 12th decimal. (30,12)+(30,12) → (31,12) stays lossless, and
+    // the outer cast returns the accumulator to (30,12) each step.
+    val term = expr(
+      "aggregate(zip_with(centroid, slice(ea, sub * 8 + 1, 8), " +
+        "(x, y) -> x * y), CAST(0 AS DECIMAL(30,12)), " +
+        "(acc, v) -> CAST(acc + CAST(v AS DECIMAL(30,12)) AS DECIMAL(30,12)))")
+    val w = Window.partitionBy("va").orderBy(desc("adc_dec"), col("vb"))
+    probes.crossJoin(codes).filter(col("va") =!= col("vb"))
+      .select(col("va"), col("vb"), col("ea"),
+        posexplode(col("codes")).as(Seq("sub", "bcode")))
+      .join(cb, col("sub") === col("csub") && col("bcode") === col("ccode"))
+      .select(col("va"), col("vb"), term.as("t"))
+      .groupBy("va", "vb").agg(sum(col("t")).as("adc_dec"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= AdcTopK)
+      .select(col("va"), col("rk"), col("vb"),
+        col("adc_dec").cast("double").as("adc"))
+      .orderBy("va", "rk")
+  }
+
   /** The corpus's trained PQ codebook, materialized once per application —
     * the train-once/search-many pattern applied to the benchmark binding
     * (the one-time training cost reports as its own `_memo_*` line; the
@@ -287,5 +369,33 @@ object PqOps {
     // PQ codebooks come from iterative k-means — not DuckDB-expressible;
     // recall vs the exact join, kernel parity, and train/reuse
     // bit-identity are asserted in graft.SimilaritySpec + graft.KernelSpec.
-    QDef("q_similarity_pq", similarityPq, None))
+    QDef("q_similarity_pq", similarityPq, None),
+    // The ADC arithmetic + shortlist, oracle-checked over the persisted
+    // codebook/codes/probes (OracleAux): DuckDB recomputes every
+    // asymmetric distance from the same bytes with the same exact-decimal
+    // accumulation and must reproduce the ranked shortlist bit-for-bit.
+    QDef("q_pq_adc_verify", pqAdcVerify, Some {
+      val cbGlob = graft.sources.OracleAux.gateGlob("pq_adc_codebook")
+      val cdGlob = graft.sources.OracleAux.gateGlob("pq_adc_codes")
+      val prGlob = graft.sources.OracleAux.gateGlob("pq_adc_probes")
+      s"""WITH cb AS (SELECT sub, code, centroid FROM read_parquet('$cbGlob')),
+         |cd AS (SELECT vb, codes FROM read_parquet('$cdGlob')),
+         |pr AS (SELECT va, ea FROM read_parquet('$prGlob')),
+         |t AS (SELECT p.va, c.vb, gs.s AS sub, c.codes[gs.s + 1] AS bcode, p.ea
+         |      FROM pr p, cd c, generate_series(0, 7) AS gs(s)
+         |      WHERE p.va <> c.vb),
+         |tj AS (SELECT t.va, t.vb, t.sub, t.ea, b.centroid
+         |       FROM t JOIN cb b ON b.sub = t.sub AND b.code = t.bcode),
+         |adc AS (SELECT va, vb,
+         |          SUM(CAST(centroid[g.j] * ea[sub * 8 + g.j]
+         |              AS DECIMAL(38,12))) AS adc_dec
+         |        FROM tj, generate_series(1, 8) AS g(j)
+         |        GROUP BY 1, 2),
+         |r AS (SELECT va, vb, adc_dec,
+         |        ROW_NUMBER() OVER (PARTITION BY va
+         |          ORDER BY adc_dec DESC, vb) AS rk
+         |      FROM adc)
+         |SELECT va, rk, vb, CAST(adc_dec AS DOUBLE) AS adc
+         |FROM r WHERE rk <= $AdcTopK ORDER BY va, rk""".stripMargin
+    }))
 }
