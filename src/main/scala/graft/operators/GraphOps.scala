@@ -104,9 +104,15 @@ object GraphOps {
     }
     val spark = edgeList.sparkSession
     val edges = edgeList.select(col(src).as("__s"), col(dst).as("__d"))
-    val nodes = edges.select(col("__s").as("__v"))
-      .unionByName(edges.select(col("__d").as("__v")))
-      .distinct()
+    // The V-row node set is consumed three times (count, rank init,
+    // in-link-free frame) — checkpoint the E-row distinct once instead of
+    // recomputing it per consumer (~1.5s × 2 of pure setup waste at
+    // sf0.1), and release its blocks as soon as the three consumers have
+    // materialized.
+    val (nodes, nodesIds) = checkpointTracked(
+      edges.select(col("__s").as("__v"))
+        .unionByName(edges.select(col("__d").as("__v")))
+        .distinct())
     val outdeg = edges.groupBy("__s").agg(count(lit(1)).as("__od"))
     // influence = edge weights 1/outdeg. Built and shuffled ONCE:
     // hash-partitioned on the round join key and checkpointed, consumed
@@ -125,6 +131,7 @@ object GraphOps {
         .select(col("__v"), (lit(1 - damping) / lit(n)).as("__r")))
     var (ranks, ranksIds) = checkpointTracked(
       nodes.select(col("__v"), (lit(1.0) / lit(n)).as("__r")))
+    release(spark, nodesIds) // all three consumers are materialized
     var round = 0
     while (round < iters) {
       val next = iterationRound(infl, ranks, damping, n)
