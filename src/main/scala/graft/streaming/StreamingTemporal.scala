@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twins of the batch temporal operators.
+  *
+  * The pattern (precedent: the transition-matrix twin in
+  * graft.StreamingWindowSpec): a `flatMapGroupsWithState` stage holds the
+  * minimal per-key state and emits INCREMENTS; a downstream streaming
+  * aggregation folds the increments into the metric. The reference's
+  * stateful-processing surface is exactly this shape — per-key stores fed
+  * by a keyed log (`/root/reference/src/task.ts:75-91`) — re-expressed on
+  * the micro-batch engine.
+  */
+object StreamingTemporal {
+
+  /** Streaming twin of [[graft.operators.TemporalOps.rollingDistinct]]
+    * (trailing-window distinct actives — the DAU/WAU metric).
+    *
+    * Input: `(key, bucket)` where `bucket = floor(event_time / step)` —
+    * bucketing happens before this operator, exactly as the batch
+    * operator derives `__b`. Output: `(bucket, delta)` increments; a
+    * downstream `groupBy(bucket).sum(delta)` (any output mode) holds the
+    * running `n_active` per bucket, equal to the batch operator's count
+    * of keys active in `(bucket - windowBuckets, bucket]`.
+    *
+    * Per-key state is the key's active buckets RESTRICTED to the trailing
+    * `windowBuckets` of its max seen bucket — ≤ `windowBuckets` longs per
+    * key, the same bound that makes the batch operator's ×W replication
+    * affordable; nothing grows with history. A key arriving in bucket `b`
+    * emits +1 for each output bucket in `[b, b + windowBuckets - 1]` it
+    * newly covers (no previously-recorded bucket falls inside that output
+    * bucket's trailing window), so every (key, output-bucket) pair
+    * contributes at most once.
+    *
+    * Disorder bound (the watermark analogue, stated not hidden): counts
+    * are exact while each key's arrivals are at most `windowBuckets`
+    * buckets out of order — beyond that the pruned state can no longer
+    * prove a prior contribution and a duplicate +1 for an old bucket can
+    * slip through, the standard eviction/correctness trade every
+    * watermarked stream makes.
+    *
+    * LIBRARY ENTRY POINT — parity with the batch operator on a planted
+    * cross-batch log is pinned in graft.StreamingWindowSpec. */
+  def rollingDistinctDeltas(events: Dataset[(String, Long)],
+      windowBuckets: Int): Dataset[(Long, Long)] = {
+    require(windowBuckets >= 1,
+      s"windowBuckets must be >= 1, got $windowBuckets")
+    val session = events.sparkSession
+    import session.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: String, values: Iterator[(String, Long)],
+         state: GroupState[Seq[Long]]) =>
+          var active = state.getOption.getOrElse(Seq.empty).toSet
+          val out = Vector.newBuilder[(Long, Long)]
+          values.foreach { case (_, b) =>
+            if (!active.contains(b)) {
+              var ob = b
+              while (ob <= b + windowBuckets - 1) {
+                // key newly covers ob iff no recorded bucket sits in ob's
+                // trailing window (b itself always does)
+                if (!active.exists(s => s > ob - windowBuckets && s <= ob))
+                  out += ((ob, 1L))
+                ob += 1
+              }
+              active += b
+              val mx = active.max
+              active = active.filter(_ > mx - windowBuckets)
+            }
+          }
+          state.update(active.toSeq.sorted)
+          out.result().iterator
+      }
+  }
+}

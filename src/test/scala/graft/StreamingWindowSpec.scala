@@ -170,4 +170,53 @@ class StreamingWindowSpec extends SparkSpec {
         ("A", "C") -> 1L, ("C", "B") -> 1L), s"got $got")
     } finally q.stop()
   }
+
+  test("streaming rolling distinct actives matches the batch operator (DAU/WAU twin)") {
+    // StreamingTemporal.rollingDistinctDeltas emits per-(key, bucket)
+    // +1 increments from bounded per-key state (≤ windowBuckets longs);
+    // the downstream sum IS the trailing-window distinct-active count.
+    // Parity vs TemporalOps.rollingDistinct on the same planted log,
+    // delivered across THREE micro-batches so state survival and
+    // cross-batch dedup are both exercised.
+    val s = spark
+    import s.implicits._
+    val W = 3
+    val in = MemoryStream[(String, Long)](s)
+    val deltas = graft.streaming.StreamingTemporal
+      .rollingDistinctDeltas(in.toDS(), windowBuckets = W)
+    val q = deltas.toDF("bucket", "delta")
+      .groupBy("bucket").agg(sum("delta").as("n_active"))
+      .writeStream
+      .format("memory").queryName("stream_rolling")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      // (key, bucket) activity: u1 spans buckets, u2 repeats in-bucket,
+      // u3 appears once; batch 3 re-delivers an already-seen (u1, 10)
+      in.addData(("u1", 10L), ("u2", 10L), ("u2", 10L))
+      q.processAllAvailable()
+      in.addData(("u1", 11L), ("u3", 13L))
+      q.processAllAvailable()
+      in.addData(("u1", 10L), ("u2", 14L))
+      q.processAllAvailable()
+      val log = Seq(("u1", 10L), ("u2", 10L), ("u2", 10L), ("u1", 11L),
+        ("u3", 13L), ("u1", 10L), ("u2", 14L))
+        .toDF("k", "at") // bucket ids as integral ts with step 1
+      val batch = graft.operators.TemporalOps
+        .rollingDistinct(log, "k", "at", stepUs = 1L, windowBuckets = W)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val maxBucket = batch.keys.max
+      val stream = s.table("stream_rolling").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the stream emits trailing coverage past the last datum and no
+      // zero spine; compare on the batch spine with missing-as-zero
+      for ((b, n) <- batch)
+        assert(stream.getOrElse(b, 0L) == n,
+          s"bucket $b: stream ${stream.getOrElse(b, 0L)} vs batch $n " +
+            s"(stream $stream, batch $batch)")
+      for ((b, n) <- stream if b <= maxBucket)
+        assert(batch.getOrElse(b, 0L) == n,
+          s"bucket $b: stream emitted $n, batch has ${batch.getOrElse(b, 0L)}")
+    } finally q.stop()
+  }
 }
