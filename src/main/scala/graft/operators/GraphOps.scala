@@ -93,7 +93,57 @@ object GraphOps {
     * synthetic graphs against a sequential reference).
     */
   def pageRank(edgeList: DataFrame, src: String, dst: String,
+      damping: Double = 0.85, iters: Int = 10): DataFrame =
+    runPageRank(edgeList, src, dst, damping, iters,
+      prefs = None, trackDeltas = false)._1
+
+  /** Personalized PageRank: the teleport lands on a weighted SEED SET
+    * instead of uniformly — `r'(v) = (1-d)·p(v) + d·Σ r(u)/outdeg(u)`,
+    * with `p` the `prefs` weights normalized over the graph nodes they
+    * name (rows for nodes absent from the graph are ignored; graph nodes
+    * absent from `prefs` get p=0 and are reached only through the walk).
+    * Rank mass concentrates around the seeds — the "related to THESE
+    * documents/pages" ranking (topic-sensitive PageRank, Haveliwala
+    * WWW'02), where the uniform variant answers global importance.
+    * `iters`, determinism, and the iteration plan are exactly
+    * [[pageRank]]'s; the only structural delta is a per-round join with
+    * the stationary checkpointed V-row teleport frame (co-partitioned on
+    * the aggregation key) replacing the teleport literal.
+    *
+    * LIBRARY ENTRY POINT — GraphSpec pins seed-mass concentration, the
+    * sequential-reference parity, and that uniform weights reproduce
+    * plain [[pageRank]]. */
+  def personalizedPageRank(edgeList: DataFrame, src: String, dst: String,
+      prefs: DataFrame, prefNode: String, prefWeight: String,
       damping: Double = 0.85, iters: Int = 10): DataFrame = {
+    Seq(prefNode, prefWeight).foreach { c =>
+      require(prefs.columns.contains(c),
+        s"prefs has no column '$c' (columns: ${prefs.columns.mkString(", ")})")
+    }
+    runPageRank(edgeList, src, dst, damping, iters,
+      prefs = Some((prefs, prefNode, prefWeight)), trackDeltas = false)._1
+  }
+
+  /** [[pageRank]] plus per-round L1 movement `‖r_k - r_(k-1)‖₁` — the
+    * convergence diagnostic a fixed-round formulation otherwise hides
+    * (power iteration contracts the L1 delta by ≤ `damping` per round on
+    * walk-complete graphs; a non-contracting tail says `iters` is too
+    * low or the graph pathological). DIAGNOSTICS MODE: computing a delta
+    * requires materializing every round (the eager-per-round cadence the
+    * plain path deliberately avoids) plus a V-row join per round — pay
+    * it when inspecting convergence, not in production runs. Deltas are
+    * exact decimal sums, so they are deterministic and the returned
+    * ranks are bit-identical to [[pageRank]]'s (checkpoint cadence never
+    * affects values; GraphSpec pins both). */
+  def pageRankDeltas(edgeList: DataFrame, src: String, dst: String,
+      damping: Double = 0.85, iters: Int = 10): (DataFrame, Seq[Double]) =
+    runPageRank(edgeList, src, dst, damping, iters,
+      prefs = None, trackDeltas = true)
+
+  private def runPageRank(edgeList: DataFrame, src: String, dst: String,
+      damping: Double, iters: Int,
+      prefs: Option[(DataFrame, String, String)],
+      trackDeltas: Boolean): (DataFrame, Seq[Double]) = {
     require(damping > 0 && damping < 1,
       s"damping must be in (0, 1), got $damping")
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -122,26 +172,71 @@ object GraphOps {
         .select(col("__s"), col("__d"), (lit(1.0) / col("__od")).as("__w"))
         .repartition(col("__s")))
     val n = nodes.count().toDouble
-    // In-link-free nodes: constant rank (1-d)/n from round 1 on (Scaladoc)
-    // — empty on symmetrized graphs, ≤V rows on any graph. Checkpointed
-    // once, unioned lazily onto every round's aggregate.
-    val (noInbound, noInboundIds) = checkpointTracked(
-      nodes.join(edges.select(col("__d").as("__v")).distinct(),
-          Seq("__v"), "left_anti")
-        .select(col("__v"), (lit(1 - damping) / lit(n)).as("__r")))
-    var (ranks, ranksIds) = checkpointTracked(
-      nodes.select(col("__v"), (lit(1.0) / lit(n)).as("__r")))
-    release(spark, nodesIds) // all three consumers are materialized
+    // Personalized teleport: p(v) normalized over the NONNEGATIVE pref
+    // mass landing on actual graph nodes, pre-scaled by (1-d) and
+    // checkpointed once, co-partitioned on the aggregation key __v.
+    val tele: Option[DataFrame] = prefs.map { case (p, pn, pw) =>
+      val prefAgg = p
+        .select(col(pn).as("__v"), col(pw).cast("double").as("__pw"))
+        .groupBy("__v").agg(sum("__pw").as("__pw"))
+      val stats = nodes.join(prefAgg, Seq("__v"))
+        .agg(sum("__pw").as("__tot"), min("__pw").as("__mn")).head()
+      require(!stats.isNullAt(0),
+        "personalization weights name no graph nodes")
+      require(stats.getDouble(1) >= 0,
+        "personalization weights must be nonnegative")
+      val tot = stats.getDouble(0)
+      require(tot > 0 && !tot.isNaN && !tot.isInfinite,
+        s"personalization weights must have positive mass on graph nodes, got $tot")
+      checkpointTracked(
+        nodes.join(prefAgg, Seq("__v"), "left")
+          .select(col("__v"), (coalesce(col("__pw"), lit(0.0)) / lit(tot)
+            * lit(1 - damping)).as("__t"))
+          .repartition(col("__v")))._1
+    }
+    // In-link-free nodes: constant teleport-only rank from round 1 on
+    // (Scaladoc) — empty on symmetrized graphs, ≤V rows on any graph.
+    // Checkpointed once, unioned lazily onto every round's aggregate.
+    val antiIn = nodes.join(edges.select(col("__d").as("__v")).distinct(),
+      Seq("__v"), "left_anti")
+    val (noInbound, noInboundIds) = checkpointTracked(tele match {
+      case Some(t) => antiIn.join(t, Seq("__v"))
+        .select(col("__v"), col("__t").as("__r"))
+      case None => antiIn
+        .select(col("__v"), (lit(1 - damping) / lit(n)).as("__r"))
+    })
+    // init: uniform 1/n, or the normalized preference vector (the
+    // standard personalized power-iteration start)
+    var (ranks, ranksIds) = checkpointTracked(tele match {
+      case Some(t) => t.select(col("__v"),
+        (col("__t") / lit(1 - damping)).as("__r"))
+      case None => nodes.select(col("__v"), (lit(1.0) / lit(n)).as("__r"))
+    })
+    release(spark, nodesIds) // all consumers are materialized
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[Double]
     var round = 0
     while (round < iters) {
-      val next = iterationRound(infl, ranks, damping, n)
-        .unionByName(noInbound)
+      val next = (tele match {
+        case Some(t) => iterationRoundPersonalized(infl, ranks, damping, t)
+        case None => iterationRound(infl, ranks, damping, n)
+      }).unionByName(noInbound)
       round += 1
-      // Lineage barrier every CkptEvery rounds. The FINAL round stays
-      // lazy (≤ CkptEvery-1 joins deep) — the caller's one consumption
-      // plans it directly; a terminal checkpoint would be a wasted
-      // materialization plus blocks nobody could ever free.
-      if (round % CkptEvery == 0 && round < iters) {
+      if (trackDeltas) {
+        // diagnostics cadence: materialize EVERY round; the L1 movement
+        // is an exact decimal sum (order-independent, deterministic)
+        val (ck, ckIds) = checkpointTracked(next)
+        deltas += ck
+          .join(ranks.select(col("__v"), col("__r").as("__rp")), Seq("__v"))
+          .agg(sum(abs(col("__r") - col("__rp")).cast(DecimalType(38, 18)))
+            .cast("double")).head().getDouble(0)
+        release(spark, ranksIds)
+        ranks = ck
+        ranksIds = ckIds
+      } else if (round % CkptEvery == 0 && round < iters) {
+        // Lineage barrier every CkptEvery rounds. The FINAL round stays
+        // lazy (≤ CkptEvery-1 joins deep) — the caller's one consumption
+        // plans it directly; a terminal checkpoint would be a wasted
+        // materialization plus blocks nobody could ever free.
         val (ck, ckIds) = checkpointTracked(next)
         release(spark, ranksIds) // superseded barrier's blocks, by RDD id
         ranks = ck
@@ -149,10 +244,11 @@ object GraphOps {
       } else ranks = next
     }
     val out = ranks.select(col("__v").as("node"), col("__r").as("rank"))
-    // infl/noInbound/last-barrier blocks stay pinned until the caller has
-    // consumed `out` (they back its lineage); Bench's release barrier (or
-    // any getPersistentRDDs sweep) frees them after the action.
-    out
+    // infl/teleport/noInbound/last-barrier blocks stay pinned until the
+    // caller has consumed `out` (they back its lineage); Bench's release
+    // barrier (or any getPersistentRDDs sweep) frees them after the
+    // action.
+    (out, deltas.toSeq)
   }
 
   /** One power-iteration round:
@@ -177,6 +273,22 @@ object GraphOps {
       .select(col("__d").as("__v"),
         (lit(1 - damping) / lit(n) +
           lit(damping) * col("__acc").cast("double")).as("__r"))
+
+  /** [[iterationRound]] with a per-node teleport term: the uniform
+    * `(1-d)/n` literal becomes a join against the stationary checkpointed
+    * teleport frame `t` (`__v`, `__t` = `(1-d)·p(v)`), co-partitioned
+    * with the aggregation output on `__v` — the only structural delta of
+    * the personalized variant. */
+  private[graft] def iterationRoundPersonalized(infl: DataFrame,
+      ranks: DataFrame, damping: Double, t: DataFrame): DataFrame =
+    infl.join(ranks, col("__s") === col("__v"))
+      .groupBy(col("__d"))
+      .agg(sum((col("__r") * col("__w")).cast(DecimalType(38, 18)))
+        .as("__acc"))
+      .select(col("__d").as("__v"), col("__acc"))
+      .join(t, Seq("__v"))
+      .select(col("__v"),
+        (col("__t") + lit(damping) * col("__acc").cast("double")).as("__r"))
 
   /** The order↔part co-purchase graph: an undirected bipartite graph with
     * real degree spread (orders span 1..7 parts; part in-degree follows

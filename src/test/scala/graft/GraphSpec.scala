@@ -82,6 +82,91 @@ class GraphSpec extends SparkSpec {
     assert(a == b) // bit-identical, not just close
   }
 
+  /** Sequential personalized PageRank: teleport p(v) = prefs normalized
+    * over graph nodes; init = p. */
+  private def refPersonalized(edges: Seq[(String, String)],
+      prefs: Map[String, Double], damping: Double,
+      iters: Int): Map[String, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val tot = nodes.flatMap(prefs.get).sum
+    val p = nodes.map(v => v -> prefs.getOrElse(v, 0.0) / tot).toMap
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    var r = p
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => r(e._1) / outdeg(e._1)).sum
+      }
+      r = nodes.map(v =>
+        v -> ((1 - damping) * p(v) + damping * in.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank matches the reference and concentrates mass at the seed") {
+    val s = spark
+    import s.implicits._
+    val prefs = Seq(("a", 1.0)).toDF("node", "w")
+    val got = GraphOps.personalizedPageRank(
+      directed.toDF("from", "to"), "from", "to", prefs, "node", "w")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = refPersonalized(directed, Map("a" -> 1.0), 0.85, 10)
+    assert(got.keySet == want.keySet)
+    for ((v, w) <- want)
+      assert(math.abs(got(v) - w) < 1e-12, s"node $v: ${got(v)} vs $w")
+    // seed bias: a holds more mass than under the uniform teleport, and
+    // the teleport-only node e (unreachable from a's walk) drops to 0
+    assert(got("a") > run(directed)("a"))
+    assert(got("e") == 0.0)
+  }
+
+  test("uniform personalization reproduces plain pageRank (r9 grid)") {
+    val s = spark
+    import s.implicits._
+    val nodes = (directed.map(_._1) ++ directed.map(_._2)).distinct
+    val prefs = nodes.map(_ -> 1.0).toDF("node", "w")
+    val per = GraphOps.personalizedPageRank(
+      directed.toDF("from", "to"), "from", "to", prefs, "node", "w")
+      .collect().map(r => r.getString(0) -> math.rint(r.getDouble(1) * 1e9))
+      .toMap
+    val uni = run(directed)
+      .map { case (v, r) => v -> math.rint(r * 1e9) }
+    assert(per == uni)
+  }
+
+  test("pageRankDeltas: L1 movement contracts; ranks bit-match pageRank") {
+    val s = spark
+    import s.implicits._
+    val (df, deltas) = GraphOps.pageRankDeltas(
+      directed.toDF("from", "to"), "from", "to")
+    assert(deltas.length == 10)
+    assert(deltas.forall(_ > 0))
+    // power iteration contracts ||r_k - r_(k-1)||_1 by <= damping per
+    // round (sinks only leak, never amplify)
+    deltas.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * 0.85 + 1e-15, s"non-contracting step: $a -> $b")
+    }
+    val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == run(directed)) // checkpoint cadence never affects values
+  }
+
+  test("personalization guards fire with actionable messages") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("a" -> "b").toDF("from", "to")
+    val e1 = intercept[IllegalArgumentException](
+      GraphOps.personalizedPageRank(df, "from", "to",
+        Seq(("a", 1.0)).toDF("node", "w"), "nope", "w"))
+    assert(e1.getMessage.contains("no column 'nope'"))
+    val e2 = intercept[IllegalArgumentException](
+      GraphOps.personalizedPageRank(df, "from", "to",
+        Seq(("zzz", 1.0)).toDF("node", "w"), "node", "w"))
+    assert(e2.getMessage.contains("no graph nodes"))
+    val e3 = intercept[IllegalArgumentException](
+      GraphOps.personalizedPageRank(df, "from", "to",
+        Seq(("a", -1.0)).toDF("node", "w"), "node", "w"))
+    assert(e3.getMessage.contains("nonnegative"))
+  }
+
   test("guards fire with actionable messages") {
     val s = spark
     import s.implicits._
