@@ -173,14 +173,18 @@ object GraphOps {
         .repartition(col("__s")))
     val n = nodes.count().toDouble
     // Personalized teleport: p(v) normalized over the NONNEGATIVE pref
-    // mass landing on actual graph nodes, pre-scaled by (1-d) and
-    // checkpointed once, co-partitioned on the aggregation key __v.
-    val tele: Option[DataFrame] = prefs.map { case (p, pn, pw) =>
+    // mass landing on actual graph nodes. `pNorm` is the V-row normalized
+    // vector plan, consumed twice at setup (teleport frame, rank init) —
+    // both consumers checkpoint, so it computes twice, once each.
+    val pNorm: Option[DataFrame] = prefs.map { case (p, pn, pw) =>
       val prefAgg = p
         .select(col(pn).as("__v"), col(pw).cast("double").as("__pw"))
         .groupBy("__v").agg(sum("__pw").as("__pw"))
+      // exact decimal total: a double sum's value depends on partial-agg
+      // order, and this scalar must match an oracle's re-derivation
       val stats = nodes.join(prefAgg, Seq("__v"))
-        .agg(sum("__pw").as("__tot"), min("__pw").as("__mn")).head()
+        .agg(graft.Det.dsum(col("__pw")).as("__tot"),
+          min("__pw").as("__mn")).head()
       require(!stats.isNullAt(0),
         "personalization weights name no graph nodes")
       require(stats.getDouble(1) >= 0,
@@ -188,10 +192,15 @@ object GraphOps {
       val tot = stats.getDouble(0)
       require(tot > 0 && !tot.isNaN && !tot.isInfinite,
         s"personalization weights must have positive mass on graph nodes, got $tot")
+      nodes.join(prefAgg, Seq("__v"), "left")
+        .select(col("__v"),
+          (coalesce(col("__pw"), lit(0.0)) / lit(tot)).as("__p"))
+    }
+    // pre-scaled by (1-d), checkpointed once, co-partitioned on the
+    // aggregation key __v — the stationary per-round join side
+    val tele: Option[DataFrame] = pNorm.map { nm =>
       checkpointTracked(
-        nodes.join(prefAgg, Seq("__v"), "left")
-          .select(col("__v"), (coalesce(col("__pw"), lit(0.0)) / lit(tot)
-            * lit(1 - damping)).as("__t"))
+        nm.select(col("__v"), (col("__p") * lit(1 - damping)).as("__t"))
           .repartition(col("__v")))._1
     }
     // In-link-free nodes: constant teleport-only rank from round 1 on
@@ -206,10 +215,11 @@ object GraphOps {
         .select(col("__v"), (lit(1 - damping) / lit(n)).as("__r"))
     })
     // init: uniform 1/n, or the normalized preference vector (the
-    // standard personalized power-iteration start)
-    var (ranks, ranksIds) = checkpointTracked(tele match {
-      case Some(t) => t.select(col("__v"),
-        (col("__t") / lit(1 - damping)).as("__r"))
+    // standard personalized power-iteration start — taken from pNorm
+    // directly so the init doubles are the exact division an oracle
+    // re-derives, with no (1-d) round-trip)
+    var (ranks, ranksIds) = checkpointTracked(pNorm match {
+      case Some(nm) => nm.select(col("__v"), col("__p").as("__r"))
       case None => nodes.select(col("__v"), (lit(1.0) / lit(n)).as("__r"))
     })
     release(spark, nodesIds) // all consumers are materialized
@@ -298,13 +308,31 @@ object GraphOps {
     * reversed pairs never collide with the forward ones and no dedup of
     * the union is needed (the oracle's DISTINCT over the same union is a
     * no-op for the same reason). */
-  private def qPageRank(s: SparkSession, d: String): DataFrame = {
+  private def coPurchase(s: SparkSession, d: String): DataFrame = {
     val op = Tables(s, d, "lineitem")
       .select(concat(lit("o:"), col("l_orderkey").cast("string")).as("s"),
         concat(lit("p:"), col("l_partkey").cast("string")).as("d"))
       .distinct()
-    val sym = op.unionByName(op.select(col("d").as("s"), col("s").as("d")))
-    pageRank(sym, "s", "d", damping = 0.85, iters = 10)
+    op.unionByName(op.select(col("d").as("s"), col("s").as("d")))
+  }
+
+  private def qPageRank(s: SparkSession, d: String): DataFrame =
+    pageRank(coPurchase(s, d), "s", "d", damping = 0.85, iters = 10)
+      .select(col("node"), Det.r9(col("rank")).as("rank"))
+      .orderBy("node")
+
+  /** Personalized ranking seeded on every 100th part: "what is related
+    * to THESE products" over the same co-purchase graph. The seed set is
+    * mod-selected so DuckDB re-derives it from `part` verbatim; weights
+    * normalize over seeds present in the graph (a part absent from every
+    * order carries no graph node). */
+  private def qPersonalizedPageRank(s: SparkSession, d: String): DataFrame = {
+    val prefs = Tables(s, d, "part")
+      .filter(col("p_partkey") % 100 === 0)
+      .select(concat(lit("p:"), col("p_partkey").cast("string")).as("seed"),
+        lit(1.0).as("w"))
+    personalizedPageRank(coPurchase(s, d), "s", "d", prefs, "seed", "w",
+      damping = 0.85, iters = 10)
       .select(col("node"), Det.r9(col("rank")).as("rank"))
       .orderBy("node")
   }
@@ -339,6 +367,46 @@ object GraphOps {
          |   FROM pr p JOIN infl i ON i.s = p.v
          |   WHERE p.it < 10
          |   GROUP BY i.d
+         | )
+         |SELECT v AS node, ${Det.r9Sql("r")} AS rank
+         |FROM pr WHERE it = 10 ORDER BY node""".stripMargin)),
+    // Personalized variant over the same graph: the oracle re-derives the
+    // mod-selected seed set, the decimal-exact normalizing total, and the
+    // per-node teleport p(v) — the recursion differs from q_graph_pagerank
+    // only in replacing the uniform (1-d)/n term with (1-d)·p(v) and the
+    // uniform init with p(v), mirroring the Spark arithmetic op-for-op.
+    QDef("q_graph_ppr", qPersonalizedPageRank, Some(
+      s"""WITH RECURSIVE
+         | op AS (SELECT DISTINCT 'o:' || CAST(l_orderkey AS VARCHAR) AS s,
+         |               'p:' || CAST(l_partkey AS VARCHAR) AS d FROM lineitem),
+         | edges AS (SELECT DISTINCT s, d FROM
+         |           (SELECT s, d FROM op UNION ALL SELECT d, s FROM op)),
+         | nodes AS (SELECT DISTINCT v FROM
+         |           (SELECT s AS v FROM edges UNION ALL SELECT d FROM edges)),
+         | seeds AS (SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS v,
+         |                  CAST(1 AS DOUBLE) AS w
+         |           FROM part WHERE p_partkey % 100 = 0),
+         | sg AS (SELECT s.v, s.w FROM seeds s JOIN nodes n USING (v)),
+         | tt AS (SELECT ${Det.dsumSql("w")} AS t FROM sg),
+         | pvec AS (SELECT n.v,
+         |            COALESCE(sg.w, CAST(0 AS DOUBLE)) / (SELECT t FROM tt) AS p
+         |          FROM nodes n LEFT JOIN sg USING (v)),
+         | outdeg AS (SELECT s, count(*) AS od FROM edges GROUP BY 1),
+         | infl AS (SELECT s, d, w FROM
+         |          (SELECT e.s, e.d, CAST(1 AS DOUBLE)/o.od AS w
+         |           FROM edges e JOIN outdeg o USING (s)
+         |           UNION ALL SELECT v, v, CAST(0 AS DOUBLE) FROM nodes)),
+         | pr AS (
+         |   SELECT 0 AS it, v, p AS r FROM pvec
+         |   UNION ALL
+         |   SELECT min(p.it) + 1 AS it, i.d AS v,
+         |     pv.p * (1 - CAST(0.85 AS DOUBLE))
+         |       + CAST(0.85 AS DOUBLE) *
+         |         CAST(SUM(CAST(p.r * i.w AS DECIMAL(38,18))) AS DOUBLE) AS r
+         |   FROM pr p JOIN infl i ON i.s = p.v
+         |        JOIN pvec pv ON pv.v = i.d
+         |   WHERE p.it < 10
+         |   GROUP BY i.d, pv.p
          | )
          |SELECT v AS node, ${Det.r9Sql("r")} AS rank
          |FROM pr WHERE it = 10 ORDER BY node""".stripMargin)))
