@@ -272,4 +272,60 @@ class PlanSpec extends SparkSpec {
       s"expected map-side partial aggregation:\n$p")
     infl.unpersist()
   }
+
+  test("personalized round: teleport joins AFTER the aggregation, no extra edge shuffle") {
+    // the personalized variant's one structural delta is the V-row
+    // teleport join replacing the uniform literal — it must attach to the
+    // AGGREGATED (V-row) side, never fan the E-row product stream through
+    // a second shuffle
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val infl = Seq(("a", "b", 0.5), ("a", "c", 0.5), ("b", "a", 1.0))
+      .toDF("__s", "__d", "__w")
+      .repartition(col("__s")).localCheckpoint(eager = true)
+    val tele = Seq(("a", 0.15), ("b", 0.0), ("c", 0.0)).toDF("__v", "__t")
+      .repartition(col("__v")).localCheckpoint(eager = true)
+    val ranks = Seq(("a", 0.4), ("b", 0.3), ("c", 0.3)).toDF("__v", "__r")
+    val p = operators.GraphOps
+      .iterationRoundPersonalized(infl, ranks, 0.85, tele)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no all-pairs plan:\n$p")
+    // tree order in the printed plan: parents print before children, so
+    // the teleport join (consuming the V-row AGGREGATE) must print before
+    // the first HashAggregate, and the rank join (feeding it) after —
+    // structural collect can't see through the AQE wrapper node
+    val lines = p.linesIterator.toVector
+    val joinIdx = lines.zipWithIndex
+      .filter(_._1.contains("BroadcastHashJoin")).map(_._2)
+    val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
+    assert(joinIdx.length == 2, s"expected rank + teleport joins:\n$p")
+    assert(joinIdx.head < aggIdx && aggIdx < joinIdx.last,
+      "the teleport join must consume the aggregate and the rank join " +
+        s"feed it (join@${joinIdx.mkString(",")} vs agg@$aggIdx):\n$p")
+    val exchanges = lines.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"still exactly one shuffle per personalized round, got $exchanges:\n$p")
+    infl.unpersist(); tele.unpersist()
+  }
+
+  test("q_pq_adc_verify: probes and codebook broadcast; one shuffle (the pair aggregate)") {
+    // the verify query's scan sides are a 16-row probe set and a 512-row
+    // codebook — both must broadcast; the only exchange is the (va, vb)
+    // group-by of the per-subspace decimal partials
+    val sf = SparkSpec.sf
+    val plan = graft.SparkEntry.queries("q_pq_adc_verify")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("CartesianProduct"),
+      s"probe×codes candidate generation should be a broadcast product:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the codebook lookup must broadcast:\n$plan")
+    val exchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    // pair aggregate + the final window's partition exchange
+    assert(exchanges <= 2,
+      s"expected at most 2 shuffles (pair agg, shortlist window), got $exchanges:\n$plan")
+  }
 }
