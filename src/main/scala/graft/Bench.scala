@@ -182,7 +182,8 @@ object Bench {
         graft.operators.TokenizerOps.memoBuilds ++
         graft.operators.PipelineOps.memoBuilds ++
         graft.operators.SimilarityOps.memoBuilds ++
-        graft.operators.PqOps.memoBuilds
+        graft.operators.PqOps.memoBuilds ++
+        graft.operators.GraphOps.memoBuilds
     // A subset run that selects consumers but not their memo prebuild
     // makes the first rep pay the Materialize build silently — numbers
     // from such a run are incomparable with full-suite medians. Say so.

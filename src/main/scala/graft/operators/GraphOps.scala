@@ -308,13 +308,25 @@ object GraphOps {
     * reversed pairs never collide with the forward ones and no dedup of
     * the union is needed (the oracle's DISTINCT over the same union is a
     * no-op for the same reason). */
-  private def coPurchase(s: SparkSession, d: String): DataFrame = {
-    val op = Tables(s, d, "lineitem")
-      .select(concat(lit("o:"), col("l_orderkey").cast("string")).as("s"),
-        concat(lit("p:"), col("l_partkey").cast("string")).as("d"))
-      .distinct()
-    op.unionByName(op.select(col("d").as("s"), col("s").as("d")))
-  }
+  /** The symmetrized edge list is identical for both graph queries —
+    * materialized once per application ([[graft.sources.Materialize]],
+    * reported as `_memo_copurchase` in the bench) so the second query
+    * pays a parquet scan, not a second lineitem distinct+symmetrize.
+    * Row ORDER from the memo differs from the direct plan; every
+    * consumer below is order-independent (distinct node set, outdeg
+    * aggregation, exact-decimal rank sums). */
+  private[operators] def coPurchase(s: SparkSession, d: String): DataFrame =
+    graft.sources.Materialize.table(s, s"copurchase:$d") {
+      val op = Tables(s, d, "lineitem")
+        .select(concat(lit("o:"), col("l_orderkey").cast("string")).as("s"),
+          concat(lit("p:"), col("l_partkey").cast("string")).as("d"))
+        .distinct()
+      op.unionByName(op.select(col("d").as("s"), col("s").as("d")))
+    }
+
+  /** Bench accounting hook (see [[DedupOps.memoBuilds]]). */
+  def memoBuilds: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq("_memo_copurchase" -> ((s, d) => coPurchase(s, d)))
 
   private def qPageRank(s: SparkSession, d: String): DataFrame =
     pageRank(coPurchase(s, d), "s", "d", damping = 0.85, iters = 10)
