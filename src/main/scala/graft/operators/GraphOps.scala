@@ -106,9 +106,11 @@ object GraphOps {
     * documents/pages" ranking (topic-sensitive PageRank, Haveliwala
     * WWW'02), where the uniform variant answers global importance.
     * `iters`, determinism, and the iteration plan are exactly
-    * [[pageRank]]'s; the only structural delta is a per-round join with
-    * the stationary checkpointed V-row teleport frame (co-partitioned on
-    * the aggregation key) replacing the teleport literal.
+    * [[pageRank]]'s — the teleport term rides the stationary influence
+    * relation as a per-edge destination column recovered by `max` inside
+    * the round's aggregation, so the loop's plan is structurally
+    * identical to the uniform variant's (one join, one exchange, no
+    * per-round teleport frame).
     *
     * LIBRARY ENTRY POINT — GraphSpec pins seed-mass concentration, the
     * sequential-reference parity, and that uniform weights reproduce
@@ -164,18 +166,12 @@ object GraphOps {
         .unionByName(edges.select(col("__d").as("__v")))
         .distinct())
     val outdeg = edges.groupBy("__s").agg(count(lit(1)).as("__od"))
-    // influence = edge weights 1/outdeg. Built and shuffled ONCE:
-    // hash-partitioned on the round join key and checkpointed, consumed
-    // every round.
-    val (infl, inflIds) = checkpointTracked(
-      edges.join(outdeg, "__s")
-        .select(col("__s"), col("__d"), (lit(1.0) / col("__od")).as("__w"))
-        .repartition(col("__s")))
     val n = nodes.count().toDouble
     // Personalized teleport: p(v) normalized over the NONNEGATIVE pref
     // mass landing on actual graph nodes. `pNorm` is the V-row normalized
-    // vector plan, consumed twice at setup (teleport frame, rank init) —
-    // both consumers checkpoint, so it computes twice, once each.
+    // vector plan, consumed three times at setup (influence annotation,
+    // in-link-free frame, rank init) — each consumer checkpoints, so it
+    // computes once per consumer and never per round.
     val pNorm: Option[DataFrame] = prefs.map { case (p, pn, pw) =>
       val prefAgg = p
         .select(col(pn).as("__v"), col(pw).cast("double").as("__pw"))
@@ -196,21 +192,30 @@ object GraphOps {
         .select(col("__v"),
           (coalesce(col("__pw"), lit(0.0)) / lit(tot)).as("__p"))
     }
-    // pre-scaled by (1-d), checkpointed once, co-partitioned on the
-    // aggregation key __v — the stationary per-round join side
-    val tele: Option[DataFrame] = pNorm.map { nm =>
-      checkpointTracked(
-        nm.select(col("__v"), (col("__p") * lit(1 - damping)).as("__t"))
-          .repartition(col("__v")))._1
-    }
+    // influence = edge weights 1/outdeg. Built and shuffled ONCE:
+    // hash-partitioned on the round join key and checkpointed, consumed
+    // every round. Personalized runs additionally ANNOTATE each edge with
+    // the DESTINATION's teleport term `__td = (1-d)·p(dst)` — functionally
+    // dependent on `__d`, so the per-round aggregate recovers it with a
+    // `max` in the same pass and no round ever joins a teleport frame
+    // (the first formulation broadcast a V-row teleport table every
+    // round; a stationary per-edge column costs one setup join instead).
+    val inflBase = edges.join(outdeg, "__s")
+      .select(col("__s"), col("__d"), (lit(1.0) / col("__od")).as("__w"))
+    val (infl, inflIds) = checkpointTracked((pNorm match {
+      case Some(nm) => inflBase.join(
+        nm.select(col("__v").as("__d"),
+          (col("__p") * lit(1 - damping)).as("__td")), Seq("__d"))
+      case None => inflBase
+    }).repartition(col("__s")))
     // In-link-free nodes: constant teleport-only rank from round 1 on
     // (Scaladoc) — empty on symmetrized graphs, ≤V rows on any graph.
     // Checkpointed once, unioned lazily onto every round's aggregate.
     val antiIn = nodes.join(edges.select(col("__d").as("__v")).distinct(),
       Seq("__v"), "left_anti")
-    val (noInbound, noInboundIds) = checkpointTracked(tele match {
-      case Some(t) => antiIn.join(t, Seq("__v"))
-        .select(col("__v"), col("__t").as("__r"))
+    val (noInbound, noInboundIds) = checkpointTracked(pNorm match {
+      case Some(nm) => antiIn.join(nm, Seq("__v"))
+        .select(col("__v"), (col("__p") * lit(1 - damping)).as("__r"))
       case None => antiIn
         .select(col("__v"), (lit(1 - damping) / lit(n)).as("__r"))
     })
@@ -226,8 +231,8 @@ object GraphOps {
     val deltas = scala.collection.mutable.ArrayBuffer.empty[Double]
     var round = 0
     while (round < iters) {
-      val next = (tele match {
-        case Some(t) => iterationRoundPersonalized(infl, ranks, damping, t)
+      val next = (pNorm match {
+        case Some(_) => iterationRoundPersonalized(infl, ranks, damping)
         case None => iterationRound(infl, ranks, damping, n)
       }).unionByName(noInbound)
       round += 1
@@ -285,19 +290,18 @@ object GraphOps {
           lit(damping) * col("__acc").cast("double")).as("__r"))
 
   /** [[iterationRound]] with a per-node teleport term: the uniform
-    * `(1-d)/n` literal becomes a join against the stationary checkpointed
-    * teleport frame `t` (`__v`, `__t` = `(1-d)·p(v)`), co-partitioned
-    * with the aggregation output on `__v` — the only structural delta of
-    * the personalized variant. */
+    * `(1-d)/n` literal becomes the edge-annotated `__td` column recovered
+    * by `max` in the SAME aggregation pass (`__td` is functionally
+    * dependent on the grouping key `__d`) — the personalized round's plan
+    * is structurally identical to the uniform round's: one join, one
+    * exchange, no teleport frame in the loop. */
   private[graft] def iterationRoundPersonalized(infl: DataFrame,
-      ranks: DataFrame, damping: Double, t: DataFrame): DataFrame =
+      ranks: DataFrame, damping: Double): DataFrame =
     infl.join(ranks, col("__s") === col("__v"))
       .groupBy(col("__d"))
       .agg(sum((col("__r") * col("__w")).cast(DecimalType(38, 18)))
-        .as("__acc"))
-      .select(col("__d").as("__v"), col("__acc"))
-      .join(t, Seq("__v"))
-      .select(col("__v"),
+        .as("__acc"), max(col("__td")).as("__t"))
+      .select(col("__d").as("__v"),
         (col("__t") + lit(damping) * col("__acc").cast("double")).as("__r"))
 
   /** The order↔part co-purchase graph: an undirected bipartite graph with

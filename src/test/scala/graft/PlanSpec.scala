@@ -273,41 +273,33 @@ class PlanSpec extends SparkSpec {
     infl.unpersist()
   }
 
-  test("personalized round: teleport joins AFTER the aggregation, no extra edge shuffle") {
-    // the personalized variant's one structural delta is the V-row
-    // teleport join replacing the uniform literal — it must attach to the
-    // AGGREGATED (V-row) side, never fan the E-row product stream through
-    // a second shuffle
+  test("personalized round: same shape as the uniform round — one join, one exchange") {
+    // the teleport term rides the influence relation as a per-edge __td
+    // column recovered by max inside the round's aggregation, so the
+    // personalized loop must plan EXACTLY like the uniform one: no
+    // teleport join, no second shuffle, no V-row broadcast per round
     val s = spark
     import s.implicits._
     import org.apache.spark.sql.functions.col
-    val infl = Seq(("a", "b", 0.5), ("a", "c", 0.5), ("b", "a", 1.0))
-      .toDF("__s", "__d", "__w")
+    val infl = Seq(("a", "b", 0.5, 0.0), ("a", "c", 0.5, 0.0),
+      ("b", "a", 1.0, 0.15))
+      .toDF("__s", "__d", "__w", "__td")
       .repartition(col("__s")).localCheckpoint(eager = true)
-    val tele = Seq(("a", 0.15), ("b", 0.0), ("c", 0.0)).toDF("__v", "__t")
-      .repartition(col("__v")).localCheckpoint(eager = true)
     val ranks = Seq(("a", 0.4), ("b", 0.3), ("c", 0.3)).toDF("__v", "__r")
     val p = operators.GraphOps
-      .iterationRoundPersonalized(infl, ranks, 0.85, tele)
+      .iterationRoundPersonalized(infl, ranks, 0.85)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"no all-pairs plan:\n$p")
-    // tree order in the printed plan: parents print before children, so
-    // the teleport join (consuming the V-row AGGREGATE) must print before
-    // the first HashAggregate, and the rank join (feeding it) after —
-    // structural collect can't see through the AQE wrapper node
     val lines = p.linesIterator.toVector
-    val joinIdx = lines.zipWithIndex
-      .filter(_._1.contains("BroadcastHashJoin")).map(_._2)
-    val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
-    assert(joinIdx.length == 2, s"expected rank + teleport joins:\n$p")
-    assert(joinIdx.head < aggIdx && aggIdx < joinIdx.last,
-      "the teleport join must consume the aggregate and the rank join " +
-        s"feed it (join@${joinIdx.mkString(",")} vs agg@$aggIdx):\n$p")
+    assert(lines.count(_.contains("BroadcastHashJoin")) == 1,
+      s"exactly ONE join per personalized round (rank frame only):\n$p")
     val exchanges = lines.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 1,
-      s"still exactly one shuffle per personalized round, got $exchanges:\n$p")
-    infl.unpersist(); tele.unpersist()
+      s"exactly one shuffle per personalized round, got $exchanges:\n$p")
+    assert(p.contains("max(__td"),
+      s"the teleport term must be recovered by max in the same agg:\n$p")
+    infl.unpersist()
   }
 
   test("q_pq_adc_verify: probes and codebook broadcast; one shuffle (the pair aggregate)") {
