@@ -211,6 +211,62 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** Temperature-based source mixing (mT5 / XLM-R: sampling share
+    * `q(s) ∝ size(s)^α`): low-resource sources are up-weighted relative
+    * to their size as `α` falls below 1 (α=1 is proportional sampling,
+    * α→0 approaches the equal-share policy of the plain mixture). Each
+    * source's deterministic md5-bucket rate targets
+    * `budgetFraction·corpus_tokens·q(s)` expected tokens, capped at the
+    * source's availability; a cap leaves that slice of the budget unused
+    * (single-pass policy — no redistribution loop, stated not hidden).
+    * Per-source weight normalization is an exact decimal sum, so rates
+    * are engine- and parallelism-independent up to `pow`'s final-ulp
+    * (a 1-ulp `pow` divergence flips a bucket cut only when
+    * `rate·10⁴` sits exactly on an integer, which the r4-rounded output
+    * never witnesses).
+    *
+    * Returns the same per-source manifest shape as the plain mixture:
+    * (`source`, n_docs, n_sampled, tok_total, tok_sampled, rate).
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, text, source) frame
+    * (ApiSpec plants a two-source corpus with a known size skew). */
+  def temperatureMixture(rows: DataFrame, id: String, text: String,
+      source: String, alpha: Double = 0.3,
+      budgetFraction: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(budgetFraction > 0 && budgetFraction <= 1,
+      s"budgetFraction must be in (0, 1], got $budgetFraction")
+    val base = rows.select(
+      col(id).as("doc_id"), col(source).as("source"),
+      size(TextOps.toks(col(text))).cast("long").as("n_tok"),
+      (conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000).as("bucket"))
+    val perSource = base.groupBy("source").agg(sum("n_tok").as("tok_total"))
+      .withColumn("w", pow(col("tok_total").cast("double"), lit(alpha)))
+    val corpus = perSource.agg(
+      sum("tok_total").as("corpus_tok"), Det.dsum(col("w")).as("w_total"))
+    val rates = perSource.crossJoin(broadcast(corpus))
+      .withColumn("rate", least(lit(1.0d),
+        col("corpus_tok").cast("double") * lit(budgetFraction)
+          * (col("w") / col("w_total")) / col("tok_total").cast("double")))
+      .withColumn("cut", floor(col("rate") * 10000.0d).cast("long"))
+      .select("source", "rate", "cut")
+    base.join(broadcast(rates), Seq("source"))
+      .withColumn("in_sample", col("bucket") < col("cut"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("in_sample"), 1)).as("n_sampled"),
+        sum("n_tok").as("tok_total"),
+        coalesce(sum(when(col("in_sample"), col("n_tok"))), lit(0L))
+          .as("tok_sampled"),
+        Det.r4(first(col("rate"))).as("rate"))
+      .orderBy("source")
+  }
+
+  private def mixtureTemperature(s: SparkSession, d: String): DataFrame =
+    temperatureMixture(docs(s, d), "doc_id", "text", "source",
+      alpha = 0.3, budgetFraction = 0.5)
+
   // Intra-document repetition: fraction of duplicate tokens and duplicate
   // adjacent bigrams (Gopher-style "repetitious text" signals). Pure array
   // arithmetic per row — the token list is bound once, never exploded.
@@ -514,6 +570,31 @@ object PipelineOps {
          |     AS DOUBLE) / tok_total) AS rate,
          |  CAST(floor(least(1.0, CAST(CAST(floor(corpus_tok * 0.5 / n_sources)
          |     AS BIGINT) AS DOUBLE) / tok_total) * 10000.0) AS BIGINT) AS cut
+         |  FROM per_source, corpus)
+         |SELECT b.source, count(*) AS n_docs,
+         | count(CASE WHEN b.bucket < r.cut THEN 1 END) AS n_sampled,
+         | CAST(sum(b.n_tok) AS BIGINT) AS tok_total,
+         | CAST(coalesce(sum(CASE WHEN b.bucket < r.cut THEN b.n_tok END), 0)
+         |   AS BIGINT) AS tok_sampled,
+         | ${Det.r4Sql("any_value(r.rate)")} AS rate
+         | FROM base b JOIN rates r ON b.source = r.source
+         | GROUP BY 1 ORDER BY b.source""".stripMargin)),
+    // same bucket policy as q_mixture_sample; the rate now derives from
+    // the temperature weights, with the decimal-exact w_total mirrored
+    QDef("q_mixture_temperature", mixtureTemperature, Some(
+      s"""WITH base AS (SELECT doc_id, source, $oracleNTok AS n_tok,
+         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+         |   AS bucket FROM documents),
+         |per_source AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok_total,
+         |  pow(CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE), 0.3) AS w
+         |  FROM base GROUP BY 1),
+         |corpus AS (SELECT CAST(sum(tok_total) AS BIGINT) AS corpus_tok,
+         |  ${Det.dsumSql("w")} AS w_total FROM per_source),
+         |rates AS (SELECT source,
+         |  least(1.0, CAST(corpus_tok AS DOUBLE) * 0.5 * (w / w_total)
+         |    / CAST(tok_total AS DOUBLE)) AS rate,
+         |  CAST(floor(least(1.0, CAST(corpus_tok AS DOUBLE) * 0.5 * (w / w_total)
+         |    / CAST(tok_total AS DOUBLE)) * 10000.0) AS BIGINT) AS cut
          |  FROM per_source, corpus)
          |SELECT b.source, count(*) AS n_docs,
          | count(CASE WHEN b.bucket < r.cut THEN 1 END) AS n_sampled,

@@ -1102,4 +1102,35 @@ class ApiSpec extends SparkSpec {
       (1L, 1L) -> 1L  // user 3 returns days 14,15 (offset 1) — once
     ), s"got $got")
   }
+
+  test("temperatureMixture up-weights the low-resource source as alpha falls") {
+    val s = spark
+    import s.implicits._
+    // 9:1 size skew: 90 docs of 10 tokens in "big", 10 in "small"
+    val docs = ((0 until 90).map(i => (i.toLong, "w " * 10, "big")) ++
+      (100 until 110).map(i => (i.toLong, "w " * 10, "small")))
+      .toDF("id", "body", "src")
+    def rates(alpha: Double): Map[String, Double] =
+      graft.operators.PipelineOps
+        .temperatureMixture(docs, "id", "body", "src",
+          alpha = alpha, budgetFraction = 0.5)
+        .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    // alpha = 1 is proportional sampling: both sources at the budget rate
+    val prop = rates(1.0)
+    assert(math.abs(prop("big") - 0.5) < 1e-3 &&
+      math.abs(prop("small") - 0.5) < 1e-3, s"alpha=1 must be flat: $prop")
+    // alpha < 1: the small source's rate must rise above the big one's,
+    // matching the closed-form q(s) ∝ size^alpha rule
+    val t = rates(0.3)
+    assert(t("small") > t("big"), s"expected up-weighting: $t")
+    val (wb, ws) = (math.pow(900.0, 0.3), math.pow(100.0, 0.3))
+    val expSmall = math.min(1.0, 1000.0 * 0.5 * (ws / (wb + ws)) / 100.0)
+    assert(math.abs(t("small") - expSmall) < 1e-3,
+      s"small-source rate ${t("small")} vs closed form $expSmall")
+    // the manifest accounts every doc exactly once
+    val m = graft.operators.PipelineOps
+      .temperatureMixture(docs, "id", "body", "src", 0.3, 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(m.map(_._2).sum == 100 && m.map(_._3).sum == 1000, s"got ${m.toSeq}")
+  }
 }
