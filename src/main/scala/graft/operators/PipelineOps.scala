@@ -267,6 +267,51 @@ object PipelineOps {
     temperatureMixture(docs(s, d), "doc_id", "text", "source",
       alpha = 0.3, budgetFraction = 0.5)
 
+  /** Corpus snapshot diff — the manifest a versioned-dataset pipeline
+    * records between two builds: which documents were `added`, `removed`,
+    * or `changed` (content hash moved). One full-outer hash join on the
+    * id, content compared by md5 — shuffle O(|before| + |after|), no
+    * text column ever moves through the join (hashes only, the same
+    * reason [[DedupOps]] keys its dedup on content hashes). `unchanged`
+    * rows are dropped: at 100 TB the delta is the small output; emitting
+    * the unchanged corpus would make the manifest corpus-sized.
+    *
+    * LIBRARY ENTRY POINT — generic over any two (id, text) frames
+    * (ApiSpec plants one doc per fate). */
+  def corpusDelta(before: DataFrame, after: DataFrame, id: String,
+      text: String): DataFrame = {
+    Seq(before -> "before", after -> "after").foreach { case (df, nm) =>
+      Seq(id, text).foreach(c => require(df.columns.contains(c),
+        s"$nm frame has no column '$c' (columns: ${df.columns.mkString(", ")})"))
+    }
+    val b = before.select(col(id).as("doc_id"),
+      md5(col(text).cast("binary")).as("__hb"))
+    val a = after.select(col(id).as("doc_id"),
+      md5(col(text).cast("binary")).as("__ha"))
+    b.join(a, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__hb").isNull, "added")
+          .when(col("__ha").isNull, "removed")
+          .when(col("__ha") =!= col("__hb"), "changed")
+          .otherwise("unchanged").as("change"))
+      .filter(col("change") =!= "unchanged")
+      .orderBy("doc_id")
+  }
+
+  /** Simulated snapshot pair over the test corpus: the "before" build is
+    * missing every 7th doc (they read as `added`), the "after" build
+    * rewrites every 5th doc's text (`changed` where present in both) —
+    * both transformations chosen to be verbatim re-derivable in SQL. */
+  private def corpusDeltaQuery(s: SparkSession, d: String): DataFrame = {
+    val before = docs(s, d).filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val after = docs(s, d)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, upper(col("text")))
+          .otherwise(col("text")).as("text"))
+    corpusDelta(before, after, "doc_id", "text")
+  }
+
   // Intra-document repetition: fraction of duplicate tokens and duplicate
   // adjacent bigrams (Gopher-style "repetitious text" signals). Pure array
   // arithmetic per row — the token list is bound once, never exploded.
@@ -604,6 +649,23 @@ object PipelineOps {
          | ${Det.r4Sql("any_value(r.rate)")} AS rate
          | FROM base b JOIN rates r ON b.source = r.source
          | GROUP BY 1 ORDER BY b.source""".stripMargin)),
+    QDef("q_corpus_delta", corpusDeltaQuery, Some(
+      """WITH b AS (SELECT doc_id, md5(text) AS hb
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |a AS (SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END) AS ha
+        |  FROM documents)
+        |SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+        |  CASE WHEN b.doc_id IS NULL THEN 'added'
+        |       WHEN a.doc_id IS NULL THEN 'removed'
+        |       WHEN ha <> hb THEN 'changed'
+        |       ELSE 'unchanged' END AS change
+        | FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id
+        | WHERE CASE WHEN b.doc_id IS NULL THEN 'added'
+        |       WHEN a.doc_id IS NULL THEN 'removed'
+        |       WHEN ha <> hb THEN 'changed'
+        |       ELSE 'unchanged' END <> 'unchanged'
+        | ORDER BY doc_id""".stripMargin)),
     QDef("q_sample_bottomk", sampleBottomK, Some(
       """SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
         | FROM documents ORDER BY h LIMIT 100""".stripMargin)),

@@ -1133,4 +1133,21 @@ class ApiSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
     assert(m.map(_._2).sum == 100 && m.map(_._3).sum == 1000, s"got ${m.toSeq}")
   }
+
+  test("corpusDelta reports one row per changed fate, unchanged dropped") {
+    val s = spark
+    import s.implicits._
+    val before = Seq((1L, "same"), (2L, "old text"), (3L, "goes away"))
+      .toDF("k", "t")
+    val after = Seq((1L, "same"), (2L, "new text"), (4L, "brand new"))
+      .toDF("k", "t")
+    val got = graft.operators.PipelineOps
+      .corpusDelta(before, after, "k", "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"),
+      s"got $got")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.PipelineOps.corpusDelta(before, after, "nope", "t"))
+    assert(e.getMessage.contains("no column 'nope'"))
+  }
 }
