@@ -12,10 +12,15 @@ class DetSpec extends SparkSpec {
   test("float-heavy queries are bit-identical under different shuffle partitioning") {
     // one query per accumulation pattern: grouped decimal sums (agg_hash),
     // moment-sum statistics (corr), exploded element sums (centroids),
-    // per-doc surprisal sums over a token join (lm_score), and windowed
-    // duration-weighted sums (time_weighted)
+    // per-doc surprisal sums over a token join (lm_score), windowed
+    // duration-weighted sums (time_weighted), iterative decimal rank sums
+    // with a seed-normalized teleport (graph_ppr, r9 — also covers the
+    // exact-decimal normalizing total), HOF decimal folds ranked into a
+    // shortlist (pq_adc_verify, r9), and pow-weighted rate derivation
+    // through a decimal-normalized weight table (mixture_temperature, r9)
     val queries = Seq("q_agg_hash", "q_corr_stats", "q_embed_centroids",
-      "q_lm_score", "q_time_weighted")
+      "q_lm_score", "q_time_weighted", "q_graph_ppr", "q_pq_adc_verify",
+      "q_mixture_temperature")
     val conf = spark.conf
     val original = conf.get("spark.sql.shuffle.partitions")
     try {
