@@ -1134,6 +1134,81 @@ class ApiSpec extends SparkSpec {
     assert(m.map(_._2).sum == 100 && m.map(_._3).sum == 1000, s"got ${m.toSeq}")
   }
 
+  test("corpusDelta equals a sequential diff on generated snapshot pairs") {
+    val s = spark
+    import s.implicits._
+    val textGen: Gen[String] = Gen.oneOf("alpha", "beta", "gamma", "delta")
+    for (trial <- 1 to 5) {
+      val ids = (0L until 20L).toSeq
+      val before = ids.filter(_ => Gen.prob(0.8).sample.get)
+        .map(i => i -> textGen.sample.get).toMap
+      val after = ids.filter(_ => Gen.prob(0.8).sample.get)
+        .map(i => i -> textGen.sample.get).toMap
+      val expect = (before.keySet ++ after.keySet).flatMap { i =>
+        (before.get(i), after.get(i)) match {
+          case (None, Some(_)) => Some(i -> "added")
+          case (Some(_), None) => Some(i -> "removed")
+          case (Some(b), Some(a)) if b != a => Some(i -> "changed")
+          case _ => None
+        }
+      }.toMap
+      val got = graft.operators.PipelineOps.corpusDelta(
+          before.toSeq.toDF("k", "t"), after.toSeq.toDF("k", "t"), "k", "t")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expect, s"trial $trial: got $got\nexpected $expect")
+    }
+  }
+
+  test("temperatureMixture equals a sequential reference on generated corpora") {
+    val s = spark
+    import s.implicits._
+    def md5bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 10000
+    }
+    def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val rowGen: Gen[(String, Int)] = for {
+      src <- Gen.oneOf("s0", "s1", "s2")
+      n <- Gen.chooseNum(1, 30)
+    } yield (src, n)
+    for (trial <- 1 to 5) {
+      val alpha = Seq(0.3, 0.5, 1.0)(trial % 3)
+      val rows = Gen.listOfN(40, rowGen).sample.get.zipWithIndex
+        .map { case ((src, n), i) => (i.toLong, ("w " * n).trim, src) }
+      // sequential reference mirroring the operator's arithmetic
+      val perSource = rows.groupBy(_._3).view
+        .mapValues(_.map(_._2.split("\\s+").count(_.nonEmpty).toLong).sum)
+        .toMap
+      val corpusTok = perSource.values.sum
+      // exact-decimal weight total at scale 6 (Det.dsum's grid)
+      val wTotal = perSource.values
+        .map(t => BigDecimal(math.pow(t.toDouble, alpha))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      val expect = rows.groupBy(_._3).map { case (src, docs) =>
+        val tokTotal = perSource(src)
+        val w = math.pow(tokTotal.toDouble, alpha)
+        val rate = math.min(1.0,
+          corpusTok.toDouble * 0.5 * (w / wTotal) / tokTotal.toDouble)
+        val cut = math.floor(rate * 10000.0).toLong
+        val sampled = docs.filter(d => md5bucket(d._1) < cut)
+        src -> ((docs.size.toLong, sampled.size.toLong, tokTotal,
+          sampled.map(_._2.split("\\s+").count(_.nonEmpty).toLong).sum,
+          r4(rate)))
+      }
+      val got = graft.operators.PipelineOps
+        .temperatureMixture(rows.toDF("id", "body", "src"), "id", "body",
+          "src", alpha = alpha, budgetFraction = 0.5)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getDouble(5)))).toMap
+      assert(got == expect,
+        s"trial $trial (alpha $alpha): got $got\nexpected $expect")
+    }
+  }
+
   test("corpusDelta reports one row per changed fate, unchanged dropped") {
     val s = spark
     import s.implicits._
