@@ -11,6 +11,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var failed = List.empty[String]
+    var errors = List.empty[(String, String)]
     // Iteration aid (mirrors Bench): restrict the dump to a subset.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -21,6 +22,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         failed ::= name
+        errors ::= name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Queries that materialize an intermediate (localCheckpoint — the
@@ -34,6 +36,16 @@ object Verify {
     // where the result comparison will find it
     Files.writeString(Paths.get(s"$outDir/_failures.json"),
       failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]"))
+    // r9 (ADVICE r8 self-containedness): the r8 NTZ drift left its 14
+    // analysis-time failures traceable ONLY via the bench's failed array
+    // — record WHY each query failed next to the dump, so a correctness
+    // artifact missing a query always has its explanation on disk.
+    Files.writeString(Paths.get(s"$outDir/_errors.json"),
+      errors.reverse.map { case (k, v) =>
+        "\"" + k + "\": " + "\"" + v.replace("\\", "\\\\")
+          .replace("\"", "\\\"").replace("\n", "\\n").replace("\r", "\\r")
+          .replace("\t", "\\t") + "\""
+      }.mkString("{", ",", "}"))
     if (failed.nonEmpty)
       System.err.println(s"[verify] ${failed.size} queries FAILED: " +
         failed.reverse.mkString(", "))
