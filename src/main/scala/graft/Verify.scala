@@ -32,26 +32,10 @@ object Verify {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
-    // a stderr line alone is easy to scroll past — leave the failure list
-    // where the result comparison will find it
-    Files.writeString(Paths.get(s"$outDir/_failures.json"),
-      failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]"))
-    // r9 (ADVICE r8 self-containedness): the r8 NTZ drift left its 14
-    // analysis-time failures traceable ONLY via the bench's failed array
-    // — record WHY each query failed next to the dump, so a correctness
-    // artifact missing a query always has its explanation on disk.
-    Files.writeString(Paths.get(s"$outDir/_errors.json"),
-      errors.reverse.map { case (k, v) =>
-        "\"" + k + "\": " + "\"" + v.replace("\\", "\\\\")
-          .replace("\"", "\\\"").replace("\n", "\\n").replace("\r", "\\r")
-          .replace("\t", "\\t") + "\""
-      }.mkString("{", ",", "}"))
-    if (failed.nonEmpty)
-      System.err.println(s"[verify] ${failed.size} queries FAILED: " +
-        failed.reverse.mkString(", "))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    // — a tab or CR in builder-authored SQL, or a control char in an
+    // exception message, would otherwise make the driver's json.load fail
+    // and silently zero the round's correctness.
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -61,6 +45,23 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // a stderr line alone is easy to scroll past — leave the failure list
+    // where the result comparison will find it
+    Files.writeString(Paths.get(s"$outDir/_failures.json"),
+      failed.reverse.map(q).mkString("[", ",", "]"))
+    // r9 (ADVICE r8 self-containedness): the r8 NTZ drift left its 14
+    // analysis-time failures traceable ONLY via the bench's failed array
+    // — record WHY each query failed next to the dump, so a correctness
+    // artifact missing a query always has its explanation on disk.
+    // Exception messages get the same full-control-char escape as the
+    // oracle SQL (ADVICE r9): Spark analysis errors can embed plan trees
+    // with arbitrary control chars.
+    Files.writeString(Paths.get(s"$outDir/_errors.json"),
+      errors.reverse.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries FAILED: " +
+        failed.reverse.mkString(", "))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -39,18 +39,53 @@ import graft.sources.Tables
   */
 object GraphOps {
 
+  /** A completed rank computation plus the handle that frees its blocks.
+    *
+    * The iteration leaves the influence relation, the in-link-free
+    * constant frame, and the last lineage barrier pinned as persistent
+    * RDD blocks — they back `ranks`' lineage, and `Dataset.unpersist()`
+    * cannot free them (localCheckpoint blocks belong to an internal RDD
+    * the CacheManager never saw). Lifecycle: consume `ranks` (collect /
+    * write / count), then call [[release]]; after release the frame
+    * CANNOT be recomputed (its lineage was truncated by the
+    * checkpoints). Idempotent; releases only this run's blocks, so
+    * concurrent runs on one session are safe (ADVICE r9). Without a
+    * handle the only recourse was a global `getPersistentRDDs` sweep —
+    * which a long-lived session sharing the SparkSession cannot do
+    * safely. */
+  final class RankRun private[operators] (val ranks: DataFrame,
+      spark: SparkSession, ids: Set[Int]) {
+    /** Free the pinned blocks backing [[ranks]]. Call after consuming. */
+    def release(): Unit = GraphOps.release(spark, ids)
+  }
+
   /** Rounds of lazy join+agg lineage between eager checkpoint barriers. */
   private val CkptEvery = 3
 
   /** Eagerly localCheckpoint `df`, returning the checkpointed frame plus
     * the persistent-RDD ids the call pinned — the handle a caller needs
     * to actually free the blocks later (`Dataset.unpersist()` cannot:
-    * the blocks belong to an internal RDD the CacheManager never saw). */
+    * the blocks belong to an internal RDD the CacheManager never saw).
+    *
+    * The ids are read off the checkpointed frame's own plan: a
+    * localCheckpoint'd Dataset analyzes to a [[LogicalRDD]] leaf wrapping
+    * exactly the internal RDD the checkpoint pinned. (The first
+    * formulation diffed `getPersistentRDDs` around the call — ADVICE r9:
+    * under concurrent use of one SparkSession that diff also captures
+    * RDDs persisted by OTHER jobs in the window, and releasing someone
+    * else's checkpoint blocks fails their job irrecoverably, since
+    * localCheckpoint truncated their lineage. Reading the plan makes the
+    * attribution exact and the entry points concurrency-safe.) */
   private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint(eager = true)
-    (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    val ids = out.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+    // pinned at Spark 4.1.2: localCheckpoint always yields a LogicalRDD
+    // leaf; an empty set here would mean silent block leaks on release
+    require(ids.nonEmpty,
+      "localCheckpoint produced no LogicalRDD leaf — cannot track blocks")
+    (out, ids)
   }
 
   private def release(spark: SparkSession, ids: Set[Int]): Unit = {
@@ -88,6 +123,14 @@ object GraphOps {
     * comparisons should round (the bundled query uses [[Det.r9]]:
     * ranks are ~1/V, far below [[Det.r4]]'s grid).
     *
+    * BLOCK LIFECYCLE: the returned frame is backed by pinned persistent
+    * blocks that `Dataset.unpersist()` cannot free — this form leaves
+    * them pinned for the session (fine for run-and-exit jobs; Bench and
+    * Verify sweep `getPersistentRDDs` after each query). Long-lived
+    * sessions iterating over many graphs should use [[pageRankManaged]] /
+    * [[personalizedPageRankManaged]] and call `release()` after
+    * consuming — see [[RankRun]].
+    *
     * LIBRARY ENTRY POINT — generic over any two-column edge relation
     * (GraphSpec exercises directed, multi-edge, and sink-bearing
     * synthetic graphs against a sequential reference).
@@ -96,6 +139,16 @@ object GraphOps {
       damping: Double = 0.85, iters: Int = 10): DataFrame =
     runPageRank(edgeList, src, dst, damping, iters,
       prefs = None, trackDeltas = false)._1
+
+  /** [[pageRank]] returning a [[RankRun]]: the rank frame PLUS the handle
+    * that frees the checkpointed blocks backing it. Prefer this form in
+    * long-lived sessions — see [[RankRun]] for the lifecycle. */
+  def pageRankManaged(edgeList: DataFrame, src: String, dst: String,
+      damping: Double = 0.85, iters: Int = 10): RankRun = {
+    val (out, _, ids) = runPageRank(edgeList, src, dst, damping, iters,
+      prefs = None, trackDeltas = false)
+    new RankRun(out, edgeList.sparkSession, ids)
+  }
 
   /** Personalized PageRank: the teleport lands on a weighted SEED SET
     * instead of uniformly — `r'(v) = (1-d)·p(v) + d·Σ r(u)/outdeg(u)`,
@@ -126,6 +179,20 @@ object GraphOps {
       prefs = Some((prefs, prefNode, prefWeight)), trackDeltas = false)._1
   }
 
+  /** [[personalizedPageRank]] returning a [[RankRun]] — see
+    * [[pageRankManaged]]. */
+  def personalizedPageRankManaged(edgeList: DataFrame, src: String,
+      dst: String, prefs: DataFrame, prefNode: String, prefWeight: String,
+      damping: Double = 0.85, iters: Int = 10): RankRun = {
+    Seq(prefNode, prefWeight).foreach { c =>
+      require(prefs.columns.contains(c),
+        s"prefs has no column '$c' (columns: ${prefs.columns.mkString(", ")})")
+    }
+    val (out, _, ids) = runPageRank(edgeList, src, dst, damping, iters,
+      prefs = Some((prefs, prefNode, prefWeight)), trackDeltas = false)
+    new RankRun(out, edgeList.sparkSession, ids)
+  }
+
   /** [[pageRank]] plus per-round L1 movement `‖r_k - r_(k-1)‖₁` — the
     * convergence diagnostic a fixed-round formulation otherwise hides
     * (power iteration contracts the L1 delta by ≤ `damping` per round on
@@ -138,14 +205,16 @@ object GraphOps {
     * ranks are bit-identical to [[pageRank]]'s (checkpoint cadence never
     * affects values; GraphSpec pins both). */
   def pageRankDeltas(edgeList: DataFrame, src: String, dst: String,
-      damping: Double = 0.85, iters: Int = 10): (DataFrame, Seq[Double]) =
-    runPageRank(edgeList, src, dst, damping, iters,
+      damping: Double = 0.85, iters: Int = 10): (DataFrame, Seq[Double]) = {
+    val (out, deltas, _) = runPageRank(edgeList, src, dst, damping, iters,
       prefs = None, trackDeltas = true)
+    (out, deltas)
+  }
 
   private def runPageRank(edgeList: DataFrame, src: String, dst: String,
       damping: Double, iters: Int,
       prefs: Option[(DataFrame, String, String)],
-      trackDeltas: Boolean): (DataFrame, Seq[Double]) = {
+      trackDeltas: Boolean): (DataFrame, Seq[Double], Set[Int]) = {
     require(damping > 0 && damping < 1,
       s"damping must be in (0, 1), got $damping")
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -173,9 +242,14 @@ object GraphOps {
     // in-link-free frame, rank init) — each consumer checkpoints, so it
     // computes once per consumer and never per round.
     val pNorm: Option[DataFrame] = prefs.map { case (p, pn, pw) =>
+      // per-node weights through the same decimal grid as the total: a
+      // plain double sum's value depends on partial-agg order, so a node
+      // named twice in prefs would get a parallelism-dependent p(v)
+      // (ADVICE r9) — dsum keeps every per-node weight bit-deterministic
+      // and on the exact grid the normalizing total already uses
       val prefAgg = p
         .select(col(pn).as("__v"), col(pw).cast("double").as("__pw"))
-        .groupBy("__v").agg(sum("__pw").as("__pw"))
+        .groupBy("__v").agg(Det.dsum(col("__pw")).as("__pw"))
       // exact decimal total: a double sum's value depends on partial-agg
       // order, and this scalar must match an oracle's re-derivation
       val stats = nodes.join(prefAgg, Seq("__v"))
@@ -259,11 +333,12 @@ object GraphOps {
       } else ranks = next
     }
     val out = ranks.select(col("__v").as("node"), col("__r").as("rank"))
-    // infl/teleport/noInbound/last-barrier blocks stay pinned until the
-    // caller has consumed `out` (they back its lineage); Bench's release
-    // barrier (or any getPersistentRDDs sweep) frees them after the
-    // action.
-    (out, deltas.toSeq)
+    // infl/noInbound/last-barrier blocks stay pinned until the caller has
+    // consumed `out` (they back its lineage). Their ids ride along so the
+    // managed entry points can hand the caller a release handle; the
+    // unmanaged ones rely on Bench's release barrier (or any
+    // getPersistentRDDs sweep) after the action.
+    (out, deltas.toSeq, inflIds ++ noInboundIds ++ ranksIds)
   }
 
   /** One power-iteration round:
@@ -402,7 +477,8 @@ object GraphOps {
          | seeds AS (SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS v,
          |                  CAST(1 AS DOUBLE) AS w
          |           FROM part WHERE p_partkey % 100 = 0),
-         | sg AS (SELECT s.v, s.w FROM seeds s JOIN nodes n USING (v)),
+         | sg AS (SELECT s.v, ${Det.dsumSql("s.w")} AS w
+         |        FROM seeds s JOIN nodes n USING (v) GROUP BY s.v),
          | tt AS (SELECT ${Det.dsumSql("w")} AS t FROM sg),
          | pvec AS (SELECT n.v,
          |            COALESCE(sg.w, CAST(0 AS DOUBLE)) / (SELECT t FROM tt) AS p

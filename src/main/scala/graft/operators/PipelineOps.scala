@@ -284,15 +284,21 @@ object PipelineOps {
       Seq(id, text).foreach(c => require(df.columns.contains(c),
         s"$nm frame has no column '$c' (columns: ${df.columns.mkString(", ")})"))
     }
+    // Presence is a per-side flag, NOT hash nullness: a NULL text value
+    // hashes to NULL, and keying added/removed on that would misreport a
+    // doc present in both snapshots with NULL text as `added`. The
+    // DuckDB oracle keys on join-key nullness (`b.doc_id IS NULL`);
+    // these flags are the same semantics, and `changed` compares hashes
+    // null-safely so NULL⇄NULL reads `unchanged`, NULL⇄value `changed`.
     val b = before.select(col(id).as("doc_id"),
-      md5(col(text).cast("binary")).as("__hb"))
+      md5(col(text).cast("binary")).as("__hb"), lit(true).as("__pb"))
     val a = after.select(col(id).as("doc_id"),
-      md5(col(text).cast("binary")).as("__ha"))
+      md5(col(text).cast("binary")).as("__ha"), lit(true).as("__pa"))
     b.join(a, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("__hb").isNull, "added")
-          .when(col("__ha").isNull, "removed")
-          .when(col("__ha") =!= col("__hb"), "changed")
+        when(col("__pb").isNull, "added")
+          .when(col("__pa").isNull, "removed")
+          .when(!(col("__ha") <=> col("__hb")), "changed")
           .otherwise("unchanged").as("change"))
       .filter(col("change") =!= "unchanged")
       .orderBy("doc_id")

@@ -1225,4 +1225,26 @@ class ApiSpec extends SparkSpec {
       graft.operators.PipelineOps.corpusDelta(before, after, "nope", "t"))
     assert(e.getMessage.contains("no column 'nope'"))
   }
+
+  test("corpusDelta classifies NULL text by presence, not hash nullness") {
+    val s = spark
+    import s.implicits._
+    // ADVICE r9: md5(NULL) is NULL, so keying added/removed on hash
+    // nullness misread a doc PRESENT with NULL text as added/removed.
+    // Presence flags + null-safe compare give join-key semantics:
+    //   1: NULL in both          -> unchanged (dropped)
+    //   2: NULL -> value         -> changed
+    //   3: value -> NULL         -> changed
+    //   4: NULL, only in after   -> added
+    //   5: NULL, only in before  -> removed
+    val before = Seq(1L -> Option.empty[String], 2L -> Option.empty[String],
+      3L -> Some("text"), 5L -> Option.empty[String]).toDF("k", "t")
+    val after = Seq(1L -> Option.empty[String], 2L -> Some("text"),
+      3L -> Option.empty[String], 4L -> Option.empty[String]).toDF("k", "t")
+    val got = graft.operators.PipelineOps
+      .corpusDelta(before, after, "k", "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "changed",
+      4L -> "added", 5L -> "removed"), s"got $got")
+  }
 }

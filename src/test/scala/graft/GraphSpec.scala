@@ -167,6 +167,61 @@ class GraphSpec extends SparkSpec {
     assert(e3.getMessage.contains("nonnegative"))
   }
 
+  test("pageRankManaged: release() returns pinned blocks to baseline") {
+    val s = spark
+    import s.implicits._
+    // run the unmanaged comparison FIRST — it pins blocks by contract,
+    // and they must not be confused with the managed runs' accounting
+    val expected = run(directed)
+    val expectedP = GraphOps.personalizedPageRank(
+      directed.toDF("from", "to"), "from", "to",
+      Seq(("a", 1.0)).toDF("node", "w"), "node", "w")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // sweep everything pinned so far so the baseline is clean
+    s.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val baseline = s.sparkContext.getPersistentRDDs.size
+    val run1 = GraphOps.pageRankManaged(
+      directed.toDF("from", "to"), "from", "to")
+    val got = run1.ranks.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the run pins blocks (influence relation at minimum) while live...
+    assert(s.sparkContext.getPersistentRDDs.size > baseline)
+    // ...and the values are the same computation as the unmanaged form
+    assert(got == expected)
+    run1.release()
+    assert(s.sparkContext.getPersistentRDDs.size == baseline,
+      "release() must free every block the run pinned")
+    run1.release() // idempotent
+    assert(s.sparkContext.getPersistentRDDs.size == baseline)
+    // managed personalized variant: same contract
+    val run2 = GraphOps.personalizedPageRankManaged(
+      directed.toDF("from", "to"), "from", "to",
+      Seq(("a", 1.0)).toDF("node", "w"), "node", "w")
+    val gotP = run2.ranks.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gotP == expectedP)
+    run2.release()
+    assert(s.sparkContext.getPersistentRDDs.size == baseline,
+      "personalized release() must free every block the run pinned")
+  }
+
+  test("duplicate pref rows sum to a deterministic per-node weight") {
+    val s = spark
+    import s.implicits._
+    val df = directed.toDF("from", "to")
+    // a named twice at 0.5 must equal a named once at 1.0 — and be
+    // bit-deterministic (the weights run through the Det decimal grid,
+    // not an order-dependent double sum; ADVICE r9)
+    val split = GraphOps.personalizedPageRank(df, "from", "to",
+      Seq(("a", 0.5), ("a", 0.5), ("b", 1.0)).toDF("node", "w"), "node", "w")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val whole = GraphOps.personalizedPageRank(df, "from", "to",
+      Seq(("a", 1.0), ("b", 1.0)).toDF("node", "w"), "node", "w")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(split == whole)
+  }
+
   test("guards fire with actionable messages") {
     val s = spark
     import s.implicits._
