@@ -621,6 +621,113 @@ object SimilarityOps {
   private def dedupSemantic(s: SparkSession, d: String): DataFrame =
     withinClusterPairs(semdedupAssignAux(s, d), SemMinCos, numBlocks = 1)
 
+  // --- IVF probe/scan oracle verification (q_ivf_scan_verify, r10) ------
+  // The k-means TRAINING loop is not DuckDB-expressible, but everything
+  // downstream of the trained artifacts is a pure function of persisted
+  // columns (the q_pq_adc_verify precedent, one family over): given the
+  // centroid table and the corpus's list assignment, the probe-selection
+  // (top-nprobe lists by centroid dot) and the scan (exact cosine over the
+  // probed lists' members, top-k) are re-derivable in SQL. Both engines
+  // compute each dot product as the same left-to-right double fold over
+  // the same parquet bytes (dotf ≡ list_sum(list_transform(list_zip(…))) —
+  // the module-header bit-parity), so ranks agree exactly; ties break on
+  // (list) / (vb) deterministically in both.
+
+  private val IvfVerifyProbes = 16
+  private val IvfVerifyNprobe = 4
+  private val IvfVerifyTopK = 10
+
+  /** The trained quantizer persisted for the oracle — the SAME shared
+    * centroid table q_similarity_ivf searches with. */
+  private def ivfCentroidsAux(s: SparkSession, d: String): DataFrame =
+    graft.sources.OracleAux.table(s, d, "ivf_scan_centroids") {
+      sharedIvfCentroids(s, d)
+    }
+
+  /** The probe/scan stage over the persisted artifacts: probes are the
+    * [[IvfVerifyProbes]] lowest vec_ids of the persisted assignment
+    * (SQL-expressible, unlike the hash-ranked training sample); each
+    * probes its [[IvfVerifyNprobe]] top lists by centroid dot (ties on
+    * list id), then exact cosine (= dot of the persisted normalized
+    * vectors) ranks the probed lists' members — [[ivfKnnJoin]]'s search
+    * shape re-derived declaratively, NOT through the ArgTopDot kernel
+    * (kernel parity has its own ScalaTest pin in graft.KernelSpec; this
+    * query cross-engine-checks the probe/scan arithmetic itself). */
+  private def ivfScanVerify(s: SparkSession, d: String): DataFrame = {
+    val cents = ivfCentroidsAux(s, d)
+    val assign = semdedupAssignAux(s, d)
+    val probes = assign.orderBy("vec_id").limit(IvfVerifyProbes)
+      .select(col("vec_id").as("va"), col("ne").as("ea"))
+    val wl = Window.partitionBy("va").orderBy(desc("cdot"), col("list"))
+    val probed = probes.crossJoin(broadcast(cents))
+      .select(col("va"), col("ea"), col("list"),
+        dotf(col("ea"), col("centroid")).as("cdot"))
+      .withColumn("pr", row_number().over(wl))
+      .filter(col("pr") <= IvfVerifyNprobe)
+      .select(col("va"), col("ea"), col("list").as("l"))
+    val w = Window.partitionBy("va").orderBy(desc("cos"), col("vb"))
+    probed
+      .join(assign.select(col("vec_id").as("vb"), col("l"),
+        col("ne").as("eb")), Seq("l"))
+      .filter(col("va") =!= col("vb"))
+      .select(col("va"), col("vb"),
+        Det.r4(dotf(col("ea"), col("eb"))).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= IvfVerifyTopK)
+      .select(col("va"), col("rk"), col("vb"), col("cos"))
+      .orderBy("va", "rk")
+  }
+
+  // --- LSH bucketing oracle verification (q_ann_bucket_verify, r10) ------
+  // q_similarity_ann stays rows-only (its planes are Scala-side constants
+  // baked into a recall-oriented wide-bucket config), but the bucketing
+  // MECHANISM — sign bits of plane dots assembled into per-table bucket
+  // ids, pairs = bucket collisions — is a pure function of a persisted
+  // plane matrix, so it gets the same cross-engine treatment as the
+  // simhash banding (q_dedup_simhash_verify): DuckDB re-derives every
+  // sign bit, bucket id, and collision pair from the identical bytes.
+  // The config here (4 tables × 8 planes) is the SUBLINEAR regime the
+  // annKnnJoin scaladoc prescribes for tight-neighbor corpora — narrower
+  // buckets than the recall-tuned (8 × 2) query binding, which keeps the
+  // verified pair list ~2k rows instead of ~50k.
+
+  private val AnnVerifyTables = 4
+  private val AnnVerifyPlanesPer = 8
+
+  /** The plane matrix persisted for the oracle: one row per (table,
+    * plane-in-table), same LCG planes the operators broadcast. */
+  private def annPlanesAux(s: SparkSession, d: String): DataFrame =
+    graft.sources.OracleAux.table(s, d, "ann_bucket_planes") {
+      import s.implicits._
+      planesFor(AnnVerifyTables * AnnVerifyPlanesPer).toSeq.zipWithIndex
+        .map { case (p, i) =>
+          (i / AnnVerifyPlanesPer, i % AnnVerifyPlanesPer, p.toSeq)
+        }
+        .toDF("tbl", "pj", "plane")
+    }
+
+  /** Sign-bit bucketing + collision pairs over the persisted planes,
+    * declaratively (NOT through the LshBuckets kernel — graft.KernelSpec
+    * pins kernel ≡ declarative; this query cross-engine-checks the
+    * arithmetic): bit j of table t's bucket id is [dot(e, plane_{t,j}) >
+    * 0] · 2^j, pairs collide when bucket ids agree in ≥1 table, and
+    * `n_tables` counts the agreeing tables. */
+  private def annBucketVerify(s: SparkSession, d: String): DataFrame = {
+    val planes = annPlanesAux(s, d)
+    val bits = emb(s, d).select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("tbl"),
+        when(dotf(col("embedding"), col("plane")) > 0,
+          expr("shiftleft(1, pj)")).otherwise(lit(0)).as("bit"))
+      .groupBy("vec_id", "tbl").agg(sum("bit").as("bucket"))
+    val a = bits.select(col("tbl"), col("bucket"), col("vec_id").as("va"))
+    val b = bits.select(col("tbl"), col("bucket"), col("vec_id").as("vb"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("va") < col("vb"))
+      .groupBy("va", "vb").agg(count(lit(1)).cast("int").as("n_tables"))
+      .orderBy("va", "vb")
+  }
+
   /** Per-label centroids (class prototypes): element-wise mean per label —
     * the building block for prototype classifiers, IVF coarse quantizers,
     * and drift monitoring. One posexplode + one aggregation keyed on
@@ -699,8 +806,27 @@ object SimilarityOps {
          | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          | WHERE c >= 0.4 ORDER BY va, vb""".stripMargin)),
     // LSH planes are Scala-side constants — not DuckDB-expressible; recall
-    // vs the brute-force top-20 is asserted in graft.SimilaritySpec.
+    // vs the brute-force top-20 is asserted in graft.SimilaritySpec. The
+    // bucketing MECHANISM is oracle-checked via q_ann_bucket_verify below.
     QDef("q_similarity_ann", annTopK, None),
+    // Sign bits / bucket ids / collision pairs re-derived by DuckDB from
+    // the persisted plane matrix + the embeddings table (OracleAux — the
+    // simhash-banding precedent). Both engines fold each plane dot in the
+    // same element order, so every sign decision is bit-identical.
+    QDef("q_ann_bucket_verify", annBucketVerify, Some {
+      val glob = graft.sources.OracleAux.gateGlob("ann_bucket_planes")
+      s"""WITH p AS (SELECT tbl, pj, plane FROM read_parquet('$glob')),
+         |bits AS (SELECT e.vec_id, p.tbl,
+         |    CASE WHEN list_sum(list_transform(list_zip(e.embedding, p.plane),
+         |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) > 0
+         |      THEN (1 << p.pj) ELSE 0 END AS bit
+         |  FROM embeddings e, p),
+         |bk AS (SELECT vec_id, tbl, SUM(bit) AS bucket FROM bits GROUP BY 1, 2)
+         |SELECT a.vec_id AS va, b.vec_id AS vb, CAST(count(*) AS INT) AS n_tables
+         |FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |     AND a.vec_id < b.vec_id
+         |GROUP BY 1, 2 ORDER BY va, vb""".stripMargin
+    }),
     // IVF: the k-means training loop is not DuckDB-expressible; recall vs
     // the exact join + rank structure are asserted in graft.SimilaritySpec.
     // trainFraction 0.3 = the at-scale configuration (quantizer trains on
@@ -711,6 +837,33 @@ object SimilarityOps {
       (s, d) => ivfKnnJoin(emb(s, d), "vec_id", "embedding", k = 5,
         trainFraction = 0.3,
         precomputedCentroids = Some(sharedIvfCentroids(s, d))), None),
+    // The probe/scan stage over the persisted quantizer + assignment
+    // (OracleAux — the q_pq_adc_verify precedent): DuckDB re-selects each
+    // probe's nprobe lists by centroid dot and re-ranks the probed lists'
+    // members by exact cosine from the same parquet bytes.
+    QDef("q_ivf_scan_verify", ivfScanVerify, Some {
+      val cGlob = graft.sources.OracleAux.gateGlob("ivf_scan_centroids")
+      val aGlob = graft.sources.OracleAux.gateGlob("semdedup_assign")
+      val dotSql = (x: String, y: String) =>
+        s"""list_sum(list_transform(list_zip($x, $y),
+           |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))""".stripMargin
+      s"""WITH c AS (SELECT list, centroid FROM read_parquet('$cGlob')),
+         |a AS (SELECT vec_id, l, ne FROM read_parquet('$aGlob')),
+         |pr AS (SELECT vec_id AS va, ne AS ea FROM a
+         |       ORDER BY vec_id LIMIT $IvfVerifyProbes),
+         |pl AS (SELECT va, ea, list AS l FROM (
+         |    SELECT p.va, p.ea, c.list,
+         |      ROW_NUMBER() OVER (PARTITION BY p.va ORDER BY
+         |        ${dotSql("p.ea", "c.centroid")} DESC, c.list) AS pr
+         |    FROM pr p, c) WHERE pr <= $IvfVerifyNprobe),
+         |cand AS (SELECT pl.va, a.vec_id AS vb,
+         |    ${Det.r4Sql(dotSql("pl.ea", "a.ne"))} AS cos
+         |  FROM pl JOIN a ON a.l = pl.l WHERE a.vec_id <> pl.va)
+         |SELECT va, rk, vb, cos FROM (
+         |  SELECT va, vb, cos, ROW_NUMBER() OVER (PARTITION BY va
+         |    ORDER BY cos DESC, vb) AS rk FROM cand)
+         |WHERE rk <= $IvfVerifyTopK ORDER BY va, rk""".stripMargin
+    }),
     // SemDeDup: training is k-means (not DuckDB-expressible), but the
     // within-cluster pair verification is a pure function of the persisted
     // (vec_id, l, ne) assignment — both engines read the same parquet and

@@ -282,11 +282,99 @@ object TokenizerOps {
     bpeEncode(docs(s, d), "doc_id", "text", model)
   }
 
+  // --- DuckDB oracle for the merge loop (r10) ---------------------------
+  // The 10-round training loop IS batch-SQL-expressible for a fixed small
+  // nMerges: each round is a chained CTE pair (pair counts + argmax) and
+  // the merge-apply is a left-to-right greedy fold. The derivation starts
+  // from the CORPUS (same tokenization as every other text oracle —
+  // TextOps.oracleToks — plus the same char-split + `</w>` symbol
+  // construction), so the oracle checks tokenize → word table → every
+  // merge round end to end, not just the rounds over a pre-agreed table.
+  //
+  // Cross-engine agreement rests on three invariants, each pinned here:
+  //  - argmax tie-break (cnt DESC, left, right): both engines compare
+  //    VARCHAR as UTF-8 bytes;
+  //  - merge-apply: DuckDB's list_reduce with a space-joined string
+  //    accumulator replaces the accumulator's LAST symbol when (last,
+  //    next) equals the learned pair — exactly the non-overlapping
+  //    left-to-right scan of driverMerges (and of the distributed path's
+  //    lookaround regex: "a a a" merges to "aa a", never "a aa"; the
+  //    merged symbol can never re-merge in the same round since l+r ≠ l);
+  //  - DuckDB string_split(word, '') and Spark split(word, "") agree per
+  //    character on BMP text (the corpus; BpeSpec owns the Spark side).
+
+  /** The round-`i` CTE triple: pair counts over `w{i-1}`, the argmax
+    * merge `m{i}`, and the rewritten word table `w{i}`. `word` rides
+    * along untouched so the encode oracle can key occurrences back to
+    * their final symbol sequences. */
+  // NOTE: no line of these SQL strings may BEGIN with `||` — the callers
+  // compose them into interpolated strings whose default stripMargin
+  // would maim a line-leading `||` into a single `|` (bitwise-or, a
+  // binder error at the gate).
+  private def roundCte(i: Int): String = {
+    val prev = s"w${i - 1}"
+    val mergedTail = "' ' || m.l || m.r"
+    s"""p$i AS (
+       #  SELECT p[1] AS l, p[2] AS r, SUM(freq) AS cnt
+       #  FROM (SELECT freq, unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS p
+       #        FROM (SELECT freq, string_split(sym, ' ') AS s FROM $prev)
+       #        WHERE len(s) > 1)
+       #  GROUP BY 1, 2),
+       #m$i AS (SELECT $i AS rank, l, r, cnt FROM p$i
+       #        ORDER BY cnt DESC, l, r LIMIT 1),
+       #w$i AS (
+       #  SELECT word, freq,
+       #    CASE WHEN len(string_split(sym, ' ')) <= 1 THEN sym
+       #    ELSE list_reduce(string_split(sym, ' '), (acc, x) ->
+       #      CASE WHEN list_extract(string_split(acc, ' '), -1) = m.l AND x = m.r
+       #           THEN CASE WHEN len(string_split(acc, ' ')) = 1 THEN m.l || m.r
+       #                ELSE array_to_string(string_split(acc, ' ')[1:len(string_split(acc, ' '))-1], ' ') || $mergedTail END
+       #           ELSE acc || ' ' || x END)
+       #    END AS sym
+       #  FROM $prev, m$i m)""".stripMargin('#')
+  }
+
+  /** Corpus → `(word, freq, sym)` start table plus `n` merge rounds. */
+  private def mergeCtes(n: Int): String = {
+    val toks = TextOps.oracleToks
+    val w0 =
+      s"""w0 AS (
+         |  SELECT word, freq, array_to_string(list_transform(string_split(word, ''),
+         |      (c, i) -> CASE WHEN i = len(string_split(word, '')) THEN c || '</w>' ELSE c END), ' ') AS sym
+         |  FROM (SELECT word, count(*) AS freq
+         |        FROM (SELECT unnest($toks) AS word FROM documents) GROUP BY 1))""".stripMargin
+    (w0 +: (1 to n).map(roundCte)).mkString(",\n")
+  }
+
+  private def mergesOracle(n: Int): String =
+    s"""WITH ${mergeCtes(n)}
+       |SELECT CAST(rank AS INT) AS rank, l AS "left", r AS "right",
+       |       CAST(cnt AS BIGINT) AS pair_count
+       |FROM (${(1 to n).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
+       |ORDER BY rank""".stripMargin
+
+  private def encodeOracle(n: Int): String = {
+    val toks = TextOps.oracleToks
+    s"""WITH ${mergeCtes(n)},
+       |enc AS (SELECT word, len(string_split(sym, ' ')) AS n_units FROM w$n),
+       |tok AS (SELECT doc_id, unnest($toks) AS word FROM documents),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |          CAST(SUM(n_units) AS BIGINT) AS n_tokens
+       |        FROM tok JOIN enc USING (word) GROUP BY 1)
+       |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+       |  coalesce(c.n_words, 0) AS n_words, coalesce(c.n_tokens, 0) AS n_tokens,
+       |  CASE WHEN coalesce(c.n_tokens, 0) > 0
+       |    THEN ${graft.Det.r4Sql("CAST(length(d.text) AS DOUBLE) / c.n_tokens")}
+       |    ELSE 0.0 END AS chars_per_token
+       |FROM documents d LEFT JOIN cnt c USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
   lazy val defs: Seq[QDef] = Seq(
-    // Iterative (10 dependent rounds) — not expressible as one SQL query;
-    // graft.BpeSpec asserts exact agreement with a sequential reference
-    // implementation, the driver records the rows-only check.
-    QDef("q_bpe_merges", bpeQuery, None),
-    QDef("q_bpe_encode", bpeEncodeQuery, None)
+    // Oracle-checked since r10 (closing the longest-standing no_oracle
+    // pair): DuckDB re-derives the word table and all 10 merge rounds
+    // from the corpus. graft.BpeSpec still pins both Spark regimes
+    // (driver + distributed) to the sequential Sennrich reference.
+    QDef("q_bpe_merges", bpeQuery, Some(mergesOracle(10))),
+    QDef("q_bpe_encode", bpeEncodeQuery, Some(encodeOracle(10)))
   )
 }

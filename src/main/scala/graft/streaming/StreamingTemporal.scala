@@ -75,4 +75,59 @@ object StreamingTemporal {
           out.result().iterator
       }
   }
+
+  /** Streaming twin of [[graft.operators.PipelineOps.corpusDelta]] (the
+    * snapshot diff is the batch form of a CDC stream — this is the stream
+    * form): a compacted change feed of document upserts/deletes in, a
+    * change manifest `(doc_id, change)` out, `change ∈ {added, removed,
+    * changed}` — no-op events (same-hash upsert, delete of an absent doc)
+    * emit nothing, exactly as the batch operator drops `unchanged`.
+    *
+    * Input: `(doc_id, contentHash, delete)` — the hash is whatever the
+    * pipeline keys content identity on (the batch twin uses md5 of the
+    * text; NULL text hashes to None and is a legal PRESENT state, the
+    * same presence-vs-hash-nullness distinction the batch operator
+    * carries via its per-side flags). Each micro-batch must hold at most
+    * one operation per doc — the compacted-CDC shape every changelog
+    * consumer (Debezium, Delta CDF) hands downstream; within-batch
+    * multi-op ordering is otherwise undefined under shuffle.
+    *
+    * Per-key state is ONE optional hash (presence = the doc exists,
+    * value = its last content hash): O(live corpus) keys × O(16 bytes),
+    * nothing grows with history — the bounded-state requirement every
+    * twin in this file meets.
+    *
+    * Batch ≡ stream: feeding snapshot A as upserts, then (snapshot B's
+    * rows as upserts + deletes for A∖B) produces, in the second batch,
+    * exactly `corpusDelta(A, B)` — pinned in graft.StreamingWindowSpec,
+    * NULL-text fates included.
+    *
+    * LIBRARY ENTRY POINT. */
+  def corpusDeltaChanges(events: Dataset[(Long, Option[String], Boolean)])
+      : Dataset[(Long, String)] = {
+    val session = events.sparkSession
+    import session.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (id: Long, values: Iterator[(Long, Option[String], Boolean)],
+         state: GroupState[Option[String]]) =>
+          var present = state.exists
+          var h: Option[String] = if (present) state.get else None
+          val out = Vector.newBuilder[(Long, String)]
+          values.foreach { case (_, nh, del) =>
+            if (del) {
+              if (present) { out += ((id, "removed")); present = false
+                h = None }
+            } else if (!present) {
+              out += ((id, "added")); present = true; h = nh
+            } else if (h != nh) { // None == None → unchanged (null-safe)
+              out += ((id, "changed")); h = nh
+            }
+          }
+          if (present) state.update(h)
+          else if (state.exists) state.remove()
+          out.result().iterator
+      }
+  }
 }

@@ -219,4 +219,64 @@ class StreamingWindowSpec extends SparkSpec {
           s"bucket $b: stream emitted $n, batch has ${batch.getOrElse(b, 0L)}")
     } finally q.stop()
   }
+
+  test("streaming corpus delta matches the batch snapshot diff (CDC twin)") {
+    // StreamingTemporal.corpusDeltaChanges over (snapshot A as upserts,
+    // then snapshot B's upserts + deletes for A∖B) must emit, in the
+    // second batch, exactly PipelineOps.corpusDelta(A, B) — including the
+    // NULL-text fates the batch operator's presence flags exist for:
+    // NULL⇄NULL reads unchanged (no emission), NULL⇄value reads changed.
+    val s = spark
+    import s.implicits._
+    def h(t: String): Option[String] =
+      Option(t).map(x => java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    // one doc per fate: 1 unchanged, 2 changed, 3 removed, 4 added,
+    // 5 NULL-in-both (unchanged), 6 NULL→text (changed), 7 text→NULL
+    val before = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, null),
+      (6L, null), (7L, "g")).toDF("doc_id", "text")
+    val after = Seq((1L, "a"), (2L, "B2"), (4L, "d"), (5L, null),
+      (6L, "f"), (7L, null)).toDF("doc_id", "text")
+    val batch = graft.operators.PipelineOps
+      .corpusDelta(before, after, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val in = MemoryStream[(Long, Option[String], Boolean)](s)
+    val changes = graft.streaming.StreamingTemporal
+      .corpusDeltaChanges(in.toDS())
+    val q = changes.toDF("doc_id", "change")
+      .writeStream.format("memory").queryName("stream_delta")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      def hashOf(df: org.apache.spark.sql.DataFrame): Map[Long, Option[String]] =
+        df.collect().map(r => r.getLong(0) ->
+          h(if (r.isNullAt(1)) null else r.getString(1))).toMap
+      val hb = hashOf(before)
+      val ha = hashOf(after)
+      in.addData(hb.toSeq.map { case (id, hh) => (id, hh, false) }: _*)
+      q.processAllAvailable()
+      val afterBatch1 = s.table("stream_delta").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // loading snapshot A into empty state reads as one 'added' per doc
+      assert(afterBatch1 == hb.keys.map(_ -> "added").toMap, s"$afterBatch1")
+      // batch 2: B's rows as upserts, deletes for A∖B
+      val ops = ha.toSeq.map { case (id, hh) => (id, hh, false) } ++
+        (hb.keySet -- ha.keySet).toSeq.map(id =>
+          (id, None: Option[String], true))
+      in.addData(ops: _*)
+      q.processAllAvailable()
+      // batch-2 emissions = full feed minus batch-1's one-'added'-per-doc
+      // (each doc emits at most once per compacted micro-batch)
+      val batch2 = s.table("stream_delta").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._1).flatMap { case (id, vs) =>
+          val tags = vs.map(_._2).toBuffer
+          if (afterBatch1.contains(id)) tags.remove(tags.indexOf("added"))
+          tags.map(id -> _)
+        }.toMap
+      assert(batch2 == batch,
+        s"stream batch-2 emissions $batch2 vs batch corpusDelta $batch")
+    } finally q.stop()
+  }
 }
