@@ -245,6 +245,35 @@ object Bench {
           else ok.sorted.apply((ok.length - 1) / 2)
         (name, med, runs)
       }
+    // Suite-state regression guard (r10): q_graph_pagerank ran 1.0× →
+    // 1.7× → 4.5× its isolated floor across r6-r8 before the r9
+    // suite-hygiene fixes (post-query cache clear, pinned-block ledger,
+    // checkpoint-release rework) put it back at 1.0× — and nothing in the
+    // bench artifact said so until a human re-ran it isolated. Guard: one
+    // extra TAIL rep after the whole suite (blocks released, heap GC'd —
+    // the in-JVM approximation of an isolated run). A healthy suite has
+    // median ≈ tail; a relapse shows median ≫ tail and fails LOUDLY here
+    // instead of surfacing as next round's mystery. Nonfatal (box load
+    // can push either number), but the ratio is first-class in the file
+    // JSON and the warning is unmissable in the run log.
+    val GuardQuery = "q_graph_pagerank"
+    val GuardRatio = 1.5
+    val guardJson = queryResults
+      .find { case (n, m, _) => n == GuardQuery && m > 0 }
+      .flatMap { case (_, med, _) =>
+        SparkEntry.queries.get(GuardQuery).map { fn =>
+          val tail = timeOne(GuardQuery, fn)._1
+          val ratio =
+            if (tail > 0) math.round(med / tail * 100) / 100.0 else -1.0
+          if (ratio > GuardRatio)
+            System.err.println(f"[bench] SUITE-STATE REGRESSION: " +
+              f"$GuardQuery in-suite median ${med}%.2fs is $ratio%.2fx its " +
+              f"post-suite tail rep ${tail}%.2fs (gate ${GuardRatio}%.1fx) — " +
+              "suite state (pinned blocks / heap) is contaminating timings " +
+              "again; see the \"state\" ledger and VERDICT r8-r9 history")
+          s""""suite_state_guard":{"query":"$GuardQuery","suite_median":$med,"tail_rep":$tail,"ratio":$ratio,"gate":$GuardRatio}"""
+        }
+      }
     val results = memoResults ++ queryResults
     val medians = results.map { case (n, m, _) => n -> m }
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
@@ -282,8 +311,9 @@ object Bench {
     val stateJson = stateLedger.map { case (k, (pinned, heap)) =>
       "\"" + k + "\":{\"pinned\":" + pinned + ",\"heapMB\":" + heap + "}"
     }.mkString("{", ",", "}")
+    val guardPart = guardJson.map("," + _).getOrElse("")
     val fileLine = render(total, medians).dropRight(1) +
-      s""","spread":$spreadJson,"runs":$runsJson,"state":$stateJson}"""
+      s""","spread":$spreadJson,"runs":$runsJson,"state":$stateJson$guardPart}"""
     Files.writeString(Paths.get(outPath), fileLine)
     spark.stop()
     // Stdout: the driver keeps only the LAST 2000 chars of the run's output

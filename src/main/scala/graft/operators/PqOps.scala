@@ -341,6 +341,36 @@ object PqOps {
       .orderBy("va", "rk")
   }
 
+  /** The ENCODE stage (per-subspace argmin — [[PqKernels.pqEncode]]'s
+    * semantics) re-derived declaratively over the SAME persisted tables
+    * as the ADC verification (zero new artifacts): for each (probe, sub)
+    * both engines pick the code minimizing the exact-decimal squared
+    * distance between the probe's subvector and the code centroid, ties
+    * to the lowest code. Squared differences of two r6 values land
+    * exactly on the decimal(…,12) grid (same argument as the ADC
+    * products: the double sits within ~1e-17 of the true 12-decimal
+    * square, far under the 5e-13 half-grid, so both engines' casts
+    * recover the same grid point), making the argmin — and therefore
+    * every emitted code — bit-identical across engines. Kernel parity
+    * for the production path is pinned separately in graft.PqSpec. */
+  private def pqEncodeVerify(s: SparkSession, d: String): DataFrame = {
+    val cb = adcCodebookAux(s, d)
+      .select(col("sub"), col("code"), col("centroid"))
+    val probes = adcProbesAux(s, d)
+    val term = expr(
+      "aggregate(zip_with(centroid, slice(ea, sub * 8 + 1, 8), " +
+        "(x, y) -> (x - y) * (x - y)), CAST(0 AS DECIMAL(30,12)), " +
+        "(acc, v) -> CAST(acc + CAST(v AS DECIMAL(30,12)) AS DECIMAL(30,12)))")
+    val w = Window.partitionBy("va", "sub")
+      .orderBy(col("dist_dec"), col("code"))
+    probes.crossJoin(cb)
+      .select(col("va"), col("sub"), col("code"), term.as("dist_dec"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("va"), col("sub"), col("code"))
+      .orderBy("va", "sub")
+  }
+
   /** The corpus's trained PQ codebook, materialized once per application —
     * the train-once/search-many pattern applied to the benchmark binding
     * (the one-time training cost reports as its own `_memo_*` line; the
@@ -397,5 +427,24 @@ object PqOps {
          |      FROM adc)
          |SELECT va, rk, vb, CAST(adc_dec AS DOUBLE) AS adc
          |FROM r WHERE rk <= $AdcTopK ORDER BY va, rk""".stripMargin
+    }),
+    // The encode stage's argmin, oracle-checked over the same persisted
+    // codebook/probes: DuckDB recomputes every (probe, sub, code) squared
+    // distance in exact decimal and must emit the identical code table.
+    QDef("q_pq_encode_verify", pqEncodeVerify, Some {
+      val cbGlob = graft.sources.OracleAux.gateGlob("pq_adc_codebook")
+      val prGlob = graft.sources.OracleAux.gateGlob("pq_adc_probes")
+      s"""WITH cb AS (SELECT sub, code, centroid FROM read_parquet('$cbGlob')),
+         |pr AS (SELECT va, ea FROM read_parquet('$prGlob')),
+         |dist AS (SELECT p.va, b.sub, b.code,
+         |    SUM(CAST((b.centroid[g.j] - p.ea[b.sub * 8 + g.j])
+         |          * (b.centroid[g.j] - p.ea[b.sub * 8 + g.j])
+         |        AS DECIMAL(38,12))) AS dist_dec
+         |  FROM pr p, cb b, generate_series(1, 8) AS g(j)
+         |  GROUP BY 1, 2, 3)
+         |SELECT va, sub, code FROM (
+         |  SELECT va, sub, code, ROW_NUMBER() OVER (PARTITION BY va, sub
+         |    ORDER BY dist_dec, code) AS rk FROM dist)
+         |WHERE rk = 1 ORDER BY va, sub""".stripMargin
     }))
 }
