@@ -130,4 +130,81 @@ object StreamingTemporal {
           out.result().iterator
       }
   }
+
+  /** Streaming twin of the RATE stage of
+    * [[graft.operators.PipelineOps.temperatureMixture]]: running
+    * per-source token totals in, the CURRENT sampling-rate table out —
+    * re-derived every trigger exactly as the batch operator derives it
+    * from its one-pass totals, so a pipeline can watch its mixture rates
+    * converge while the corpus is still landing.
+    *
+    * Input: `(source, n_tok)` — per-document token counts, the same
+    * upstream reduction the batch operator's first projection performs
+    * (token counting stays embarrassingly parallel before this operator).
+    * Output per trigger: the FULL updated `(source, tok_total, rate)`
+    * table — |sources| rows, the driver-sized model artifact the batch
+    * twin broadcasts.
+    *
+    * Shape: a stateless per-partition pre-sum compacts each micro-batch
+    * to ≤ |sources| rows per partition (Structured Streaming forbids
+    * chained aggregations, so the compaction is a narrow mapPartitions,
+    * not a groupBy), then a single-key `flatMapGroupsWithState` folds the
+    * compacted deltas into the per-source totals map — state is
+    * O(|sources|) longs, nothing grows with history, and the single-task
+    * fold touches partitions × |sources| rows per trigger, never the
+    * corpus. Cross-source normalization (the reason this cannot be a
+    * plain streaming aggregation: `w_total` needs every source) happens
+    * in plain Scala over the state map, mirroring the batch arithmetic
+    * term for term — `w_total` accumulates 6-decimal-rounded terms
+    * exactly as `Det.dsum`'s decimal(28,6) cast does, and the emitted
+    * rate applies the same IEEE `floor(x·1e4 + 0.5)/1e4` rounding — so
+    * after the last batch the table is BIT-IDENTICAL to the batch
+    * operator's (pinned in graft.StreamingWindowSpec).
+    *
+    * LIBRARY ENTRY POINT. */
+  def temperatureMixtureRates(docs: Dataset[(String, Long)],
+      alpha: Double = 0.3, budgetFraction: Double = 0.5)
+      : Dataset[(String, Long, Double)] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(budgetFraction > 0 && budgetFraction <= 1,
+      s"budgetFraction must be in (0, 1], got $budgetFraction")
+    val session = docs.sparkSession
+    import session.implicits._
+    val compacted = docs.mapPartitions { it =>
+      val m = collection.mutable.HashMap.empty[String, Long]
+      it.foreach { case (s, n) => m(s) = m.getOrElse(s, 0L) + n }
+      m.iterator
+    }
+    compacted.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Int, values: Iterator[(String, Long)],
+         state: GroupState[Map[String, Long]]) =>
+          var totals = state.getOption.getOrElse(Map.empty[String, Long])
+          values.foreach { case (s, n) =>
+            totals = totals.updated(s, totals.getOrElse(s, 0L) + n)
+          }
+          state.update(totals)
+          val corpusTok = totals.values.sum
+          val ws = totals.map { case (s, t) =>
+            s -> math.pow(t.toDouble, alpha)
+          }
+          // Det.dsum mirror: each w rounded to 6 decimals (HALF_UP on the
+          // shortest decimal rendering — BigDecimal.valueOf, the same path
+          // Spark's double→decimal(28,6) cast takes), summed exactly.
+          val wTotal = ws.values
+            .map(w => java.math.BigDecimal.valueOf(w)
+              .setScale(6, java.math.RoundingMode.HALF_UP))
+            .reduceOption(_.add(_))
+            .map(_.doubleValue()).getOrElse(0.0d)
+          totals.toSeq.sortBy(_._1).iterator.map { case (s, t) =>
+            // term-for-term the batch expression: least(1, corpus_tok ·
+            // budgetFraction · (w / w_total) / tok_total), then r4.
+            val raw = ((corpusTok.toDouble * budgetFraction) *
+              (ws(s) / wTotal)) / t.toDouble
+            val rate = math.floor(math.min(1.0d, raw) * 10000d + 0.5d) / 10000d
+            (s, t, rate)
+          }
+      }
+  }
 }

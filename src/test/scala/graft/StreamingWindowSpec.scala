@@ -279,4 +279,74 @@ class StreamingWindowSpec extends SparkSpec {
         s"stream batch-2 emissions $batch2 vs batch corpusDelta $batch")
     } finally q.stop()
   }
+
+  test("corpusDeltaChanges lifecycle: re-add after delete, no-op deletes and same-hash upserts") {
+    val s = spark
+    import s.implicits._
+    val in = MemoryStream[(Long, Option[String], Boolean)](s)
+    val q = graft.streaming.StreamingTemporal.corpusDeltaChanges(in.toDS())
+      .toDF("doc_id", "change")
+      .writeStream.format("memory").queryName("stream_delta_life")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def feed(): Seq[(Long, String)] = s.table("stream_delta_life")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      in.addData((1L, Some("h1"), false), (2L, None, true))
+      q.processAllAvailable() // doc 2's delete targets an absent doc: no-op
+      assert(feed().sorted == Seq((1L, "added")), s"${feed()}")
+      in.addData((1L, Some("h1"), false)) // same-hash upsert: no-op
+      q.processAllAvailable()
+      assert(feed().sorted == Seq((1L, "added")), s"${feed()}")
+      in.addData((1L, None, true)) // removed...
+      q.processAllAvailable()
+      in.addData((1L, Some("h2"), false)) // ...then re-added (state cleared)
+      q.processAllAvailable()
+      assert(feed().sorted == Seq((1L, "added"), (1L, "added"),
+        (1L, "removed")), s"${feed()}")
+    } finally q.stop()
+  }
+
+  test("streaming temperature-mixture rates match the batch rate table") {
+    // StreamingTemporal.temperatureMixtureRates re-derives the sampling
+    // rate table from its running per-source totals each trigger; after
+    // the final batch it must be BIT-IDENTICAL to the batch operator's
+    // (source, tok_total, rate) — same Det.dsum-mirrored w_total, same r4.
+    // Every source gains tokens in every batch, so per-source tok_total
+    // strictly increases and the final trigger's rows are the max-total
+    // rows in the update-mode sink.
+    val s = spark
+    import s.implicits._
+    val batch1 = Seq((1L, "tok tok tok tok", "web"), (2L, "tok tok", "code"),
+      (3L, "tok", "wiki"))
+    val batch2 = Seq((4L, "tok tok tok", "web"),
+      (5L, "tok tok tok tok tok tok tok tok tok", "code"),
+      (6L, "tok tok", "wiki"))
+    val expected = graft.operators.PipelineOps
+      .temperatureMixture((batch1 ++ batch2).toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source", alpha = 0.3, budgetFraction = 0.5)
+      .select("source", "tok_total", "rate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val in = MemoryStream[(String, Long)](s)
+    val rates = graft.streaming.StreamingTemporal
+      .temperatureMixtureRates(in.toDS(), alpha = 0.3, budgetFraction = 0.5)
+    val q = rates.toDF("source", "tok_total", "rate")
+      .writeStream.format("memory").queryName("stream_rates")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      def toks(t: String): Long = t.trim.split("\\s+").length.toLong
+      in.addData(batch1.map(d => (d._3, toks(d._2))): _*)
+      q.processAllAvailable()
+      in.addData(batch2.map(d => (d._3, toks(d._2))): _*)
+      q.processAllAvailable()
+      val rows = s.table("stream_rates").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      // each trigger emits the FULL table → 3 sources × 2 triggers
+      assert(rows.length == 6, s"expected 6 emissions, got ${rows.toSeq}")
+      val finalRows = rows.groupBy(_._1)
+        .map { case (_, vs) => vs.maxBy(_._2) }.toSet
+      assert(finalRows == expected,
+        s"stream final table $finalRows vs batch $expected")
+    } finally q.stop()
+  }
 }
