@@ -304,6 +304,65 @@ object TextOps {
       .orderBy("doc_id", "rk")
   }
 
+  /** Token-distribution divergence between two corpora — the
+    * DISTRIBUTION-level drift signal complementing
+    * [[graft.operators.PipelineOps.corpusDelta]]'s identity-level diff:
+    * corpusDelta says WHICH documents moved between two builds; this says
+    * how the token distribution moved and which tokens drove it. Returns
+    * the `topK` tokens by Jensen-Shannon contribution
+    * `½·p·ln(p/m) + ½·q·ln(q/m)` (m = (p+q)/2; a one-sided token's
+    * missing term is 0 by the usual 0·ln(0) convention) with their raw
+    * counts; the total JS divergence is the sum of all contributions
+    * (bounded by ln 2 — the unrounded contributions are nonnegative).
+    *
+    * Shape at 100 TB: the two corpora union with a side flag into ONE
+    * token aggregation (conditional counts — map-side combine, one
+    * shuffle keyed on the token, documents never travel); the two totals
+    * ride a 1-row broadcast; everything after is a per-token projection
+    * ranked by TakeOrderedAndProject. Contributions are per-row double
+    * arithmetic (no order-dependent sum), so results are bit-stable at
+    * any parallelism — the same `ln` parity the tfidf/zipf/importance
+    * oracles rely on.
+    *
+    * LIBRARY ENTRY POINT — generic over any two frames sharing a text
+    * column (two builds, two sources, raw-vs-curated). */
+  def tokenDivergence(a: DataFrame, b: DataFrame, text: String,
+      topK: Int = 100): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    Seq(a -> "a", b -> "b").foreach { case (df, nm) =>
+      require(df.columns.contains(text),
+        s"$nm frame has no column '$text' (columns: ${df.columns.mkString(", ")})")
+    }
+    val ta = a.select(explode(toks(col(text))).as("tok"), lit(true).as("ia"))
+    val tb = b.select(explode(toks(col(text))).as("tok"), lit(false).as("ia"))
+    val counts = ta.unionByName(tb)
+      .groupBy("tok")
+      .agg(count(when(col("ia"), 1)).as("n_a"),
+        count(when(!col("ia"), 1)).as("n_b"))
+    val tot = counts.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+    val p = col("n_a").cast("double") / col("ta").cast("double")
+    val q = col("n_b").cast("double") / col("tb").cast("double")
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p", p).withColumn("q", q)
+      .withColumn("m", (col("p") + col("q")) / lit(2.0d))
+      .withColumn("js_contrib", Det.r9(
+        when(col("p") > 0, col("p") * log(col("p") / col("m")))
+          .otherwise(lit(0.0d)) * lit(0.5d) +
+          when(col("q") > 0, col("q") * log(col("q") / col("m")))
+            .otherwise(lit(0.0d)) * lit(0.5d)))
+      .select(col("tok"), col("n_a"), col("n_b"), col("js_contrib"))
+      .orderBy(desc("js_contrib"), col("tok"))
+      .limit(topK)
+  }
+
+  /** src0 vs the rest of the corpus — the per-source drift report a
+    * mixture pipeline runs per build. */
+  private def tokenDivergenceQuery(s: SparkSession, d: String): DataFrame = {
+    val docs0 = docs(s, d)
+    tokenDivergence(docs0.filter(col("source") === "src0"),
+      docs0.filter(col("source") =!= "src0"), "text")
+  }
+
   // Deterministic train/val/test split: md5-hash bucketing on doc_id — the
   // reproducible split every training pipeline needs (no RNG, no seed
   // drift across engines/runs; a doc's split never changes when the corpus
@@ -767,6 +826,30 @@ object TextOps {
       s"""SELECT tok, count(*) AS n FROM (
          | SELECT unnest($oracleToks) AS tok FROM documents)
          | GROUP BY 1 ORDER BY n DESC, tok LIMIT 100""".stripMargin)),
+    // Per-token JS contributions are pure per-row double arithmetic over
+    // one conditional-count aggregation — DuckDB mirrors every term (the
+    // ln parity precedent of tfidf/zipf/importance).
+    QDef("q_token_divergence", tokenDivergenceQuery, Some(
+      s"""WITH t AS (SELECT unnest($oracleToks) AS tok, source = 'src0' AS ia
+         |  FROM documents),
+         |c AS (SELECT tok,
+         |   count(*) FILTER (WHERE ia) AS n_a,
+         |   count(*) FILTER (WHERE NOT ia) AS n_b
+         |  FROM t GROUP BY 1),
+         |tt AS (SELECT SUM(CAST(n_a AS BIGINT)) AS ta,
+         |              SUM(CAST(n_b AS BIGINT)) AS tb FROM c),
+         |j AS (SELECT tok, CAST(n_a AS BIGINT) AS n_a,
+         |        CAST(n_b AS BIGINT) AS n_b,
+         |        CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE) AS p,
+         |        CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS q
+         |      FROM c, tt),
+         |k AS (SELECT tok, n_a, n_b,
+         |        ${Det.r9Sql(
+               "(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END) * 0.5 + " +
+               "(CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END) * 0.5")} AS js_contrib
+         |      FROM j)
+         |SELECT tok, n_a, n_b, js_contrib FROM k
+         |ORDER BY js_contrib DESC, tok LIMIT 100""".stripMargin)),
     QDef("q_token_count", tokenCount, Some(
       s"""SELECT doc_id, len($oracleToks) AS n_tokens_ws,
          | len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

@@ -272,6 +272,30 @@ class ApiSpec extends SparkSpec {
       s"grid-aligned corpus must reconstruct exactly: ${q.toSeq}")
   }
 
+  test("tokenDivergence ranks the planted shift token, zero for identical corpora") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "x x y"), (2L, "y z")).toDF("id", "text")
+    // identical corpora: p = q for every token → every JS contribution 0
+    val same = graft.operators.TextOps.tokenDivergence(a, a, "text")
+      .collect()
+    assert(same.nonEmpty && same.forall(_.getDouble(3) == 0.0d),
+      s"identical corpora must diverge nowhere: ${same.toSeq}")
+    // planted shift: 'w' appears only in b (3 of its 8 tokens)
+    val b = Seq((3L, "x x y"), (4L, "y z w w w")).toDF("id", "text")
+    val out = graft.operators.TextOps.tokenDivergence(a, b, "text").collect()
+    assert(out.head.getString(0) == "w",
+      s"the one-sided token must dominate: ${out.toSeq}")
+    val w = out.head
+    assert(w.getLong(1) == 0L && w.getLong(2) == 3L)
+    // hand-derived: p=0 → only the q-term; m=q/2 → q·ln 2, halved, r9
+    val expected = math.floor(
+      (0.0d * 0.5d + (3.0d / 8.0d) * math.log((3.0d / 8.0d) / (3.0d / 16.0d))
+        * 0.5d) * 1e9d + 0.5d) / 1e9d
+    assert(w.getDouble(3) == expected,
+      s"w contribution ${w.getDouble(3)} != $expected")
+  }
+
   test("importanceWeights ranks target-like docs above off-target docs") {
     val s = spark
     import s.implicits._
