@@ -267,6 +267,78 @@ object PipelineOps {
     temperatureMixture(docs(s, d), "doc_id", "text", "source",
       alpha = 0.3, budgetFraction = 0.5)
 
+  /** T5/UL2-style span-corruption PLAN (Raffel et al. 2020, JMLR —
+    * "Exploring the Limits of Transfer Learning", §3.1.4 span
+    * corruption): which token spans of each document get masked, as a
+    * deterministic manifest `(doc_id, start_pos, end_pos)` over 1-based
+    * whitespace-token positions. Span starts are md5-bucket draws per
+    * position (`startRateBp` basis points of positions start a span —
+    * the md5-determinism of [[graft.operators.TextOps]]'s data_split: no
+    * RNG, no seed drift, a doc's masks never change when the corpus
+    * grows), span lengths draw uniformly from `1..2·meanSpan-1` (mean
+    * `meanSpan`) from an independent hash, truncated at the document
+    * end. Overlapping spans are emitted as drawn — the summary counts
+    * masked positions as the interval UNION, and the downstream
+    * formatter (a trivial per-doc projection: replace each maximal
+    * masked run with a sentinel, emit the run as the target) treats
+    * them identically.
+    *
+    * Shape at 100 TB: one narrow projection explodes token POSITIONS
+    * (not tokens — no strings move), the start filter keeps ~startRateBp
+    * /10000 of them, and everything downstream is span-count-sized;
+    * per-doc union lengths come from the classic sorted-interval window
+    * (running max of end), never a positions×spans join.
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, text) frame. */
+  def spanCorruptionPlan(rows: DataFrame, id: String, text: String,
+      startRateBp: Int = 500, meanSpan: Int = 3): DataFrame = {
+    require(startRateBp >= 1 && startRateBp <= 10000,
+      s"startRateBp must be in [1, 10000], got $startRateBp")
+    require(meanSpan >= 1, s"meanSpan must be >= 1, got $meanSpan")
+    val pos = rows
+      .select(col(id).as("doc_id"),
+        size(TextOps.toks(col(text))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(1L), col("n_tok"))).as("p"))
+    val hStart = conv(substring(
+      md5(concat_ws(":", col("doc_id"), col("p"))), 1, 8), 16, 10)
+      .cast("long") % 10000L
+    val hLen = conv(substring(
+      md5(concat_ws(":", col("doc_id"), col("p"), lit("L"))), 1, 8), 16, 10)
+      .cast("long") % (2L * meanSpan - 1L)
+    pos.filter(hStart < startRateBp)
+      .select(col("doc_id"), col("p").as("start_pos"),
+        least(col("n_tok"), col("p") + hLen).as("end_pos"))
+      .orderBy("doc_id", "start_pos")
+  }
+
+  /** Per-doc mask summary over the plan: span count, UNION-of-intervals
+    * masked-token count (sorted-interval running-max window), and the
+    * realized mask ratio — the number a noise-density config is tuned
+    * against. Zero-span docs stay in the manifest with ratio 0. */
+  private def spanCorruptionQuery(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"),
+      size(TextOps.toks(col("text"))).cast("long").as("n_tok"))
+    val plan = spanCorruptionPlan(docs(s, d), "doc_id", "text")
+    val w = Window.partitionBy("doc_id").orderBy("start_pos", "end_pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = plan
+      .withColumn("prev_end",
+        coalesce(max("end_pos").over(w), lit(0L)))
+      .withColumn("add", greatest(lit(0L),
+        col("end_pos") - greatest(col("prev_end"), col("start_pos") - 1L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("add").as("n_masked"))
+    base.join(agg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "n_masked"))
+      .select(col("doc_id"), col("n_tok"), col("n_spans"), col("n_masked"),
+        when(col("n_tok") > 0,
+          Det.r4(col("n_masked").cast("double") / col("n_tok").cast("double")))
+          .otherwise(lit(0.0d)).as("mask_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus snapshot diff — the manifest a versioned-dataset pipeline
     * records between two builds: which documents were `added`, `removed`,
     * or `changed` (content hash moved). One full-outer hash join on the
@@ -672,6 +744,39 @@ object PipelineOps {
         |       WHEN ha <> hb THEN 'changed'
         |       ELSE 'unchanged' END <> 'unchanged'
         | ORDER BY doc_id""".stripMargin)),
+    // md5-derived starts/lengths and integer interval arithmetic —
+    // every term mirrors exactly (the data_split hex-bucket precedent).
+    QDef("q_span_corruption", spanCorruptionQuery, Some {
+      val toksSql = graft.operators.TextOps.oracleToks
+      val hStart = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) " +
+        "|| ':' || CAST(p AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+      val hLen = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) " +
+        "|| ':' || CAST(p AS VARCHAR) || ':L'), 1, 8)) AS BIGINT) % 5"
+      s"""WITH b AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |pos AS (SELECT doc_id, n_tok, unnest(range(1, n_tok + 1)) AS p
+         |  FROM b WHERE n_tok > 0),
+         |sp AS (SELECT doc_id, p AS start_pos,
+         |    least(n_tok, p + $hLen) AS end_pos
+         |  FROM pos WHERE $hStart < 500),
+         |m AS (SELECT doc_id, start_pos, end_pos,
+         |    coalesce(MAX(end_pos) OVER (PARTITION BY doc_id
+         |      ORDER BY start_pos, end_pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS prev_end
+         |  FROM sp),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(SUM(greatest(0, end_pos
+         |      - greatest(prev_end, start_pos - 1))) AS BIGINT) AS n_masked
+         |  FROM m GROUP BY 1)
+         |SELECT b.doc_id, b.n_tok,
+         |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(a.n_masked, 0) AS BIGINT) AS n_masked,
+         |  CASE WHEN b.n_tok > 0 THEN
+         |    ${Det.r4Sql("CAST(coalesce(a.n_masked, 0) AS DOUBLE) / b.n_tok")}
+         |  ELSE 0.0 END AS mask_ratio
+         |FROM b LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
+    }),
     QDef("q_sample_bottomk", sampleBottomK, Some(
       """SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
         | FROM documents ORDER BY h LIMIT 100""".stripMargin)),

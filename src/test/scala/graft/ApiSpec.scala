@@ -272,6 +272,37 @@ class ApiSpec extends SparkSpec {
       s"grid-aligned corpus must reconstruct exactly: ${q.toSeq}")
   }
 
+  test("spanCorruptionPlan: deterministic, in-bounds spans, realized noise near its density target") {
+    val s = spark
+    import s.implicits._
+    // 200 docs × 40 tokens: enough positions for the realized mask ratio
+    // to concentrate near the configured density
+    val docsDf = (0 until 200)
+      .map(i => (i.toLong, (1 to 40).map(j => s"t$j").mkString(" ")))
+      .toDF("id", "text")
+    val plan = graft.operators.PipelineOps
+      .spanCorruptionPlan(docsDf, "id", "text")
+    val rows = plan.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // spans stay inside their documents and are well-formed
+    assert(rows.forall { case (_, st, en) => st >= 1 && en >= st && en <= 40 },
+      s"out-of-bounds span: ${rows.find { case (_, st, en) => st < 1 || en < st || en > 40 }}")
+    // md5-determinism: a second invocation is bit-identical
+    val again = graft.operators.PipelineOps
+      .spanCorruptionPlan(docsDf, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sameElements(again))
+    // realized density: 5% starts × mean span 3 ≈ 15% of tokens masked
+    // (union overlap + edge truncation pull it slightly below); assert a
+    // generous band so the test pins the mechanism, not the sample
+    val masked = rows.groupBy(_._1).values.map { spans =>
+      spans.flatMap { case (_, st, en) => st to en }.distinct.size
+    }.sum
+    val ratio = masked.toDouble / (200 * 40)
+    assert(ratio > 0.08 && ratio < 0.22, s"realized mask ratio $ratio")
+  }
+
   test("tokenDivergence ranks the planted shift token, zero for identical corpora") {
     val s = spark
     import s.implicits._
