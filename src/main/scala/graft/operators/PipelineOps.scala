@@ -313,6 +313,76 @@ object PipelineOps {
       .orderBy("doc_id", "start_pos")
   }
 
+  /** The span-corruption FORMATTER over [[spanCorruptionPlan]]'s
+    * manifest: the actual (input, target) training pair per document, in
+    * T5's sentinel format — each maximal masked run (overlapping/adjacent
+    * drawn spans merged) collapses to `<extra_id_k>` in the input, and
+    * the target lists each sentinel followed by the tokens it hides.
+    * Whitespace is normalized to single spaces (the pair is built from
+    * the token stream, not the raw text). Docs with no masked run emit
+    * their full token stream and an empty target; token-less docs are
+    * skipped (nothing to train on).
+    *
+    * Shape at 100 TB: runs derive from the span manifest with the same
+    * sorted-interval windows as the summary (span-count-sized, never
+    * positions×spans); the token array joins in ONCE per doc and the
+    * assembly is per-row array surgery (slice/flatten/concat_ws) inside
+    * codegen — documents shuffle exactly once, keyed by id.
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, text) frame. */
+  def spanCorruptApply(rows: DataFrame, id: String, text: String,
+      startRateBp: Int = 500, meanSpan: Int = 3): DataFrame = {
+    val plan = spanCorruptionPlan(rows, id, text, startRateBp, meanSpan)
+    val wOrd = Window.partitionBy("doc_id").orderBy("start_pos", "end_pos")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    // gaps-and-islands: a span starting within (or adjacent to) the
+    // running max end joins the current masked run
+    val runs = plan
+      .withColumn("prev_end", coalesce(max("end_pos").over(wPrev), lit(0L)))
+      .withColumn("new_run",
+        when(col("start_pos") > col("prev_end") + 1L, 1L).otherwise(0L))
+      .withColumn("run_id", sum("new_run")
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "run_id")
+      .agg(min("start_pos").as("s"), max("end_pos").as("e"))
+    val wRun = Window.partitionBy("doc_id").orderBy("s")
+    val runsK = runs
+      .withColumn("k", (row_number().over(wRun) - 1).cast("long"))
+      .withColumn("prev_e", coalesce(lag("e", 1).over(wRun), lit(0L)))
+    val base = rows
+      .select(col(id).as("doc_id"), TextOps.toks(col(text)).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .filter(col("n") > 0)
+    val sent = concat(lit("<extra_id_"), col("k"), lit(">"))
+    val pieces = runsK.join(base, Seq("doc_id"))
+      .select(col("doc_id"), col("k"),
+        concat(slice(col("t"), (col("prev_e") + 1L).cast("int"),
+          (col("s") - col("prev_e") - 1L).cast("int")), array(sent))
+          .as("piece_in"),
+        concat(array(sent), slice(col("t"), col("s").cast("int"),
+          (col("e") - col("s") + 1L).cast("int"))).as("piece_tg"),
+        col("e"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("k"), col("piece_in"),
+        col("piece_tg")))).as("ps"), max("e").as("max_e"))
+    base.join(pieces, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(size(col("ps")), lit(0)).as("n_runs"),
+        when(col("ps").isNull, concat_ws(" ", col("t")))
+          .otherwise(concat_ws(" ", concat(
+            flatten(transform(col("ps"), x => x.getField("piece_in"))),
+            slice(col("t"), (col("max_e") + 1L).cast("int"),
+              (col("n") - col("max_e")).cast("int"))))).as("input_text"),
+        when(col("ps").isNull, lit(""))
+          .otherwise(concat_ws(" ",
+            flatten(transform(col("ps"), x => x.getField("piece_tg")))))
+          .as("target_text"))
+      .orderBy("doc_id")
+  }
+
+  private def spanCorruptApplyQuery(s: SparkSession, d: String): DataFrame =
+    spanCorruptApply(docs(s, d), "doc_id", "text")
+
   /** Per-doc mask summary over the plan: span count, UNION-of-intervals
     * masked-token count (sorted-interval running-max window), and the
     * realized mask ratio — the number a noise-density config is tuned
@@ -776,6 +846,62 @@ object PipelineOps {
          |    ${Det.r4Sql("CAST(coalesce(a.n_masked, 0) AS DOUBLE) / b.n_tok")}
          |  ELSE 0.0 END AS mask_ratio
          |FROM b LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
+    }),
+    // The formatter over the same manifest: DuckDB re-derives the merged
+    // runs and assembles the exact sentinel-format (input, target) string
+    // pair per document from the identical token stream.
+    QDef("q_span_corrupt_apply", spanCorruptApplyQuery, Some {
+      val toksSql = graft.operators.TextOps.oracleToks
+      val hStart = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) " +
+        "|| ':' || CAST(p AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+      val hLen = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) " +
+        "|| ':' || CAST(p AS VARCHAR) || ':L'), 1, 8)) AS BIGINT) % 5"
+      s"""WITH b2 AS (SELECT doc_id, $toksSql AS t,
+         |    CAST(len($toksSql) AS BIGINT) AS n
+         |  FROM documents WHERE len($toksSql) > 0),
+         |pos AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS p FROM b2),
+         |sp AS (SELECT doc_id, p AS start_pos, least(n, p + $hLen) AS end_pos
+         |  FROM pos WHERE $hStart < 500),
+         |m AS (SELECT doc_id, start_pos, end_pos,
+         |    coalesce(MAX(end_pos) OVER (PARTITION BY doc_id
+         |      ORDER BY start_pos, end_pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS prev_end
+         |  FROM sp),
+         |r0 AS (SELECT doc_id, start_pos, end_pos,
+         |    SUM(CASE WHEN start_pos > prev_end + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY start_pos, end_pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+         |  FROM m),
+         |runs AS (SELECT doc_id, run_id, min(start_pos) AS s,
+         |    max(end_pos) AS e
+         |  FROM r0 GROUP BY 1, 2),
+         |rk AS (SELECT doc_id, s, e,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS k,
+         |    coalesce(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+         |      AS prev_e
+         |  FROM runs),
+         |pieces AS (SELECT r.doc_id, r.k,
+         |    list_concat(b2.t[r.prev_e + 1:r.s - 1],
+         |      ['<extra_id_' || CAST(r.k AS VARCHAR) || '>']) AS pi,
+         |    list_concat(['<extra_id_' || CAST(r.k AS VARCHAR) || '>'],
+         |      b2.t[r.s:r.e]) AS pt,
+         |    r.e AS e
+         |  FROM rk r JOIN b2 USING (doc_id)),
+         |g AS (SELECT doc_id,
+         |    list(struct_pack(k := k, pi := pi, pt := pt) ORDER BY k) AS ps,
+         |    max(e) AS max_e
+         |  FROM pieces GROUP BY 1)
+         |SELECT b2.doc_id,
+         |  CAST(coalesce(len(g.ps), 0) AS INT) AS n_runs,
+         |  CASE WHEN g.ps IS NULL THEN array_to_string(b2.t, ' ')
+         |    ELSE array_to_string(list_concat(
+         |      flatten(list_transform(g.ps, x -> x.pi)),
+         |      b2.t[g.max_e + 1:b2.n]), ' ') END AS input_text,
+         |  CASE WHEN g.ps IS NULL THEN ''
+         |    ELSE array_to_string(flatten(list_transform(g.ps, x -> x.pt)),
+         |      ' ') END AS target_text
+         |FROM b2 LEFT JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin
     }),
     QDef("q_sample_bottomk", sampleBottomK, Some(
       """SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h

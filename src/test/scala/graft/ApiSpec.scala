@@ -303,6 +303,46 @@ class ApiSpec extends SparkSpec {
     assert(ratio > 0.08 && ratio < 0.22, s"realized mask ratio $ratio")
   }
 
+  test("spanCorruptApply round-trips: substituting target segments back recovers the token stream") {
+    val s = spark
+    import s.implicits._
+    val docsDf = (0 until 100)
+      .map(i => (i.toLong, (1 to 40).map(j => s"t$j").mkString(" ")))
+      .toDF("id", "text")
+    val out = graft.operators.PipelineOps
+      .spanCorruptApply(docsDf, "id", "text").collect()
+    assert(out.length == 100)
+    val sentRe = "<extra_id_(\\d+)>".r
+    var sawMasked = false
+    out.foreach { r =>
+      val nRuns = r.getInt(1)
+      val input = r.getString(2)
+      val target = r.getString(3)
+      if (nRuns == 0) assert(target.isEmpty && input == (1 to 40)
+        .map(j => s"t$j").mkString(" "))
+      else {
+        sawMasked = true
+        // target = "<extra_id_0> toks… <extra_id_1> toks…" — cut segments
+        val ms = sentRe.findAllMatchIn(target).toVector
+        assert(ms.map(_.group(1).toInt) == (0 until nRuns).toVector,
+          s"sentinels out of order in '$target'")
+        val segs = ms.zipWithIndex.map { case (m, i) =>
+          val end = if (i + 1 < ms.length) ms(i + 1).start else target.length
+          m.group(1).toInt -> target.substring(m.end, end).trim
+            .split("\\s+").filter(_.nonEmpty).toSeq
+        }.toMap
+        assert(segs.values.forall(_.nonEmpty), s"empty masked run: '$target'")
+        val reconstructed = input.split(" ").toSeq.flatMap {
+          case sentRe(k) => segs(k.toInt)
+          case t => Seq(t)
+        }
+        assert(reconstructed == (1 to 40).map(j => s"t$j"),
+          s"round-trip failed: input '$input' target '$target'")
+      }
+    }
+    assert(sawMasked, "no doc got a mask — the density draw is broken")
+  }
+
   test("tokenDivergence ranks the planted shift token, zero for identical corpora") {
     val s = spark
     import s.implicits._
