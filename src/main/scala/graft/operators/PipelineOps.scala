@@ -383,6 +383,56 @@ object PipelineOps {
   private def spanCorruptApplyQuery(s: SparkSession, d: String): DataFrame =
     spanCorruptApply(docs(s, d), "doc_id", "text")
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022,
+    * arXiv:2207.14255 — the code-model pretraining reorder): for
+    * `fimRateBp`/10000 of documents (md5 draw — deterministic, stable
+    * under corpus growth, like every sampling decision in this module)
+    * the token stream splits at two hash-drawn cut points into
+    * prefix/middle/suffix and re-emits in PSM order
+    * `<fim_prefix> P <fim_suffix> S <fim_middle> M`; the rest pass
+    * through untransformed. Cut points draw uniformly over `0..n`
+    * independently and order themselves (least/greatest), so empty
+    * prefix/middle/suffix segments are legal — the sentinel skeleton
+    * keeps the format parseable either way.
+    *
+    * Pure per-document projection — no shuffle, no state; at 100 TB this
+    * is a map over the scan, the cheapest shape there is.
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, text) frame. */
+  def fimTransform(rows: DataFrame, id: String, text: String,
+      fimRateBp: Int = 9000): DataFrame = {
+    require(fimRateBp >= 0 && fimRateBp <= 10000,
+      s"fimRateBp must be in [0, 10000], got $fimRateBp")
+    val base = rows
+      .select(col(id).as("doc_id"), TextOps.toks(col(text)).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .filter(col("n") > 0)
+    def h(tag: String): org.apache.spark.sql.Column =
+      conv(substring(md5(concat_ws(":", col("doc_id"), lit(tag))), 1, 8),
+        16, 10).cast("long")
+    val u1 = h("c1") % (col("n") + 1L)
+    val u2 = h("c2") % (col("n") + 1L)
+    base
+      .withColumn("apply_fim", h("fim") % 10000L < fimRateBp)
+      .withColumn("c_lo", least(u1, u2).cast("int"))
+      .withColumn("c_hi", greatest(u1, u2).cast("int"))
+      .select(col("doc_id"), col("apply_fim"),
+        when(!col("apply_fim"), concat_ws(" ", col("t")))
+          .otherwise(concat_ws(" ", concat(
+            array(lit("<fim_prefix>")),
+            slice(col("t"), lit(1), col("c_lo")),
+            array(lit("<fim_suffix>")),
+            slice(col("t"), col("c_hi") + 1,
+              (col("n").cast("int") - col("c_hi"))),
+            array(lit("<fim_middle>")),
+            slice(col("t"), col("c_lo") + 1, col("c_hi") - col("c_lo")))))
+          .as("output_text"))
+      .orderBy("doc_id")
+  }
+
+  private def fimQuery(s: SparkSession, d: String): DataFrame =
+    fimTransform(docs(s, d), "doc_id", "text")
+
   /** Per-doc mask summary over the plan: span count, UNION-of-intervals
     * masked-token count (sorted-interval running-max window), and the
     * realized mask ratio — the number a noise-density config is tuned
@@ -902,6 +952,28 @@ object PipelineOps {
          |    ELSE array_to_string(flatten(list_transform(g.ps, x -> x.pt)),
          |      ' ') END AS target_text
          |FROM b2 LEFT JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin
+    }),
+    // PSM reordering from md5-drawn cut points — a pure projection both
+    // engines derive identically (hex-bucket + list-slice arithmetic).
+    QDef("q_fim_transform", fimQuery, Some {
+      val toksSql = graft.operators.TextOps.oracleToks
+      def h(tag: String) = "CAST(('0x' || substr(md5(CAST(doc_id AS " +
+        s"VARCHAR) || ':$tag'), 1, 8)) AS BIGINT)"
+      s"""WITH b AS (SELECT doc_id, $toksSql AS t,
+         |    CAST(len($toksSql) AS BIGINT) AS n
+         |  FROM documents WHERE len($toksSql) > 0),
+         |c AS (SELECT doc_id, t, n,
+         |    ${h("fim")} % 10000 < 9000 AS apply_fim,
+         |    least(${h("c1")} % (n + 1), ${h("c2")} % (n + 1)) AS c_lo,
+         |    greatest(${h("c1")} % (n + 1), ${h("c2")} % (n + 1)) AS c_hi
+         |  FROM b)
+         |SELECT doc_id, apply_fim,
+         |  CASE WHEN NOT apply_fim THEN array_to_string(t, ' ')
+         |    ELSE array_to_string(list_concat(list_concat(list_concat(
+         |      list_concat(['<fim_prefix>'], t[1:c_lo]),
+         |      list_concat(['<fim_suffix>'], t[c_hi + 1:n])),
+         |      ['<fim_middle>']), t[c_lo + 1:c_hi]), ' ') END AS output_text
+         |FROM c ORDER BY doc_id""".stripMargin
     }),
     QDef("q_sample_bottomk", sampleBottomK, Some(
       """SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h

@@ -343,6 +343,40 @@ class ApiSpec extends SparkSpec {
     assert(sawMasked, "no doc got a mask — the density draw is broken")
   }
 
+  test("fimTransform round-trips: P+M+S reassembly recovers the token stream") {
+    val s = spark
+    import s.implicits._
+    val docsDf = (0 until 100)
+      .map(i => (i.toLong, (1 to 20).map(j => s"t$j").mkString(" ")))
+      .toDF("id", "text")
+    val out = graft.operators.PipelineOps
+      .fimTransform(docsDf, "id", "text").collect()
+    assert(out.length == 100)
+    val orig = (1 to 20).map(j => s"t$j")
+    var applied = 0
+    out.foreach { r =>
+      val text = r.getString(2)
+      if (!r.getBoolean(1)) assert(text == orig.mkString(" "))
+      else {
+        applied += 1
+        // PSM: <fim_prefix> P <fim_suffix> S <fim_middle> M
+        val iS = text.indexOf("<fim_suffix>")
+        val iM = text.indexOf("<fim_middle>")
+        assert(text.startsWith("<fim_prefix>") && iS > 0 && iM > iS,
+          s"malformed PSM: '$text'")
+        def toks(seg: String): Seq[String] =
+          seg.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        val p = toks(text.substring("<fim_prefix>".length, iS))
+        val suf = toks(text.substring(iS + "<fim_suffix>".length, iM))
+        val m = toks(text.substring(iM + "<fim_middle>".length))
+        assert((p ++ m ++ suf) == orig,
+          s"round-trip failed: '$text' → ${p ++ m ++ suf}")
+      }
+    }
+    // 90% default rate on 100 docs: the draw must both fire and skip
+    assert(applied > 60 && applied < 100, s"applied=$applied")
+  }
+
   test("tokenDivergence ranks the planted shift token, zero for identical corpora") {
     val s = spark
     import s.implicits._
