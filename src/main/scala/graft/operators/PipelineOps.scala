@@ -246,9 +246,15 @@ object PipelineOps {
     val corpus = perSource.agg(
       sum("tok_total").as("corpus_tok"), Det.dsum(col("w")).as("w_total"))
     val rates = perSource.crossJoin(broadcast(corpus))
-      .withColumn("rate", least(lit(1.0d),
-        col("corpus_tok").cast("double") * lit(budgetFraction)
-          * (col("w") / col("w_total")) / col("tok_total").cast("double")))
+      // a token-less source has nothing to budget: its rate is
+      // vacuously 1.0. The guard matters under ANSI mode (Spark 4
+      // default) where the /tok_total division would THROW on 0, not
+      // produce the NaN that least() used to absorb (r10 review edge;
+      // the streaming twin and the oracle mirror the same case).
+      .withColumn("rate", when(col("tok_total") === 0L, lit(1.0d))
+        .otherwise(least(lit(1.0d),
+          col("corpus_tok").cast("double") * lit(budgetFraction)
+            * (col("w") / col("w_total")) / col("tok_total").cast("double"))))
       .withColumn("cut", floor(col("rate") * 10000.0d).cast("long"))
       .select("source", "rate", "cut")
     base.join(broadcast(rates), Seq("source"))
@@ -396,7 +402,10 @@ object PipelineOps {
     * keeps the format parseable either way.
     *
     * Pure per-document projection — no shuffle, no state; at 100 TB this
-    * is a map over the scan, the cheapest shape there is.
+    * is a map over the scan, the cheapest shape there is. Token-less
+    * docs (empty/whitespace/NULL text) are SKIPPED, like
+    * [[spanCorruptApply]] — there is nothing to emit for them in either
+    * branch.
     *
     * LIBRARY ENTRY POINT — generic over any (id, text) frame. */
   def fimTransform(rows: DataFrame, id: String, text: String,
@@ -834,10 +843,12 @@ object PipelineOps {
          |corpus AS (SELECT CAST(sum(tok_total) AS BIGINT) AS corpus_tok,
          |  ${Det.dsumSql("w")} AS w_total FROM per_source),
          |rates AS (SELECT source,
-         |  least(1.0, CAST(corpus_tok AS DOUBLE) * 0.5 * (w / w_total)
-         |    / CAST(tok_total AS DOUBLE)) AS rate,
-         |  CAST(floor(least(1.0, CAST(corpus_tok AS DOUBLE) * 0.5 * (w / w_total)
-         |    / CAST(tok_total AS DOUBLE)) * 10000.0) AS BIGINT) AS cut
+         |  CASE WHEN tok_total = 0 THEN 1.0
+         |    ELSE least(1.0, CAST(corpus_tok AS DOUBLE) * 0.5 * (w / w_total)
+         |      / CAST(tok_total AS DOUBLE)) END AS rate,
+         |  CAST(floor(CASE WHEN tok_total = 0 THEN 1.0
+         |    ELSE least(1.0, CAST(corpus_tok AS DOUBLE) * 0.5 * (w / w_total)
+         |      / CAST(tok_total AS DOUBLE)) END * 10000.0) AS BIGINT) AS cut
          |  FROM per_source, corpus)
          |SELECT b.source, count(*) AS n_docs,
          | count(CASE WHEN b.bucket < r.cut THEN 1 END) AS n_sampled,

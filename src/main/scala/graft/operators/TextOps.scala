@@ -340,8 +340,13 @@ object TextOps {
       .agg(count(when(col("ia"), 1)).as("n_a"),
         count(when(!col("ia"), 1)).as("n_b"))
     val tot = counts.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
-    val p = col("n_a").cast("double") / col("ta").cast("double")
-    val q = col("n_b").cast("double") / col("tb").cast("double")
+    // a token-less side would make every p (or q) 0/0 = NaN and poison
+    // the ranking; treat the empty corpus as zero measure instead —
+    // divergence vs nothing degrades to the other side's ½·ln 2 terms
+    val p = when(col("ta") > 0,
+      col("n_a").cast("double") / col("ta").cast("double")).otherwise(lit(0.0d))
+    val q = when(col("tb") > 0,
+      col("n_b").cast("double") / col("tb").cast("double")).otherwise(lit(0.0d))
     counts.crossJoin(broadcast(tot))
       .withColumn("p", p).withColumn("q", q)
       .withColumn("m", (col("p") + col("q")) / lit(2.0d))
@@ -831,7 +836,7 @@ object TextOps {
     // ln parity precedent of tfidf/zipf/importance).
     QDef("q_token_divergence", tokenDivergenceQuery, Some(
       s"""WITH t AS (SELECT unnest($oracleToks) AS tok, source = 'src0' AS ia
-         |  FROM documents),
+         |  FROM documents WHERE source IS NOT NULL),
          |c AS (SELECT tok,
          |   count(*) FILTER (WHERE ia) AS n_a,
          |   count(*) FILTER (WHERE NOT ia) AS n_b
@@ -840,8 +845,10 @@ object TextOps {
          |              SUM(CAST(n_b AS BIGINT)) AS tb FROM c),
          |j AS (SELECT tok, CAST(n_a AS BIGINT) AS n_a,
          |        CAST(n_b AS BIGINT) AS n_b,
-         |        CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE) AS p,
-         |        CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE) AS q
+         |        CASE WHEN ta > 0 THEN CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+         |          ELSE 0.0 END AS p,
+         |        CASE WHEN tb > 0 THEN CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)
+         |          ELSE 0.0 END AS q
          |      FROM c, tt),
          |k AS (SELECT tok, n_a, n_b,
          |        ${Det.r9Sql(

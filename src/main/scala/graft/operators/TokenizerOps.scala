@@ -324,14 +324,14 @@ object TokenizerOps {
        #        ORDER BY cnt DESC, l, r LIMIT 1),
        #w$i AS (
        #  SELECT word, freq,
-       #    CASE WHEN len(string_split(sym, ' ')) <= 1 THEN sym
+       #    CASE WHEN m.l IS NULL OR len(string_split(sym, ' ')) <= 1 THEN sym
        #    ELSE list_reduce(string_split(sym, ' '), (acc, x) ->
        #      CASE WHEN list_extract(string_split(acc, ' '), -1) = m.l AND x = m.r
        #           THEN CASE WHEN len(string_split(acc, ' ')) = 1 THEN m.l || m.r
        #                ELSE array_to_string(string_split(acc, ' ')[1:len(string_split(acc, ' '))-1], ' ') || $mergedTail END
        #           ELSE acc || ' ' || x END)
        #    END AS sym
-       #  FROM $prev, m$i m)""".stripMargin('#')
+       #  FROM $prev LEFT JOIN m$i m ON TRUE)""".stripMargin('#')
   }
 
   /** Corpus → `(word, freq, sym)` start table plus `n` merge rounds. */

@@ -200,9 +200,17 @@ object StreamingTemporal {
           totals.toSeq.sortBy(_._1).iterator.map { case (s, t) =>
             // term-for-term the batch expression: least(1, corpus_tok ·
             // budgetFraction · (w / w_total) / tok_total), then r4.
-            val raw = ((corpusTok.toDouble * budgetFraction) *
-              (ws(s) / wTotal)) / t.toDouble
-            val rate = math.floor(math.min(1.0d, raw) * 10000d + 0.5d) / 10000d
+            // batch mirror incl. the edge: a token-less source's rate is
+            // vacuously 1.0 (the batch operator guards the same case —
+            // under ANSI the division would throw, and the naive scala
+            // 0/0 = NaN would poison the r4)
+            val rate =
+              if (t == 0L) 1.0d
+              else {
+                val raw = ((corpusTok.toDouble * budgetFraction) *
+                  (ws(s) / wTotal)) / t.toDouble
+                math.floor(math.min(1.0d, raw) * 10000d + 0.5d) / 10000d
+              }
             (s, t, rate)
           }
       }

@@ -349,4 +349,34 @@ class StreamingWindowSpec extends SparkSpec {
         s"stream final table $finalRows vs batch $expected")
     } finally q.stop()
   }
+
+  test("streaming mixture rates: zero-token source caps at 1.0 like the batch least()") {
+    // A source with only token-less docs has tok_total 0 → raw rate
+    // 0/0 = NaN; Spark's least() treats NaN as greater than everything
+    // so the batch operator emits 1.0 — the stream twin must match, not
+    // propagate the NaN (the r10 review edge).
+    val s = spark
+    import s.implicits._
+    val expected = graft.operators.PipelineOps
+      .temperatureMixture(
+        Seq((1L, "tok tok", "web"), (2L, "", "barren"))
+          .toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source", alpha = 0.3, budgetFraction = 0.5)
+      .select("source", "rate").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(expected("barren") == 1.0d, s"batch edge moved: $expected")
+    val in = MemoryStream[(String, Long)](s)
+    val q = graft.streaming.StreamingTemporal
+      .temperatureMixtureRates(in.toDS(), alpha = 0.3, budgetFraction = 0.5)
+      .toDF("source", "tok_total", "rate")
+      .writeStream.format("memory").queryName("stream_rates_zero")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(("web", 2L), ("barren", 0L))
+      q.processAllAvailable()
+      val got = s.table("stream_rates_zero").collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(got == expected, s"stream $got vs batch $expected")
+    } finally q.stop()
+  }
 }
