@@ -247,10 +247,12 @@ object PipelineOps {
       sum("tok_total").as("corpus_tok"), Det.dsum(col("w")).as("w_total"))
     val rates = perSource.crossJoin(broadcast(corpus))
       // a token-less source has nothing to budget: its rate is
-      // vacuously 1.0. The guard matters under ANSI mode (Spark 4
-      // default) where the /tok_total division would THROW on 0, not
-      // produce the NaN that least() used to absorb (r10 review edge;
-      // the streaming twin and the oracle mirror the same case).
+      // vacuously 1.0. Both operands are cast to double, so even under
+      // ANSI mode 0/0 yields NaN (ANSI's DIVIDE_BY_ZERO only covers
+      // integral/decimal division) and least() happens to absorb that
+      // NaN to 1.0 — the guard makes the vacuous-1.0 edge explicit
+      // instead of leaning on least()'s NaN ordering (the streaming
+      // twin and the oracle mirror the same case).
       .withColumn("rate", when(col("tok_total") === 0L, lit(1.0d))
         .otherwise(least(lit(1.0d),
           col("corpus_tok").cast("double") * lit(budgetFraction)
@@ -323,7 +325,10 @@ object PipelineOps {
     * manifest: the actual (input, target) training pair per document, in
     * T5's sentinel format — each maximal masked run (overlapping/adjacent
     * drawn spans merged) collapses to `<extra_id_k>` in the input, and
-    * the target lists each sentinel followed by the tokens it hides.
+    * the target lists each sentinel followed by the tokens it hides,
+    * closed by the terminal `<extra_id_{n_runs}>` end-of-target marker
+    * (the canonical Raffel et al. 2020 §3.1.4 shape; r10 shipped without
+    * the terminal sentinel — ADVICE r10).
     * Whitespace is normalized to single spaces (the pair is built from
     * the token stream, not the raw text). Docs with no masked run emit
     * their full token stream and an empty target; token-less docs are
@@ -380,8 +385,9 @@ object PipelineOps {
             slice(col("t"), (col("max_e") + 1L).cast("int"),
               (col("n") - col("max_e")).cast("int"))))).as("input_text"),
         when(col("ps").isNull, lit(""))
-          .otherwise(concat_ws(" ",
-            flatten(transform(col("ps"), x => x.getField("piece_tg")))))
+          .otherwise(concat_ws(" ", concat(
+            flatten(transform(col("ps"), x => x.getField("piece_tg"))),
+            array(concat(lit("<extra_id_"), size(col("ps")), lit(">"))))))
           .as("target_text"))
       .orderBy("doc_id")
   }
@@ -960,7 +966,9 @@ object PipelineOps {
          |      flatten(list_transform(g.ps, x -> x.pi)),
          |      b2.t[g.max_e + 1:b2.n]), ' ') END AS input_text,
          |  CASE WHEN g.ps IS NULL THEN ''
-         |    ELSE array_to_string(flatten(list_transform(g.ps, x -> x.pt)),
+         |    ELSE array_to_string(list_concat(
+         |      flatten(list_transform(g.ps, x -> x.pt)),
+         |      ['<extra_id_' || CAST(len(g.ps) AS VARCHAR) || '>']),
          |      ' ') END AS target_text
          |FROM b2 LEFT JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin
     }),

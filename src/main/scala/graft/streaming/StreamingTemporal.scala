@@ -201,9 +201,10 @@ object StreamingTemporal {
             // term-for-term the batch expression: least(1, corpus_tok ·
             // budgetFraction · (w / w_total) / tok_total), then r4.
             // batch mirror incl. the edge: a token-less source's rate is
-            // vacuously 1.0 (the batch operator guards the same case —
-            // under ANSI the division would throw, and the naive scala
-            // 0/0 = NaN would poison the r4)
+            // vacuously 1.0. Here the guard is load-bearing — scala
+            // 0.0/0.0 = NaN would poison the r4 rounding; the batch
+            // operator guards the same edge for clarity (its double
+            // division NaNs under ANSI too and least() would absorb it)
             val rate =
               if (t == 0L) 1.0d
               else {

@@ -322,16 +322,21 @@ class ApiSpec extends SparkSpec {
         .map(j => s"t$j").mkString(" "))
       else {
         sawMasked = true
-        // target = "<extra_id_0> toks… <extra_id_1> toks…" — cut segments
+        // target = "<extra_id_0> toks… <extra_id_1> toks… <extra_id_n>" —
+        // cut segments closed by the terminal end-of-target sentinel
+        // (canonical T5 shape, r11)
         val ms = sentRe.findAllMatchIn(target).toVector
-        assert(ms.map(_.group(1).toInt) == (0 until nRuns).toVector,
+        assert(ms.map(_.group(1).toInt) == (0 to nRuns).toVector,
           s"sentinels out of order in '$target'")
         val segs = ms.zipWithIndex.map { case (m, i) =>
           val end = if (i + 1 < ms.length) ms(i + 1).start else target.length
           m.group(1).toInt -> target.substring(m.end, end).trim
             .split("\\s+").filter(_.nonEmpty).toSeq
         }.toMap
-        assert(segs.values.forall(_.nonEmpty), s"empty masked run: '$target'")
+        assert(segs(nRuns).isEmpty,
+          s"terminal sentinel must close the target: '$target'")
+        assert((0 until nRuns).forall(k => segs(k).nonEmpty),
+          s"empty masked run: '$target'")
         val reconstructed = input.split(" ").toSeq.flatMap {
           case sentRe(k) => segs(k.toInt)
           case t => Seq(t)
