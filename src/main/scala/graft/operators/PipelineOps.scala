@@ -49,10 +49,33 @@ object PipelineOps {
   // the per-chunk manifest.
   // LIBRARY ENTRY POINT — generic over any corpus (id + text columns).
   def packSequences(rows: DataFrame, id: String, text: String,
+      cap: Double): DataFrame =
+    packAssign(rows.select(col(id).as("doc_id"),
+        size(TextOps.toks(col(text))).cast("long").as("n_tok")),
+      "doc_id", "n_tok", cap)
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("chunk")
+
+  /** Per-item context-window ASSIGNMENT — [[packSequences]]' underlying
+    * per-document map `(doc_id, n_tok, cum, chunk)`, exposed for
+    * composition (the train-ready manifest needs WHICH window each
+    * formatted example lands in, not just the per-chunk totals; the
+    * incremental pack continues `cum` from a prior total). Token counts
+    * come in as a column (`nTok`) so callers can count FORMATTED tokens
+    * (sentinels included), not raw-text tokens.
+    *
+    * Shape at 100 TB: the ONE unpartitioned window runs over the 256-row
+    * bucket-total table; everything else is per-bucket local.
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, token-count) frame. */
+  def packAssign(rows: DataFrame, id: String, nTok: String,
       cap: Double): DataFrame = {
+    require(cap > 0, s"cap must be > 0, got $cap")
     val base = rows.select(
       col(id).as("doc_id"),
-      size(TextOps.toks(col(text))).cast("long").as("n_tok"),
+      col(nTok).cast("long").as("n_tok"),
       md5(col(id).cast("string")).as("ord"))
       // range bucket = first byte of the order key; hex-string sort order
       // equals bucket-number order, so (bucket, ord) sorts like global ord
@@ -69,12 +92,8 @@ object PipelineOps {
       .select("bucket", "prefix")
     local.join(broadcast(prefix), Seq("bucket"))
       .withColumn("cum", col("lcum") + col("prefix"))
-      .withColumn("chunk",
-        floor((col("cum") - col("n_tok")) / cap).cast("long"))
-      .groupBy("chunk")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
-        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
-      .orderBy("chunk")
+      .select(col("doc_id"), col("n_tok"), col("cum"),
+        floor((col("cum") - col("n_tok")) / cap).cast("long").as("chunk"))
   }
 
   private def packSequencesQuery(s: SparkSession, d: String): DataFrame =
@@ -92,7 +111,13 @@ object PipelineOps {
     * corpus size, never a global single-partition sort.
     *
     * LIBRARY ENTRY POINT — generic over any frame with an id column. */
-  def epochOrder(rows: DataFrame, id: String, epoch: String): DataFrame = {
+  def epochOrder(rows: DataFrame, id: String, epoch: String): DataFrame =
+    epochRank(rows, id, epoch).orderBy("rank")
+
+  /** [[epochOrder]] without the final presentation sort — the form
+    * composed pipelines join on (a global range sort the consumer
+    * immediately re-shuffles away is pure waste at scale). */
+  private def epochRank(rows: DataFrame, id: String, epoch: String): DataFrame = {
     val base = rows.select(col(id).as("doc_id"),
       md5(concat(lit(epoch + ":"), col(id).cast("string"))).as("ord"))
       // hex-string sort order equals bucket-number order, so
@@ -109,7 +134,6 @@ object PipelineOps {
       .withColumn("rank", row_number().over(wLocal).cast("long")
         + col("prefix") - 1)
       .select(col("doc_id"), col("ord"), col("rank"))
-      .orderBy("rank")
   }
 
   private def shuffleOrderQuery(s: SparkSession, d: String): DataFrame =
@@ -692,6 +716,22 @@ object PipelineOps {
       minJaccard: Double = 0.1, contamN: Int = 8,
       scrubPii: Boolean = false,
       precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    val manifest = curateFates(corpus, bench, id, text, minJaccard,
+      contamN, precomputedPairs)
+    val out =
+      if (!scrubPii) manifest
+      else manifest.join(TextOps.piiScrubCols(
+        corpus.select(col(id).as("doc_id"), col(text).as("text")),
+        "doc_id", "text"), Seq("doc_id"))
+    out.orderBy("doc_id")
+  }
+
+  /** [[curate]]'s fate relation without the presentation sort or the PII
+    * join — the form composed pipelines ([[trainReady]]) filter and join
+    * on. */
+  private def curateFates(corpus: DataFrame, bench: DataFrame, id: String,
+      text: String, minJaccard: Double, contamN: Int,
+      precomputedPairs: Option[DataFrame]): DataFrame = {
     val base = corpus.select(col(id).as("doc_id"), col(text).as("text"))
     val q = TextOps.qualityFilter(base, "doc_id", "text")
       .select(col("doc_id"), col("keep").as("q_keep"))
@@ -705,7 +745,7 @@ object PipelineOps {
         bench.select(col(id).as("doc_id"), col(text).as("text")),
         "doc_id", "text", contamN)
       .select(col("doc_id"), lit(true).as("contaminated"))
-    val manifest = base.select("doc_id")
+    base.select("doc_id")
       .join(q, Seq("doc_id"))
       .join(ex, Seq("doc_id"))
       .join(cl, Seq("doc_id"), "left")
@@ -717,11 +757,74 @@ object PipelineOps {
             col("doc_id") =!= col("cluster_rep"), "near_dup")
           .when(col("contaminated"), "contaminated")
           .otherwise("kept").as("fate"))
-    val out =
-      if (!scrubPii) manifest
-      else manifest.join(
-        TextOps.piiScrubCols(base, "doc_id", "text"), Seq("doc_id"))
-    out.orderBy("doc_id")
+  }
+
+  /** The END-TO-END pretraining build — [[curate]]'s keep/drop manifest
+    * COMPOSED with the round-10 formatter/packing/order pieces into the
+    * one artifact a training run actually consumes: per document, its
+    * curation fate, and — for kept documents — the span-corrupted
+    * example's token count, the context window (chunk) it packs into,
+    * and its epoch-shuffle rank.
+    *
+    *   corpus ─ curate → kept ─ spanCorruptApply → (input, target)
+    *          ─ packAssign(cap) → chunk ─ epochRank(epoch) → rank
+    *
+    * Token counts are of the FORMATTED example (input + target,
+    * sentinels included — what the trainer's context window actually
+    * holds), not the raw text. Dropped documents stay in the manifest
+    * with their fate and NULL n_tok/chunk/rank — the manifest answers
+    * both "what do I train on" and "why is this doc absent" in one
+    * relation.
+    *
+    * Shape at 100 TB: every stage keeps its own audited shape — curate's
+    * bucketed dedup (its cluster labels are checkpointed by
+    * construction, so the fate relation's second consumption below does
+    * not re-run label propagation), the formatter's one doc-keyed
+    * shuffle, packAssign/epochRank's 256-bucket two-phase prefix sums —
+    * and the composition adds only doc_id-keyed joins. No new global
+    * sorts: the composed form joins on the UNSORTED fate/rank relations
+    * (the public entry points' presentation sorts are peeled off).
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, text) corpus + bench
+    * pair; ApiSpec plants one doc per fate/format branch. */
+  def trainReady(corpus: DataFrame, bench: DataFrame, id: String,
+      text: String, cap: Double = Cap, epoch: String = "ep1",
+      startRateBp: Int = 500, meanSpan: Int = 3,
+      minJaccard: Double = 0.1, contamN: Int = 8,
+      precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    val fates = curateFates(corpus, bench, id, text, minJaccard, contamN,
+      precomputedPairs)
+    val keptDocs = corpus.select(col(id).as("doc_id"), col(text).as("text"))
+      .join(fates.filter(col("fate") === "kept").select("doc_id"),
+        Seq("doc_id"))
+    val formatted = spanCorruptApply(keptDocs, "doc_id", "text",
+      startRateBp, meanSpan)
+    // formatted-example token count: the strings are single-space token
+    // joins by construction, so a split on the literal separator counts
+    // tokens without re-tokenizing (empty target ⇒ 0, not split("")=1)
+    val withTok = formatted.select(col("doc_id"),
+      (size(split(col("input_text"), " ")) +
+        when(col("target_text") === "", 0)
+          .otherwise(size(split(col("target_text"), " "))))
+        .cast("long").as("n_tok"))
+    val packed = packAssign(withTok, "doc_id", "n_tok", cap)
+      .select("doc_id", "n_tok", "chunk")
+    val order = epochRank(withTok, "doc_id", epoch).select("doc_id", "rank")
+    fates.join(packed, Seq("doc_id"), "left")
+      .join(order, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fate"), col("n_tok"), col("chunk"),
+        col("rank"))
+      .orderBy("doc_id")
+  }
+
+  // q_train_ready: the composed build over the same deterministic train
+  // split and memoized pair list as q_curate — the end-to-end artifact,
+  // oracle-checked stage-for-stage in one chained DuckDB query.
+  private def trainReadyQuery(s: SparkSession, d: String): DataFrame = {
+    val sp = TextOps.splitAssign(s, d)
+    trainReady(sp.filter(col("split") === "train"),
+      sp.filter(col("split") =!= "train"), "doc_id", "text",
+      precomputedPairs = Some(curatePairs(s, d)))
   }
 
   /** The TRAIN-SPLIT near-dup pair list, materialized once per
@@ -753,11 +856,16 @@ object PipelineOps {
       precomputedPairs = Some(curatePairs(s, d)))
   }
 
-  private val curateOracleSql: String = {
+  /** DuckDB CTE chain deriving the curation FATE of every train-split
+    * document — ends in `fates(doc_id, fate)`, with the feeding `tr`
+    * (train) and `be` (bench = held-out splits) CTEs exposed for further
+    * composition. Must be spliced directly under `WITH RECURSIVE` (the
+    * connected-components CTE). Shared by the q_curate and q_train_ready
+    * oracles. */
+  private val curateFateCtes: String = {
     val grams8 =
       """[array_to_string(l[i:i+7], ' ') for i in generate_series(1, len(l) - 7)]"""
-    s"""WITH RECURSIVE
-       |sp AS (${TextOps.splitAssignSql}),
+    s"""sp AS (${TextOps.splitAssignSql}),
        |tr AS (SELECT doc_id, text FROM sp WHERE split = 'train'),
        |be AS (SELECT doc_id, text FROM sp WHERE split <> 'train'),
        |qf AS (${TextOps.qualityKeepOracleSql("tr")}),
@@ -777,21 +885,122 @@ object PipelineOps {
        |g8b AS (SELECT DISTINCT unnest($grams8) AS gram
        |  FROM (SELECT ${TextOps.oracleToks} AS l FROM be)
        |  WHERE len(l) >= 8),
-       |cont AS (SELECT DISTINCT doc_id FROM g8t JOIN g8b USING (gram))
-       |SELECT tr.doc_id,
-       | CASE WHEN NOT qf.q_keep THEN 'quality'
-       |      WHEN tr.doc_id <> ex.keep_id THEN 'exact_dup'
-       |      WHEN cl.doc_id IS NOT NULL AND tr.doc_id <> cl.rep THEN 'near_dup'
-       |      WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
-       |      ELSE 'kept' END AS fate
-       | FROM tr JOIN qf USING (doc_id) JOIN ex USING (doc_id)
-       |  LEFT JOIN cl ON tr.doc_id = cl.doc_id
-       |  LEFT JOIN cont ON tr.doc_id = cont.doc_id
-       | ORDER BY tr.doc_id""".stripMargin
+       |cont AS (SELECT DISTINCT doc_id FROM g8t JOIN g8b USING (gram)),
+       |fates AS (SELECT tr.doc_id,
+       |  CASE WHEN NOT qf.q_keep THEN 'quality'
+       |       WHEN tr.doc_id <> ex.keep_id THEN 'exact_dup'
+       |       WHEN cl.doc_id IS NOT NULL AND tr.doc_id <> cl.rep THEN 'near_dup'
+       |       WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+       |       ELSE 'kept' END AS fate
+       |  FROM tr JOIN qf USING (doc_id) JOIN ex USING (doc_id)
+       |   LEFT JOIN cl ON tr.doc_id = cl.doc_id
+       |   LEFT JOIN cont ON tr.doc_id = cont.doc_id)""".stripMargin
   }
+
+  private val curateOracleSql: String =
+    s"""WITH RECURSIVE
+       |$curateFateCtes
+       |SELECT doc_id, fate FROM fates ORDER BY doc_id""".stripMargin
+
+  /** DuckDB CTE chain re-deriving [[spanCorruptApply]] (defaults:
+    * startRateBp=500, meanSpan=3) over `src` — any table or CTE with
+    * (doc_id, text) — every CTE name prefixed with `pfx` for
+    * collision-free splicing. Ends in
+    * `${pfx}fmt(doc_id, n_runs, input_text, target_text)`. Shared by the
+    * q_span_corrupt_apply and q_train_ready oracles. */
+  private def spanApplyCtes(src: String, pfx: String): String = {
+    val toksSql = graft.operators.TextOps.oracleToks
+    val hStart = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) " +
+      "|| ':' || CAST(p AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+    val hLen = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) " +
+      "|| ':' || CAST(p AS VARCHAR) || ':L'), 1, 8)) AS BIGINT) % 5"
+    s"""${pfx}b2 AS (SELECT doc_id, $toksSql AS t,
+       |    CAST(len($toksSql) AS BIGINT) AS n
+       |  FROM $src WHERE len($toksSql) > 0),
+       |${pfx}pos AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS p
+       |  FROM ${pfx}b2),
+       |${pfx}sp AS (SELECT doc_id, p AS start_pos,
+       |    least(n, p + $hLen) AS end_pos
+       |  FROM ${pfx}pos WHERE $hStart < 500),
+       |${pfx}m AS (SELECT doc_id, start_pos, end_pos,
+       |    coalesce(MAX(end_pos) OVER (PARTITION BY doc_id
+       |      ORDER BY start_pos, end_pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS prev_end
+       |  FROM ${pfx}sp),
+       |${pfx}r0 AS (SELECT doc_id, start_pos, end_pos,
+       |    SUM(CASE WHEN start_pos > prev_end + 1 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY start_pos, end_pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+       |  FROM ${pfx}m),
+       |${pfx}runs AS (SELECT doc_id, run_id, min(start_pos) AS s,
+       |    max(end_pos) AS e
+       |  FROM ${pfx}r0 GROUP BY 1, 2),
+       |${pfx}rk AS (SELECT doc_id, s, e,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS k,
+       |    coalesce(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+       |      AS prev_e
+       |  FROM ${pfx}runs),
+       |${pfx}pieces AS (SELECT r.doc_id, r.k,
+       |    list_concat(b2.t[r.prev_e + 1:r.s - 1],
+       |      ['<extra_id_' || CAST(r.k AS VARCHAR) || '>']) AS pi,
+       |    list_concat(['<extra_id_' || CAST(r.k AS VARCHAR) || '>'],
+       |      b2.t[r.s:r.e]) AS pt,
+       |    r.e AS e
+       |  FROM ${pfx}rk r JOIN ${pfx}b2 b2 USING (doc_id)),
+       |${pfx}g AS (SELECT doc_id,
+       |    list(struct_pack(k := k, pi := pi, pt := pt) ORDER BY k) AS ps,
+       |    max(e) AS max_e
+       |  FROM ${pfx}pieces GROUP BY 1),
+       |${pfx}fmt AS (SELECT b2.doc_id,
+       |  CAST(coalesce(len(g.ps), 0) AS INT) AS n_runs,
+       |  CASE WHEN g.ps IS NULL THEN array_to_string(b2.t, ' ')
+       |    ELSE array_to_string(list_concat(
+       |      flatten(list_transform(g.ps, x -> x.pi)),
+       |      b2.t[g.max_e + 1:b2.n]), ' ') END AS input_text,
+       |  CASE WHEN g.ps IS NULL THEN ''
+       |    ELSE array_to_string(list_concat(
+       |      flatten(list_transform(g.ps, x -> x.pt)),
+       |      ['<extra_id_' || CAST(len(g.ps) AS VARCHAR) || '>']),
+       |      ' ') END AS target_text
+       |  FROM ${pfx}b2 b2 LEFT JOIN ${pfx}g g USING (doc_id))""".stripMargin
+  }
+
+  // Stage-for-stage mirror of the composition: fates → kept docs →
+  // formatter (sc_ chain) → formatted token counts → global pack cumsum
+  // → epoch rank; dropped docs keep NULL pack/order columns through the
+  // LEFT JOINs, exactly like the Spark side.
+  private val trainReadyOracleSql: String =
+    s"""WITH RECURSIVE
+       |$curateFateCtes,
+       |kd AS (SELECT t.doc_id, t.text FROM tr t
+       |  JOIN fates f USING (doc_id) WHERE f.fate = 'kept'),
+       |${spanApplyCtes("kd", "sc_")},
+       |trn_tok AS (SELECT doc_id,
+       |    CAST(len(string_split(input_text, ' ')) +
+       |      CASE WHEN target_text = '' THEN 0
+       |           ELSE len(string_split(target_text, ' ')) END
+       |      AS BIGINT) AS n_tok
+       |  FROM sc_fmt),
+       |trn_pack AS (SELECT doc_id, n_tok,
+       |    CAST(floor((cum - n_tok) / 4096.0) AS BIGINT) AS chunk
+       |  FROM (SELECT doc_id, n_tok,
+       |    sum(n_tok) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+       |      AS cum
+       |   FROM trn_tok)),
+       |trn_rank AS (SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (
+       |      ORDER BY md5('ep1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+       |      AS BIGINT) AS rank
+       |  FROM trn_tok)
+       |SELECT f.doc_id, f.fate, p.n_tok, p.chunk, r.rank
+       | FROM fates f LEFT JOIN trn_pack p USING (doc_id)
+       |  LEFT JOIN trn_rank r USING (doc_id)
+       | ORDER BY f.doc_id""".stripMargin
 
   val defs: Seq[QDef] = Seq(
     QDef("q_curate", curateQuery, Some(curateOracleSql)),
+    QDef("q_train_ready", trainReadyQuery, Some(trainReadyOracleSql)),
     QDef("q_pack_sequences", packSequencesQuery, Some(
       s"""SELECT chunk, count(*) AS n_docs,
          | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
@@ -917,61 +1126,10 @@ object PipelineOps {
     // The formatter over the same manifest: DuckDB re-derives the merged
     // runs and assembles the exact sentinel-format (input, target) string
     // pair per document from the identical token stream.
-    QDef("q_span_corrupt_apply", spanCorruptApplyQuery, Some {
-      val toksSql = graft.operators.TextOps.oracleToks
-      val hStart = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) " +
-        "|| ':' || CAST(p AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
-      val hLen = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) " +
-        "|| ':' || CAST(p AS VARCHAR) || ':L'), 1, 8)) AS BIGINT) % 5"
-      s"""WITH b2 AS (SELECT doc_id, $toksSql AS t,
-         |    CAST(len($toksSql) AS BIGINT) AS n
-         |  FROM documents WHERE len($toksSql) > 0),
-         |pos AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS p FROM b2),
-         |sp AS (SELECT doc_id, p AS start_pos, least(n, p + $hLen) AS end_pos
-         |  FROM pos WHERE $hStart < 500),
-         |m AS (SELECT doc_id, start_pos, end_pos,
-         |    coalesce(MAX(end_pos) OVER (PARTITION BY doc_id
-         |      ORDER BY start_pos, end_pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      AS prev_end
-         |  FROM sp),
-         |r0 AS (SELECT doc_id, start_pos, end_pos,
-         |    SUM(CASE WHEN start_pos > prev_end + 1 THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY doc_id ORDER BY start_pos, end_pos
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
-         |  FROM m),
-         |runs AS (SELECT doc_id, run_id, min(start_pos) AS s,
-         |    max(end_pos) AS e
-         |  FROM r0 GROUP BY 1, 2),
-         |rk AS (SELECT doc_id, s, e,
-         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS k,
-         |    coalesce(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
-         |      AS prev_e
-         |  FROM runs),
-         |pieces AS (SELECT r.doc_id, r.k,
-         |    list_concat(b2.t[r.prev_e + 1:r.s - 1],
-         |      ['<extra_id_' || CAST(r.k AS VARCHAR) || '>']) AS pi,
-         |    list_concat(['<extra_id_' || CAST(r.k AS VARCHAR) || '>'],
-         |      b2.t[r.s:r.e]) AS pt,
-         |    r.e AS e
-         |  FROM rk r JOIN b2 USING (doc_id)),
-         |g AS (SELECT doc_id,
-         |    list(struct_pack(k := k, pi := pi, pt := pt) ORDER BY k) AS ps,
-         |    max(e) AS max_e
-         |  FROM pieces GROUP BY 1)
-         |SELECT b2.doc_id,
-         |  CAST(coalesce(len(g.ps), 0) AS INT) AS n_runs,
-         |  CASE WHEN g.ps IS NULL THEN array_to_string(b2.t, ' ')
-         |    ELSE array_to_string(list_concat(
-         |      flatten(list_transform(g.ps, x -> x.pi)),
-         |      b2.t[g.max_e + 1:b2.n]), ' ') END AS input_text,
-         |  CASE WHEN g.ps IS NULL THEN ''
-         |    ELSE array_to_string(list_concat(
-         |      flatten(list_transform(g.ps, x -> x.pt)),
-         |      ['<extra_id_' || CAST(len(g.ps) AS VARCHAR) || '>']),
-         |      ' ') END AS target_text
-         |FROM b2 LEFT JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin
-    }),
+    QDef("q_span_corrupt_apply", spanCorruptApplyQuery, Some(
+      s"""WITH ${spanApplyCtes("documents", "")}
+         |SELECT doc_id, n_runs, input_text, target_text
+         |FROM fmt ORDER BY doc_id""".stripMargin)),
     // PSM reordering from md5-drawn cut points — a pure projection both
     // engines derive identically (hex-bucket + list-slice arithmetic).
     QDef("q_fim_transform", fimQuery, Some {

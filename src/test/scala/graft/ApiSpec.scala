@@ -767,6 +767,77 @@ class ApiSpec extends SparkSpec {
     assert(fates2 == fates, s"precomputed-pairs path diverged: $fates2")
   }
 
+  test("trainReady composes fates, formatter token counts, packing, and epoch order") {
+    val s = spark
+    import s.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => f"$prefix$i%02d")
+    def clean(prefix: String): String =
+      ("the" +: words(prefix, 31) :+ "and").mkString(" ")
+    val nearDupOfB =
+      ("the" +: (words("beta", 28) ++ words("zeta", 3)) :+ "and").mkString(" ")
+    // one doc per fate branch (the curate test's corpus) plus two extra
+    // kept docs so packing crosses a window boundary and ranks go 0..3
+    val corpus = Seq(
+      (1L, "too short"),          // quality
+      (2L, clean("alpha")),       // kept
+      (3L, clean("alpha")),       // exact_dup
+      (4L, clean("beta")),        // kept (cluster rep of {4, 5})
+      (5L, nearDupOfB),           // near_dup
+      (6L, clean("gamma")),       // contaminated
+      (7L, clean("delta")),       // kept
+      (8L, clean("epsil")))       // kept
+      .toDF("id", "body")
+    val bench = Seq(
+      (100L, (words("bench", 5) ++ words("gamma", 8) ++ words("bench2", 5))
+        .mkString(" ")))
+      .toDF("id", "body")
+    val kept = Seq(2L, 4L, 7L, 8L)
+    val out = PipelineOps
+      .trainReady(corpus, bench, "id", "body", cap = 40.0, epoch = "e7")
+      .collect()
+    val rows = out.map(r => r.getLong(0) -> r).toMap
+    assert(rows.view.mapValues(_.getString(1)).toMap == Map(
+      1L -> "quality", 2L -> "kept", 3L -> "exact_dup", 4L -> "kept",
+      5L -> "near_dup", 6L -> "contaminated", 7L -> "kept", 8L -> "kept"),
+      s"fates diverged from curate's: $rows")
+    // dropped docs stay in the manifest with NULL pack/order columns
+    for (id <- Seq(1L, 3L, 5L, 6L))
+      assert(rows(id).isNullAt(2) && rows(id).isNullAt(3) &&
+        rows(id).isNullAt(4), s"dropped doc $id has pack/order values")
+    // kept docs: n_tok is the FORMATTED example's token count — input +
+    // target of the standalone formatter run on the kept subset
+    val fmt = PipelineOps
+      .spanCorruptApply(corpus.filter($"id".isin(kept: _*)), "id", "body")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getString(3))).toMap
+    for (id <- kept) {
+      val (inp, tgt) = fmt(id)
+      val expect = inp.split(" ").length +
+        (if (tgt.isEmpty) 0 else tgt.split(" ").length)
+      assert(rows(id).getLong(2) == expect,
+        s"doc $id n_tok ${rows(id).getLong(2)} != formatter's $expect")
+    }
+    // epoch ranks are dense 0..k-1 over the kept docs
+    assert(kept.map(rows(_).getLong(4)).sorted == (0L until 4L).toList)
+    // chunk assignment = md5(doc_id)-ordered running sum under cap
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes)
+        .map("%02x".format(_)).mkString
+    var cum = 0L
+    kept.sortBy(id => md5hex(id.toString)).foreach { id =>
+      val nt = rows(id).getLong(2)
+      cum += nt
+      val expectChunk = math.floor((cum - nt) / 40.0).toLong
+      assert(rows(id).getLong(3) == expectChunk,
+        s"doc $id chunk ${rows(id).getLong(3)} != $expectChunk")
+    }
+    // the boundary actually exercised: 4 docs × ~40-token examples under
+    // cap=40 must span more than one window
+    assert(kept.map(rows(_).getLong(3)).distinct.size > 1,
+      "all kept docs packed into one window — boundary not exercised")
+  }
+
   test("README reuse story: persisted quantizer and pair list round-trip through parquet bit-identically") {
     // the exact flow the README's "train once, search many" section
     // shows: build artifact -> write parquet -> NEW read -> feed back in;
