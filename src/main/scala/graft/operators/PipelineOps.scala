@@ -99,6 +99,79 @@ object PipelineOps {
   private def packSequencesQuery(s: SparkSession, d: String): DataFrame =
     packSequences(docs(s, d), "doc_id", "text", Cap)
 
+  /** INCREMENTAL packing — append a new ingest batch to an existing
+    * packed-corpus manifest without re-packing the corpus (the
+    * daily-ingest analogue of [[DedupOps.exactDedupIncremental]]).
+    * `priorChunks` is a previous [[packSequences]] /
+    * packSequencesIncremental output; the new batch lays out in its own
+    * md5(doc_id) order and its running token count continues from the
+    * prior manifest's grand total, so new documents first fill the
+    * prior build's partially-filled last window and then open fresh
+    * ones. Output is the merged manifest (manifest in ≡ manifest out —
+    * increments chain).
+    *
+    * Packing-policy statement: the result is IDENTICAL to re-packing
+    * the union from scratch under BATCH-MAJOR order — prior corpus in
+    * its layout first, then the new batch hash-shuffled within itself
+    * (`ORDER BY batch, md5(doc_id)`). It is NOT the single-batch
+    * layout of the union: a global md5 order would interleave new docs
+    * everywhere and force a full re-pack on every ingest — the exact
+    * cost this entry point exists to avoid. The oracle
+    * (q_pack_incremental) checks the batch-major equivalence end to
+    * end; ApiSpec chains increments and pins parity against a
+    * from-scratch reference.
+    *
+    * Shape at 100 TB: cost ∝ increment. Only chunks at or above the
+    * boundary `floor(prior_total / cap)` can change (the new batch's
+    * first token lands there; at most ONE prior row overlaps) — prior
+    * chunks below it pass through as a filter, never re-aggregated,
+    * never shuffled.
+    *
+    * LIBRARY ENTRY POINT — generic over any corpus (id + text columns).
+    */
+  def packSequencesIncremental(priorChunks: DataFrame, newRows: DataFrame,
+      id: String, text: String, cap: Double): DataFrame = {
+    require(cap > 0, s"cap must be > 0, got $cap")
+    val totals = priorChunks
+      .agg(coalesce(sum("n_tokens"), lit(0L)).as("prior_tok"))
+      .withColumn("boundary",
+        floor(col("prior_tok") / cap).cast("long"))
+    val newChunks = packAssign(newRows.select(col(id).as("doc_id"),
+        size(TextOps.toks(col(text))).cast("long").as("n_tok")),
+      "doc_id", "n_tok", cap)
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_tok"),
+        floor((col("cum") + col("prior_tok") - col("n_tok")) / cap)
+          .cast("long").as("chunk"))
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+    val prior = priorChunks
+      .select("chunk", "n_docs", "n_tokens", "min_doc", "max_doc")
+      .crossJoin(broadcast(totals.select("boundary")))
+    val untouched = prior.filter(col("chunk") < col("boundary"))
+      .drop("boundary")
+    val touched = prior.filter(col("chunk") >= col("boundary"))
+      .drop("boundary")
+      .unionByName(newChunks)
+      .groupBy("chunk")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min("min_doc").as("min_doc"), max("max_doc").as("max_doc"))
+    untouched.unionByName(touched).orderBy("chunk")
+  }
+
+  // q_pack_incremental: batch 0 = doc_id % 3 <> 0 packed from scratch,
+  // batch 1 = the rest appended incrementally; the oracle re-packs the
+  // union under the batch-major order in one window — checking the
+  // policy equivalence end to end.
+  private def packIncrementalQuery(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val prior = packSequences(all.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", Cap)
+    packSequencesIncremental(prior, all.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", Cap)
+  }
+
   /** Deterministic per-epoch global training order: `md5(epoch:id)`
     * re-permutes the corpus every epoch with no RNG — the order is
     * reproducible across runs, restarts, and cluster sizes, and a trainer
@@ -1010,6 +1083,18 @@ object PipelineOps {
          |  FROM (SELECT doc_id, n_tok,
          |    sum(n_tok) OVER (ORDER BY ord, doc_id) AS cum
          |   FROM (SELECT doc_id, $oracleNTok AS n_tok,
+         |     md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents)))
+         | GROUP BY 1 ORDER BY chunk""".stripMargin)),
+    QDef("q_pack_incremental", packIncrementalQuery, Some(
+      s"""SELECT chunk, count(*) AS n_docs,
+         | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         | FROM (SELECT doc_id, n_tok,
+         |   CAST(floor((cum - n_tok) / 4096.0) AS BIGINT) AS chunk
+         |  FROM (SELECT doc_id, n_tok,
+         |    sum(n_tok) OVER (ORDER BY batch, ord, doc_id) AS cum
+         |   FROM (SELECT doc_id, $oracleNTok AS n_tok,
+         |     CASE WHEN doc_id % 3 <> 0 THEN 0 ELSE 1 END AS batch,
          |     md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents)))
          | GROUP BY 1 ORDER BY chunk""".stripMargin)),
     QDef("q_shuffle_order", shuffleOrderQuery, Some(

@@ -767,6 +767,57 @@ class ApiSpec extends SparkSpec {
     assert(fates2 == fates, s"precomputed-pairs path diverged: $fates2")
   }
 
+  test("packSequencesIncremental: chained increments match a from-scratch batch-major re-pack") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def mkDocs(ids: Seq[Long]) =
+      ids.map(i => (i, (1 to (5 + (i % 17)).toInt)
+        .map(j => s"w${i}_$j").mkString(" "))).toDF("id", "body")
+    val b0 = mkDocs(1L to 40L)
+    val b1 = mkDocs(41L to 70L)
+    val b2 = mkDocs(71L to 100L)
+    val cap = 64.0
+    val p0 = PipelineOps.packSequences(b0, "id", "body", cap)
+    val p1 = PipelineOps.packSequencesIncremental(p0, b1, "id", "body", cap)
+    val p2 = PipelineOps.packSequencesIncremental(p1, b2, "id", "body", cap)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    // from-scratch reference: ONE naive global window over batch-major
+    // order (test-scale only — the library never sorts globally)
+    val union = b0.withColumn("batch", lit(0))
+      .unionByName(b1.withColumn("batch", lit(1)))
+      .unionByName(b2.withColumn("batch", lit(2)))
+    val w = Window.orderBy("batch", "ord", "id")
+    val ref = union
+      .select($"id", $"batch", md5($"id".cast("string")).as("ord"),
+        size(split($"body", " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("chunk",
+        floor(($"cum" - $"n_tok") / cap).cast("long"))
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        min("id").as("min_doc"), max("id").as("max_doc"))
+    assert(rowsOf(p2) == rowsOf(ref),
+      "two chained increments diverged from the batch-major re-pack")
+    // the boundary chunk is genuinely shared (an increment continued a
+    // partially-filled window), otherwise the merge path wasn't exercised
+    val p0Last = rowsOf(p0).last
+    val p1Rows = rowsOf(p1)
+    assert(p1Rows.exists(r => r._1 == p0Last._1 && r._2 > p0Last._2),
+      "increment opened a fresh window exactly at the boundary — " +
+        "boundary-merge path not exercised")
+    // empty increment is a no-op; empty prior manifest = from-scratch pack
+    val emptyDocs = Seq.empty[(Long, String)].toDF("id", "body")
+    assert(rowsOf(PipelineOps.packSequencesIncremental(
+      p2, emptyDocs, "id", "body", cap)) == rowsOf(p2))
+    val emptyManifest = Seq.empty[(Long, Long, Long, Long, Long)]
+      .toDF("chunk", "n_docs", "n_tokens", "min_doc", "max_doc")
+    assert(rowsOf(PipelineOps.packSequencesIncremental(
+      emptyManifest, b0, "id", "body", cap)) == rowsOf(p0))
+  }
+
   test("trainReady composes fates, formatter token counts, packing, and epoch order") {
     val s = spark
     import s.implicits._
