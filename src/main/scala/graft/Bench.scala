@@ -150,13 +150,24 @@ object Bench {
     // arrays are self-describing (a failed rep's elapsed time is not a
     // measurement). The block flag identifies localCheckpoint-heavy
     // queries at runtime (no hardcoded list to rot).
+    // Queries with a managed rendering (QDef.managed — the graph
+    // queries' RankRun handles) run through it: the caller-facing
+    // release path is the one exercised under load, and the global
+    // sweep below degrades to a backstop that finds nothing of theirs.
+    val managedMap = SparkEntry.managedQueries
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Boolean) = {
+      var cleanup: () => Unit = () => ()
       val t0 = System.nanoTime()
       val ok =
         try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val df = managedMap.get(name) match {
+            case Some(m) =>
+              val (d, c) = m(spark, sfDir); cleanup = c; d
+            case None => fn(spark, sfDir)
+          }
+          df.write.format("noop").mode("overwrite").save()
           true
         } catch {
           case e: Throwable =>
@@ -166,6 +177,9 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       val pinnedCount = spark.sparkContext.getPersistentRDDs.size
+      // handle release first (outside the timer, like the sweep — r10
+      // numbers stay comparable); failures fall through to the sweep
+      try cleanup() catch { case _: Throwable => () }
       releaseBlocks()
       val heapMB = (Runtime.getRuntime.totalMemory() -
         Runtime.getRuntime.freeMemory()) / (1024 * 1024)

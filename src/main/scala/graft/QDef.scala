@@ -10,8 +10,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *               tables, or None when the operator's semantics are not
   *               batch-SQL-expressible (driver then records a weaker
   *               rows-only check; a ScalaTest spec covers it instead).
+  * @param managed same result as `build` plus the cleanup that frees the
+  *               pinned blocks backing it (GraphOps' RankRun handles) —
+  *               consumers that control the consumption point (Bench)
+  *               prefer this form, so the caller-facing release path is
+  *               the one exercised under load instead of a global
+  *               getPersistentRDDs sweep. None for queries that pin
+  *               nothing beyond their own execution.
   */
 final case class QDef(
     name: String,
     build: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    managed: Option[(SparkSession, String) => (DataFrame, () => Unit)] =
+      None)

@@ -63,28 +63,41 @@ object StressGraph {
     }
     val edges = spark.read.parquet(dir)
 
-    val ranks = timed("pageRank 10 rounds") {
-      val r = graft.operators.GraphOps.pageRank(edges, "src", "dst")
-      r.write.format("noop").mode("overwrite").save()
+    // Managed handles under load (r11): the caller-facing RankRun
+    // release path is what a production session would use — this run
+    // exercises it at 10M edges instead of the global sweep, and
+    // asserts it actually restores the pinned-block count.
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
+    val run = timed("pageRank 10 rounds") {
+      val r = graft.operators.GraphOps
+        .pageRankManaged(edges, "src", "dst")
+      r.ranks.write.format("noop").mode("overwrite").save()
       r
     }
-    val nRanked = ranks.count()
-    val mass = ranks.agg(sum(col("rank").cast("decimal(38,18)"))
+    val nRanked = run.ranks.count()
+    val mass = run.ranks.agg(sum(col("rank").cast("decimal(38,18)"))
       .cast("double")).head().getDouble(0)
     println(s"[stress] nodes ranked: $nRanked (graph nodes = " +
       s"${edges.select(col("src").as("v"))
         .unionByName(edges.select(col("dst").as("v"))).distinct().count()})")
     println(f"[stress] total rank mass: $mass%.6f (sinks leak; must be <= 1)")
     assert(mass <= 1.0 + 1e-9, s"mass conservation violated: $mass")
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
+    run.release()
+    val pinnedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(pinnedAfter <= pinnedBefore,
+      s"RankRun.release leaked blocks: $pinnedBefore -> $pinnedAfter")
+    println(s"[stress] RankRun.release: pinned RDDs " +
+      s"$pinnedBefore -> $pinnedAfter")
 
     timed("personalizedPageRank 10 rounds (hub seeds)") {
       val seeds = spark.range(1024).select(col("id").as("node"),
         lit(1.0).as("w"))
-      graft.operators.GraphOps
-        .personalizedPageRank(edges, "src", "dst", seeds, "node", "w")
-        .write.format("noop").mode("overwrite").save()
+      val pr = graft.operators.GraphOps
+        .personalizedPageRankManaged(edges, "src", "dst", seeds, "node", "w")
+      pr.ranks.write.format("noop").mode("overwrite").save()
+      pr.release()
+      assert(spark.sparkContext.getPersistentRDDs.size <= pinnedBefore,
+        "PPR RankRun.release leaked blocks")
     }
     println(f"[stress] total shuffle write: ${totalShuffle.get / 1e9}%.2f GB")
     spark.stop()

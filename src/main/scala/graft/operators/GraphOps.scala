@@ -407,25 +407,45 @@ object GraphOps {
   def memoBuilds: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("_memo_copurchase" -> ((s, d) => coPurchase(s, d)))
 
-  private def qPageRank(s: SparkSession, d: String): DataFrame =
-    pageRank(coPurchase(s, d), "s", "d", damping = 0.85, iters = 10)
-      .select(col("node"), Det.r9(col("rank")).as("rank"))
+  /** r9 rounding + presentation order shared by the plain and managed
+    * renderings of both graph queries. */
+  private def present(ranks: DataFrame): DataFrame =
+    ranks.select(col("node"), Det.r9(col("rank")).as("rank"))
       .orderBy("node")
+
+  private def qPageRank(s: SparkSession, d: String): DataFrame =
+    present(pageRank(coPurchase(s, d), "s", "d", damping = 0.85, iters = 10))
+
+  // The managed rendering Bench prefers (QDef.managed): same frame, plus
+  // the RankRun release handle — the caller-facing block-free path is
+  // what runs under load, not the global sweep (VERDICT r10 #4).
+  private def qPageRankManaged(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
+    val run = pageRankManaged(coPurchase(s, d), "s", "d",
+      damping = 0.85, iters = 10)
+    (present(run.ranks), () => run.release())
+  }
 
   /** Personalized ranking seeded on every 100th part: "what is related
     * to THESE products" over the same co-purchase graph. The seed set is
     * mod-selected so DuckDB re-derives it from `part` verbatim; weights
     * normalize over seeds present in the graph (a part absent from every
     * order carries no graph node). */
-  private def qPersonalizedPageRank(s: SparkSession, d: String): DataFrame = {
-    val prefs = Tables(s, d, "part")
+  private def pprSeeds(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "part")
       .filter(col("p_partkey") % 100 === 0)
       .select(concat(lit("p:"), col("p_partkey").cast("string")).as("seed"),
         lit(1.0).as("w"))
-    personalizedPageRank(coPurchase(s, d), "s", "d", prefs, "seed", "w",
-      damping = 0.85, iters = 10)
-      .select(col("node"), Det.r9(col("rank")).as("rank"))
-      .orderBy("node")
+
+  private def qPersonalizedPageRank(s: SparkSession, d: String): DataFrame =
+    present(personalizedPageRank(coPurchase(s, d), "s", "d",
+      pprSeeds(s, d), "seed", "w", damping = 0.85, iters = 10))
+
+  private def qPersonalizedPageRankManaged(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
+    val run = personalizedPageRankManaged(coPurchase(s, d), "s", "d",
+      pprSeeds(s, d), "seed", "w", damping = 0.85, iters = 10)
+    (present(run.ranks), () => run.release())
   }
 
   // The oracle mirrors the power iteration as a DuckDB recursive CTE
@@ -460,7 +480,8 @@ object GraphOps {
          |   GROUP BY i.d
          | )
          |SELECT v AS node, ${Det.r9Sql("r")} AS rank
-         |FROM pr WHERE it = 10 ORDER BY node""".stripMargin)),
+         |FROM pr WHERE it = 10 ORDER BY node""".stripMargin),
+      managed = Some(qPageRankManaged _)),
     // Personalized variant over the same graph: the oracle re-derives the
     // mod-selected seed set, the decimal-exact normalizing total, and the
     // per-node teleport p(v) — the recursion differs from q_graph_pagerank
@@ -501,5 +522,6 @@ object GraphOps {
          |   GROUP BY i.d, pv.p
          | )
          |SELECT v AS node, ${Det.r9Sql("r")} AS rank
-         |FROM pr WHERE it = 10 ORDER BY node""".stripMargin)))
+         |FROM pr WHERE it = 10 ORDER BY node""".stripMargin),
+      managed = Some(qPersonalizedPageRankManaged _)))
 }
