@@ -129,6 +129,49 @@ class ScaleSpec extends SparkSpec {
       "removal pass must not explode the corpus")
   }
 
+  test("spanCorruptApply holds at the long-document regime (64 docs x 100k tokens)") {
+    // the stress axis of the formatter is per-row array surgery on the
+    // token array (slice/flatten/concat_ws over ~100k elements) plus the
+    // positions explode (6.4M rows here); the corpus docs are short, so
+    // this regime is otherwise never exercised. Invariant checked
+    // entirely executor-side (never collecting a 700KB string): every
+    // original token lands exactly once across input∪target, so
+    // input_tokens + target_tokens = n + 2·n_runs + 1 (one sentinel per
+    // run on each side, plus the terminal end-of-target sentinel).
+    val nDocs = 64L
+    val nTok = 100000L
+    val docs = spark.range(nDocs)
+      .repartition(32)
+      .select(col("id"), concat_ws(" ",
+        transform(sequence(lit(0L), lit(nTok - 1)),
+          j => concat(lit("w"), j.cast("string")))).as("body"))
+    val t0 = System.nanoTime()
+    val out = graft.operators.PipelineOps
+      .spanCorruptApply(docs, "id", "body")
+      .select(col("doc_id"), col("n_runs").cast("long").as("n_runs"),
+        size(split(col("input_text"), " ")).cast("long").as("in_tok"),
+        when(col("target_text") === "", 0L)
+          .otherwise(size(split(col("target_text"), " ")).cast("long"))
+          .as("tg_tok"))
+    val agg = out.agg(
+      count(lit(1)).as("rows"),
+      sum(when(col("n_runs") > 0 && col("in_tok") + col("tg_tok")
+          =!= lit(nTok) + col("n_runs") * 2 + 1, 1L)
+        .when(col("n_runs") === 0 && col("in_tok") =!= nTok, 1L)
+        .otherwise(0L)).as("violations"),
+      // realized mask fraction = (n - (in_tok - n_runs)) / n, corpus-wide
+      sum(lit(nTok) - (col("in_tok") - col("n_runs"))).as("masked"))
+      .collect().head
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"64x100k-token spanCorruptApply: $sec%.1f s")
+    assert(agg.getLong(0) == nDocs, s"expected $nDocs rows, got ${agg.getLong(0)}")
+    assert(agg.getLong(1) == 0L,
+      "token accounting violated at the 100k-token regime")
+    val maskFrac = agg.getLong(2).toDouble / (nDocs * nTok)
+    assert(maskFrac > 0.08 && maskFrac < 0.22,
+      s"realized mask fraction $maskFrac outside the density envelope")
+  }
+
   test("observe() surfaces inline QA metrics without an extra pass") {
     val observed = Tables(spark, sf, "documents")
       .observe("qa",
