@@ -858,28 +858,50 @@ object PipelineOps {
     * sorts: the composed form joins on the UNSORTED fate/rank relations
     * (the public entry points' presentation sorts are peeled off).
     *
+    * `formatter` selects the training objective's shape: `"span"` (T5
+    * span corruption — the default; token count = input + target),
+    * `"fim"` (fill-in-the-middle PSM reorder; token count = the
+    * reordered stream, sentinels included), or `"plain"` (no transform;
+    * token count = the raw token stream — the decoder-only causal-LM
+    * build). Both transforms are md5-deterministic pure projections, so
+    * the manifest is stable under corpus growth whichever is chosen.
+    *
     * LIBRARY ENTRY POINT — generic over any (id, text) corpus + bench
     * pair; ApiSpec plants one doc per fate/format branch. */
   def trainReady(corpus: DataFrame, bench: DataFrame, id: String,
       text: String, cap: Double = Cap, epoch: String = "ep1",
+      formatter: String = "span",
       startRateBp: Int = 500, meanSpan: Int = 3,
       minJaccard: Double = 0.1, contamN: Int = 8,
       precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    require(Set("span", "fim", "plain")(formatter),
+      s"formatter must be span | fim | plain, got '$formatter'")
     val fates = curateFates(corpus, bench, id, text, minJaccard, contamN,
       precomputedPairs)
     val keptDocs = corpus.select(col(id).as("doc_id"), col(text).as("text"))
       .join(fates.filter(col("fate") === "kept").select("doc_id"),
         Seq("doc_id"))
-    val formatted = spanCorruptApply(keptDocs, "doc_id", "text",
-      startRateBp, meanSpan)
-    // formatted-example token count: the strings are single-space token
-    // joins by construction, so a split on the literal separator counts
-    // tokens without re-tokenizing (empty target ⇒ 0, not split("")=1)
-    val withTok = formatted.select(col("doc_id"),
-      (size(split(col("input_text"), " ")) +
-        when(col("target_text") === "", 0)
-          .otherwise(size(split(col("target_text"), " "))))
-        .cast("long").as("n_tok"))
+    // formatted-example token count: the formatter outputs are
+    // single-space token joins by construction, so a split on the
+    // literal separator counts tokens without re-tokenizing (empty
+    // target ⇒ 0, not split("")=1)
+    val withTok = formatter match {
+      case "span" =>
+        spanCorruptApply(keptDocs, "doc_id", "text", startRateBp, meanSpan)
+          .select(col("doc_id"),
+            (size(split(col("input_text"), " ")) +
+              when(col("target_text") === "", 0)
+                .otherwise(size(split(col("target_text"), " "))))
+              .cast("long").as("n_tok"))
+      case "fim" =>
+        fimTransform(keptDocs, "doc_id", "text")
+          .select(col("doc_id"),
+            size(split(col("output_text"), " ")).cast("long").as("n_tok"))
+      case "plain" =>
+        keptDocs.select(col("doc_id"),
+          size(TextOps.toks(col("text"))).cast("long").as("n_tok"))
+          .filter(col("n_tok") > 0)
+    }
     val packed = packAssign(withTok, "doc_id", "n_tok", cap)
       .select("doc_id", "n_tok", "chunk")
     val order = epochRank(withTok, "doc_id", epoch).select("doc_id", "rank")

@@ -887,6 +887,31 @@ class ApiSpec extends SparkSpec {
     // cap=40 must span more than one window
     assert(kept.map(rows(_).getLong(3)).distinct.size > 1,
       "all kept docs packed into one window — boundary not exercised")
+    // formatter branches: fim counts the PSM-reordered stream, plain the
+    // raw token stream; fates are formatter-independent
+    val outFim = PipelineOps
+      .trainReady(corpus, bench, "id", "body", cap = 40.0, epoch = "e7",
+        formatter = "fim")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val fimOut = PipelineOps
+      .fimTransform(corpus.filter($"id".isin(kept: _*)), "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    for (id <- kept) {
+      assert(outFim(id).getString(1) == "kept")
+      assert(outFim(id).getLong(2) == fimOut(id).split(" ").length,
+        s"fim n_tok mismatch for doc $id")
+    }
+    val outPlain = PipelineOps
+      .trainReady(corpus, bench, "id", "body", cap = 40.0, epoch = "e7",
+        formatter = "plain")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- kept)
+      assert(outPlain(id).getLong(2) == 33L,
+        s"plain n_tok must be the raw 33-token stream for doc $id")
+    intercept[IllegalArgumentException] {
+      PipelineOps.trainReady(corpus, bench, "id", "body",
+        formatter = "nope")
+    }
   }
 
   test("README reuse story: persisted quantizer and pair list round-trip through parquet bit-identically") {
