@@ -50,13 +50,20 @@ object PipelineOps {
   // LIBRARY ENTRY POINT — generic over any corpus (id + text columns).
   def packSequences(rows: DataFrame, id: String, text: String,
       cap: Double): DataFrame =
+    packChunks(rows, id, text, cap).orderBy("chunk")
+
+  /** [[packSequences]] without the presentation sort — the form the
+    * incremental query feeds to [[packSequencesIncremental]] (a real
+    * caller's prior manifest is an unsorted parquet scan; chunk order is
+    * irrelevant to the merge). */
+  private def packChunks(rows: DataFrame, id: String, text: String,
+      cap: Double): DataFrame =
     packAssign(rows.select(col(id).as("doc_id"),
         size(TextOps.toks(col(text))).cast("long").as("n_tok")),
       "doc_id", "n_tok", cap)
       .groupBy("chunk")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
-      .orderBy("chunk")
 
   /** Per-item context-window ASSIGNMENT — [[packSequences]]' underlying
     * per-document map `(doc_id, n_tok, cum, chunk)`, exposed for
@@ -132,6 +139,10 @@ object PipelineOps {
   def packSequencesIncremental(priorChunks: DataFrame, newRows: DataFrame,
       id: String, text: String, cap: Double): DataFrame = {
     require(cap > 0, s"cap must be > 0, got $cap")
+    // the 1-row totals join everything as a BROADCAST nested-loop — the
+    // scalar-subquery execution shape (build side is one row by
+    // construction); PlanSpec pins that it never degrades to a shuffled
+    // CartesianProduct
     val totals = priorChunks
       .agg(coalesce(sum("n_tokens"), lit(0L)).as("prior_tok"))
       .withColumn("boundary",
@@ -166,7 +177,7 @@ object PipelineOps {
   // policy equivalence end to end.
   private def packIncrementalQuery(s: SparkSession, d: String): DataFrame = {
     val all = docs(s, d)
-    val prior = packSequences(all.filter(col("doc_id") % 3 =!= 0),
+    val prior = packChunks(all.filter(col("doc_id") % 3 =!= 0),
       "doc_id", "text", Cap)
     packSequencesIncremental(prior, all.filter(col("doc_id") % 3 === 0),
       "doc_id", "text", Cap)
@@ -396,7 +407,15 @@ object PipelineOps {
     *
     * LIBRARY ENTRY POINT — generic over any (id, text) frame. */
   def spanCorruptionPlan(rows: DataFrame, id: String, text: String,
-      startRateBp: Int = 500, meanSpan: Int = 3): DataFrame = {
+      startRateBp: Int = 500, meanSpan: Int = 3): DataFrame =
+    spanPlanCore(rows, id, text, startRateBp, meanSpan)
+      .orderBy("doc_id", "start_pos")
+
+  /** [[spanCorruptionPlan]] without the presentation sort — what the
+    * formatter consumes (its per-doc windows impose their own order; a
+    * global range sort below them is pure waste in a composed plan). */
+  private def spanPlanCore(rows: DataFrame, id: String, text: String,
+      startRateBp: Int, meanSpan: Int): DataFrame = {
     require(startRateBp >= 1 && startRateBp <= 10000,
       s"startRateBp must be in [1, 10000], got $startRateBp")
     require(meanSpan >= 1, s"meanSpan must be >= 1, got $meanSpan")
@@ -415,7 +434,6 @@ object PipelineOps {
     pos.filter(hStart < startRateBp)
       .select(col("doc_id"), col("p").as("start_pos"),
         least(col("n_tok"), col("p") + hLen).as("end_pos"))
-      .orderBy("doc_id", "start_pos")
   }
 
   /** The span-corruption FORMATTER over [[spanCorruptionPlan]]'s
@@ -439,8 +457,16 @@ object PipelineOps {
     *
     * LIBRARY ENTRY POINT — generic over any (id, text) frame. */
   def spanCorruptApply(rows: DataFrame, id: String, text: String,
-      startRateBp: Int = 500, meanSpan: Int = 3): DataFrame = {
-    val plan = spanCorruptionPlan(rows, id, text, startRateBp, meanSpan)
+      startRateBp: Int = 500, meanSpan: Int = 3): DataFrame =
+    spanApplyCore(rows, id, text, startRateBp, meanSpan).orderBy("doc_id")
+
+  /** [[spanCorruptApply]] without the presentation sort — what
+    * [[trainReady]] composes (the composed plan re-shuffles on doc_id
+    * immediately; the formatter subtree appears under both the pack and
+    * rank branches, so an internal global sort would be paid twice). */
+  private def spanApplyCore(rows: DataFrame, id: String, text: String,
+      startRateBp: Int, meanSpan: Int): DataFrame = {
+    val plan = spanPlanCore(rows, id, text, startRateBp, meanSpan)
     val wOrd = Window.partitionBy("doc_id").orderBy("start_pos", "end_pos")
     val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
     // gaps-and-islands: a span starting within (or adjacent to) the
@@ -486,7 +512,6 @@ object PipelineOps {
             flatten(transform(col("ps"), x => x.getField("piece_tg"))),
             array(concat(lit("<extra_id_"), size(col("ps")), lit(">"))))))
           .as("target_text"))
-      .orderBy("doc_id")
   }
 
   private def spanCorruptApplyQuery(s: SparkSession, d: String): DataFrame =
@@ -512,7 +537,13 @@ object PipelineOps {
     *
     * LIBRARY ENTRY POINT — generic over any (id, text) frame. */
   def fimTransform(rows: DataFrame, id: String, text: String,
-      fimRateBp: Int = 9000): DataFrame = {
+      fimRateBp: Int = 9000): DataFrame =
+    fimCore(rows, id, text, fimRateBp).orderBy("doc_id")
+
+  /** [[fimTransform]] without the presentation sort — the composed form
+    * (see [[spanApplyCore]]). */
+  private def fimCore(rows: DataFrame, id: String, text: String,
+      fimRateBp: Int): DataFrame = {
     require(fimRateBp >= 0 && fimRateBp <= 10000,
       s"fimRateBp must be in [0, 10000], got $fimRateBp")
     val base = rows
@@ -539,7 +570,6 @@ object PipelineOps {
             array(lit("<fim_middle>")),
             slice(col("t"), col("c_lo") + 1, col("c_hi") - col("c_lo")))))
           .as("output_text"))
-      .orderBy("doc_id")
   }
 
   private def fimQuery(s: SparkSession, d: String): DataFrame =
@@ -552,7 +582,7 @@ object PipelineOps {
   private def spanCorruptionQuery(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d).select(col("doc_id"),
       size(TextOps.toks(col("text"))).cast("long").as("n_tok"))
-    val plan = spanCorruptionPlan(docs(s, d), "doc_id", "text")
+    val plan = spanPlanCore(docs(s, d), "doc_id", "text", 500, 3)
     val w = Window.partitionBy("doc_id").orderBy("start_pos", "end_pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     val agg = plan
@@ -887,14 +917,14 @@ object PipelineOps {
     // target ⇒ 0, not split("")=1)
     val withTok = formatter match {
       case "span" =>
-        spanCorruptApply(keptDocs, "doc_id", "text", startRateBp, meanSpan)
+        spanApplyCore(keptDocs, "doc_id", "text", startRateBp, meanSpan)
           .select(col("doc_id"),
             (size(split(col("input_text"), " ")) +
               when(col("target_text") === "", 0)
                 .otherwise(size(split(col("target_text"), " "))))
               .cast("long").as("n_tok"))
       case "fim" =>
-        fimTransform(keptDocs, "doc_id", "text")
+        fimCore(keptDocs, "doc_id", "text", fimRateBp = 9000)
           .select(col("doc_id"),
             size(split(col("output_text"), " ")).cast("long").as("n_tok"))
       case "plain" =>

@@ -320,4 +320,44 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2,
       s"expected at most 2 shuffles (pair agg, shortlist window), got $exchanges:\n$plan")
   }
+
+  test("q_train_ready: one presentation sort, bounded prefix exchanges, no cartesian") {
+    // the r11 composition contract: joining the UNSORTED fate/rank cores
+    // must not inherit the public entry points' presentation sorts — the
+    // only global (range) sort in the composed plan is the final
+    // orderBy(doc_id); the only single-partition exchanges are the two
+    // 256-row bucket-prefix windows (packAssign + epochRank)
+    val p = plan("q_train_ready")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"composed build must stay equi-join only:\n$p")
+    val rangeSorts = distinctExchanges(p, "Exchange rangepartitioning")
+    assert(rangeSorts <= 1,
+      s"expected at most 1 global sort (final orderBy), got $rangeSorts:\n$p")
+    val singleParts = distinctExchanges(p, "Exchange SinglePartition")
+    assert(singleParts <= 2,
+      s"expected at most 2 bounded 256-row prefix exchanges, got $singleParts:\n$p")
+  }
+
+  // AQE plan text renders a reused exchange subtree once per reference —
+  // count DISTINCT plan ids, not lines
+  private def distinctExchanges(p: String, marker: String): Int =
+    p.linesIterator.filter(_.contains(marker))
+      .map(l => "plan_id=(\\d+)".r.findFirstMatchIn(l)
+        .map(_.group(1)).getOrElse(l.trim))
+      .toSet.size
+
+  test("q_pack_incremental: 1-row totals broadcast (no shuffled cartesian), one presentation sort") {
+    // the totals/boundary frame is ONE row by construction; joining it
+    // as a BroadcastNestedLoopJoin is the scalar-subquery execution
+    // shape — what must never appear is a shuffled CartesianProduct
+    // (both sides data-sized) or extra global sorts below the final
+    // orderBy(chunk)
+    val p = plan("q_pack_incremental")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row totals must broadcast, never a shuffled product:\n$p")
+    val rangeSorts = distinctExchanges(p, "Exchange rangepartitioning")
+    assert(rangeSorts <= 1,
+      s"expected at most 1 global sort (final orderBy), got $rangeSorts:\n$p")
+  }
 }
