@@ -216,4 +216,57 @@ object StreamingTemporal {
           }
       }
   }
+
+  /** Streaming twin of
+    * [[graft.operators.PipelineOps.packSequencesIncremental]] — the
+    * live-ingest form of context-window packing: documents arrive as
+    * `(doc_id, n_tok)` micro-batches, each is assigned the chunk where
+    * its first token lands, and the running corpus token total carries
+    * across batches, so new documents first fill the previous batch's
+    * partially-filled last window. Output: `(doc_id, n_tok, chunk)`
+    * assignments, append-mode.
+    *
+    * Packing is a GLOBALLY SEQUENTIAL fold by definition — every chunk
+    * boundary depends on every prior token — so the stream form funnels
+    * through one pack cursor: a single-key `flatMapGroupsWithState`
+    * whose state is ONE long (the grand total; nothing grows with
+    * history), laying each micro-batch out in the same md5(doc_id)
+    * order the batch operator uses. The micro-batch is held and sorted
+    * in the cursor task's memory — bounded by the trigger size, the
+    * unit a streaming ingest already buffers. This is the INGEST-TAIL
+    * shape (per-hour/day increments); the initial bulk build belongs to
+    * the batch operator, whose within-batch layout is fully
+    * distributed.
+    *
+    * Batch ≡ stream: feeding batches B0, B1, … as micro-batches yields
+    * per-doc assignments identical to chaining
+    * `packSequencesIncremental` over the same batch split (equivalently
+    * the batch-major re-pack of the union) — pinned in
+    * graft.StreamingWindowSpec.
+    *
+    * LIBRARY ENTRY POINT. */
+  def packAssignments(docs: Dataset[(Long, Long)],
+      cap: Double): Dataset[(Long, Long, Long)] = {
+    require(cap > 0, s"cap must be > 0, got $cap")
+    val session = docs.sparkSession
+    import session.implicits._
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    docs.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Int, values: Iterator[(Long, Long)],
+         state: GroupState[Long]) =>
+          var total = state.getOption.getOrElse(0L)
+          val out = values.toVector
+            .sortBy { case (id, _) => (md5hex(id.toString), id) }
+            .map { case (id, n) =>
+              total += n
+              (id, n, math.floor((total - n) / cap).toLong)
+            }
+          state.update(total)
+          out.iterator
+      }
+  }
 }

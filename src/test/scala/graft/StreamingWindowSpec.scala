@@ -379,4 +379,55 @@ class StreamingWindowSpec extends SparkSpec {
       assert(got == expected, s"stream $got vs batch $expected")
     } finally q.stop()
   }
+
+  test("streaming pack assignments: cross-batch chunk continuation matches the incremental batch operator") {
+    // StreamingTemporal.packAssignments over micro-batches B0, B1 must
+    // assign exactly the chunks the batch chain packSequences(B0) →
+    // packSequencesIncremental(B1) assigns — the boundary window
+    // genuinely continued, per-chunk aggregates identical.
+    val s = spark
+    import s.implicits._
+    val cap = 64.0
+    def nTokOf(i: Long): Long = 5L + (i % 17)
+    def docsOf(ids: Seq[Long]) =
+      ids.map(i => (i, (1L to nTokOf(i)).map(j => s"w$j").mkString(" ")))
+        .toDF("id", "body")
+    val b0 = (1L to 40L); val b1 = (41L to 70L)
+    val prior = graft.operators.PipelineOps
+      .packSequences(docsOf(b0), "id", "body", cap)
+    val batchRef = graft.operators.PipelineOps
+      .packSequencesIncremental(prior, docsOf(b1), "id", "body", cap)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+
+    val in = MemoryStream[(Long, Long)](s)
+    val q = graft.streaming.StreamingTemporal
+      .packAssignments(in.toDS(), cap)
+      .toDF("doc_id", "n_tok", "chunk")
+      .writeStream.format("memory").queryName("stream_pack")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(b0.map(i => (i, nTokOf(i))): _*)
+      q.processAllAvailable()
+      val chunksAfterB0 = s.table("stream_pack").collect()
+        .map(_.getLong(2)).toSet
+      in.addData(b1.map(i => (i, nTokOf(i))): _*)
+      q.processAllAvailable()
+      val rows = s.table("stream_pack").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // per-chunk aggregates of the stream assignments = the batch
+      // incremental manifest, row for row
+      val got = rows.groupBy(_._3).map { case (c, rs) =>
+        c -> (rs.length.toLong, rs.map(_._2).sum, rs.map(_._1).min,
+          rs.map(_._1).max)
+      }
+      assert(got == batchRef, s"stream $got vs batch $batchRef")
+      // batch 1 continued batch 0's partially-filled boundary window
+      val b1Chunks = rows.filter(_._1 > 40L).map(_._3).toSet
+      assert(b1Chunks.contains(chunksAfterB0.max),
+        "second micro-batch did not continue the boundary window")
+    } finally q.stop()
+  }
 }
