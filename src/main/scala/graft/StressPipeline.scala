@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** One-off large-corpus stress run of the COMPOSED pretraining build
+  * ([[graft.operators.PipelineOps.trainReady]]) — the [[StressGraph]] /
+  * [[StressDedup]] tradition applied to the round-11 flagship.
+  *
+  * The bench corpus is 5k docs at sf0.1; this main synthesizes a corpus
+  * 30× larger with every fate EXACTLY planted by id range, so the full
+  * composition (quality filter → exact dedup → near-dup clustering →
+  * decontamination → span-corruption formatter → context-window packing
+  * → epoch order) runs end-to-end at scale AND its output is checkable
+  * to the row count:
+  *
+  * (fractions of the N-doc corpus; at the default N=150k the ranges
+  * below are ×5):
+  *
+  *  - first 1/6: 2-token bodies                         → quality
+  *  - next 1/6: byte-identical copy of id + N/6         → kept (min-id
+  *    keeps the copy; the BASE becomes the exact_dup)
+  *  - next 1/6: the copied bases                        → exact_dup
+  *  - next 1/12: near-dup cluster reps                  → kept
+  *  - next 1/12: 27-of-30 token overlap with id - N/12
+  *    (3-shingle jaccard ≈ 0.76)                        → near_dup
+  *  - next 1/12: carry an 8-token run shared with every
+  *    bench doc — the run's 3-shingles sit in N/12 docs,
+  *    far above the inverted index's df cap, so near-dup
+  *    NEVER pairs them (the cap doing its job at scale)
+  *    while the capless 8-gram decontamination still
+  *    catches every one                                 → contaminated
+  *  - remaining 1/4: clean unique docs                  → kept
+  *
+  * Run: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.StressPipeline"`
+  * (env: SPARK_GRAFT_STRESS_DOCS scales the corpus, default 150,000 —
+  * must be a multiple of 30,000 so the planted ranges stay exact).
+  */
+object StressPipeline {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS", "150000").toLong
+    require(nDocs % 30000 == 0, s"nDocs must be a multiple of 30000: $nDocs")
+    val u = nDocs / 30000L // range unit: quality/exact/near blocks scale
+    val spark = Sessions.local(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    def cleanBody(seed: Column): Column =
+      concat_ws(" ", lit("the"), transform(sequence(lit(0), lit(29)),
+        j => concat(lit("a"), seed, lit("x"), j.cast("string"))), lit("and"))
+    def nearBody(seed: Column, self: Column): Column =
+      concat_ws(" ", lit("the"), transform(sequence(lit(0), lit(29)),
+        j => when(j < 27, concat(lit("a"), seed, lit("x"), j.cast("string")))
+          .otherwise(concat(lit("b"), self, lit("x"), j.cast("string")))),
+        lit("and"))
+    val cRun = concat_ws(" ",
+      (0 until 8).map(i => lit(s"c$i")): _*)
+    def contamBody(self: Column): Column =
+      concat_ws(" ", lit("the"), cRun,
+        transform(sequence(lit(0), lit(20)),
+          j => concat(lit("a"), self, lit("x"), j.cast("string"))),
+        lit("and"))
+
+    val b = Seq(5000L * u, 10000L * u, 15000L * u, 17500L * u,
+      20000L * u, 22500L * u) // range boundaries, ×3 of the doc counts
+    val corpus = spark.range(nDocs).repartition(32)
+      .select(col("id"),
+        when(col("id") < b(0), lit("too short"))
+          .when(col("id") < b(1), cleanBody(col("id") + b(0)))
+          .when(col("id") < b(2), cleanBody(col("id")))
+          .when(col("id") < b(3), cleanBody(col("id")))
+          .when(col("id") < b(4), nearBody(col("id") - 2500L * u, col("id")))
+          .when(col("id") < b(5), contamBody(col("id")))
+          .otherwise(cleanBody(col("id"))).as("body"))
+    val bench = spark.range(500)
+      .select(col("id"),
+        concat_ws(" ", lit("the"), cRun,
+          transform(sequence(lit(0), lit(20)),
+            j => concat(lit("z"), col("id"), lit("x"), j.cast("string"))),
+          lit("and")).as("body"))
+
+    val dir = "target/stress_pipeline"
+    timed(s"trainReady end-to-end ($nDocs docs, full pair derivation)") {
+      graft.operators.PipelineOps
+        .trainReady(corpus, bench, "id", "body",
+          cap = 4096.0, epoch = "s1")
+        .write.mode("overwrite").parquet(dir)
+    }
+    val m = spark.read.parquet(dir)
+
+    val fates = m.groupBy("fate").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      "quality" -> 5000L * u, "exact_dup" -> 5000L * u,
+      "near_dup" -> 2500L * u, "contaminated" -> 2500L * u,
+      "kept" -> (nDocs - 15000L * u))
+    println(s"[stress] fates: $fates")
+    assert(fates == expected, s"planted fates violated: $fates vs $expected")
+
+    val kept = m.filter(col("fate") === "kept")
+    val k = kept.count()
+    assert(kept.filter(col("chunk").isNull || col("rank").isNull ||
+      col("n_tok").isNull).count() == 0,
+      "a kept doc is missing its pack/order assignment")
+    assert(m.filter(col("fate") =!= "kept" &&
+      col("rank").isNotNull).count() == 0,
+      "a dropped doc received a training rank")
+    val r = kept.agg(min("rank"), max("rank"),
+      countDistinct("rank"), sum("n_tok"), max("chunk")).head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == k - 1 &&
+      r.getLong(2) == k,
+      s"epoch ranks not dense 0..${k - 1}: $r")
+    val totalTok = r.getLong(3)
+    val maxChunk = r.getLong(4)
+    // first-token-in-window policy: the last chunk is
+    // floor((T - n_last)/cap) — within one window of T/cap
+    assert(math.abs(maxChunk - totalTok / 4096L) <= 1,
+      s"chunk axis inconsistent with the token total: $maxChunk vs " +
+        s"${totalTok / 4096L}")
+    println(s"[stress] kept=$k totalTok=$totalTok chunks=${maxChunk + 1} " +
+      s"ranks dense 0..${k - 1}")
+    spark.stop()
+  }
+}
