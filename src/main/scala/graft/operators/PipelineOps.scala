@@ -903,11 +903,20 @@ object PipelineOps {
       formatter: String = "span",
       startRateBp: Int = 500, meanSpan: Int = 3,
       minJaccard: Double = 0.1, contamN: Int = 8,
-      precomputedPairs: Option[DataFrame] = None): DataFrame = {
+      precomputedPairs: Option[DataFrame] = None,
+      precomputedFates: Option[DataFrame] = None): DataFrame = {
     require(Set("span", "fim", "plain")(formatter),
       s"formatter must be span | fim | plain, got '$formatter'")
-    val fates = curateFates(corpus, bench, id, text, minJaccard, contamN,
-      precomputedPairs)
+    // The fate relation is consumed twice below (kept-filter + final
+    // manifest join); lazily that re-executes the curation stages per
+    // branch (the expensive parts — cluster labels, the memoized pair
+    // list — stay single-run regardless: they are materialized at call
+    // time). Production callers persist [[curate]]'s manifest once and
+    // feed it back here — the [[curate.precomputedPairs]] precedent.
+    val fates = precomputedFates
+      .map(_.select(col("doc_id"), col("fate")))
+      .getOrElse(curateFates(corpus, bench, id, text, minJaccard,
+        contamN, precomputedPairs))
     val keptDocs = corpus.select(col(id).as("doc_id"), col(text).as("text"))
       .join(fates.filter(col("fate") === "kept").select("doc_id"),
         Seq("doc_id"))

@@ -912,6 +912,15 @@ class ApiSpec extends SparkSpec {
       PipelineOps.trainReady(corpus, bench, "id", "body",
         formatter = "nope")
     }
+    // production reuse path: feeding curate's persisted manifest back in
+    // reproduces the identical build (the precomputedPairs precedent)
+    val fatesIn = PipelineOps.curate(corpus, bench, "id", "body")
+    val viaFates = PipelineOps
+      .trainReady(corpus, bench, "id", "body", cap = 40.0, epoch = "e7",
+        precomputedFates = Some(fatesIn))
+      .collect().map(r => r.toSeq).toSeq
+    assert(viaFates == out.map(_.toSeq).toSeq,
+      "precomputedFates path diverged from the direct build")
   }
 
   test("README reuse story: persisted quantizer and pair list round-trip through parquet bit-identically") {
