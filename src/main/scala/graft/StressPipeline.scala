@@ -41,6 +41,11 @@ object StressPipeline {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS", "150000").toLong
     require(nDocs % 30000 == 0, s"nDocs must be a multiple of 30000: $nDocs")
+    // token = "a{seed}x{j}" — at 7-digit seeds the 11-char tokens push
+    // avg_tok_len past qualityFilter's 10.0 bound and the planted fates
+    // stop holding; the corpus generator, not the pipeline, is the limit
+    require(nDocs <= 900000,
+      s"planted-fate token lengths only hold to 900k docs, got $nDocs")
     val u = nDocs / 30000L // range unit: quality/exact/near blocks scale
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")

@@ -889,19 +889,26 @@ object PipelineOps {
     * (the public entry points' presentation sorts are peeled off).
     *
     * `formatter` selects the training objective's shape: `"span"` (T5
-    * span corruption — the default; token count = input + target),
-    * `"fim"` (fill-in-the-middle PSM reorder; token count = the
-    * reordered stream, sentinels included), or `"plain"` (no transform;
+    * span corruption — the default; token count = input + target;
+    * `startRateBp`/`meanSpan` forwarded), `"fim"` (fill-in-the-middle
+    * PSM reorder; token count = the reordered stream, sentinels
+    * included; `fimRateBp` forwarded), or `"plain"` (no transform;
     * token count = the raw token stream — the decoder-only causal-LM
     * build). Both transforms are md5-deterministic pure projections, so
     * the manifest is stable under corpus growth whichever is chosen.
+    *
+    * NOT fully lazy: the per-doc token-count relation is eagerly
+    * localCheckpoint'ed at call time (a lineage barrier — see the
+    * comment at the call site), so building the frame already runs the
+    * curation + formatter stages; the pinned blocks are ~16 bytes/doc
+    * and freed by any `getPersistentRDDs` sweep.
     *
     * LIBRARY ENTRY POINT — generic over any (id, text) corpus + bench
     * pair; ApiSpec plants one doc per fate/format branch. */
   def trainReady(corpus: DataFrame, bench: DataFrame, id: String,
       text: String, cap: Double = Cap, epoch: String = "ep1",
       formatter: String = "span",
-      startRateBp: Int = 500, meanSpan: Int = 3,
+      startRateBp: Int = 500, meanSpan: Int = 3, fimRateBp: Int = 9000,
       minJaccard: Double = 0.1, contamN: Int = 8,
       precomputedPairs: Option[DataFrame] = None,
       precomputedFates: Option[DataFrame] = None): DataFrame = {
@@ -933,7 +940,7 @@ object PipelineOps {
                 .otherwise(size(split(col("target_text"), " "))))
               .cast("long").as("n_tok"))
       case "fim" =>
-        fimCore(keptDocs, "doc_id", "text", fimRateBp = 9000)
+        fimCore(keptDocs, "doc_id", "text", fimRateBp)
           .select(col("doc_id"),
             size(split(col("output_text"), " ")).cast("long").as("n_tok"))
       case "plain" =>
@@ -941,9 +948,18 @@ object PipelineOps {
           size(TextOps.toks(col("text"))).cast("long").as("n_tok"))
           .filter(col("n_tok") > 0)
     }
-    val packed = packAssign(withTok, "doc_id", "n_tok", cap)
+    // Lineage barrier on the 2-long-per-doc token relation (the
+    // connectedComponents precedent): the two downstream two-phase
+    // stages each consume their input twice (local window + bucket
+    // prefix), so lazily the formatter's explode-and-window subtree
+    // would execute FOUR times per action. Checkpointing ~16 bytes/doc
+    // buys a single formatter run; the pinned blocks are tiny and freed
+    // by any getPersistentRDDs sweep (Bench/Verify do this per query).
+    val withTokCk = withTok.localCheckpoint(true)
+    val packed = packAssign(withTokCk, "doc_id", "n_tok", cap)
       .select("doc_id", "n_tok", "chunk")
-    val order = epochRank(withTok, "doc_id", epoch).select("doc_id", "rank")
+    val order = epochRank(withTokCk, "doc_id", epoch)
+      .select("doc_id", "rank")
     fates.join(packed, Seq("doc_id"), "left")
       .join(order, Seq("doc_id"), "left")
       .select(col("doc_id"), col("fate"), col("n_tok"), col("chunk"),

@@ -25,7 +25,8 @@ class PipelinePropertySpec extends SparkSpec {
       batch <- Gen.listOfN(nDocs, Gen.choose(0, 2))
       cap <- Gen.oneOf(16.0, 64.0, 100.0)
     } yield (toks, batch, cap)
-    val cases = Gen.listOfN(6, scenario).sample.get
+    val cases = Gen.listOfN(6, scenario)
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(11L)).get
     cases.zipWithIndex.foreach { case ((toks, batch, cap), ci) =>
       val docs = toks.zipWithIndex.map { case (n, i) =>
         (i.toLong, (1 to n).map(j => s"w$j").mkString(" "), batch(i))
@@ -61,7 +62,8 @@ class PipelinePropertySpec extends SparkSpec {
   test("span-corruption round-trips arbitrary token streams at any noise parameters") {
     val s = spark
     import s.implicits._
-    val lengths = Gen.listOfN(60, Gen.choose(0, 50)).sample.get
+    val lengths = Gen.listOfN(60, Gen.choose(0, 50))
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(12L)).get
     val docsDf = lengths.zipWithIndex
       .map { case (n, i) =>
         (i.toLong, (1 to n).map(j => s"t${i}x$j").mkString(" "))

@@ -340,11 +340,14 @@ class PlanSpec extends SparkSpec {
   }
 
   // AQE plan text renders a reused exchange subtree once per reference —
-  // count DISTINCT plan ids, not lines
+  // count DISTINCT plan ids. A line WITHOUT a plan_id cannot prove reuse,
+  // so it counts individually (dedup by text would let two genuinely
+  // distinct but identically-rendered exchanges collapse and mask the
+  // exact regression this counter guards).
   private def distinctExchanges(p: String, marker: String): Int =
-    p.linesIterator.filter(_.contains(marker))
-      .map(l => "plan_id=(\\d+)".r.findFirstMatchIn(l)
-        .map(_.group(1)).getOrElse(l.trim))
+    p.linesIterator.filter(_.contains(marker)).zipWithIndex
+      .map { case (l, i) => "plan_id=(\\d+)".r.findFirstMatchIn(l)
+        .map(_.group(1)).getOrElse(s"noid-$i") }
       .toSet.size
 
   test("q_pack_incremental: 1-row totals broadcast (no shuffled cartesian), one presentation sort") {
