@@ -236,4 +236,24 @@ class GraphSpec extends SparkSpec {
       GraphOps.pageRank(df, "from", "to", iters = 0))
     assert(e3.getMessage.contains("iters"))
   }
+
+  test("managedQueries renderings are bit-identical to the plain builds Verify dumps") {
+    // Bench times the managed rendering while Verify (the correctness
+    // gate) dumps the plain build — if they ever diverged, the measured
+    // query would no longer be the verified query. Both graph lines,
+    // end to end at sf0.001, then release restores the block baseline.
+    val managed = SparkEntry.managedQueries
+    assert(managed.keySet == Set("q_graph_pagerank", "q_graph_ppr"),
+      s"unexpected managed inventory: ${managed.keySet}")
+    managed.foreach { case (name, mfn) =>
+      val plain = SparkEntry.queries(name)(spark, sf).collect().toSeq
+      val before = spark.sparkContext.getPersistentRDDs.size
+      val (frame, release) = mfn(spark, sf)
+      val got = frame.collect().toSeq
+      assert(got == plain, s"$name: managed rendering diverged")
+      release()
+      assert(spark.sparkContext.getPersistentRDDs.size <= before,
+        s"$name: release() left blocks pinned")
+    }
+  }
 }
