@@ -178,8 +178,14 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       val pinnedCount = spark.sparkContext.getPersistentRDDs.size
       // handle release first (outside the timer, like the sweep — r10
-      // numbers stay comparable); failures fall through to the sweep
-      try cleanup() catch { case _: Throwable => () }
+      // numbers stay comparable); failures are LOGGED (ADVICE r11: a
+      // silently-swallowed release regression would hide behind the
+      // global sweep) and then fall through to the sweep
+      try cleanup() catch {
+        case e: Throwable => System.err.println(
+          s"[bench] $name managed cleanup FAILED (global sweep will " +
+            s"cover it): ${e.getMessage}")
+      }
       releaseBlocks()
       val heapMB = (Runtime.getRuntime.totalMemory() -
         Runtime.getRuntime.freeMemory()) / (1024 * 1024)

@@ -134,6 +134,15 @@ object PipelineOps {
     * chunks below it pass through as a filter, never re-aggregated,
     * never shuffled.
     *
+    * PRECONDITION (ADVICE r11): `priorChunks` must have been packed
+    * with the SAME `cap` as this call. The manifest does not carry the
+    * cap it was packed under, so a mismatch is undetectable here and
+    * silently yields chunks that violate the batch-major re-pack
+    * equivalence documented above (the boundary chunk is derived from
+    * `prior_total / cap` — a different prior cap puts it on the wrong
+    * chunk id). Callers that persist manifests across configuration
+    * changes must track the cap alongside the manifest.
+    *
     * LIBRARY ENTRY POINT — generic over any corpus (id + text columns).
     */
   def packSequencesIncremental(priorChunks: DataFrame, newRows: DataFrame,
@@ -915,15 +924,18 @@ object PipelineOps {
     require(Set("span", "fim", "plain")(formatter),
       s"formatter must be span | fim | plain, got '$formatter'")
     // The fate relation is consumed twice below (kept-filter + final
-    // manifest join); lazily that re-executes the curation stages per
-    // branch (the expensive parts — cluster labels, the memoized pair
-    // list — stay single-run regardless: they are materialized at call
-    // time). Production callers persist [[curate]]'s manifest once and
-    // feed it back here — the [[curate.precomputedPairs]] precedent.
+    // manifest join). When it is derived in-call it gets the same
+    // lineage barrier as withTok (ADVICE r11): the slim (doc_id, fate)
+    // relation checkpoints at ~20 bytes/doc, so the curation stages —
+    // quality filter, dedup joins, decontamination — run ONCE per call
+    // instead of once per consumer per action. Precomputed fates are
+    // already a scan (the [[curate.precomputedPairs]] precedent:
+    // production callers persist [[curate]]'s manifest and feed it
+    // back here) and need no barrier.
     val fates = precomputedFates
       .map(_.select(col("doc_id"), col("fate")))
       .getOrElse(curateFates(corpus, bench, id, text, minJaccard,
-        contamN, precomputedPairs))
+        contamN, precomputedPairs).localCheckpoint(true))
     val keptDocs = corpus.select(col(id).as("doc_id"), col(text).as("text"))
       .join(fates.filter(col("fate") === "kept").select("doc_id"),
         Seq("doc_id"))
