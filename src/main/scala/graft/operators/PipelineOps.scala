@@ -192,6 +192,88 @@ object PipelineOps {
       "doc_id", "text", Cap)
   }
 
+  /** The actual packed TRAINING EXAMPLES — the artifact a data loader
+    * reads, not just the manifest. [[packSequences]]/[[packAssign]] say
+    * which context window each document lands in; this MATERIALIZES each
+    * window: the documents' token streams concatenated in pack order
+    * (md5(doc_id) — identical to packAssign's layout) and split at exact
+    * `cap`-token boundaries, so every chunk holds exactly `cap` tokens
+    * except the final partial one (flagged). A document whose tokens
+    * cross a boundary STRADDLES: its head fills the earlier chunk and
+    * its tail opens the next — the concatenate-then-split policy LLM
+    * trainers use, and the reason the per-chunk doc-boundary offsets
+    * are part of the output (the trainer's attention-mask / loss-mask
+    * construction needs them).
+    *
+    * Output, one row per chunk: `chunk`, `n_segs` (document segments in
+    * the window — a straddling doc counts in each window it touches),
+    * `n_tokens`, `doc_starts` (comma-joined 0-based offsets of each
+    * segment's first token within the chunk, in stream order),
+    * `chunk_text` (the window's token stream, space-joined), and
+    * `is_partial` (`n_tokens < cap` — only the final chunk can be).
+    * Token-less docs contribute nothing to any window and are skipped.
+    *
+    * Shape at 100 TB: the global layout comes from [[packAssign]]'s
+    * 256-bucket two-phase prefix sum (the one unpartitioned window is
+    * 256 rows at any corpus size). Each doc then explodes into only the
+    * windows it overlaps (⌈n_tok/cap⌉+1 at most) with a pre-sliced
+    * token segment, so the per-chunk aggregation state is bounded by
+    * `cap` tokens regardless of corpus size, and the in-row array_sort
+    * orders ≤ n_segs ≤ cap struct entries — never a per-chunk (let
+    * alone global) sort of data-sized input. Tokens shuffle exactly
+    * once, keyed by chunk — the minimum movement that can materialize
+    * the artifact at all.
+    *
+    * `cap` is a token COUNT here (integral by nature), unlike the
+    * Double budget of [[packSequences]]; boundaries are exact.
+    *
+    * LIBRARY ENTRY POINT — generic over any corpus (id + text columns).
+    */
+  def packExamples(rows: DataFrame, id: String, text: String,
+      cap: Long): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val base = rows
+      .select(col(id).as("doc_id"), TextOps.toks(col(text)).as("t"))
+      .filter(size(col("t")) > 0)
+    val asg = packAssign(base.select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tok")),
+      "doc_id", "n_tok", cap.toDouble)
+    // one (doc, window) row per overlapped window, with the doc's token
+    // slice for that window cut BEFORE the chunk-keyed shuffle
+    val spans = asg.join(base.select(col("doc_id"), col("t")), Seq("doc_id"))
+      .withColumn("start", col("cum") - col("n_tok"))
+      .select(col("doc_id"), col("t"), col("start"), col("cum"),
+        explode(sequence(col("chunk"),
+          floor((col("cum") - 1) / cap).cast("long"))).as("ck"))
+      .withColumn("seg_from", greatest(col("ck") * cap, col("start")))
+      .withColumn("seg_until", least((col("ck") + 1) * cap, col("cum")))
+      .select(col("ck").as("chunk"),
+        (col("seg_from") - col("ck") * cap).as("off"),
+        slice(col("t"), (col("seg_from") - col("start") + 1).cast("int"),
+          (col("seg_until") - col("seg_from")).cast("int")).as("seg"))
+    spans.groupBy("chunk")
+      .agg(array_sort(collect_list(struct(col("off"), col("seg")))).as("ps"))
+      .select(col("chunk"), col("ps"),
+        flatten(transform(col("ps"), x => x.getField("seg"))).as("tk"))
+      .select(col("chunk"),
+        size(col("ps")).cast("long").as("n_segs"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        concat_ws(",",
+          transform(col("ps"), x => x.getField("off").cast("string")))
+          .as("doc_starts"),
+        concat_ws(" ", col("tk")).as("chunk_text"),
+        (size(col("tk")) < cap).as("is_partial"))
+      .orderBy("chunk")
+  }
+
+  /** q_pack_examples binding: cap=64 sits BELOW the corpus's max doc
+    * length (~100 tokens, avg 54), so documents routinely straddle
+    * window boundaries and long docs can blanket an entire interior
+    * window — the boundary policy is exercised on nearly every output
+    * row, not just the tail chunk. */
+  private def packExamplesQuery(s: SparkSession, d: String): DataFrame =
+    packExamples(docs(s, d), "doc_id", "text", cap = 64L)
+
   /** Deterministic per-epoch global training order: `md5(epoch:id)`
     * re-permutes the corpus every epoch with no RNG — the order is
     * reproducible across runs, restarts, and cluster sizes, and a trainer
@@ -1186,6 +1268,33 @@ object PipelineOps {
          |     CASE WHEN doc_id % 3 <> 0 THEN 0 ELSE 1 END AS batch,
          |     md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents)))
          | GROUP BY 1 ORDER BY chunk""".stripMargin)),
+    // Ordered per-window list aggregation from per-TOKEN global
+    // positions — DuckDB rebuilds each chunk's token stream and
+    // doc-boundary offsets from first principles, where Spark derives
+    // per-(doc, window) slices; byte-equal strings on both sides.
+    QDef("q_pack_examples", packExamplesQuery, Some(
+      s"""WITH b AS (SELECT doc_id, ${TextOps.oracleToks} AS t
+         |  FROM documents WHERE len(${TextOps.oracleToks}) > 0),
+         |c AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tok,
+         |   sum(len(t)) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+         |     AS cum
+         |  FROM b),
+         |pos AS (SELECT doc_id, cum - n_tok + i AS gp, tok,
+         |   CAST(floor((cum - n_tok + i - 1) / 64.0) AS BIGINT) AS chunk
+         |  FROM (SELECT doc_id, cum, n_tok, unnest(t) AS tok,
+         |        generate_subscripts(t, 1) AS i FROM c)),
+         |segs AS (SELECT chunk, doc_id, min(gp) AS mn
+         |  FROM pos GROUP BY 1, 2),
+         |st AS (SELECT chunk, CAST(count(*) AS BIGINT) AS n_segs,
+         |   string_agg(CAST(mn - 1 - chunk * 64 AS VARCHAR), ','
+         |     ORDER BY mn) AS doc_starts
+         |  FROM segs GROUP BY 1),
+         |tx AS (SELECT chunk, CAST(count(*) AS BIGINT) AS n_tokens,
+         |   string_agg(tok, ' ' ORDER BY gp) AS chunk_text
+         |  FROM pos GROUP BY 1)
+         |SELECT s.chunk, s.n_segs, t.n_tokens, s.doc_starts, t.chunk_text,
+         |  t.n_tokens < 64 AS is_partial
+         | FROM st s JOIN tx t USING (chunk) ORDER BY s.chunk""".stripMargin)),
     QDef("q_shuffle_order", shuffleOrderQuery, Some(
       """SELECT doc_id, md5('ep1:' || CAST(doc_id AS VARCHAR)) AS ord,
         |  ROW_NUMBER() OVER (

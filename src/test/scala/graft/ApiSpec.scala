@@ -818,6 +818,47 @@ class ApiSpec extends SparkSpec {
       emptyManifest, b0, "id", "body", cap)) == rowsOf(p0))
   }
 
+  test("packExamples materializes exact cap-token windows, straddling doc split at the boundary") {
+    val s = spark
+    import s.implicits._
+    // token counts 7/6/5: no md5-order prefix hits 10 exactly, so one
+    // document ALWAYS straddles the first window boundary whatever the
+    // hash order; the whitespace-only doc contributes nothing
+    val docs = Seq(
+      (1L, (1 to 7).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 6).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 5).map(i => s"c$i").mkString(" ")),
+      (4L, "   "))
+      .toDF("id", "body")
+    val got = PipelineOps.packExamples(docs, "id", "body", cap = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getBoolean(5))).toSeq
+    // sequential re-derivation of the policy: md5(doc_id) layout,
+    // global token stream, split every 10 tokens
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val pfx = Map(1L -> "a", 2L -> "b", 3L -> "c")
+    val stream = Seq(1L -> 7, 2L -> 6, 3L -> 5)
+      .sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .flatMap { case (id, n) => (1 to n).map(i => (id, s"${pfx(id)}$i")) }
+    val expected = stream.zipWithIndex
+      .groupBy(_._2 / 10).toSeq.sortBy(_._1)
+      .map { case (ck, toks) =>
+        val segs = toks.map { case ((id, t), gp) => (gp - ck * 10, id, t) }
+        val starts = segs.groupBy(_._2).values
+          .map(_.map(_._1).min).toSeq.sorted
+        (ck.toLong, starts.size.toLong, segs.size.toLong,
+          starts.mkString(","), segs.map(_._3).mkString(" "),
+          segs.size < 10)
+      }
+    assert(got == expected, s"got $got\nexpected $expected")
+    // 18 tokens / cap 10 → two windows, exactly one straddler → 4
+    // segments total, and only the tail window is partial
+    assert(got.map(_._2).sum == 4, s"straddle not exercised: $got")
+    assert(got.map(_._3).sum == 18)
+    assert(got.map(_._6) == Seq(false, true))
+  }
+
   test("trainReady composes fates, formatter token counts, packing, and epoch order") {
     val s = spark
     import s.implicits._

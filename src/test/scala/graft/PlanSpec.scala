@@ -363,4 +363,21 @@ class PlanSpec extends SparkSpec {
     assert(rangeSorts <= 1,
       s"expected at most 1 global sort (final orderBy), got $rangeSorts:\n$p")
   }
+
+  test("q_pack_examples: bounded prefix exchange only, no cartesian, one presentation sort") {
+    // the window materializer inherits packAssign's 256-row two-phase
+    // prefix shape: the ONLY single-partition exchange is the bounded
+    // bucket-prefix window; token movement is the chunk-keyed hash
+    // shuffle; the only global (range) sort is the final orderBy(chunk)
+    val p = plan("q_pack_examples")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"window materialization must stay equi-join only:\n$p")
+    val singleParts = distinctExchanges(p, "Exchange SinglePartition")
+    assert(singleParts <= 1,
+      s"expected at most 1 bounded 256-row prefix exchange, got $singleParts:\n$p")
+    val rangeSorts = distinctExchanges(p, "Exchange rangepartitioning")
+    assert(rangeSorts <= 1,
+      s"expected at most 1 global sort (final orderBy), got $rangeSorts:\n$p")
+  }
 }
