@@ -1062,14 +1062,34 @@ object PipelineOps {
   }
 
   // q_train_ready: the composed build over the same deterministic train
-  // split and memoized pair list as q_curate — the end-to-end artifact,
-  // oracle-checked stage-for-stage in one chained DuckDB query.
+  // split as q_curate, fed through the MEMOIZED fate manifest (r12 —
+  // VERDICT r11 #4): the bench line measures the formatter/pack/rank
+  // COMPOSITION, not a per-rep re-run of the curation stages — exactly
+  // the production caller's shape (persist the fate manifest once, build
+  // epochs from it). Memoized ≡ direct parity is pinned in
+  // graft.MaterializeSpec.
   private def trainReadyQuery(s: SparkSession, d: String): DataFrame = {
     val sp = TextOps.splitAssign(s, d)
     trainReady(sp.filter(col("split") === "train"),
       sp.filter(col("split") =!= "train"), "doc_id", "text",
-      precomputedPairs = Some(curatePairs(s, d)))
+      precomputedFates = Some(curateFateManifest(s, d)))
   }
+
+  /** The TRAIN-SPLIT curation fate manifest, materialized once per
+    * application — [[trainReady.precomputedFates]]' production artifact
+    * (the [[curatePairs]] pattern one stage later: a pipeline that
+    * rebuilds epochs, remixes, or re-packs does NOT re-run quality/
+    * dedup/decontamination each time; it persists the per-doc fates and
+    * derives every downstream build from the manifest scan). */
+  private[operators] def curateFateManifest(s: SparkSession,
+      d: String): DataFrame =
+    graft.sources.Materialize.table(s, s"curate_fates:$d") {
+      val sp = TextOps.splitAssign(s, d)
+      curateFates(sp.filter(col("split") === "train"),
+        sp.filter(col("split") =!= "train"), "doc_id", "text",
+        minJaccard = 0.1, contamN = 8,
+        precomputedPairs = Some(curatePairs(s, d)))
+    }
 
   /** The TRAIN-SPLIT near-dup pair list, materialized once per
     * application (same storage-backed pattern as
@@ -1085,9 +1105,13 @@ object PipelineOps {
         "doc_id", "text", minJaccard = 0.1)
     }
 
-  /** Bench accounting hook (see [[DedupOps.memoBuilds]]). */
+  /** Bench accounting hook (see [[DedupOps.memoBuilds]]). The fate
+    * manifest consumes the pair list, so the pairs memo is listed first
+    * (Bench times them in order — the fates line then measures the
+    * curation stages, not the index build underneath). */
   def memoBuilds: Seq[(String, (SparkSession, String) => DataFrame)] =
-    Seq("_memo_curate_pairs" -> ((s, d) => curatePairs(s, d)))
+    Seq("_memo_curate_pairs" -> ((s, d) => curatePairs(s, d)),
+      "_memo_curate_fates" -> ((s, d) => curateFateManifest(s, d)))
 
   // q_curate: curate the train split against the held-out splits —
   // the same deterministic md5 split q_decontaminate uses. The near-dup

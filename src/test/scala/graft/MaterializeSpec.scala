@@ -61,6 +61,24 @@ class MaterializeSpec extends SparkSpec {
     assert(memoized.toSeq == direct.toSeq)
   }
 
+  test("q_train_ready through the memoized fate manifest equals the direct composed build") {
+    // the bench binding routes trainReady through the persisted fate
+    // manifest (VERDICT r11 #4) — the measured shape must stay
+    // bit-identical to the in-call curation path the oracle checks
+    val sp = graft.operators.TextOps.splitAssign(spark, sf)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3),
+      if (r.isNullAt(4)) -1L else r.getLong(4))
+    val direct = graft.operators.PipelineOps.trainReady(
+      sp.filter(col("split") === "train"),
+      sp.filter(col("split") =!= "train"), "doc_id", "text")
+      .collect().map(key).sorted
+    val memoized = SparkEntry.queries("q_train_ready")(spark, sf)
+      .collect().map(key).sorted
+    assert(memoized.toSeq == direct.toSeq)
+  }
+
   test("q_curate through the memoized train-split pair list equals the direct pipeline") {
     val sp = graft.operators.TextOps.splitAssign(spark, sf)
     val direct = graft.operators.PipelineOps.curate(
