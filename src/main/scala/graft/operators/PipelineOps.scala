@@ -432,32 +432,8 @@ object PipelineOps {
   def temperatureMixture(rows: DataFrame, id: String, text: String,
       source: String, alpha: Double = 0.3,
       budgetFraction: Double = 0.5): DataFrame = {
-    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
-    require(budgetFraction > 0 && budgetFraction <= 1,
-      s"budgetFraction must be in (0, 1], got $budgetFraction")
-    val base = rows.select(
-      col(id).as("doc_id"), col(source).as("source"),
-      size(TextOps.toks(col(text))).cast("long").as("n_tok"),
-      (conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10)
-        .cast("long") % 10000).as("bucket"))
-    val perSource = base.groupBy("source").agg(sum("n_tok").as("tok_total"))
-      .withColumn("w", pow(col("tok_total").cast("double"), lit(alpha)))
-    val corpus = perSource.agg(
-      sum("tok_total").as("corpus_tok"), Det.dsum(col("w")).as("w_total"))
-    val rates = perSource.crossJoin(broadcast(corpus))
-      // a token-less source has nothing to budget: its rate is
-      // vacuously 1.0. Both operands are cast to double, so even under
-      // ANSI mode 0/0 yields NaN (ANSI's DIVIDE_BY_ZERO only covers
-      // integral/decimal division) and least() happens to absorb that
-      // NaN to 1.0 — the guard makes the vacuous-1.0 edge explicit
-      // instead of leaning on least()'s NaN ordering (the streaming
-      // twin and the oracle mirror the same case).
-      .withColumn("rate", when(col("tok_total") === 0L, lit(1.0d))
-        .otherwise(least(lit(1.0d),
-          col("corpus_tok").cast("double") * lit(budgetFraction)
-            * (col("w") / col("w_total")) / col("tok_total").cast("double"))))
-      .withColumn("cut", floor(col("rate") * 10000.0d).cast("long"))
-      .select("source", "rate", "cut")
+    val base = mixtureBase(rows, id, text, source)
+    val rates = temperatureRates(base, alpha, budgetFraction)
     base.join(broadcast(rates), Seq("source"))
       .withColumn("in_sample", col("bucket") < col("cut"))
       .groupBy("source")
@@ -473,6 +449,46 @@ object PipelineOps {
   private def mixtureTemperature(s: SparkSession, d: String): DataFrame =
     temperatureMixture(docs(s, d), "doc_id", "text", "source",
       alpha = 0.3, budgetFraction = 0.5)
+
+  /** Per-doc (doc_id, source, n_tok, bucket) projection shared by the
+    * mixture samplers and [[trainReady]]'s mixture stage — the md5
+    * bucket is the q_data_split membership policy, so samples are
+    * stable under corpus growth. */
+  private def mixtureBase(rows: DataFrame, id: String, text: String,
+      source: String): DataFrame =
+    rows.select(
+      col(id).as("doc_id"), col(source).as("source"),
+      size(TextOps.toks(col(text))).cast("long").as("n_tok"),
+      (conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000).as("bucket"))
+
+  /** [[temperatureMixture]]'s per-source rate table `(source, rate,
+    * cut)` over a [[mixtureBase]] frame — one row per source, broadcast
+    * to the corpus pass by every consumer. */
+  private def temperatureRates(base: DataFrame, alpha: Double,
+      budgetFraction: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(budgetFraction > 0 && budgetFraction <= 1,
+      s"budgetFraction must be in (0, 1], got $budgetFraction")
+    val perSource = base.groupBy("source").agg(sum("n_tok").as("tok_total"))
+      .withColumn("w", pow(col("tok_total").cast("double"), lit(alpha)))
+    val corpus = perSource.agg(
+      sum("tok_total").as("corpus_tok"), Det.dsum(col("w")).as("w_total"))
+    perSource.crossJoin(broadcast(corpus))
+      // a token-less source has nothing to budget: its rate is
+      // vacuously 1.0. Both operands are cast to double, so even under
+      // ANSI mode 0/0 yields NaN (ANSI's DIVIDE_BY_ZERO only covers
+      // integral/decimal division) and least() happens to absorb that
+      // NaN to 1.0 — the guard makes the vacuous-1.0 edge explicit
+      // instead of leaning on least()'s NaN ordering (the streaming
+      // twin and the oracle mirror the same case).
+      .withColumn("rate", when(col("tok_total") === 0L, lit(1.0d))
+        .otherwise(least(lit(1.0d),
+          col("corpus_tok").cast("double") * lit(budgetFraction)
+            * (col("w") / col("w_total")) / col("tok_total").cast("double"))))
+      .withColumn("cut", floor(col("rate") * 10000.0d).cast("long"))
+      .select("source", "rate", "cut")
+  }
 
   /** T5/UL2-style span-corruption PLAN (Raffel et al. 2020, JMLR —
     * "Exploring the Limits of Transfer Learning", §3.1.4 span
@@ -988,6 +1004,15 @@ object PipelineOps {
     * build). Both transforms are md5-deterministic pure projections, so
     * the manifest is stable under corpus growth whichever is chosen.
     *
+    * `mixtureSource = Some(col)` inserts the per-source TEMPERATURE
+    * MIXTURE stage between curate and format (r12 — a real pretraining
+    * build samples its source mixture before formatting): rates follow
+    * [[temperatureMixture]]'s `size^α` policy computed over the KEPT
+    * documents' raw token mass, membership is the deterministic md5
+    * bucket draw, and kept-but-unsampled documents stay in the manifest
+    * with fate `unsampled` and NULL n_tok/chunk/rank. Packing and epoch
+    * ranks then run over the sampled subset only.
+    *
     * NOT fully lazy: the per-doc token-count relation is eagerly
     * localCheckpoint'ed at call time (a lineage barrier — see the
     * comment at the call site), so building the frame already runs the
@@ -1002,9 +1027,15 @@ object PipelineOps {
       startRateBp: Int = 500, meanSpan: Int = 3, fimRateBp: Int = 9000,
       minJaccard: Double = 0.1, contamN: Int = 8,
       precomputedPairs: Option[DataFrame] = None,
-      precomputedFates: Option[DataFrame] = None): DataFrame = {
+      precomputedFates: Option[DataFrame] = None,
+      mixtureSource: Option[String] = None,
+      mixtureAlpha: Double = 0.3,
+      mixtureBudgetFraction: Double = 0.5): DataFrame = {
     require(Set("span", "fim", "plain")(formatter),
       s"formatter must be span | fim | plain, got '$formatter'")
+    mixtureSource.foreach(src => require(corpus.columns.contains(src),
+      s"corpus has no mixture source column '$src' " +
+        s"(columns: ${corpus.columns.mkString(", ")})"))
     // The fate relation is consumed twice below (kept-filter + final
     // manifest join). When it is derived in-call it gets the same
     // lineage barrier as withTok (ADVICE r11): the slim (doc_id, fate)
@@ -1018,9 +1049,34 @@ object PipelineOps {
       .map(_.select(col("doc_id"), col("fate")))
       .getOrElse(curateFates(corpus, bench, id, text, minJaccard,
         contamN, precomputedPairs).localCheckpoint(true))
-    val keptDocs = corpus.select(col(id).as("doc_id"), col(text).as("text"))
-      .join(fates.filter(col("fate") === "kept").select("doc_id"),
-        Seq("doc_id"))
+    val keptJoined = (mixtureSource match {
+      case Some(src) => corpus.select(col(id).as("doc_id"),
+        col(text).as("text"), col(src).as("__src"))
+      case None => corpus.select(col(id).as("doc_id"), col(text).as("text"))
+    }).join(fates.filter(col("fate") === "kept").select("doc_id"),
+      Seq("doc_id"))
+    // Optional per-source temperature mixture BETWEEN curate and format
+    // (mT5/XLM-R: a real pretraining build samples its mixture before
+    // formatting — see [[temperatureMixture]]): rates derive from the
+    // KEPT docs' raw token mass per source, membership is the md5
+    // bucket draw, and kept-but-unsampled docs stay in the manifest as
+    // `unsampled` with NULL pack/order columns (the manifest still
+    // answers "why is this doc absent"). The rate table is one row per
+    // source — broadcast; the corpus-side pass stays a projection.
+    val (keptDocs, unsampled) = mixtureSource match {
+      case Some(_) =>
+        val mbase = mixtureBase(keptJoined, "doc_id", "text", "__src")
+        val sel = mbase
+          .join(broadcast(
+            temperatureRates(mbase, mixtureAlpha, mixtureBudgetFraction)),
+            Seq("source"))
+          .filter(col("bucket") < col("cut"))
+          .select("doc_id")
+        (keptJoined.join(sel, Seq("doc_id")).select("doc_id", "text"),
+          Some(keptJoined.select("doc_id")
+            .join(sel, Seq("doc_id"), "left_anti")))
+      case None => (keptJoined.select("doc_id", "text"), None)
+    }
     // formatted-example token count: the formatter outputs are
     // single-space token joins by construction, so a split on the
     // literal separator counts tokens without re-tokenizing (empty
@@ -1054,7 +1110,16 @@ object PipelineOps {
       .select("doc_id", "n_tok", "chunk")
     val order = epochRank(withTokCk, "doc_id", epoch)
       .select("doc_id", "rank")
-    fates.join(packed, Seq("doc_id"), "left")
+    val fatesOut = unsampled match {
+      case Some(dropped) =>
+        fates.join(dropped.withColumn("__uns", lit(true)),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("__uns"), lit("unsampled")).otherwise(col("fate"))
+              .as("fate"))
+      case None => fates
+    }
+    fatesOut.join(packed, Seq("doc_id"), "left")
       .join(order, Seq("doc_id"), "left")
       .select(col("doc_id"), col("fate"), col("n_tok"), col("chunk"),
         col("rank"))
@@ -1234,16 +1299,13 @@ object PipelineOps {
        |  FROM ${pfx}b2 b2 LEFT JOIN ${pfx}g g USING (doc_id))""".stripMargin
   }
 
-  // Stage-for-stage mirror of the composition: fates → kept docs →
-  // formatter (sc_ chain) → formatted token counts → global pack cumsum
-  // → epoch rank; dropped docs keep NULL pack/order columns through the
-  // LEFT JOINs, exactly like the Spark side.
-  private val trainReadyOracleSql: String =
-    s"""WITH RECURSIVE
-       |$curateFateCtes,
-       |kd AS (SELECT t.doc_id, t.text FROM tr t
-       |  JOIN fates f USING (doc_id) WHERE f.fate = 'kept'),
-       |${spanApplyCtes("kd", "sc_")},
+  /** The formatter → token-count → pack-cumsum → epoch-rank TAIL of the
+    * composed oracle, over a `kd(doc_id, text)` CTE of the kept (and,
+    * for the mixed build, sampled) documents. Ends in `trn_pack` /
+    * `trn_rank`; shared by the q_train_ready and q_train_ready_mixed
+    * oracles. */
+  private val trainReadyTailCtes: String =
+    s"""${spanApplyCtes("kd", "sc_")},
        |trn_tok AS (SELECT doc_id,
        |    CAST(len(string_split(input_text, ' ')) +
        |      CASE WHEN target_text = '' THEN 0
@@ -1260,15 +1322,74 @@ object PipelineOps {
        |    CAST(ROW_NUMBER() OVER (
        |      ORDER BY md5('ep1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
        |      AS BIGINT) AS rank
-       |  FROM trn_tok)
+       |  FROM trn_tok)""".stripMargin
+
+  // Stage-for-stage mirror of the composition: fates → kept docs →
+  // formatter (sc_ chain) → formatted token counts → global pack cumsum
+  // → epoch rank; dropped docs keep NULL pack/order columns through the
+  // LEFT JOINs, exactly like the Spark side.
+  private val trainReadyOracleSql: String =
+    s"""WITH RECURSIVE
+       |$curateFateCtes,
+       |kd AS (SELECT t.doc_id, t.text FROM tr t
+       |  JOIN fates f USING (doc_id) WHERE f.fate = 'kept'),
+       |$trainReadyTailCtes
        |SELECT f.doc_id, f.fate, p.n_tok, p.chunk, r.rank
        | FROM fates f LEFT JOIN trn_pack p USING (doc_id)
+       |  LEFT JOIN trn_rank r USING (doc_id)
+       | ORDER BY f.doc_id""".stripMargin
+
+  // q_train_ready_mixed: the composed build with the temperature-mixture
+  // stage on (source column, α=0.3, budget 0.5) — the mixture CTEs
+  // mirror q_mixture_temperature's rate derivation over the KEPT subset,
+  // then the shared tail packs/ranks the SAMPLED docs only.
+  private def trainReadyMixedQuery(s: SparkSession, d: String): DataFrame = {
+    val sp = TextOps.splitAssign(s, d)
+    trainReady(sp.filter(col("split") === "train"),
+      sp.filter(col("split") =!= "train"), "doc_id", "text",
+      precomputedFates = Some(curateFateManifest(s, d)),
+      mixtureSource = Some("source"))
+  }
+
+  private val trainReadyMixedOracleSql: String =
+    s"""WITH RECURSIVE
+       |$curateFateCtes,
+       |mb0 AS (SELECT doc_id, CAST($oracleNTok AS BIGINT) AS n_tok,
+       |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+       |     AS bucket
+       |  FROM tr),
+       |mb AS (SELECT f.doc_id, d.source, b.n_tok, b.bucket
+       |  FROM fates f JOIN mb0 b USING (doc_id)
+       |   JOIN documents d USING (doc_id)
+       |  WHERE f.fate = 'kept'),
+       |mps AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok_total,
+       |   pow(CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE), 0.3) AS w
+       |  FROM mb GROUP BY 1),
+       |mcorp AS (SELECT CAST(sum(tok_total) AS BIGINT) AS corpus_tok,
+       |   ${Det.dsumSql("w")} AS w_total FROM mps),
+       |mrates AS (SELECT source,
+       |   CAST(floor(CASE WHEN tok_total = 0 THEN 1.0
+       |     ELSE least(1.0, CAST(corpus_tok AS DOUBLE) * 0.5 * (w / w_total)
+       |       / CAST(tok_total AS DOUBLE)) END * 10000.0) AS BIGINT) AS cut
+       |  FROM mps, mcorp),
+       |msel AS (SELECT b.doc_id FROM mb b JOIN mrates r USING (source)
+       |  WHERE b.bucket < r.cut),
+       |kd AS (SELECT t.doc_id, t.text FROM tr t JOIN msel USING (doc_id)),
+       |$trainReadyTailCtes,
+       |f2 AS (SELECT f.doc_id,
+       |   CASE WHEN f.fate = 'kept' AND m.doc_id IS NULL THEN 'unsampled'
+       |        ELSE f.fate END AS fate
+       |  FROM fates f LEFT JOIN msel m USING (doc_id))
+       |SELECT f.doc_id, f.fate, p.n_tok, p.chunk, r.rank
+       | FROM f2 f LEFT JOIN trn_pack p USING (doc_id)
        |  LEFT JOIN trn_rank r USING (doc_id)
        | ORDER BY f.doc_id""".stripMargin
 
   val defs: Seq[QDef] = Seq(
     QDef("q_curate", curateQuery, Some(curateOracleSql)),
     QDef("q_train_ready", trainReadyQuery, Some(trainReadyOracleSql)),
+    QDef("q_train_ready_mixed", trainReadyMixedQuery,
+      Some(trainReadyMixedOracleSql)),
     QDef("q_pack_sequences", packSequencesQuery, Some(
       s"""SELECT chunk, count(*) AS n_docs,
          | CAST(sum(n_tok) AS BIGINT) AS n_tokens,

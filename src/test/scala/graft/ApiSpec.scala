@@ -859,6 +859,72 @@ class ApiSpec extends SparkSpec {
     assert(got.map(_._6) == Seq(false, true))
   }
 
+  test("trainReady mixture stage up-weights the low-resource source, unsampled docs stay in the manifest") {
+    val s = spark
+    import s.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => f"$prefix$i%02d")
+    def clean(prefix: String): String =
+      ("the" +: words(prefix, 31) :+ "and").mkString(" ")
+    val big = (1L to 12L).map(i => (i, clean(s"web$i"), "web"))
+    val small = Seq((21L, clean("rarea"), "books"),
+      (22L, clean("rareb"), "books"))
+    val corpus = (big ++ small).toDF("id", "body", "src")
+    val bench = Seq((100L, words("bench", 20).mkString(" ")))
+      .toDF("id", "body")
+    val out = PipelineOps.trainReady(corpus, bench, "id", "body",
+      cap = 40.0, mixtureSource = Some("src"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // expected sampling re-derived from the declared policy: rates from
+    // size^0.3 temperature weights over the kept docs (all 14 here),
+    // membership from the md5 bucket draw
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(id: Long) =
+      java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 10000
+    def d6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val (tokBig, tokSmall) = (33.0 * 12, 33.0 * 2)
+    val corpusTok = tokBig + tokSmall
+    val (wB, wS) = (math.pow(tokBig, 0.3), math.pow(tokSmall, 0.3))
+    val wTotal = (d6(wB) + d6(wS)).toDouble
+    val rateB = math.min(1.0, corpusTok * 0.5 * (wB / wTotal) / tokBig)
+    val rateS = math.min(1.0, corpusTok * 0.5 * (wS / wTotal) / tokSmall)
+    // the skew itself: the low-resource source samples at FULL rate
+    // (its α<1 share exceeds its size), the big one visibly below it
+    assert(rateS == 1.0 && rateB < 0.5,
+      s"planted skew wrong: rateB=$rateB rateS=$rateS")
+    val cutB = math.floor(rateB * 10000).toLong
+    val sampledBig = big.map(_._1).filter(bucket(_) < cutB)
+    assert(sampledBig.size < big.size,
+      "every big-source doc sampled — thinning invisible")
+    for (id <- Seq(21L, 22L))
+      assert(out(id).getString(1) == "kept" && !out(id).isNullAt(4),
+        s"low-resource doc $id not fully sampled")
+    for ((i, _, _) <- big) {
+      val expect = if (sampledBig.contains(i)) "kept" else "unsampled"
+      assert(out(i).getString(1) == expect,
+        s"doc $i fate ${out(i).getString(1)} != $expect")
+    }
+    // unsampled docs keep NULL n_tok/chunk/rank, like dropped docs
+    for (i <- big.map(_._1).filterNot(sampledBig.contains))
+      assert(out(i).isNullAt(2) && out(i).isNullAt(3) && out(i).isNullAt(4))
+    // epoch ranks are dense 0..k-1 over the SAMPLED set only
+    val sampledAll = sampledBig ++ Seq(21L, 22L)
+    assert(sampledAll.map(out(_).getLong(4)).sorted ==
+      (0L until sampledAll.size).toList)
+    // no mixture → no unsampled fate, same kept set
+    val plain = PipelineOps.trainReady(corpus, bench, "id", "body",
+      cap = 40.0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(plain.values.count(_ == "kept") == 14 &&
+      !plain.values.exists(_ == "unsampled"))
+    intercept[IllegalArgumentException] {
+      PipelineOps.trainReady(corpus, bench, "id", "body",
+        mixtureSource = Some("nope"))
+    }
+  }
+
   test("trainReady composes fates, formatter token counts, packing, and epoch order") {
     val s = spark
     import s.implicits._
