@@ -418,6 +418,132 @@ object DedupOps {
       .orderBy("da", "db")
   }
 
+  /** The corpus's UNCAPPED shingle inverted index with document
+    * frequencies — `(doc_id, sh64, df)`, one row per (document, distinct
+    * 3-shingle) with the shingle's corpus document frequency on every
+    * posting. This is the persisted artifact
+    * [[ngramJaccardPairsIncremental]] dedups increments against (the
+    * n-gram analogue of the `minhash_sigs` signature table): production
+    * pipelines build it once per standing corpus and append per ingest.
+    * Uncapped ON PURPOSE — the df cap is corpus-size-relative, so it
+    * must be applied at QUERY time against the current union size, not
+    * frozen into the artifact.
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, text) frame. */
+  def ngramPostings(rows: DataFrame, id: String, text: String): DataFrame =
+    rows
+      .select(col(id).as("doc_id"),
+        explode(graft.functions.TextKernels.shingleSet64(col(text)))
+          .as("sh64"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh64")))
+
+  /** Near-dup n-gram-Jaccard pairs for an increment against a persisted
+    * corpus index ([[ngramPostings]]' `(doc_id, sh64, df)` shape) —
+    * EXACTLY the pairs `ngramJaccardPairs(prior ∪ increment)` would
+    * report that involve ≥1 increment doc, computed at increment cost
+    * (q_dedup_ngram_incr's oracle checks that equivalence end to end,
+    * re-deriving the union pair list from scratch in DuckDB and
+    * filtering to increment-touching pairs).
+    *
+    * The df cap is applied at the UNION size (`corpusDocCount` + the
+    * increment — the caller tracks the corpus count as table metadata,
+    * the one scalar this needs): for shingles the increment touches
+    * ("hot"), the union df is the hot posting count itself; for a
+    * candidate PRIOR doc's untouched shingles, union df = the
+    * artifact's df + the increment's (0 for untouched) — so per-doc
+    * surviving-shingle counts (the Jaccard denominators) are exact on
+    * both sides of every pair.
+    *
+    * Shape at 100 TB: the corpus participates only through (a) index
+    * lookups on hot shingles (a semi-join on the increment's shingle
+    * set) and (b) the full postings of CANDIDATE prior docs (bounded by
+    * collision volume) for their denominators. Shuffle ∝ increment +
+    * collisions, never the corpus. Prior×prior pairs are historic —
+    * already adjudicated by earlier ingests — and are never generated.
+    *
+    * `corpusIndex` must not include the increment's ids (it is the
+    * PRE-ingest index by construction).
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, text) frame. */
+  def ngramJaccardPairsIncremental(newBatch: DataFrame, id: String,
+      text: String, corpusIndex: DataFrame, corpusDocCount: Long,
+      minJaccard: Double): DataFrame = {
+    require(corpusDocCount >= 0,
+      s"corpusDocCount must be >= 0, got $corpusDocCount")
+    // increment-sized; checkpointed because three legs consume it (the
+    // df table, the union bucket build, the denominator count) — the
+    // shingling kernel should run once per ingest, not thrice
+    val newPost = newBatch
+      .select(col(id).as("doc_id"),
+        explode(graft.functions.TextKernels.shingleSet64(col(text)))
+          .as("sh64"))
+      .localCheckpoint(eager = true)
+    val dfNew = newPost.groupBy("sh64").agg(count(lit(1)).as("dfn"))
+    val capF = newBatch.agg(
+      least(lit(1000L), greatest(lit(100L),
+        floor((count(lit(1)) + lit(corpusDocCount)) * 0.002).cast("long")))
+        .as("max_df"))
+    // hot buckets: union postings restricted to shingles the increment
+    // touches; their posting count IS the union df
+    val priorHot = corpusIndex.select("doc_id", "sh64")
+      .join(dfNew.select("sh64"), Seq("sh64"), "leftsemi")
+    val buckets = priorHot.unionByName(newPost)
+      .groupBy("sh64")
+      .agg(count(lit(1)).as("df"), collect_list("doc_id").as("ds"))
+      .crossJoin(broadcast(capF))
+      .filter(col("df") <= col("max_df"))
+      .localCheckpoint(eager = true)
+    val pairs = buckets
+      .select(explode(graft.functions.ListPairs.listPairs(col("ds"))).as("p"))
+      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val newIds = newBatch.select(col(id).as("doc_id")).distinct()
+    val mixedPairs = pairs
+      .join(newIds.select(col("doc_id").as("da"), lit(true).as("__na")),
+        Seq("da"), "left")
+      .join(newIds.select(col("doc_id").as("db"), lit(true).as("__nb")),
+        Seq("db"), "left")
+      .filter(col("__na").isNotNull || col("__nb").isNotNull)
+      .select("da", "db", "inter")
+    // Jaccard denominators: an increment doc's shingles are all hot, so
+    // its surviving count comes from the capped hot buckets; a candidate
+    // prior doc's count runs over its FULL postings with union df =
+    // artifact df + increment df (0 where untouched)
+    val cntNew = newPost
+      .join(buckets.select("sh64"), Seq("sh64"), "leftsemi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val priorCand = mixedPairs.select(col("da").as("doc_id"))
+      .unionByName(mixedPairs.select(col("db").as("doc_id")))
+      .distinct()
+      .join(newIds, Seq("doc_id"), "left_anti")
+    val cntPrior = corpusIndex.select("doc_id", "sh64", "df")
+      .join(priorCand, Seq("doc_id"), "leftsemi")
+      .join(dfNew, Seq("sh64"), "left")
+      .crossJoin(broadcast(capF))
+      .filter(col("df") + coalesce(col("dfn"), lit(0L)) <= col("max_df"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cnt = cntNew.unionByName(cntPrior)
+    mixedPairs
+      .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
+      .withColumn("jaccard",
+        col("inter") / (col("ca.n") + col("cb.n") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("da"), col("db"), Det.r4(col("jaccard")).as("jaccard"))
+      .orderBy("da", "db")
+  }
+
+  /** 10%-increment binding of [[ngramJaccardPairsIncremental]]: docs
+    * with `doc_id % 10 = 0` ingest against the rest's posting index;
+    * the prior doc count (production: table metadata) is read once. */
+  private def dedupNgramIncr(s: SparkSession, d: String): DataFrame = {
+    val prior = docsSpread(s, d).filter(col("doc_id") % 10 =!= 0)
+    ngramJaccardPairsIncremental(
+      docsSpread(s, d).filter(col("doc_id") % 10 === 0), "doc_id", "text",
+      ngramPostings(prior, "doc_id", "text"),
+      corpusDocCount = prior.count(), minJaccard = 0.1)
+  }
+
   /** 10%-increment binding of [[exactDedupIncremental]]: docs with
     * `doc_id % 10 = 0` ingest against the rest's hash table. */
   private def dedupExactIncr(s: SparkSession, d: String): DataFrame =
@@ -825,6 +951,16 @@ object DedupOps {
         |       WHEN rk > 1 THEN 'dup_in_batch'
         |       ELSE 'unique' END AS fate
         | FROM r ORDER BY doc_id""".stripMargin)),
+    // The incremental-vs-index path must equal the from-scratch UNION
+    // pair list restricted to increment-touching pairs — DuckDB re-runs
+    // the batch computation over the whole table and filters; Spark
+    // computes it from the prior posting index at increment cost.
+    QDef("q_dedup_ngram_incr", dedupNgramIncr, Some(
+      s"""WITH ${ngramPairCtes("documents", 0.1)}
+         |SELECT da, db,
+         |  floor((inter / (na + nb - inter)) * 10000 + 0.5) / 10000 AS jaccard
+         | FROM njp WHERE da % 10 = 0 OR db % 10 = 0
+         | ORDER BY da, db""".stripMargin)),
     // The incremental LSH path over the same persisted signature table as
     // the verify query: DuckDB re-derives the increment/corpus split, the
     // hot-bucket restriction, and the >=1-increment-doc pair filter from

@@ -859,6 +859,38 @@ class ApiSpec extends SparkSpec {
     assert(got.map(_._6) == Seq(false, true))
   }
 
+  test("ngramJaccardPairsIncremental equals the union batch pairs restricted to the increment") {
+    val s = spark
+    import s.implicits._
+    val prior = Seq(
+      (10L, base),
+      (20L, base + " lambda"), // prior×prior near-dup — must NOT resurface
+      (30L, "one two three four five six seven eight nine ten"))
+      .toDF("id", "body")
+    val inc = Seq(
+      (60L, base + " mu"),     // cross-batch near-dup of 10 and 20
+      (70L, "cats dogs birds fish mice lions tigers bears wolves foxes"),
+      (80L, "cats dogs birds fish mice lions tigers bears wolves hawks"))
+      .toDF("id", "body")     // 70-80: in-batch near-dup
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+    val got = rowsOf(DedupOps.ngramJaccardPairsIncremental(
+      inc, "id", "body",
+      DedupOps.ngramPostings(prior, "id", "body"),
+      corpusDocCount = 3L, minJaccard = 0.1))
+    val expected = rowsOf(DedupOps.ngramJaccardPairs(
+      prior.unionByName(inc), "id", "body", minJaccard = 0.1)
+      .filter(col("da").isin(60L, 70L, 80L) ||
+        col("db").isin(60L, 70L, 80L)))
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(got.exists(p => p._1 == 10L && p._2 == 60L) &&
+      got.exists(p => p._1 == 70L && p._2 == 80L),
+      s"planted cross-batch / in-batch pairs missed: $got")
+    assert(!got.exists(p => (p._1, p._2) == (10L, 20L)),
+      "historic prior-only pair resurfaced in the increment output")
+  }
+
   test("trainReady mixture stage up-weights the low-resource source, unsampled docs stay in the manifest") {
     val s = spark
     import s.implicits._
