@@ -750,24 +750,27 @@ object DedupOps {
     * `njp` with columns (da, db, inter, na, nb) already filtered to
     * jaccard ≥ minJ. Splice as `WITH [RECURSIVE] ${ngramPairCtes(...)},
     * ...`. */
-  private[operators] def ngramPairCtes(table: String, minJ: Double): String =
-    s"""njw AS (SELECT doc_id,
+  private[operators] def ngramPairCtes(table: String, minJ: Double,
+      pfx: String = ""): String =
+    s"""${pfx}njw AS (SELECT doc_id,
        |  list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS l
        |  FROM $table),
-       |njs AS (SELECT DISTINCT doc_id,
+       |${pfx}njs AS (SELECT DISTINCT doc_id,
        |  unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
        |          for i in generate_series(1, len(l) - 2)]) AS shingle
-       |  FROM njw WHERE len(l) >= 3),
-       |njs2 AS (SELECT doc_id, shingle FROM njs WHERE shingle IN
-       |  (SELECT shingle FROM njs GROUP BY 1 HAVING count(*) <=
+       |  FROM ${pfx}njw WHERE len(l) >= 3),
+       |${pfx}njs2 AS (SELECT doc_id, shingle FROM ${pfx}njs WHERE shingle IN
+       |  (SELECT shingle FROM ${pfx}njs GROUP BY 1 HAVING count(*) <=
        |    (SELECT least(1000, greatest(100, CAST(floor(count(*) * 0.002) AS BIGINT)))
        |     FROM $table))),
-       |njcnt AS (SELECT doc_id, count(*) AS n FROM njs2 GROUP BY 1),
-       |njp AS (SELECT da, db, inter, ca.n AS na, cb.n AS nb
+       |${pfx}njcnt AS (SELECT doc_id, count(*) AS n FROM ${pfx}njs2 GROUP BY 1),
+       |${pfx}njp AS (SELECT da, db, inter, ca.n AS na, cb.n AS nb
        |  FROM (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-       |    FROM njs2 a JOIN njs2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |    FROM ${pfx}njs2 a JOIN ${pfx}njs2 b
+       |      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |    GROUP BY 1, 2) p
-       |  JOIN njcnt ca ON p.da = ca.doc_id JOIN njcnt cb ON p.db = cb.doc_id
+       |  JOIN ${pfx}njcnt ca ON p.da = ca.doc_id
+       |  JOIN ${pfx}njcnt cb ON p.db = cb.doc_id
        |  WHERE inter / (ca.n + cb.n - inter) >= $minJ)""".stripMargin
 
   /** DuckDB rendering of the n-gram Jaccard query (shared by the

@@ -891,6 +891,82 @@ class ApiSpec extends SparkSpec {
       "historic prior-only pair resurfaced in the increment output")
   }
 
+  test("trainReadyIncremental chains two ingests: frozen prior rows, planted fates, appended ranks") {
+    val s = spark
+    import s.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => f"$prefix$i%02d")
+    def clean(prefix: String): String =
+      ("the" +: words(prefix, 31) :+ "and").mkString(" ")
+    def nearDupOf(prefix: String, tail: String): String =
+      ("the" +: (words(prefix, 28) ++ words(tail, 3)) :+ "and").mkString(" ")
+    val c0 = Seq(
+      (2L, clean("alpha")), (4L, clean("beta")), (7L, clean("delta")))
+      .toDF("id", "body")
+    val bench = Seq(
+      (100L, (words("bench", 5) ++ words("gamma", 8) ++ words("bench2", 5))
+        .mkString(" ")))
+      .toDF("id", "body")
+    val c1 = Seq(
+      (11L, "too short"),           // quality
+      (12L, clean("alpha")),        // exact_dup of prior doc 2
+      (13L, nearDupOf("beta", "zz")), // near_dup: cross-batch pair to 4
+      (14L, clean("gamma")),        // contaminated (8-gram run in bench)
+      (15L, clean("epsil")))        // kept
+      .toDF("id", "body")
+    val c2 = Seq(
+      (21L, clean("epsil")),        // exact_dup of FIRST increment's 15
+      (22L, nearDupOf("delta", "xx")), // near_dup: cross-batch pair to 7
+      (23L, clean("zetaa")),        // kept
+      (24L, clean("eta")),          // kept: rep of the new-only cluster
+      (25L, nearDupOf("eta", "yy")))  // near_dup: in-batch pair to 24
+      .toDF("id", "body")
+    val cap = 40.0
+    val m0 = PipelineOps.trainReady(c0, bench, "id", "body", cap = cap)
+    val m1 = PipelineOps.trainReadyIncremental(m0, c0, c1, bench,
+      "id", "body", cap = cap)
+    val m2 = PipelineOps.trainReadyIncremental(m1, c0.unionByName(c1), c2,
+      bench, "id", "body", cap = cap)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).sortBy(_._1).toSeq
+    val m2rows = rowsOf(m2)
+    assert(m2rows.map(r => r._1 -> r._2).toMap == Map(
+      2L -> "kept", 4L -> "kept", 7L -> "kept",
+      11L -> "quality", 12L -> "exact_dup", 13L -> "near_dup",
+      14L -> "contaminated", 15L -> "kept",
+      21L -> "exact_dup", 22L -> "near_dup", 23L -> "kept",
+      24L -> "kept", 25L -> "near_dup"),
+      s"planted fates diverged: $m2rows")
+    // history is frozen: the second ingest passes the first's rows
+    // through untouched (manifest in ≡ manifest out)
+    assert(m2rows.filter(_._1 < 21L) == rowsOf(m1),
+      "second increment rewrote prior manifest rows")
+    assert(rowsOf(m1).filter(_._1 < 11L) == rowsOf(m0),
+      "first increment rewrote the batch manifest rows")
+    // epoch ranks: dense 0..k-1 overall, each ingest's kept block
+    // appended AFTER the standing corpus's
+    val ranks = m2rows.filter(_._2 == "kept").map(r => r._1 -> r._5)
+    assert(ranks.map(_._2).sorted == (0L until 6L).toList,
+      s"ranks not dense: $ranks")
+    assert(Seq(2L, 4L, 7L).map(ranks.toMap).forall(_ < 3) &&
+      ranks.toMap.apply(15L) == 3L &&
+      Seq(23L, 24L).map(ranks.toMap).forall(_ >= 4),
+      s"rank blocks not batch-major: $ranks")
+    // pack cursor continues: each ingest's kept docs land at or after
+    // the standing build's last window
+    val chunkOf = m2rows.filter(_._2 == "kept").map(r => r._1 -> r._4).toMap
+    assert(chunkOf(15L) >= Seq(2L, 4L, 7L).map(chunkOf).max &&
+      Seq(23L, 24L).map(chunkOf).min >= chunkOf(15L),
+      s"pack cursor did not continue: $chunkOf")
+    // dropped increment docs stay manifested with NULL pack/order
+    for (r <- m2rows if r._2 != "kept")
+      assert(r._3 == -1L && r._4 == -1L && r._5 == -1L,
+        s"dropped doc ${r._1} carries pack/order values")
+  }
+
   test("trainReady mixture stage up-weights the low-resource source, unsampled docs stay in the manifest") {
     val s = spark
     import s.implicits._
