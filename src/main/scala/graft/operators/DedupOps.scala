@@ -220,7 +220,8 @@ object DedupOps {
       // so their per-doc kernel cost reports here, not in the consumers'
       // q_dedup_*_verify timings (which measure the verification stage)
       "_memo_minhash_sigs" -> ((s, d) => minhashSigAux(s, d)),
-      "_memo_simhash_fps" -> ((s, d) => simhashFpAux(s, d)))
+      "_memo_simhash_fps" -> ((s, d) => simhashFpAux(s, d)),
+      "_memo_ngram_postings" -> ((s, d) => ngramPostingsAux(s, d)))
 
   private def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
     sharedNgramPairs(s, d).orderBy("da", "db")
@@ -533,16 +534,28 @@ object DedupOps {
       .orderBy("da", "db")
   }
 
+  /** The 90%-corpus posting index, materialized once per application —
+    * the standing artifact q_dedup_ngram_incr ingests against (the
+    * `minhash_sigs` pattern: the bench line measures the INCREMENTAL
+    * query, not a per-rep rebuild of the index it exists to reuse). */
+  private[operators] def ngramPostingsAux(s: SparkSession,
+      d: String): DataFrame =
+    graft.sources.Materialize.table(s, s"ngram_postings:$d") {
+      ngramPostings(docsSpread(s, d).filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text")
+    }
+
   /** 10%-increment binding of [[ngramJaccardPairsIncremental]]: docs
-    * with `doc_id % 10 = 0` ingest against the rest's posting index;
-    * the prior doc count (production: table metadata) is read once. */
-  private def dedupNgramIncr(s: SparkSession, d: String): DataFrame = {
-    val prior = docsSpread(s, d).filter(col("doc_id") % 10 =!= 0)
+    * with `doc_id % 10 = 0` ingest against the rest's persisted posting
+    * index; the prior doc count (production: table metadata) is read
+    * once. */
+  private def dedupNgramIncr(s: SparkSession, d: String): DataFrame =
     ngramJaccardPairsIncremental(
       docsSpread(s, d).filter(col("doc_id") % 10 === 0), "doc_id", "text",
-      ngramPostings(prior, "doc_id", "text"),
-      corpusDocCount = prior.count(), minJaccard = 0.1)
-  }
+      ngramPostingsAux(s, d),
+      corpusDocCount =
+        docs(s, d).filter(col("doc_id") % 10 =!= 0).count(),
+      minJaccard = 0.1)
 
   /** 10%-increment binding of [[exactDedupIncremental]]: docs with
     * `doc_id % 10 = 0` ingest against the rest's hash table. */

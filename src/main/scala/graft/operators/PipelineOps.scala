@@ -1329,8 +1329,20 @@ object PipelineOps {
     val be = sp.filter(col("split") =!= "train")
     trainReadyIncremental(trainReadyIncrPrior(s, d), prior, inc, be,
       "doc_id", "text",
-      precomputedPostings = Some(trainReadyIncrPostings(s, d)))
+      precomputedPostings = Some(trainReadyIncrPostings(s, d)),
+      precomputedHashes = Some(trainReadyIncrHashes(s, d)))
   }
+
+  /** The standing 75%-corpus content-hash table
+    * ([[DedupOps.exactDedupIncremental]]'s artifact interface),
+    * materialized once per application. */
+  private[operators] def trainReadyIncrHashes(s: SparkSession,
+      d: String): DataFrame =
+    graft.sources.Materialize.table(s, s"train_ready_hashes:$d") {
+      TextOps.splitAssign(s, d)
+        .filter(col("split") === "train" && incrPriorFilter)
+        .select(md5(col("text").cast("binary")).as("h"))
+    }
 
   /** The standing 75%-corpus [[trainReady]] manifest, materialized once
     * per application — the artifact q_train_ready_incr ingests against. */
@@ -1363,7 +1375,8 @@ object PipelineOps {
     Seq("_memo_curate_pairs" -> ((s, d) => curatePairs(s, d)),
       "_memo_curate_fates" -> ((s, d) => curateFateManifest(s, d)),
       "_memo_incr_prior" -> ((s, d) => trainReadyIncrPrior(s, d)),
-      "_memo_incr_postings" -> ((s, d) => trainReadyIncrPostings(s, d)))
+      "_memo_incr_postings" -> ((s, d) => trainReadyIncrPostings(s, d)),
+      "_memo_incr_hashes" -> ((s, d) => trainReadyIncrHashes(s, d)))
 
   // q_curate: curate the train split against the held-out splits —
   // the same deterministic md5 split q_decontaminate uses. The near-dup

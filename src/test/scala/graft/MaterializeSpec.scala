@@ -79,6 +79,22 @@ class MaterializeSpec extends SparkSpec {
     assert(memoized.toSeq == direct.toSeq)
   }
 
+  test("q_dedup_ngram_incr through the memoized posting index equals the direct computation") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .repartition(col("doc_id"))
+    val direct = graft.operators.DedupOps.ngramJaccardPairsIncremental(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+      graft.operators.DedupOps.ngramPostings(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"),
+      corpusDocCount =
+        docs.filter(col("doc_id") % 10 =!= 0).count(),
+      minJaccard = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val memoized = SparkEntry.queries("q_dedup_ngram_incr")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(memoized.toSeq == direct.toSeq)
+  }
+
   test("q_curate through the memoized train-split pair list equals the direct pipeline") {
     val sp = graft.operators.TextOps.splitAssign(spark, sf)
     val direct = graft.operators.PipelineOps.curate(
