@@ -44,8 +44,10 @@ object StressPipeline {
     // token = "a{seed}x{j}" — at 7-digit seeds the 11-char tokens push
     // avg_tok_len past qualityFilter's 10.0 bound and the planted fates
     // stop holding; the corpus generator, not the pipeline, is the limit
-    require(nDocs <= 900000,
-      s"planted-fate token lengths only hold to 900k docs, got $nDocs")
+    // (the r12 increment phase raises the max seed to nDocs·7/6, so the
+    // 6-digit ceiling binds at 840k)
+    require(nDocs <= 840000,
+      s"planted-fate token lengths only hold to 840k docs, got $nDocs")
     val u = nDocs / 30000L // range unit: quality/exact/near blocks scale
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
@@ -132,6 +134,77 @@ object StressPipeline {
         s"${totalTok / 4096L}")
     println(s"[stress] kept=$k totalTok=$totalTok chunks=${maxChunk + 1} " +
       s"ranks dense 0..${k - 1}")
+
+    // --- r12: incremental ingest at scale ------------------------------
+    // A 5000u-doc increment (1/6 of the corpus) with every frozen-prior
+    // fate branch planted exactly: quality shorts (byte-identical to the
+    // prior shorts — quality must still precede the exact check), exact
+    // copies of prior kept docs, 27-of-30 near-dups of OTHER prior kept
+    // docs (cross-batch pairs through the persisted posting index),
+    // contaminated docs whose shared-run shingles sit far above the
+    // UNION df cap (the cap must keep pruning them while the capless
+    // 8-gram decontamination still catches every one), and fresh clean
+    // docs. The ingest consumes the standing artifacts exactly as a
+    // production pipeline would: the batch manifest written above, the
+    // prior corpus, and a persisted posting index.
+    val off = nDocs
+    val inc = spark.range(off, off + 5000L * u).repartition(32)
+      .select(col("id"),
+        when(col("id") < off + 1000L * u, lit("too short"))
+          .when(col("id") < off + 2000L * u,
+            cleanBody(col("id") - (off + 1000L * u) + 22500L * u))
+          .when(col("id") < off + 3000L * u,
+            nearBody(col("id") - (off + 2000L * u) + 23500L * u, col("id")))
+          .when(col("id") < off + 4000L * u, contamBody(col("id")))
+          .otherwise(cleanBody(col("id"))).as("body"))
+    val postings = timed("standing posting index (one-time artifact)") {
+      val p = graft.operators.DedupOps.ngramPostings(corpus, "id", "body")
+      p.write.mode("overwrite").parquet(s"$dir-postings")
+      spark.read.parquet(s"$dir-postings")
+    }
+    val hashes = timed("standing hash table (one-time artifact)") {
+      corpus.select(md5(col("body").cast("binary")).as("h"))
+        .write.mode("overwrite").parquet(s"$dir-hashes")
+      spark.read.parquet(s"$dir-hashes")
+    }
+    val incDir = s"$dir-incr"
+    timed(s"trainReadyIncremental (${5000L * u}-doc ingest onto $nDocs)") {
+      graft.operators.PipelineOps
+        .trainReadyIncremental(m, corpus, inc, bench, "id", "body",
+          cap = 4096.0, epoch = "s1",
+          precomputedPostings = Some(postings),
+          precomputedHashes = Some(hashes))
+        .write.mode("overwrite").parquet(incDir)
+    }
+    val m1 = spark.read.parquet(incDir)
+
+    // history frozen: the prior block of the merged manifest is
+    // row-for-row the batch manifest
+    assert(m1.filter(col("doc_id") < nDocs).exceptAll(
+      m.select("doc_id", "fate", "n_tok", "chunk", "rank")).count() == 0 &&
+      m1.filter(col("doc_id") < nDocs).count() == nDocs,
+      "incremental ingest rewrote prior manifest rows")
+    val incFates = m1.filter(col("doc_id") >= nDocs)
+      .groupBy("fate").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val incExpected = Map(
+      "quality" -> 1000L * u, "exact_dup" -> 1000L * u,
+      "near_dup" -> 1000L * u, "contaminated" -> 1000L * u,
+      "kept" -> 1000L * u)
+    println(s"[stress] increment fates: $incFates")
+    assert(incFates == incExpected,
+      s"planted increment fates violated: $incFates vs $incExpected")
+    val keptNew = m1.filter(col("doc_id") >= nDocs && col("fate") === "kept")
+    val rn = keptNew.agg(min("rank"), max("rank"), countDistinct("rank"),
+      min("chunk")).head()
+    assert(rn.getLong(0) == k && rn.getLong(1) == k + 1000L * u - 1 &&
+      rn.getLong(2) == 1000L * u,
+      s"increment ranks not appended dense after the prior block: $rn")
+    assert(rn.getLong(3) >= maxChunk,
+      s"increment did not continue the pack cursor: ${rn.getLong(3)} < $maxChunk")
+    println(s"[stress] increment kept=${1000L * u} ranks " +
+      s"$k..${k + 1000L * u - 1} first chunk=${rn.getLong(3)} " +
+      s"(prior last=$maxChunk)")
     spark.stop()
   }
 }
