@@ -207,8 +207,10 @@ object PipelineOps {
     *
     * Output, one row per chunk: `chunk`, `n_segs` (document segments in
     * the window — a straddling doc counts in each window it touches),
-    * `n_tokens`, `doc_starts` (comma-joined 0-based offsets of each
-    * segment's first token within the chunk, in stream order),
+    * `n_tokens`, `doc_ids` (comma-joined source doc ids in stream
+    * order — the lineage column a trainer's provenance/loss-mask logic
+    * keys on), `doc_starts` (comma-joined 0-based offsets of each
+    * segment's first token within the chunk, aligned with `doc_ids`),
     * `chunk_text` (the window's token stream, space-joined), and
     * `is_partial` (`n_tokens < cap` — only the final chunk can be).
     * Token-less docs contribute nothing to any window and are skipped.
@@ -230,17 +232,28 @@ object PipelineOps {
     * LIBRARY ENTRY POINT — generic over any corpus (id + text columns).
     */
   def packExamples(rows: DataFrame, id: String, text: String,
-      cap: Long): DataFrame = {
-    require(cap >= 1, s"cap must be >= 1, got $cap")
-    val base = rows
+      cap: Long): DataFrame =
+    packExamplesCore(rows
       .select(col(id).as("doc_id"), TextOps.toks(col(text)).as("t"))
-      .filter(size(col("t")) > 0)
-    val asg = packAssign(base.select(col("doc_id"),
-        size(col("t")).cast("long").as("n_tok")),
-      "doc_id", "n_tok", cap.toDouble)
+      .filter(size(col("t")) > 0), cap)
+
+  /** [[packExamples]]' window materializer over a pre-tokenized
+    * `(doc_id, t: array<string>)` frame — shared with
+    * [[trainReadyExamples]], whose unit is a FORMATTED token stream.
+    * The slim (doc_id, n_tok) relation is checkpointed (16 bytes/doc)
+    * so the two-phase pack assignment never re-executes the token
+    * derivation; the token relation itself is consumed exactly ONCE,
+    * by the spans join — for a composed caller that makes the
+    * formatter subtree run once per action, not once per consumer. */
+  private def packExamplesCore(toksRows: DataFrame, cap: Long): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val nTok = toksRows
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"))
+      .localCheckpoint(true)
+    val asg = packAssign(nTok, "doc_id", "n_tok", cap.toDouble)
     // one (doc, window) row per overlapped window, with the doc's token
     // slice for that window cut BEFORE the chunk-keyed shuffle
-    val spans = asg.join(base.select(col("doc_id"), col("t")), Seq("doc_id"))
+    val spans = asg.join(toksRows, Seq("doc_id"))
       .withColumn("start", col("cum") - col("n_tok"))
       .select(col("doc_id"), col("t"), col("start"), col("cum"),
         explode(sequence(col("chunk"),
@@ -249,15 +262,20 @@ object PipelineOps {
       .withColumn("seg_until", least((col("ck") + 1) * cap, col("cum")))
       .select(col("ck").as("chunk"),
         (col("seg_from") - col("ck") * cap).as("off"),
+        col("doc_id").as("id"),
         slice(col("t"), (col("seg_from") - col("start") + 1).cast("int"),
           (col("seg_until") - col("seg_from")).cast("int")).as("seg"))
     spans.groupBy("chunk")
-      .agg(array_sort(collect_list(struct(col("off"), col("seg")))).as("ps"))
+      .agg(array_sort(collect_list(
+        struct(col("off"), col("id"), col("seg")))).as("ps"))
       .select(col("chunk"), col("ps"),
         flatten(transform(col("ps"), x => x.getField("seg"))).as("tk"))
       .select(col("chunk"),
         size(col("ps")).cast("long").as("n_segs"),
         size(col("tk")).cast("long").as("n_tokens"),
+        concat_ws(",",
+          transform(col("ps"), x => x.getField("id").cast("string")))
+          .as("doc_ids"),
         concat_ws(",",
           transform(col("ps"), x => x.getField("off").cast("string")))
           .as("doc_starts"),
@@ -1033,18 +1051,55 @@ object PipelineOps {
       mixtureBudgetFraction: Double = 0.5): DataFrame = {
     require(Set("span", "fim", "plain")(formatter),
       s"formatter must be span | fim | plain, got '$formatter'")
+    val (fatesOut, keptDocs) = curateKeptDocs(corpus, bench, id, text,
+      minJaccard, contamN, precomputedPairs, precomputedFates,
+      mixtureSource, mixtureAlpha, mixtureBudgetFraction)
+    val withTok = formattedTok(keptDocs, formatter, startRateBp, meanSpan,
+      fimRateBp)
+    // Lineage barrier on the 2-long-per-doc token relation (the
+    // connectedComponents precedent): the two downstream two-phase
+    // stages each consume their input twice (local window + bucket
+    // prefix), so lazily the formatter's explode-and-window subtree
+    // would execute FOUR times per action. Checkpointing ~16 bytes/doc
+    // buys a single formatter run; the pinned blocks are tiny and freed
+    // by any getPersistentRDDs sweep (Bench/Verify do this per query).
+    val withTokCk = withTok.localCheckpoint(true)
+    val packed = packAssign(withTokCk, "doc_id", "n_tok", cap)
+      .select("doc_id", "n_tok", "chunk")
+    val order = epochRank(withTokCk, "doc_id", epoch)
+      .select("doc_id", "rank")
+    fatesOut.join(packed, Seq("doc_id"), "left")
+      .join(order, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fate"), col("n_tok"), col("chunk"),
+        col("rank"))
+      .orderBy("doc_id")
+  }
+
+  /** [[trainReady]]'s front half — fates (with the optional mixture
+    * verdict folded in) and the kept/sampled document set — extracted
+    * so [[trainReadyExamples]] shares the identical curation + mixture
+    * semantics. Returns `(fatesOut, keptDocs)`: the manifest-side fate
+    * relation (kept-but-unsampled docs already relabeled `unsampled`)
+    * and the `(doc_id, text)` frame the formatter runs on.
+    *
+    * The fate relation is consumed twice downstream (kept-filter +
+    * final manifest join). When it is derived in-call it gets the same
+    * lineage barrier as the token relation (ADVICE r11): the slim
+    * (doc_id, fate) relation checkpoints at ~20 bytes/doc, so the
+    * curation stages — quality filter, dedup joins, decontamination —
+    * run ONCE per call instead of once per consumer per action.
+    * Precomputed fates are already a scan (the
+    * [[curate.precomputedPairs]] precedent: production callers persist
+    * [[curate]]'s manifest and feed it back here) and need no barrier. */
+  private def curateKeptDocs(corpus: DataFrame, bench: DataFrame,
+      id: String, text: String, minJaccard: Double, contamN: Int,
+      precomputedPairs: Option[DataFrame],
+      precomputedFates: Option[DataFrame],
+      mixtureSource: Option[String], mixtureAlpha: Double,
+      mixtureBudgetFraction: Double): (DataFrame, DataFrame) = {
     mixtureSource.foreach(src => require(corpus.columns.contains(src),
       s"corpus has no mixture source column '$src' " +
         s"(columns: ${corpus.columns.mkString(", ")})"))
-    // The fate relation is consumed twice below (kept-filter + final
-    // manifest join). When it is derived in-call it gets the same
-    // lineage barrier as withTok (ADVICE r11): the slim (doc_id, fate)
-    // relation checkpoints at ~20 bytes/doc, so the curation stages —
-    // quality filter, dedup joins, decontamination — run ONCE per call
-    // instead of once per consumer per action. Precomputed fates are
-    // already a scan (the [[curate.precomputedPairs]] precedent:
-    // production callers persist [[curate]]'s manifest and feed it
-    // back here) and need no barrier.
     val fates = precomputedFates
       .map(_.select(col("doc_id"), col("fate")))
       .getOrElse(curateFates(corpus, bench, id, text, minJaccard,
@@ -1077,20 +1132,6 @@ object PipelineOps {
             .join(sel, Seq("doc_id"), "left_anti")))
       case None => (keptJoined.select("doc_id", "text"), None)
     }
-    val withTok = formattedTok(keptDocs, formatter, startRateBp, meanSpan,
-      fimRateBp)
-    // Lineage barrier on the 2-long-per-doc token relation (the
-    // connectedComponents precedent): the two downstream two-phase
-    // stages each consume their input twice (local window + bucket
-    // prefix), so lazily the formatter's explode-and-window subtree
-    // would execute FOUR times per action. Checkpointing ~16 bytes/doc
-    // buys a single formatter run; the pinned blocks are tiny and freed
-    // by any getPersistentRDDs sweep (Bench/Verify do this per query).
-    val withTokCk = withTok.localCheckpoint(true)
-    val packed = packAssign(withTokCk, "doc_id", "n_tok", cap)
-      .select("doc_id", "n_tok", "chunk")
-    val order = epochRank(withTokCk, "doc_id", epoch)
-      .select("doc_id", "rank")
     val fatesOut = unsampled match {
       case Some(dropped) =>
         fates.join(dropped.withColumn("__uns", lit(true)),
@@ -1100,11 +1141,63 @@ object PipelineOps {
               .as("fate"))
       case None => fates
     }
-    fatesOut.join(packed, Seq("doc_id"), "left")
-      .join(order, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("fate"), col("n_tok"), col("chunk"),
-        col("rank"))
-      .orderBy("doc_id")
+    (fatesOut, keptDocs)
+  }
+
+  /** The composed build's TRAINING WINDOWS — [[trainReadyExamples]]
+    * materializes what [[trainReady]] manifests: the kept (and, with a
+    * mixture source, sampled) documents' FORMATTED example token
+    * streams (input ∥ target for span corruption — exactly the stream
+    * trainReady's `n_tok` counts) laid out in the same md5 pack order
+    * and split at exact `cap`-token boundaries by
+    * [[packExamples]]' window materializer. Per window: the token
+    * stream, source doc ids, and doc-boundary offsets — the artifact a
+    * data loader actually reads, aligned row-for-row with trainReady's
+    * `chunk` column (a doc's manifest chunk is the window holding its
+    * first token; pinned in graft.ApiSpec).
+    *
+    * Same parameters and stage semantics as [[trainReady]]; `cap` is a
+    * token count ([[packExamples]]' convention — a trainReady caller
+    * with cap 4096.0 passes 4096 here).
+    *
+    * Shape at 100 TB: curation/mixture keep their audited shapes; the
+    * formatter subtree runs twice per action (once eagerly into the
+    * slim 16-byte/doc token-count checkpoint, once into the window
+    * join) — a production run materializes the formatter output to
+    * storage first and feeds it through the same core, which consumes
+    * the token relation exactly once.
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, text) corpus/bench
+    * pair. */
+  def trainReadyExamples(corpus: DataFrame, bench: DataFrame, id: String,
+      text: String, cap: Long = 4096L, formatter: String = "span",
+      startRateBp: Int = 500, meanSpan: Int = 3, fimRateBp: Int = 9000,
+      minJaccard: Double = 0.1, contamN: Int = 8,
+      precomputedPairs: Option[DataFrame] = None,
+      precomputedFates: Option[DataFrame] = None,
+      mixtureSource: Option[String] = None,
+      mixtureAlpha: Double = 0.3,
+      mixtureBudgetFraction: Double = 0.5): DataFrame = {
+    require(Set("span", "fim", "plain")(formatter),
+      s"formatter must be span | fim | plain, got '$formatter'")
+    val (_, keptDocs) = curateKeptDocs(corpus, bench, id, text,
+      minJaccard, contamN, precomputedPairs, precomputedFates,
+      mixtureSource, mixtureAlpha, mixtureBudgetFraction)
+    val toksRows = formatter match {
+      case "span" =>
+        spanApplyCore(keptDocs, "doc_id", "text", startRateBp, meanSpan)
+          .select(col("doc_id"),
+            when(col("target_text") === "", split(col("input_text"), " "))
+              .otherwise(concat(split(col("input_text"), " "),
+                split(col("target_text"), " "))).as("t"))
+      case "fim" =>
+        fimCore(keptDocs, "doc_id", "text", fimRateBp)
+          .select(col("doc_id"), split(col("output_text"), " ").as("t"))
+      case "plain" =>
+        keptDocs.select(col("doc_id"), TextOps.toks(col("text")).as("t"))
+          .filter(size(col("t")) > 0)
+    }
+    packExamplesCore(toksRows, cap)
   }
 
   /** Formatted-example token counts `(doc_id, n_tok)` over a kept-docs
@@ -1597,6 +1690,48 @@ object PipelineOps {
        |  LEFT JOIN trn_rank r USING (doc_id)
        | ORDER BY f.doc_id""".stripMargin
 
+  /** DuckDB window-rebuild SQL over a `$src(doc_id, t)` token-list CTE:
+    * ordered per-window list aggregation at `cap` tokens from per-token
+    * global positions — CTE suffix + final SELECT, names prefixed with
+    * `pfx`. Shared by the q_pack_examples and q_train_ready_examples
+    * oracles. */
+  private def packExamplesOracleTail(src: String, cap: Int,
+      pfx: String): String =
+    s"""${pfx}c AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tok,
+       |   sum(len(t)) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+       |     AS cum
+       |  FROM $src),
+       |${pfx}pos AS (SELECT doc_id, cum - n_tok + i AS gp, tok,
+       |   CAST(floor((cum - n_tok + i - 1) / $cap.0) AS BIGINT) AS chunk
+       |  FROM (SELECT doc_id, cum, n_tok, unnest(t) AS tok,
+       |        generate_subscripts(t, 1) AS i FROM ${pfx}c)),
+       |${pfx}segs AS (SELECT chunk, doc_id, min(gp) AS mn
+       |  FROM ${pfx}pos GROUP BY 1, 2),
+       |${pfx}st AS (SELECT chunk, CAST(count(*) AS BIGINT) AS n_segs,
+       |   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY mn) AS doc_ids,
+       |   string_agg(CAST(mn - 1 - chunk * $cap AS VARCHAR), ','
+       |     ORDER BY mn) AS doc_starts
+       |  FROM ${pfx}segs GROUP BY 1),
+       |${pfx}tx AS (SELECT chunk, CAST(count(*) AS BIGINT) AS n_tokens,
+       |   string_agg(tok, ' ' ORDER BY gp) AS chunk_text
+       |  FROM ${pfx}pos GROUP BY 1)
+       |SELECT s.chunk, s.n_segs, t.n_tokens, s.doc_ids, s.doc_starts,
+       |  t.chunk_text, t.n_tokens < $cap AS is_partial
+       | FROM ${pfx}st s JOIN ${pfx}tx t USING (chunk)
+       | ORDER BY s.chunk""".stripMargin
+
+  /** q_train_ready_examples binding: the composed windows over the same
+    * memoized fate manifest as q_train_ready, at cap=256 so the ~4.7k
+    * formatted tokens at the gate scale split across enough windows to
+    * exercise straddling on most rows. */
+  private def trainReadyExamplesQuery(s: SparkSession,
+      d: String): DataFrame = {
+    val sp = TextOps.splitAssign(s, d)
+    trainReadyExamples(sp.filter(col("split") === "train"),
+      sp.filter(col("split") =!= "train"), "doc_id", "text", cap = 256L,
+      precomputedFates = Some(curateFateManifest(s, d)))
+  }
+
   /** Formatted token-count CTE over a spanApplyCtes `${pfx}fmt` chain. */
   private def tokCteOver(name: String, fmtCte: String): String =
     s"""$name AS (SELECT doc_id,
@@ -1715,32 +1850,28 @@ object PipelineOps {
          |     md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents)))
          | GROUP BY 1 ORDER BY chunk""".stripMargin)),
     // Ordered per-window list aggregation from per-TOKEN global
-    // positions — DuckDB rebuilds each chunk's token stream and
-    // doc-boundary offsets from first principles, where Spark derives
-    // per-(doc, window) slices; byte-equal strings on both sides.
+    // positions — DuckDB rebuilds each chunk's token stream, doc-id
+    // lineage, and boundary offsets from first principles, where Spark
+    // derives per-(doc, window) slices; byte-equal strings on both
+    // sides.
     QDef("q_pack_examples", packExamplesQuery, Some(
       s"""WITH b AS (SELECT doc_id, ${TextOps.oracleToks} AS t
          |  FROM documents WHERE len(${TextOps.oracleToks}) > 0),
-         |c AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tok,
-         |   sum(len(t)) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
-         |     AS cum
-         |  FROM b),
-         |pos AS (SELECT doc_id, cum - n_tok + i AS gp, tok,
-         |   CAST(floor((cum - n_tok + i - 1) / 64.0) AS BIGINT) AS chunk
-         |  FROM (SELECT doc_id, cum, n_tok, unnest(t) AS tok,
-         |        generate_subscripts(t, 1) AS i FROM c)),
-         |segs AS (SELECT chunk, doc_id, min(gp) AS mn
-         |  FROM pos GROUP BY 1, 2),
-         |st AS (SELECT chunk, CAST(count(*) AS BIGINT) AS n_segs,
-         |   string_agg(CAST(mn - 1 - chunk * 64 AS VARCHAR), ','
-         |     ORDER BY mn) AS doc_starts
-         |  FROM segs GROUP BY 1),
-         |tx AS (SELECT chunk, CAST(count(*) AS BIGINT) AS n_tokens,
-         |   string_agg(tok, ' ' ORDER BY gp) AS chunk_text
-         |  FROM pos GROUP BY 1)
-         |SELECT s.chunk, s.n_segs, t.n_tokens, s.doc_starts, t.chunk_text,
-         |  t.n_tokens < 64 AS is_partial
-         | FROM st s JOIN tx t USING (chunk) ORDER BY s.chunk""".stripMargin)),
+         |${packExamplesOracleTail("b", 64, "")}""".stripMargin)),
+    // The COMPOSED build's windows: the same rebuild over the formatted
+    // example streams (input ∥ target) of the curated kept docs.
+    QDef("q_train_ready_examples", trainReadyExamplesQuery, Some(
+      s"""WITH RECURSIVE
+         |$curateFateCtes,
+         |kd AS (SELECT t.doc_id, t.text FROM tr t
+         |  JOIN fates f USING (doc_id) WHERE f.fate = 'kept'),
+         |${spanApplyCtes("kd", "sc_")},
+         |str AS (SELECT doc_id,
+         |    CASE WHEN target_text = '' THEN string_split(input_text, ' ')
+         |         ELSE list_concat(string_split(input_text, ' '),
+         |                          string_split(target_text, ' ')) END AS t
+         |  FROM sc_fmt),
+         |${packExamplesOracleTail("str", 256, "w_")}""".stripMargin)),
     QDef("q_shuffle_order", shuffleOrderQuery, Some(
       """SELECT doc_id, md5('ep1:' || CAST(doc_id AS VARCHAR)) AS ord,
         |  ROW_NUMBER() OVER (

@@ -832,7 +832,8 @@ class ApiSpec extends SparkSpec {
       .toDF("id", "body")
     val got = PipelineOps.packExamples(docs, "id", "body", cap = 10L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getString(3), r.getString(4), r.getBoolean(5))).toSeq
+        r.getString(3), r.getString(4), r.getString(5), r.getBoolean(6)))
+      .toSeq
     // sequential re-derivation of the policy: md5(doc_id) layout,
     // global token stream, split every 10 tokens
     def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
@@ -845,18 +846,82 @@ class ApiSpec extends SparkSpec {
       .groupBy(_._2 / 10).toSeq.sortBy(_._1)
       .map { case (ck, toks) =>
         val segs = toks.map { case ((id, t), gp) => (gp - ck * 10, id, t) }
-        val starts = segs.groupBy(_._2).values
-          .map(_.map(_._1).min).toSeq.sorted
-        (ck.toLong, starts.size.toLong, segs.size.toLong,
-          starts.mkString(","), segs.map(_._3).mkString(" "),
-          segs.size < 10)
+        val bounds = segs.groupBy(_._2).values
+          .map(xs => (xs.map(_._1).min, xs.head._2)).toSeq.sortBy(_._1)
+        (ck.toLong, bounds.size.toLong, segs.size.toLong,
+          bounds.map(_._2).mkString(","), bounds.map(_._1).mkString(","),
+          segs.map(_._3).mkString(" "), segs.size < 10)
       }
     assert(got == expected, s"got $got\nexpected $expected")
     // 18 tokens / cap 10 → two windows, exactly one straddler → 4
     // segments total, and only the tail window is partial
     assert(got.map(_._2).sum == 4, s"straddle not exercised: $got")
     assert(got.map(_._3).sum == 18)
-    assert(got.map(_._6) == Seq(false, true))
+    assert(got.map(_._7) == Seq(false, true))
+  }
+
+  test("trainReadyExamples windows align with trainReady's chunk column and rebuild the exact stream") {
+    val s = spark
+    import s.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => f"$prefix$i%02d")
+    def clean(prefix: String): String =
+      ("the" +: words(prefix, 31) :+ "and").mkString(" ")
+    val corpus = Seq(
+      (1L, "too short"),          // dropped — must not reach any window
+      (2L, clean("alpha")), (4L, clean("beta")),
+      (7L, clean("delta")), (8L, clean("epsil")))
+      .toDF("id", "body")
+    val bench = Seq((100L, words("bench", 20).mkString(" ")))
+      .toDF("id", "body")
+    val kept = Seq(2L, 4L, 7L, 8L)
+    val cap = 40L
+    val windows = PipelineOps
+      .trainReadyExamples(corpus, bench, "id", "body", cap = cap)
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getString(4),
+        r.getString(5), r.getBoolean(6))).sortBy(_._1).toSeq
+    // the concatenated windows ARE the md5-ordered formatted streams
+    val fmt = PipelineOps
+      .spanCorruptApply(corpus.filter($"id".isin(kept: _*)), "id", "body")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getString(3))).toMap
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val order = kept.sortBy(id => (md5hex(id.toString), id))
+    val streams = order.map { id =>
+      val (inp, tgt) = fmt(id)
+      id -> (inp.split(" ").toSeq ++
+        (if (tgt.isEmpty) Seq.empty else tgt.split(" ").toSeq))
+    }
+    val full = streams.flatMap(_._2)
+    assert(windows.flatMap(_._4.split(" ")) == full,
+      "window concatenation diverged from the md5-ordered formatted streams")
+    val lastPartial = full.length % cap != 0
+    assert(windows.init.forall(w => w._4.split(" ").length == cap && !w._5) &&
+      windows.last._5 == lastPartial,
+      s"windows not exact-cap with a correctly-flagged tail: $windows")
+    // manifest alignment: each doc's trainReady chunk is the window
+    // holding its FIRST token, and that window's doc_ids/doc_starts
+    // carry the doc at the right offset
+    val manifest = PipelineOps
+      .trainReady(corpus, bench, "id", "body", cap = cap.toDouble)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    var gp = 0L
+    for ((id, toks) <- streams) {
+      val w = gp / cap
+      assert(manifest(id) == w,
+        s"doc $id manifest chunk ${manifest(id)} != first-token window $w")
+      val row = windows(w.toInt)
+      val idsIn = row._2.split(",").map(_.toLong)
+      val startsIn = row._3.split(",").map(_.toLong)
+      val at = idsIn.indexOf(id)
+      assert(at >= 0 && startsIn(at) == gp % cap,
+        s"doc $id missing from window $w lineage: $row")
+      gp += toks.length
+    }
+    assert(!windows.exists(_._2.split(",").contains("1")),
+      "a dropped doc leaked into the windows")
   }
 
   test("ngramJaccardPairsIncremental equals the union batch pairs restricted to the increment") {
