@@ -59,6 +59,55 @@ class PipelinePropertySpec extends SparkSpec {
     }
   }
 
+  test("packExamples windows reconstruct the exact md5-ordered stream on arbitrary corpora") {
+    val s = spark
+    import s.implicits._
+    val scenario = for {
+      nDocs <- Gen.choose(1, 40)
+      toks <- Gen.listOfN(nDocs, Gen.choose(0, 50))
+      cap <- Gen.oneOf(8L, 16L, 64L)
+    } yield (toks, cap)
+    val cases = Gen.listOfN(6, scenario)
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(12L)).get
+    cases.zipWithIndex.foreach { case ((toks, cap), ci) =>
+      val docs = toks.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (1 to n).map(j => s"w${i}x$j").mkString(" ")) }
+      val got = graft.operators.PipelineOps
+        .packExamples(docs.toDF("id", "body"), "id", "body", cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getString(4), r.getString(5), r.getBoolean(6)))
+        .sortBy(_._1).toSeq
+      def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val stream = docs.filter(_._2.nonEmpty)
+        .sortBy(d => (md5hex(d._1.toString), d._1))
+        .flatMap { case (id, b) => b.split(" ").toSeq.map(t => (id, t)) }
+      if (stream.isEmpty) assert(got.isEmpty, s"scenario $ci not empty")
+      else {
+        assert(got.map(_._1) == got.indices.map(_.toLong),
+          s"scenario $ci chunk ids not contiguous")
+        assert(got.flatMap(_._6.split(" ")) == stream.map(_._2),
+          s"scenario $ci (cap=$cap) stream reconstruction diverged")
+        assert(got.init.forall(w => w._3 == cap && !w._7),
+          s"scenario $ci interior window not exact-cap/full")
+        assert(got.last._3 == stream.size - cap * (got.size - 1) &&
+          got.last._7 == (got.last._3 < cap),
+          s"scenario $ci tail window wrong")
+        val expSegs = stream.zipWithIndex
+          .groupBy(_._2 / cap).toSeq.sortBy(_._1)
+          .map { case (ck, xs) =>
+            xs.groupBy(_._1._1)
+              .map { case (id, ys) => (ys.map(_._2).min - ck * cap, id) }
+              .toSeq.sorted }
+        val gotSegs = got.map(w => w._5.split(",").map(_.toLong)
+          .zip(w._4.split(",").map(_.toLong)).toSeq)
+        assert(gotSegs == expSegs, s"scenario $ci lineage diverged")
+        assert(got.map(_._2) == expSegs.map(_.size.toLong),
+          s"scenario $ci n_segs diverged")
+      }
+    }
+  }
+
   test("span-corruption round-trips arbitrary token streams at any noise parameters") {
     val s = spark
     import s.implicits._
