@@ -265,6 +265,14 @@ object PipelineOps {
         col("doc_id").as("id"),
         slice(col("t"), (col("seg_from") - col("start") + 1).cast("int"),
           (col("seg_until") - col("seg_from")).cast("int")).as("seg"))
+    assembleWindows(spans, cap).orderBy("chunk")
+  }
+
+  /** The per-window assembly over a `(chunk, off, id, seg)` segment
+    * frame — the chunk-keyed shuffle + in-row ordering shared by
+    * [[packExamplesCore]] and [[packExamplesIncremental]] (state
+    * bounded by `cap` tokens per window at any corpus size). */
+  private def assembleWindows(spans: DataFrame, cap: Long): DataFrame =
     spans.groupBy("chunk")
       .agg(array_sort(collect_list(
         struct(col("off"), col("id"), col("seg")))).as("ps"))
@@ -281,7 +289,101 @@ object PipelineOps {
           .as("doc_starts"),
         concat_ws(" ", col("tk")).as("chunk_text"),
         (size(col("tk")) < cap).as("is_partial"))
+
+  /** INCREMENTAL window materialization — append an ingest batch to an
+    * existing [[packExamples]] artifact without re-emitting the corpus's
+    * windows: every full prior window passes through UNTOUCHED (it is
+    * immutable training data — a re-emit would invalidate what a
+    * trainer already consumed), the boundary window (the prior tail,
+    * if partial) is re-assembled with the increment's first tokens
+    * appended, and the increment's remaining tokens open fresh windows.
+    * The increment lays out in its own md5(doc_id) order continuing
+    * from the prior token total — exactly
+    * [[packSequencesIncremental]]'s batch-major policy, applied to the
+    * materialized artifact: the result is IDENTICAL to re-running
+    * [[packExamples]] over the union under `ORDER BY batch,
+    * md5(doc_id)` (the q_pack_examples_incr oracle re-derives that from
+    * scratch).
+    *
+    * The prior corpus participates ONLY through the artifact: the
+    * boundary window's segments are re-derived by parsing its own
+    * doc_ids/doc_starts/chunk_text columns — no prior raw text, no
+    * prior token recount. Cost ∝ increment + one window.
+    *
+    * PRECONDITIONS: `priorWindows` is a packExamples(…, same `cap`)
+    * output over ids disjoint from the increment's (the
+    * [[packSequencesIncremental]] same-cap rule).
+    *
+    * LIBRARY ENTRY POINT — generic over any corpus (id + text columns).
+    */
+  def packExamplesIncremental(priorWindows: DataFrame, newRows: DataFrame,
+      id: String, text: String, cap: Long): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val newToks = newRows
+      .select(col(id).as("doc_id"), TextOps.toks(col(text)).as("t"))
+      .filter(size(col("t")) > 0)
+    val totals = priorWindows
+      .agg(coalesce(sum("n_tokens"), lit(0L)).as("prior_tok"))
+      .withColumn("boundary", floor(col("prior_tok") / cap).cast("long"))
+    val priorW = priorWindows
+      .select("chunk", "n_segs", "n_tokens", "doc_ids", "doc_starts",
+        "chunk_text", "is_partial")
+      .crossJoin(broadcast(totals.select("boundary")))
+    val untouched = priorW.filter(col("chunk") < col("boundary"))
+      .drop("boundary")
+    // the boundary window (≤1 row — only a PARTIAL tail can sit at or
+    // above floor(prior_tok/cap)) re-exploded into its doc segments
+    // from its own lineage columns
+    val carrySpans = priorW.filter(col("chunk") >= col("boundary"))
+      .select(col("chunk"), split(col("doc_ids"), ",").as("ids"),
+        split(col("doc_starts"), ",").as("sts"),
+        split(col("chunk_text"), " ").as("tk"))
+      .select(col("chunk"), col("ids"), col("sts"), col("tk"),
+        explode(sequence(lit(0), size(col("ids")) - 1)).as("i"))
+      .select(col("chunk"),
+        element_at(col("sts"), col("i") + 1).cast("long").as("off"),
+        element_at(col("ids"), col("i") + 1).cast("long").as("id"),
+        slice(col("tk"),
+          element_at(col("sts"), col("i") + 1).cast("int") + 1,
+          when(col("i") < size(col("ids")) - 1,
+            element_at(col("sts"), col("i") + 2).cast("int"))
+            .otherwise(size(col("tk")))
+            - element_at(col("sts"), col("i") + 1).cast("int")).as("seg"))
+    // increment spans: the packExamplesCore shape with the running
+    // token count shifted by the prior total (broadcast 1-row join)
+    val nTok = newToks
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"))
+      .localCheckpoint(true)
+    val asg = packAssign(nTok, "doc_id", "n_tok", cap.toDouble)
+      .crossJoin(broadcast(totals.select("prior_tok")))
+      .select(col("doc_id"), col("n_tok"),
+        (col("cum") + col("prior_tok")).as("cum"))
+    val newSpans = asg.join(newToks, Seq("doc_id"))
+      .withColumn("start", col("cum") - col("n_tok"))
+      .select(col("doc_id"), col("t"), col("start"), col("cum"),
+        explode(sequence(floor(col("start") / cap).cast("long"),
+          floor((col("cum") - 1) / cap).cast("long"))).as("ck"))
+      .withColumn("seg_from", greatest(col("ck") * cap, col("start")))
+      .withColumn("seg_until", least((col("ck") + 1) * cap, col("cum")))
+      .select(col("ck").as("chunk"),
+        (col("seg_from") - col("ck") * cap).as("off"),
+        col("doc_id").as("id"),
+        slice(col("t"), (col("seg_from") - col("start") + 1).cast("int"),
+          (col("seg_until") - col("seg_from")).cast("int")).as("seg"))
+    untouched
+      .unionByName(assembleWindows(carrySpans.unionByName(newSpans), cap))
       .orderBy("chunk")
+  }
+
+  // q_pack_examples_incr: batch 0 = doc_id % 3 <> 0 materialized from
+  // scratch, batch 1 = the rest appended incrementally; the oracle
+  // re-derives every window from scratch under the batch-major order.
+  private def packExamplesIncrQuery(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    packExamplesIncremental(
+      packExamples(all.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", cap = 64L),
+      all.filter(col("doc_id") % 3 === 0), "doc_id", "text", cap = 64L)
   }
 
   /** q_pack_examples binding: cap=64 sits BELOW the corpus's max doc
@@ -1696,10 +1798,10 @@ object PipelineOps {
     * `pfx`. Shared by the q_pack_examples and q_train_ready_examples
     * oracles. */
   private def packExamplesOracleTail(src: String, cap: Int,
-      pfx: String): String =
+      pfx: String,
+      ord: String = "md5(CAST(doc_id AS VARCHAR)), doc_id"): String =
     s"""${pfx}c AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tok,
-       |   sum(len(t)) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
-       |     AS cum
+       |   sum(len(t)) OVER (ORDER BY $ord) AS cum
        |  FROM $src),
        |${pfx}pos AS (SELECT doc_id, cum - n_tok + i AS gp, tok,
        |   CAST(floor((cum - n_tok + i - 1) / $cap.0) AS BIGINT) AS chunk
@@ -1858,6 +1960,14 @@ object PipelineOps {
       s"""WITH b AS (SELECT doc_id, ${TextOps.oracleToks} AS t
          |  FROM documents WHERE len(${TextOps.oracleToks}) > 0),
          |${packExamplesOracleTail("b", 64, "")}""".stripMargin)),
+    // incremental window emission ≡ the batch-major from-scratch rebuild
+    // (the q_pack_incremental equivalence applied to the artifact)
+    QDef("q_pack_examples_incr", packExamplesIncrQuery, Some(
+      s"""WITH b AS (SELECT doc_id, ${TextOps.oracleToks} AS t,
+         |   CASE WHEN doc_id % 3 <> 0 THEN 0 ELSE 1 END AS batch
+         |  FROM documents WHERE len(${TextOps.oracleToks}) > 0),
+         |${packExamplesOracleTail("b", 64, "",
+            "batch, md5(CAST(doc_id AS VARCHAR)), doc_id")}""".stripMargin)),
     // The COMPOSED build's windows: the same rebuild over the formatted
     // example streams (input ∥ target) of the curated kept docs.
     QDef("q_train_ready_examples", trainReadyExamplesQuery, Some(

@@ -860,6 +860,60 @@ class ApiSpec extends SparkSpec {
     assert(got.map(_._7) == Seq(false, true))
   }
 
+  test("packExamplesIncremental chains increments into the batch-major window rebuild") {
+    val s = spark
+    import s.implicits._
+    def mkDocs(ids: Seq[Long]) =
+      ids.map(i => (i, (1 to (3 + (i % 9)).toInt)
+        .map(j => s"w${i}x$j").mkString(" ")))
+    val b0 = mkDocs(1L to 20L)
+    val b1 = mkDocs(21L to 35L)
+    val b2 = mkDocs(36L to 50L)
+    val cap = 16L
+    def df(b: Seq[(Long, String)]) = b.toDF("id", "body")
+    val w0 = PipelineOps.packExamples(df(b0), "id", "body", cap)
+    val w1 = PipelineOps.packExamplesIncremental(w0, df(b1), "id", "body", cap)
+    val w2 = PipelineOps.packExamplesIncremental(w1, df(b2), "id", "body", cap)
+    def rowsOf(dfr: org.apache.spark.sql.DataFrame) =
+      dfr.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getString(5), r.getBoolean(6)))
+        .sortBy(_._1).toSeq
+    // sequential batch-major reference: batches in order, md5 layout
+    // within each, one global stream split every cap tokens
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val stream = Seq(b0, b1, b2).flatMap(_.sortBy(d =>
+        (md5hex(d._1.toString), d._1))
+      .flatMap { case (id, b) => b.split(" ").toSeq.map(t => (id, t)) })
+    val expected = stream.zipWithIndex
+      .groupBy(_._2 / cap).toSeq.sortBy(_._1)
+      .map { case (ck, xs) =>
+        val bounds = xs.groupBy(_._1._1).values
+          .map(ys => (ys.map(_._2).min - ck * cap, ys.head._1._1))
+          .toSeq.sorted
+        (ck, bounds.size.toLong, xs.size.toLong,
+          bounds.map(_._2).mkString(","), bounds.map(_._1).mkString(","),
+          xs.map(_._1._2).mkString(" "), xs.size < cap)
+      }
+    assert(rowsOf(w2) == expected,
+      "chained increments diverged from the batch-major window rebuild")
+    // the boundary was genuinely shared: the first increment extended
+    // the prior tail window rather than opening a fresh one
+    val w0Rows = rowsOf(w0)
+    assert(w0Rows.last._3 < cap &&
+      rowsOf(w1).apply(w0Rows.size - 1)._3 > w0Rows.last._3,
+      "increment did not extend the partial boundary window")
+    // full prior windows pass through byte-identical
+    assert(rowsOf(w1).take(w0Rows.size - 1) == w0Rows.init,
+      "a full prior window was rewritten by the ingest")
+    // empty increment is a no-op; empty prior = from-scratch emission
+    val emptyDocs = Seq.empty[(Long, String)].toDF("id", "body")
+    assert(rowsOf(PipelineOps.packExamplesIncremental(
+      w2, emptyDocs, "id", "body", cap)) == rowsOf(w2))
+    assert(rowsOf(PipelineOps.packExamplesIncremental(
+      w0.limit(0), df(b0), "id", "body", cap)) == w0Rows)
+  }
+
   test("trainReadyExamples windows align with trainReady's chunk column and rebuild the exact stream") {
     val s = spark
     import s.implicits._
