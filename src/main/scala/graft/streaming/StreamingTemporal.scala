@@ -245,6 +245,74 @@ object StreamingTemporal {
     * graft.StreamingWindowSpec.
     *
     * LIBRARY ENTRY POINT. */
+  /** Streaming twin of
+    * [[graft.operators.PipelineOps.packExamplesIncremental]] — live
+    * WINDOW EMISSION: pre-tokenized documents arrive as
+    * `(doc_id, tokens)` micro-batches and every window that CLOSES
+    * (fills to exactly `cap` tokens) is emitted with the full
+    * packExamples row shape `(chunk, n_segs, n_tokens, doc_ids,
+    * doc_starts, chunk_text, is_partial)` — `is_partial` always false
+    * here, because the still-open tail window stays in state until
+    * later tokens close it (emitted training windows are immutable;
+    * the batch operator's partial-tail row is exactly the window a
+    * live ingest has not finished yet).
+    *
+    * Same sequential-fold funnel as [[packAssignments]] (packing is
+    * global by definition): a single pack cursor whose state is the
+    * next chunk id plus the open window's buffered segments — BOUNDED
+    * BY `cap` TOKENS at any corpus size and any history, the
+    * bounded-state requirement every twin in this file meets. Each
+    * micro-batch lays out in the batch operator's md5(doc_id) order
+    * inside the cursor task (bounded by the trigger size).
+    *
+    * Batch ≡ stream: feeding batches B0, B1, … yields exactly the
+    * closed (`is_partial = false`) windows of the batch chain
+    * `packExamples(B0)` → `packExamplesIncremental(B1)` → … — pinned
+    * in graft.StreamingWindowSpec.
+    *
+    * LIBRARY ENTRY POINT. */
+  def packWindows(docs: Dataset[(Long, Seq[String])], cap: Long)
+      : Dataset[(Long, Long, Long, String, String, String, Boolean)] = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val session = docs.sparkSession
+    import session.implicits._
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    docs.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Int, values: Iterator[(Long, Seq[String])],
+         state: GroupState[(Long, Seq[(Long, Long, Seq[String])])]) =>
+          var (chunk, open) = state.getOption.getOrElse(
+            (0L, Seq.empty[(Long, Long, Seq[String])]))
+          var fill = open.map(_._3.size.toLong).sum
+          val out = Vector.newBuilder[
+            (Long, Long, Long, String, String, String, Boolean)]
+          def close(): Unit = {
+            out += ((chunk, open.size.toLong, cap,
+              open.map(_._1).mkString(","),
+              open.map(_._2).mkString(","),
+              open.flatMap(_._3).mkString(" "), false))
+            chunk += 1; open = Seq.empty; fill = 0L
+          }
+          values.toVector
+            .sortBy { case (id, _) => (md5hex(id.toString), id) }
+            .foreach { case (id, toks) =>
+              var pos = 0
+              while (pos < toks.length) {
+                val take = math.min(cap - fill, (toks.length - pos).toLong)
+                  .toInt
+                open :+= ((id, fill, toks.slice(pos, pos + take)))
+                fill += take; pos += take
+                if (fill == cap) close()
+              }
+            }
+          state.update((chunk, open))
+          out.result().iterator
+      }
+  }
+
   def packAssignments(docs: Dataset[(Long, Long)],
       cap: Double): Dataset[(Long, Long, Long)] = {
     require(cap > 0, s"cap must be > 0, got $cap")

@@ -430,4 +430,52 @@ class StreamingWindowSpec extends SparkSpec {
         "second micro-batch did not continue the boundary window")
     } finally q.stop()
   }
+
+  test("streaming packWindows emits exactly the batch chain's closed windows") {
+    // StreamingTemporal.packWindows over micro-batches B0, B1 must emit
+    // precisely the is_partial=false rows of packExamples(B0) →
+    // packExamplesIncremental(B1) — the immutable windows a trainer can
+    // already read; the open tail stays in the cursor's bounded state.
+    val s = spark
+    import s.implicits._
+    val cap = 16L
+    def toksOf(i: Long): Seq[String] =
+      (1L to (3L + i % 9)).map(j => s"w${i}x$j")
+    def docsOf(ids: Seq[Long]) =
+      ids.map(i => (i, toksOf(i).mkString(" "))).toDF("id", "body")
+    val b0 = (1L to 20L); val b1 = (21L to 40L)
+    val batchRef = graft.operators.PipelineOps.packExamplesIncremental(
+      graft.operators.PipelineOps.packExamples(
+        docsOf(b0), "id", "body", cap),
+      docsOf(b1), "id", "body", cap)
+      .filter(!col("is_partial"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getString(5), r.getBoolean(6)))
+      .sortBy(_._1).toSeq
+    val in = MemoryStream[(Long, Seq[String])](s)
+    val q = graft.streaming.StreamingTemporal.packWindows(in.toDS(), cap)
+      .toDF("chunk", "n_segs", "n_tokens", "doc_ids", "doc_starts",
+        "chunk_text", "is_partial")
+      .writeStream.format("memory").queryName("stream_windows")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b0.map(i => (i, toksOf(i))): _*)
+      q.processAllAvailable()
+      val afterB0 = s.table("stream_windows").count()
+      in.addData(b1.map(i => (i, toksOf(i))): _*)
+      q.processAllAvailable()
+      val rows = s.table("stream_windows").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getString(4), r.getString(5), r.getBoolean(6)))
+        .sortBy(_._1).toSeq
+      assert(rows == batchRef, s"stream $rows\nvs batch $batchRef")
+      // the first window the SECOND trigger closed mixes both batches:
+      // its doc lineage carries batch-0 ids (the open tail it inherited)
+      // and batch-1 ids (the tokens that closed it)
+      val boundaryIds = rows(afterB0.toInt)._4.split(",").map(_.toLong)
+      assert(afterB0 < rows.length &&
+        boundaryIds.exists(b0.contains) && boundaryIds.exists(b1.contains),
+        s"boundary window does not mix both batches: ${rows(afterB0.toInt)}")
+    } finally q.stop()
+  }
 }
