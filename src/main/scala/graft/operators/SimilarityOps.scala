@@ -161,6 +161,101 @@ object SimilarityOps {
   private def knnJoinQuery(s: SparkSession, d: String): DataFrame =
     knnJoin(emb(s, d), "vec_id", "embedding", Knn)
 
+  /** Exact k-NN SEARCH — the TWO-FRAME retrieval shape ([[knnJoin]] is
+    * the self-join dedup shape): top-k corpus neighbors for every QUERY
+    * vector, the primitive behind retrieval evaluation, RAG index
+    * ground-truthing, and ingest-vs-standing-corpus semantic lookup.
+    * No self-exclusion: the two id spaces are the caller's (a query that
+    * also lives in the corpus legitimately retrieves itself; an ingest
+    * dedup caller filters `va = vb` afterwards).
+    *
+    * Shape at 100 TB: brute force is Q×C dot products by definition —
+    * this distributes them over a `numBlocks²` grid (queries blocked by
+    * id hash and replicated per corpus block, corpus vice versa, one
+    * equi-join on the grid key — B² independent tasks, `numBlocks` ≈
+    * √cores), then the TWO-PHASE top-k of [[knnJoin]]: embeddings are
+    * dropped at scoring, partial top-k per (query, corpus-block) cuts
+    * the final ranking's input from Q·C rows to Q·B·k. The scale path
+    * when exactness can be relaxed is [[ivfSearch]].
+    *
+    * LIBRARY ENTRY POINT — generic over any two (id, vector) frames. */
+  def knnSearch(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, k: Int, numBlocks: Int = NumBlocks): DataFrame = {
+    require(k >= 1 && numBlocks >= 1,
+      s"need k >= 1 and numBlocks >= 1, got k=$k numBlocks=$numBlocks")
+    val qn = queries.select(col(id).as("va"), col(vec).as("ea"),
+        sqrt(dotf(col(vec), col(vec))).as("na"))
+      .withColumn("qa", pmod(xxhash64(col("va")), lit(numBlocks.toLong)))
+      .withColumn("cb",
+        explode(sequence(lit(0L), lit(numBlocks.toLong - 1L))))
+    val cn = corpus.select(col(id).as("vb"), col(vec).as("eb"),
+        sqrt(dotf(col(vec), col(vec))).as("nb"))
+      .withColumn("cb", pmod(xxhash64(col("vb")), lit(numBlocks.toLong)))
+      .withColumn("qa",
+        explode(sequence(lit(0L), lit(numBlocks.toLong - 1L))))
+    val wLocal = Window.partitionBy("va", "cb")
+      .orderBy(desc("cos"), col("vb"))
+    val wFinal = Window.partitionBy("va").orderBy(desc("cos"), col("vb"))
+    qn.join(cn, Seq("qa", "cb"))
+      .select(col("va"), col("cb"), col("vb"),
+        Det.r4(dotf(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .as("cos"))
+      .withColumn("rl", row_number().over(wLocal))
+      .filter(col("rl") <= k)
+      .withColumn("rk", row_number().over(wFinal))
+      .filter(col("rk") <= k)
+      .select(col("va"), col("rk"), col("vb"), col("cos"))
+      .orderBy("va", "rk")
+  }
+
+  /** q_similarity_search binding: every 10th vector queries the rest of
+    * the corpus. */
+  private def knnSearchQuery(s: SparkSession, d: String): DataFrame =
+    knnSearch(emb(s, d).filter(col("vec_id") % 10 === 0),
+      emb(s, d).filter(col("vec_id") % 10 =!= 0),
+      "vec_id", "embedding", Knn)
+
+  /** ANN k-NN SEARCH — [[knnSearch]]'s IVF scale path ([[ivfKnnJoin]] is
+    * the self-join form): the quantizer trains on (or is precomputed
+    * for) the CORPUS, corpus vectors assign to their nearest-centroid
+    * list once (the standing index), and each query scans only its
+    * top-`nprobe` lists — corpus-side work per query drops from C to
+    * ~C·nprobe/nlist. Like [[ivfKnnJoin]], `precomputedCentroids`
+    * ([[ivfTrain]]'s persisted table) is the train-once/search-many
+    * production path; no self-exclusion (see [[knnSearch]]).
+    *
+    * LIBRARY ENTRY POINT — generic over any two (id, vector) frames;
+    * recall vs the exact [[knnSearch]] is pinned in
+    * graft.SimilaritySpec. */
+  def ivfSearch(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 3, trainFraction: Double = 1.0,
+      precomputedCentroids: Option[DataFrame] = None): DataFrame = {
+    require(nlist >= 2 && nprobe >= 1 && nprobe <= nlist && iters >= 1,
+      s"bad IVF config: nlist=$nlist nprobe=$nprobe iters=$iters")
+    val cne = normalizedVecs(corpus, id, vec).localCheckpoint(true)
+    val centroids =
+      resolveCentroids(cne, nlist, iters, trainFraction, precomputedCentroids)
+    val sc = queries.sparkSession.sparkContext
+    def bcast(cs: Array[Seq[Double]]) = sc.broadcast(cs.map(_.toArray))
+    val assigned = cne.select(col("vec_id").as("vb"), col("ne").as("eb"),
+      graft.functions.ArgTopDot.argMaxDot(col("ne"), bcast(centroids))
+        .as("l"))
+    val probes = normalizedVecs(queries, id, vec)
+      .select(col("vec_id").as("va"), col("ne").as("ea"),
+        explode(graft.functions.ArgTopDot.argTopDot(
+          col("ne"), bcast(centroids), nprobe)).as("l"))
+    val w = Window.partitionBy("va").orderBy(desc("cos"), col("vb"))
+    probes.join(assigned, Seq("l"))
+      .select(col("va"), col("vb"),
+        Det.r4(dotf(col("ea"), col("eb"))).as("cos"))
+      .groupBy("va", "vb").agg(max("cos").as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("va"), col("rk"), col("vb"), col("cos"))
+      .orderBy("va", "rk")
+  }
+
   // --- ANN: random-hyperplane LSH ----------------------------------------
   private val NumTables = 8
   private val PlanesPerTable = 2
@@ -883,6 +978,22 @@ object SimilarityOps {
       s"""WITH p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
          |  ${Det.r4Sql(cosSql.format("a.embedding", "b.embedding", "a.embedding", "b.embedding"))} AS cos
          | FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+         |SELECT va, rk, vb, cos FROM (
+         | SELECT va, vb, cos,
+         |  ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rk
+         | FROM p)
+         | WHERE rk <= 5 ORDER BY va, rk""".stripMargin)),
+    // the two-frame retrieval shape: same cosine/rank arithmetic as
+    // q_similarity_knn, queries split from corpus by the id-mod rule
+    QDef("q_similarity_search", knnSearchQuery, Some(
+      s"""WITH q AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 10 = 0),
+         |c AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 10 <> 0),
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |  ${Det.r4Sql(cosSql.format("a.embedding", "b.embedding",
+            "a.embedding", "b.embedding"))} AS cos
+         | FROM q a JOIN c b ON true)
          |SELECT va, rk, vb, cos FROM (
          | SELECT va, vb, cos,
          |  ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rk

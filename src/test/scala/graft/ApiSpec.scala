@@ -860,6 +860,38 @@ class ApiSpec extends SparkSpec {
     assert(got.map(_._7) == Seq(false, true))
   }
 
+  test("knnSearch retrieves planted neighbors on generic frames, block-count-invariant, no self-exclusion") {
+    val s = spark
+    import s.implicits._
+    // orthogonal-ish 4-d corpus with one planted near neighbor per axis
+    val corpus = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)), (101L, Array(0.9f, 0.1f, 0f, 0f)),
+      (200L, Array(0f, 1f, 0f, 0f)), (201L, Array(0f, 0.9f, 0.1f, 0f)),
+      (300L, Array(0f, 0f, 1f, 0f)))
+      .toDF("vid", "v")
+    val queries = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),    // nearest: 100, then 101
+      (2L, Array(0f, 0.95f, 0.05f, 0f)), // nearest: 200/201 family
+      (300L, Array(0f, 0f, 1f, 0f)))  // same id as a corpus row: keeps itself
+      .toDF("vid", "v")
+    val got = SimilarityOps.knnSearch(queries, corpus, "vid", "v", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSeq
+    val top = got.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3)).toMap
+    assert(top(1L) == Seq(100L, 101L), s"query 1 neighbors: ${top(1L)}")
+    assert(top(2L).toSet.subsetOf(Set(200L, 201L)),
+      s"query 2 neighbors: ${top(2L)}")
+    // no self-exclusion: identical id spaces retrieve the identical row
+    assert(top(300L).head == 300L,
+      s"query 300 should retrieve its corpus twin first: ${top(300L)}")
+    // the grid partitions WORK only — results are block-count-invariant
+    val b7 = SimilarityOps.knnSearch(queries, corpus, "vid", "v",
+      k = 2, numBlocks = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(b7.sorted == got.sorted, "numBlocks changed the result set")
+  }
+
   test("packExamplesIncremental chains increments into the batch-major window rebuild") {
     val s = spark
     import s.implicits._

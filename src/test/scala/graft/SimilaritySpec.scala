@@ -109,6 +109,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, f"ivf nlist=256 recall@5 = $recall%.3f < 0.6")
   }
 
+  test("ivfSearch recalls >= 0.6 of the exact two-frame knnSearch at a wide probe") {
+    // the retrieval shape: every 10th vector queries the rest; exact
+    // ground truth from knnSearch (itself oracle-checked via
+    // q_similarity_search); same wide-probe regime as the self-join
+    // recall test (noise-level neighbors on this corpus)
+    val e = graft.sources.Tables(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") % 10 === 0)
+    val c = e.filter(col("vec_id") % 10 =!= 0)
+    val exact = graft.operators.SimilarityOps
+      .knnSearch(q, c, "vec_id", "embedding", 5)
+      .select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.operators.SimilarityOps
+      .ivfSearch(q, c, "vec_id", "embedding", 5, nlist = 16, nprobe = 8)
+      .select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"ivfSearch recall@5 = $recall%.3f")
+    assert(recall >= 0.6, f"ivfSearch recall@5 = $recall%.3f < 0.6")
+    // rank structure: contiguous ranks from 1, at most k per query
+    val ivf = graft.operators.SimilarityOps
+      .ivfSearch(q, c, "vec_id", "embedding", 5, nlist = 16, nprobe = 8)
+    val bad = ivf.groupBy("va")
+      .agg(count(lit(1)).as("n"), min("rk").as("lo"), max("rk").as("hi"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n") || col("n") > 5)
+    assert(bad.isEmpty, "ivfSearch rank structure broken")
+  }
+
   test("ivfKnnJoin with a precomputed quantizer is bit-identical to the self-trained path") {
     // the production reuse path: ivfTrain once, persist the nlist-row
     // centroid table, feed it back — training determinism makes the two
