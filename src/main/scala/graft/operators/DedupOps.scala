@@ -636,25 +636,77 @@ object DedupOps {
     * bucketing → per-bucket pair generation → full 64-bit Hamming,
     * UN-thresholded `(da, db, hamming)` — a pure function of the
     * fingerprint columns. */
-  private def simhashPairStream(fp: DataFrame): DataFrame = {
-    val bands = fp.select(col("doc_id"), col("simhash"),
+  private def simhashPairStream(fp: DataFrame): DataFrame =
+    simhashBandedPairs(simhashBandRows(fp))
+
+  /** 6-band bucketing of a `(doc_id, simhash)` frame: one `(band, bkey)`
+    * row per band per doc, the fingerprint riding through. */
+  private def simhashBandRows(fp: DataFrame): DataFrame =
+    fp.select(col("doc_id"), col("simhash"),
       posexplode(array(SimhashBands.map { case (start, width) =>
         shiftright(col("simhash"), start).bitwiseAND(lit((1L << width) - 1))
       }: _*))
         .as(Seq("band", "bkey")))
-    // Same bucket-grouped single-pass shape as MinHash: the fingerprint
-    // subtree executes once; pairs generate and verify inside buckets.
-    val buckets = bands.groupBy("band", "bkey")
+
+  /** Bucket-grouped pair generation + full 64-bit Hamming over banded
+    * rows. Same bucket-grouped single-pass shape as MinHash: the
+    * fingerprint subtree executes once; pairs generate and verify inside
+    * buckets through the kernel (one XOR + popcount per pair in a
+    * primitive loop); the Hamming filter stays outside. */
+  private def simhashBandedPairs(bands: DataFrame): DataFrame =
+    bands.groupBy("band", "bkey")
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
       .filter(size(col("ms")) > 1)
-    // same kernelized pair generation as MinHash (one XOR + popcount per
-    // pair in a primitive loop); the Hamming filter stays outside
-    buckets
       .select(explode(graft.functions.BucketPairs
         .simhashBucketPairs(col("ms"))).as("pr"))
       .select(col("pr.da").as("da"), col("pr.db").as("db"),
         col("pr.hamming").as("hamming"))
+
+  /** Near-dup pairs for an increment against a persisted corpus
+    * FINGERPRINT table ([[simhashFingerprints]]' `(doc_id, simhash)`
+    * shape — the `simhash_fps` aux artifact) — the SimHash member of the
+    * incremental family ([[exactDedupIncremental]] /
+    * [[minhashPairsIncremental]] / [[ngramJaccardPairsIncremental]]):
+    * the increment is fingerprinted fresh, the corpus participates only
+    * through its persisted 8-byte fingerprints and only in bands the
+    * increment actually touches (a band-key semi-join prunes the rest),
+    * and only pairs with ≥1 increment doc are kept — corpus×corpus pairs
+    * are historic. Shuffle ∝ increment bands + hot-bucket corpus rows.
+    *
+    * `corpusFps` must be disjoint from the increment's ids (it is the
+    * PRE-ingest index by construction).
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, text) frame. */
+  def simhashPairsIncremental(newBatch: DataFrame, id: String,
+      text: String, corpusFps: DataFrame, maxHamming: Int): DataFrame = {
+    val newFp = simhashFingerprints(newBatch, id, text)
+    val newBands = simhashBandRows(newFp)
+    val hotKeys = newBands.select("band", "bkey").distinct()
+    val corpusHot = simhashBandRows(
+        corpusFps.select(col("doc_id"), col("simhash")))
+      .join(hotKeys, Seq("band", "bkey"), "leftsemi")
+    val newIds = newFp.select(col("doc_id"))
+    simhashBandedPairs(corpusHot.unionByName(newBands))
+      .filter(col("hamming") <= maxHamming)
+      .join(newIds.select(col("doc_id").as("da"), lit(true).as("__na")),
+        Seq("da"), "left")
+      .join(newIds.select(col("doc_id").as("db"), lit(true).as("__nb")),
+        Seq("db"), "left")
+      .filter(col("__na").isNotNull || col("__nb").isNotNull)
+      .select(col("da"), col("db"), col("hamming"))
+      .distinct()
+      .orderBy("da", "db")
   }
+
+  /** 10%-increment binding of [[simhashPairsIncremental]]: the corpus
+    * side reads the SAME persisted fingerprint table as the verify
+    * query (fingerprints are pure functions of the text, so the fresh
+    * increment fingerprints match the persisted bytes the oracle
+    * reads). */
+  private def dedupSimhashIncr(s: SparkSession, d: String): DataFrame =
+    simhashPairsIncremental(
+      docsSpread(s, d).filter(col("doc_id") % 10 === 0), "doc_id", "text",
+      simhashFpAux(s, d).filter(col("doc_id") % 10 =!= 0), maxHamming = 5)
 
   private def dedupSimhash(s: SparkSession, d: String): DataFrame =
     simhashPairs(docsSpread(s, d), "doc_id", "text", maxHamming = 5)
@@ -1000,6 +1052,32 @@ object DedupOps {
          |FROM cand c JOIN s sa ON sa.doc_id = c.da
          |            JOIN s sb ON sb.doc_id = c.db
          |WHERE n_agree >= 32 ORDER BY da, db""".stripMargin
+    }),
+    // The incremental SimHash path over the same persisted fingerprint
+    // table: DuckDB re-derives the increment/corpus split, the
+    // hot-bucket restriction, and the >=1-increment-doc pair filter.
+    QDef("q_dedup_simhash_incr", dedupSimhashIncr, Some {
+      val glob = graft.sources.OracleAux.gateGlob("simhash_fps")
+      val bandVals = SimhashBands
+        .map { case (st, w) => s"($st, $w)" }.mkString(", ")
+      s"""WITH f AS (SELECT doc_id, simhash FROM read_parquet('$glob')),
+         |bb(start, width) AS (VALUES $bandVals),
+         |b AS (SELECT doc_id, start,
+         |        (simhash >> start) & ((1::BIGINT << width) - 1) AS bkey
+         |      FROM f, bb),
+         |nk AS (SELECT DISTINCT start, bkey FROM b WHERE doc_id % 10 = 0),
+         |hb AS (SELECT b.doc_id, b.start, b.bkey FROM b
+         |       JOIN nk USING (start, bkey)),
+         |cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS da,
+         |                greatest(x.doc_id, y.doc_id) AS db
+         |         FROM hb x JOIN hb y ON x.start = y.start
+         |              AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |         WHERE x.doc_id % 10 = 0 OR y.doc_id % 10 = 0)
+         |SELECT c.da, c.db,
+         |  CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
+         |FROM cand c JOIN f fa ON fa.doc_id = c.da
+         |            JOIN f fb ON fb.doc_id = c.db
+         |WHERE hamming <= 5 ORDER BY da, db""".stripMargin
     }),
     // Banding/Hamming over the persisted fingerprint table: both engines
     // use arithmetic >> and two's-complement popcount on int64.

@@ -1118,6 +1118,37 @@ class ApiSpec extends SparkSpec {
         s"dropped doc ${r._1} carries pack/order values")
   }
 
+  test("simhashPairsIncremental finds cross-batch and in-batch pairs, never historic ones") {
+    val s = spark
+    import s.implicits._
+    val shuffledBase =
+      "kappa iota theta eta zeta epsilon delta gamma beta alpha"
+    val prior = Seq(
+      (10L, base),
+      (20L, base + " lambda"), // prior×prior near pair — must NOT resurface
+      (30L, "one two three four five six seven eight nine ten"))
+      .toDF("id", "body")
+    val inc = Seq(
+      (60L, shuffledBase), // Hamming 0 twin of 10 (simhash is order-blind)
+      (70L, "cats dogs birds fish mice lions tigers bears wolves foxes"),
+      (80L, "cats dogs birds fish mice lions tigers bears wolves foxes"))
+      .toDF("id", "body") // 70-80: in-batch Hamming-0 pair
+    // the persisted-artifact interface: fingerprints of the PRIOR corpus
+    val corpusFps = prior
+      .select(col("id").as("doc_id"),
+        graft.functions.TextKernels.simHash64(col("body")).as("simhash"))
+    val got = DedupOps.simhashPairsIncremental(inc, "id", "body",
+      corpusFps, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((10L, 60L)) && got.contains((70L, 80L)),
+      s"planted cross/in-batch simhash pairs missed: $got")
+    assert(!got.contains((10L, 20L)),
+      s"historic prior-only pair resurfaced: $got")
+    assert(got.forall { case (a, b) =>
+      Seq(a, b).exists(Seq(60L, 70L, 80L).contains) },
+      s"pair without an increment endpoint: $got")
+  }
+
   test("trainReady mixture stage up-weights the low-resource source, unsampled docs stay in the manifest") {
     val s = spark
     import s.implicits._
