@@ -1118,6 +1118,46 @@ class ApiSpec extends SparkSpec {
         s"dropped doc ${r._1} carries pack/order values")
   }
 
+  test("trainReadyExamples: plain formatter streams raw tokens, mixture thins the windows") {
+    val s = spark
+    import s.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => f"$prefix$i%02d")
+    def clean(prefix: String): String =
+      ("the" +: words(prefix, 31) :+ "and").mkString(" ")
+    val big = (1L to 12L).map(i => (i, clean(s"web$i"), "web"))
+    val small = Seq((21L, clean("rarea"), "books"),
+      (22L, clean("rareb"), "books"))
+    val corpus = (big ++ small).toDF("id", "body", "src")
+    val bench = Seq((100L, words("bench", 20).mkString(" ")))
+      .toDF("id", "body")
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // plain formatter: the windows ARE the md5-ordered raw token streams
+    val plainWins = PipelineOps.trainReadyExamples(corpus, bench,
+      "id", "body", cap = 50L, formatter = "plain")
+      .orderBy("chunk").collect().map(_.getString(5)).toSeq
+    val expectedStream = (big ++ small).map(d => (d._1, d._2))
+      .sortBy(d => (md5hex(d._1.toString), d._1))
+      .flatMap(_._2.split(" ").toSeq)
+    assert(plainWins.flatMap(_.split(" ")) == expectedStream,
+      "plain-formatter windows diverged from the raw kept stream")
+    // mixture: the windows carry ONLY the sampled docs — every doc the
+    // manifest marks `unsampled` is absent from the window lineage
+    val manifest = PipelineOps.trainReady(corpus, bench, "id", "body",
+      cap = 50.0, formatter = "plain", mixtureSource = Some("src"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val unsampled = manifest.collect { case (id, "unsampled") => id }.toSet
+    val sampled = manifest.collect { case (id, "kept") => id }.toSet
+    assert(unsampled.nonEmpty && sampled.nonEmpty, s"skew not planted: $manifest")
+    val mixedIds = PipelineOps.trainReadyExamples(corpus, bench,
+      "id", "body", cap = 50L, formatter = "plain",
+      mixtureSource = Some("src"))
+      .collect().flatMap(_.getString(3).split(",").map(_.toLong)).toSet
+    assert(mixedIds == sampled,
+      s"window lineage $mixedIds != sampled set $sampled")
+  }
+
   test("simhashPairsIncremental finds cross-batch and in-batch pairs, never historic ones") {
     val s = spark
     import s.implicits._
