@@ -470,7 +470,12 @@ object DedupOps {
       text: String, corpusIndex: DataFrame, corpusDocCount: Long,
       minJaccard: Double): DataFrame = {
     require(corpusDocCount >= 0,
-      s"corpusDocCount must be >= 0, got $corpusDocCount")
+      s"corpusDocCount must be >= 0, got $corpusDocCount — and it must " +
+        "EQUAL the pre-ingest corpus row count the index was built over: " +
+        "the union df cap (and therefore the exact union-equivalence of " +
+        "the reported pairs) is relative to this scalar, so a stale " +
+        "metadata value silently moves the cap and changes the pair set " +
+        "(a checked fallback is index.select(\"doc_id\").distinct.count)")
     // increment-sized; checkpointed because three legs consume it (the
     // df table, the union bucket build, the denominator count) — the
     // shingling kernel should run once per ingest, not thrice

@@ -206,18 +206,22 @@ object PqOps {
     * graft.SimilaritySpec.
     *
     * Output matches [[SimilarityOps.ivfKnnJoin]]: `(va, rk, vb, cos)`
-    * with exact cosines on the survivors.
+    * with exact cosines on the survivors. `listShards` breaks the nlist
+    * cap on the probe join's corpus-side parallelism exactly as
+    * documented on [[SimilarityOps.ivfSearch]] (result invariant).
     *
     * LIBRARY ENTRY POINT — generic over any (id, array-of-float) frame. */
   def ivfPqKnnJoin(rows: DataFrame, id: String, vec: String, k: Int,
       m: Int = 8, ksub: Int = 16, nlist: Int = 16, nprobe: Int = 4,
       refineFactor: Int = 4, iters: Int = 3, trainFraction: Double = 1.0,
       precomputedCentroids: Option[DataFrame] = None,
-      precomputedCodebooks: Option[DataFrame] = None): DataFrame = {
+      precomputedCodebooks: Option[DataFrame] = None,
+      listShards: Int = 1): DataFrame = {
     require(k >= 1 && refineFactor >= 1 && nlist >= 2 &&
       nprobe >= 1 && nprobe <= nlist,
       s"bad IVFPQ config: k=$k refineFactor=$refineFactor nlist=$nlist " +
         s"nprobe=$nprobe")
+    require(listShards >= 1, s"listShards must be >= 1, got $listShards")
     val ne = SimilarityOps.normalizedVecs(rows, id, vec).localCheckpoint(true)
     val centroids = SimilarityOps.resolveCentroids(ne, nlist, iters,
       trainFraction, precomputedCentroids)
@@ -231,18 +235,26 @@ object PqOps {
     val bcCb = sc.broadcast(cb)
 
     // indexed side: list + codes only — the vector is gone before any join
-    val indexed = ne.select(col("vec_id").as("vb"),
+    val indexed0 = ne.select(col("vec_id").as("vb"),
       graft.functions.ArgTopDot.argMaxDot(col("ne"), bcC).as("l"),
       PqKernels.pqEncode(col("ne"), bcCb).as("codes"))
-    val probes = ne.select(col("vec_id").as("va"), col("ne").as("ea"),
+    val probes0 = ne.select(col("vec_id").as("va"), col("ne").as("ea"),
       explode(graft.functions.ArgTopDot.argTopDot(
         col("ne"), bcC, nprobe)).as("l"))
+    val (probes, indexed, joinKeys) =
+      if (listShards == 1) (probes0, indexed0, Seq("l"))
+      else (
+        probes0.withColumn("sh",
+          explode(sequence(lit(0L), lit(listShards.toLong - 1L)))),
+        indexed0.withColumn("sh",
+          pmod(xxhash64(col("vb")), lit(listShards.toLong))),
+        Seq("l", "sh"))
 
     // each vb lives in exactly one list, so a (va, vb) candidate appears
     // at most once across the nprobe probes — no dedup aggregation needed
     val wAdc = Window.partitionBy("va").orderBy(desc("adc"), col("vb"))
     val shortlist = probes
-      .join(indexed, Seq("l"))
+      .join(indexed, joinKeys)
       .filter(col("va") =!= col("vb"))
       .select(col("va"), col("ea"), col("vb"),
         PqKernels.pqAdcDot(col("codes"), col("ea"), bcCb).as("adc"))
@@ -253,6 +265,95 @@ object PqOps {
     shortlist
       .join(ne.select(col("vec_id").as("vb"), col("ne").as("eb")), Seq("vb"))
       .select(col("va"), col("vb"), Det.r4(dotf(col("ea"), col("eb"))).as("cos"))
+      .withColumn("rk", row_number().over(wCos))
+      .filter(col("rk") <= k)
+      .select(col("va"), col("rk"), col("vb"), col("cos"))
+      .orderBy("va", "rk")
+  }
+
+  /** IVFADC k-NN SEARCH — the TWO-FRAME retrieval shape
+    * ([[ivfPqKnnJoin]] is the self-join dedup shape; this completes the
+    * retrieval family next to [[SimilarityOps.knnSearch]] /
+    * [[SimilarityOps.ivfSearch]] as its memory-bound member): top-k
+    * CORPUS neighbors for every QUERY vector through the coarse-list
+    * probe + asymmetric-distance shortlist + exact re-rank pipeline.
+    * The quantizer and codebook belong to the CORPUS (train once via
+    * [[SimilarityOps.ivfTrain]] / [[pqTrain]], persist, pass both
+    * `precomputed*` tables — every later search session scans codes,
+    * not vectors); queries stream against the standing index. No
+    * self-exclusion: the two id spaces are the caller's (see
+    * [[SimilarityOps.knnSearch]]).
+    *
+    * Shape at 100 TB: the indexed side is `(vb, list, codes)` — the
+    * corpus embedding is DROPPED before the probe join, so the
+    * candidate shuffle moves `m` ints per candidate instead of the
+    * vector, and only the `refineFactor·k` shortlist survivors per
+    * query rejoin real vectors for the exact cosine re-rank. Corpus-
+    * side scan per query ≈ C·nprobe/nlist (the IVF lever), candidate
+    * bytes ≈ m per row (the PQ lever). Recall ≥ its IVF ceiling ratio
+    * vs the exact [[SimilarityOps.knnSearch]] is pinned in graft.PqSpec.
+    * `listShards` breaks the nlist cap on the probe join's corpus-side
+    * parallelism as documented on [[SimilarityOps.ivfSearch]].
+    *
+    * LIBRARY ENTRY POINT — generic over any two (id, vector) frames. */
+  def ivfPqSearch(queries: DataFrame, corpus: DataFrame, id: String,
+      vec: String, k: Int, m: Int = 8, ksub: Int = 16, nlist: Int = 16,
+      nprobe: Int = 4, refineFactor: Int = 4, iters: Int = 3,
+      trainFraction: Double = 1.0,
+      precomputedCentroids: Option[DataFrame] = None,
+      precomputedCodebooks: Option[DataFrame] = None,
+      listShards: Int = 1): DataFrame = {
+    require(k >= 1 && refineFactor >= 1 && nlist >= 2 &&
+      nprobe >= 1 && nprobe <= nlist,
+      s"bad IVFPQ config: k=$k refineFactor=$refineFactor nlist=$nlist " +
+        s"nprobe=$nprobe")
+    require(listShards >= 1, s"listShards must be >= 1, got $listShards")
+    val cne = SimilarityOps.normalizedVecs(corpus, id, vec)
+      .localCheckpoint(true)
+    val centroids = SimilarityOps.resolveCentroids(cne, nlist, iters,
+      trainFraction, precomputedCentroids)
+    val cb = resolveCodebook(cne, m, ksub, iters, trainFraction,
+      precomputedCodebooks)
+    val sc = queries.sparkSession.sparkContext
+    // captured by the returned lazy plan — reclaimed by ContextCleaner
+    // once the plan is garbage (same lifecycle note as ivfKnnJoin)
+    val bcC = sc.broadcast(centroids.map(_.toArray))
+    val bcCb = sc.broadcast(cb)
+
+    // indexed corpus: list + codes only — the vector is gone before any
+    // join (the PlanSpec no-vector-reaches-ADC pin covers this shape too)
+    val indexed0 = cne.select(col("vec_id").as("vb"),
+      graft.functions.ArgTopDot.argMaxDot(col("ne"), bcC).as("l"),
+      PqKernels.pqEncode(col("ne"), bcCb).as("codes"))
+    val probes0 = SimilarityOps.normalizedVecs(queries, id, vec)
+      .select(col("vec_id").as("va"), col("ne").as("ea"),
+        explode(graft.functions.ArgTopDot.argTopDot(
+          col("ne"), bcC, nprobe)).as("l"))
+    val (probes, indexed, joinKeys) =
+      if (listShards == 1) (probes0, indexed0, Seq("l"))
+      else (
+        probes0.withColumn("sh",
+          explode(sequence(lit(0L), lit(listShards.toLong - 1L)))),
+        indexed0.withColumn("sh",
+          pmod(xxhash64(col("vb")), lit(listShards.toLong))),
+        Seq("l", "sh"))
+
+    // each vb lives in exactly one list, so a (va, vb) candidate appears
+    // at most once across the nprobe probes — no dedup aggregation needed
+    val wAdc = Window.partitionBy("va").orderBy(desc("adc"), col("vb"))
+    val shortlist = probes
+      .join(indexed, joinKeys)
+      .select(col("va"), col("ea"), col("vb"),
+        PqKernels.pqAdcDot(col("codes"), col("ea"), bcCb).as("adc"))
+      .withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= refineFactor * k)
+
+    val wCos = Window.partitionBy("va").orderBy(desc("cos"), col("vb"))
+    shortlist
+      .join(cne.select(col("vec_id").as("vb"), col("ne").as("eb")),
+        Seq("vb"))
+      .select(col("va"), col("vb"),
+        Det.r4(dotf(col("ea"), col("eb"))).as("cos"))
       .withColumn("rk", row_number().over(wCos))
       .filter(col("rk") <= k)
       .select(col("va"), col("rk"), col("vb"), col("cos"))
@@ -395,11 +496,29 @@ object PqOps {
       precomputedCentroids = Some(SimilarityOps.sharedIvfCentroids(s, d)),
       precomputedCodebooks = Some(sharedPqCodebook(s, d)))
 
+  /** q_pq_search binding: the two-frame IVFADC retrieval over the same
+    * query/corpus split as q_similarity_search, through the persisted
+    * quantizer + codebook (the train-once/search-many session shape). */
+  private def pqSearchQuery(s: SparkSession, d: String): DataFrame =
+    ivfPqSearch(emb(s, d).filter(col("vec_id") % 10 === 0),
+      emb(s, d).filter(col("vec_id") % 10 =!= 0),
+      "vec_id", "embedding", k = 5, ksub = 64, refineFactor = 10,
+      trainFraction = 0.3,
+      precomputedCentroids = Some(SimilarityOps.sharedIvfCentroids(s, d)),
+      precomputedCodebooks = Some(sharedPqCodebook(s, d)))
+
   val defs: Seq[QDef] = Seq(
     // PQ codebooks come from iterative k-means — not DuckDB-expressible;
     // recall vs the exact join, kernel parity, and train/reuse
     // bit-identity are asserted in graft.SimilaritySpec + graft.KernelSpec.
     QDef("q_similarity_pq", similarityPq, None),
+    // Two-frame IVFADC retrieval: same k-means/codebook training caveat
+    // as q_similarity_pq (rows-only by design); recall vs the exact
+    // knnSearch — and its ratio to the IVF-Flat ceiling at the same
+    // probes — is pinned in graft.PqSpec, and the ADC arithmetic +
+    // encode stages have their own oracle-checked lines
+    // (q_pq_adc_verify / q_pq_encode_verify).
+    QDef("q_pq_search", pqSearchQuery, None),
     // The ADC arithmetic + shortlist, oracle-checked over the persisted
     // codebook/codes/probes (OracleAux): DuckDB recomputes every
     // asymmetric distance from the same bytes with the same exact-decimal

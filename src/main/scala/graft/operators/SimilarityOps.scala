@@ -224,29 +224,51 @@ object SimilarityOps {
     * ([[ivfTrain]]'s persisted table) is the train-once/search-many
     * production path; no self-exclusion (see [[knnSearch]]).
     *
+    * PARALLELISM COUPLING (VERDICT r12 #4): the probe join's key is the
+    * list id, so the corpus side of that shuffle has at most `nlist ×
+    * listShards` distinct keys — at the toy default nlist=16 the scan
+    * runs ≤16-way however many cores exist. Production nlist (1024-65536;
+    * the kernels are proven at 4096 in graft.ScaleSpec) dissolves this
+    * on its own; when a SMALL nlist is semantically wanted, raise
+    * `listShards` — corpus rows spread over `(l, hash(vb) % listShards)`
+    * sub-keys and each probe fans out to all shards of its list, so the
+    * join runs `nlist × listShards`-way with the SAME result set
+    * (shards partition the corpus ids; parity pinned in
+    * graft.SimilaritySpec).
+    *
     * LIBRARY ENTRY POINT — generic over any two (id, vector) frames;
     * recall vs the exact [[knnSearch]] is pinned in
     * graft.SimilaritySpec. */
   def ivfSearch(queries: DataFrame, corpus: DataFrame, id: String,
       vec: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       iters: Int = 3, trainFraction: Double = 1.0,
-      precomputedCentroids: Option[DataFrame] = None): DataFrame = {
+      precomputedCentroids: Option[DataFrame] = None,
+      listShards: Int = 1): DataFrame = {
     require(nlist >= 2 && nprobe >= 1 && nprobe <= nlist && iters >= 1,
       s"bad IVF config: nlist=$nlist nprobe=$nprobe iters=$iters")
+    require(listShards >= 1, s"listShards must be >= 1, got $listShards")
     val cne = normalizedVecs(corpus, id, vec).localCheckpoint(true)
     val centroids =
       resolveCentroids(cne, nlist, iters, trainFraction, precomputedCentroids)
     val sc = queries.sparkSession.sparkContext
     def bcast(cs: Array[Seq[Double]]) = sc.broadcast(cs.map(_.toArray))
-    val assigned = cne.select(col("vec_id").as("vb"), col("ne").as("eb"),
+    val assigned0 = cne.select(col("vec_id").as("vb"), col("ne").as("eb"),
       graft.functions.ArgTopDot.argMaxDot(col("ne"), bcast(centroids))
         .as("l"))
-    val probes = normalizedVecs(queries, id, vec)
+    val probes0 = normalizedVecs(queries, id, vec)
       .select(col("vec_id").as("va"), col("ne").as("ea"),
         explode(graft.functions.ArgTopDot.argTopDot(
           col("ne"), bcast(centroids), nprobe)).as("l"))
+    val (probes, assigned, joinKeys) =
+      if (listShards == 1) (probes0, assigned0, Seq("l"))
+      else (
+        probes0.withColumn("sh",
+          explode(sequence(lit(0L), lit(listShards.toLong - 1L)))),
+        assigned0.withColumn("sh",
+          pmod(xxhash64(col("vb")), lit(listShards.toLong))),
+        Seq("l", "sh"))
     val w = Window.partitionBy("va").orderBy(desc("cos"), col("vb"))
-    probes.join(assigned, Seq("l"))
+    probes.join(assigned, joinKeys)
       .select(col("va"), col("vb"),
         Det.r4(dotf(col("ea"), col("eb"))).as("cos"))
       .groupBy("va", "vb").agg(max("cos").as("cos"))
@@ -565,13 +587,18 @@ object SimilarityOps {
   /** IVF k-NN self-join. When `precomputedCentroids` is set (the
     * train-once/search-many path), the quantizer comes entirely from the
     * supplied table and the training parameters `iters` / `trainFraction`
-    * are UNUSED — they only govern the self-training fallback. */
+    * are UNUSED — they only govern the self-training fallback.
+    * `listShards` breaks the nlist cap on the probe join's corpus-side
+    * parallelism exactly as documented on [[ivfSearch]] (result set
+    * invariant; parity pinned in graft.SimilaritySpec). */
   def ivfKnnJoin(rows: DataFrame, id: String, vec: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
       trainFraction: Double = 1.0,
-      precomputedCentroids: Option[DataFrame] = None): DataFrame = {
+      precomputedCentroids: Option[DataFrame] = None,
+      listShards: Int = 1): DataFrame = {
     require(nlist >= 2 && nprobe >= 1 && nprobe <= nlist && iters >= 1,
       s"bad IVF config: nlist=$nlist nprobe=$nprobe iters=$iters")
+    require(listShards >= 1, s"listShards must be >= 1, got $listShards")
     // One normalized pass feeds `iters` assign/mean rounds + the final
     // assignment: materialize it once (released by the caller's unpersist
     // sweep, like the dedup family's intermediates).
@@ -592,18 +619,25 @@ object SimilarityOps {
     // between calls (the bench's GC barrier does exactly that).
     def bcast(cs: Array[Seq[Double]]) = sc.broadcast(cs.map(_.toArray))
 
-    val assigned = ne
-      .select(col("vec_id"), col("ne"),
+    val assigned0 = ne
+      .select(col("vec_id").as("vb"), col("ne").as("eb"),
         graft.functions.ArgTopDot.argMaxDot(col("ne"), bcast(centroids)).as("l"))
     // query probes: top-nprobe lists by centroid dot product (same
     // broadcast kernel, k = nprobe)
-    val probes = ne.select(col("vec_id").as("va"), col("ne").as("ea"),
+    val probes0 = ne.select(col("vec_id").as("va"), col("ne").as("ea"),
       explode(graft.functions.ArgTopDot.argTopDot(
         col("ne"), bcast(centroids), nprobe)).as("l"))
+    val (probes, assigned, joinKeys) =
+      if (listShards == 1) (probes0, assigned0, Seq("l"))
+      else (
+        probes0.withColumn("sh",
+          explode(sequence(lit(0L), lit(listShards.toLong - 1L)))),
+        assigned0.withColumn("sh",
+          pmod(xxhash64(col("vb")), lit(listShards.toLong))),
+        Seq("l", "sh"))
     val w = Window.partitionBy("va").orderBy(desc("cos"), col("vb"))
     probes
-      .join(assigned.select(col("vec_id").as("vb"), col("ne").as("eb"),
-        col("l")), Seq("l"))
+      .join(assigned, joinKeys)
       .filter(col("va") =!= col("vb"))
       .select(col("va"), col("vb"),
         Det.r4(dotf(col("ea"), col("eb"))).as("cos"))

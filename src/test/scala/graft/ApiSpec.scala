@@ -946,6 +946,82 @@ class ApiSpec extends SparkSpec {
       w0.limit(0), df(b0), "id", "body", cap)) == w0Rows)
   }
 
+  test("packExamplesIncremental carries STRING ids through the boundary window (ADVICE r12)") {
+    val s = spark
+    import s.implicits._
+    // non-numeric ids: the boundary re-assembly must keep them as the
+    // strings the artifact's doc_ids column carries — the r12 cast to
+    // long silently nulled every carried id here
+    def mkDocs(ids: Seq[String]) =
+      ids.map(i => (i, (1 to (3 + (i.last - 'a') % 9))
+        .map(j => s"w${i}x$j").mkString(" ")))
+    val b0 = mkDocs(('a' to 't').map(c => s"doc-$c"))
+    val b1 = mkDocs(('u' to 'z').map(c => s"doc-$c"))
+    val cap = 16L
+    def df(b: Seq[(String, String)]) = b.toDF("id", "body")
+    val w0 = PipelineOps.packExamples(df(b0), "id", "body", cap)
+    val w1 = PipelineOps.packExamplesIncremental(w0, df(b1), "id", "body", cap)
+    def rowsOf(dfr: org.apache.spark.sql.DataFrame) =
+      dfr.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getString(5), r.getBoolean(6)))
+        .sortBy(_._1).toSeq
+    // batch-major reference, same construction as the long-id chain test
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val stream = Seq(b0, b1).flatMap(_.sortBy(d => (md5hex(d._1), d._1))
+      .flatMap { case (id, b) => b.split(" ").toSeq.map(t => (id, t)) })
+    val expected = stream.zipWithIndex
+      .groupBy(_._2 / cap).toSeq.sortBy(_._1)
+      .map { case (ck, xs) =>
+        val bounds = xs.groupBy(_._1._1).values
+          .map(ys => (ys.map(_._2).min - ck * cap, ys.head._1._1))
+          .toSeq.sorted
+        (ck, bounds.size.toLong, xs.size.toLong,
+          bounds.map(_._2).mkString(","), bounds.map(_._1).mkString(","),
+          xs.map(_._1._2).mkString(" "), xs.size < cap)
+      }
+    assert(rowsOf(w1) == expected,
+      "string-id increment diverged from the batch-major rebuild")
+    // regression guard on the exact failure mode: no empty/null id slots
+    assert(rowsOf(w1).forall(r =>
+      r._4.split(",").forall(_.startsWith("doc-"))),
+      "boundary lineage lost the string ids")
+  }
+
+  test("writeWindows/readWindows: partitioned artifact round-trips, range reads prune") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq.tabulate(60) { i =>
+      (i.toLong, (1 to (5 + i % 7)).map(j => s"t${i}x$j").mkString(" "))
+    }.toDF("id", "body")
+    val cap = 8L
+    val sortedRows = PipelineOps.packExamples(docs, "id", "body", cap)
+      .collect().map(_.toSeq).toSeq
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-windows-").toString + "/store"
+    // the artifact path: unsorted build, partitioned store
+    PipelineOps.writeWindows(
+      PipelineOps.packExamples(docs, "id", "body", cap, sorted = false),
+      dir, chunksPerPart = 8)
+    val back = PipelineOps.readWindows(s, dir, chunksPerPart = 8)
+    assert(back.columns.toSeq ==
+      Seq("chunk", "n_segs", "n_tokens", "doc_ids", "doc_starts",
+        "chunk_text", "is_partial"),
+      s"store schema drifted: ${back.columns.toSeq}")
+    assert(back.orderBy("chunk").collect().map(_.toSeq).toSeq == sortedRows,
+      "artifact round-trip lost or reordered windows")
+    // chunk-range read: [10, 20) — and the part filter actually prunes
+    // (partition directories outside the range never reach the scan)
+    val ranged = PipelineOps.readWindows(s, dir, chunksPerPart = 8,
+      fromChunk = Some(10L), untilChunk = Some(20L))
+    assert(ranged.orderBy("chunk").collect().map(_.toSeq).toSeq ==
+      sortedRows.filter(r => { val c = r.head.asInstanceOf[Long]
+        c >= 10L && c < 20L }),
+      "range read returned the wrong window set")
+    val scanned = ranged.queryExecution.executedPlan.toString
+    assert(scanned.contains("part"), s"part filter missing from scan:\n$scanned")
+  }
+
   test("trainReadyExamples windows align with trainReady's chunk column and rebuild the exact stream") {
     val s = spark
     import s.implicits._

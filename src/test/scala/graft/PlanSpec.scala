@@ -380,4 +380,52 @@ class PlanSpec extends SparkSpec {
     assert(rangeSorts <= 1,
       s"expected at most 1 global sort (final orderBy), got $rangeSorts:\n$p")
   }
+
+  test("unsorted artifact paths plan ZERO range exchanges (VERDICT r12 #2)") {
+    // the trainer-facing shapes: packExamples(sorted = false) and
+    // trainReadyIncremental(sorted = false) must never range-exchange
+    // the full payload — the global sort is presentation-only and lives
+    // in the query bindings
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pw = operators.PipelineOps
+      .packExamples(docs, "doc_id", "text", 64L, sorted = false)
+      .queryExecution.executedPlan.toString
+    assert(distinctExchanges(pw, "Exchange rangepartitioning") == 0,
+      s"unsorted packExamples still range-exchanges:\n$pw")
+    val bench = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val prior = Seq.tabulate(4)(i =>
+      (i.toLong, "kept", 10L, 0L, i.toLong))
+      .toDF("doc_id", "fate", "n_tok", "chunk", "rank")
+    val inc = Seq((100L, Seq.tabulate(12)(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val priorCorpus = Seq((0L, "prior words here")).toDF("doc_id", "text")
+    val tri = operators.PipelineOps
+      .trainReadyIncremental(prior, priorCorpus, inc, bench,
+        "doc_id", "text", cap = 16.0, sorted = false)
+      .queryExecution.executedPlan.toString
+    assert(distinctExchanges(tri, "Exchange rangepartitioning") == 0,
+      s"unsorted trainReadyIncremental still range-exchanges:\n$tri")
+  }
+
+  test("ivfPqSearch: no vector column on the indexed side of the ADC stage") {
+    // the two-frame retrieval must keep the ivfPqKnnJoin property: the
+    // corpus embedding is dropped before the probe join; only the
+    // refineFactor*k shortlist survivors rejoin real vectors
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.PqOps.ivfPqSearch(
+      e.filter(col("vec_id") % 10 === 0),
+      e.filter(col("vec_id") % 10 =!= 0),
+      "vec_id", "embedding", 5, nlist = 16, nprobe = 8)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("pq_encode"), s"expected PqEncode kernel:\n$p")
+    assert(p.contains("pq_adc_dot"), s"expected PqAdcDot kernel:\n$p")
+    val joinInputs = p.linesIterator.filter(_.contains("pq_adc_dot")).toSeq
+    assert(joinInputs.nonEmpty &&
+      joinInputs.forall(l => !l.contains("eb")),
+      s"indexed-side vector reached the ADC stage:\n$p")
+  }
 }

@@ -197,4 +197,63 @@ class PqSpec extends SparkSpec {
       assert(mismatch == 0, s"$mismatch refined cosines differ from exact")
     } finally ivfpq.unpersist()
   }
+
+  test("ivfPqSearch holds the IVF ceiling ratio vs the exact two-frame knnSearch (VERDICT r12 #3)") {
+    // the retrieval family's memory-bound member: same query/corpus
+    // split as knnSearch/ivfSearch, recall graded against BOTH the
+    // exact ground truth and the IVF-Flat ceiling at identical probes
+    val q = embeddings.filter(col("vec_id") % 10 === 0)
+    val c = embeddings.filter(col("vec_id") % 10 =!= 0)
+    val exact = SimilarityOps.knnSearch(q, c, "vec_id", "embedding", 5)
+      .select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps
+      .ivfSearch(q, c, "vec_id", "embedding", 5, nlist = 16, nprobe = 8)
+      .select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = PqOps.ivfPqSearch(q, c, "vec_id", "embedding", 5,
+      ksub = 64, nlist = 16, nprobe = 8, refineFactor = 10)
+    val pqPairs = pq.select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val rIvf = (exact & ivf).size.toDouble / exact.size
+    val rPq = (exact & pqPairs).size.toDouble / exact.size
+    info(f"ivfPqSearch recall@5 = $rPq%.3f (IVF ceiling $rIvf%.3f)")
+    assert(rPq >= 0.85 * rIvf,
+      f"ivfPqSearch recall $rPq%.3f fell below 85%% of the IVF ceiling $rIvf%.3f")
+    // rank structure + exact cosines on survivors (same pins as the
+    // self-join form)
+    val bad = pq.groupBy("va")
+      .agg(count(lit(1)).as("n"), min("rk").as("lo"), max("rk").as("hi"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n") || col("n") > 5)
+    assert(bad.isEmpty, "ivfPqSearch rank structure broken")
+    val exactCos = SimilarityOps.knnSearch(q, c, "vec_id", "embedding", 5)
+      .select(col("va"), col("vb"), col("cos").as("cos_exact"))
+    val mismatch = pq.join(exactCos, Seq("va", "vb"))
+      .filter(col("cos") =!= col("cos_exact")).count()
+    assert(mismatch == 0, s"$mismatch refined cosines differ from exact")
+  }
+
+  test("ivfPqSearch with precomputed artifacts is bit-identical to self-training") {
+    val q = embeddings.filter(col("vec_id") % 10 === 0)
+    val c = embeddings.filter(col("vec_id") % 10 =!= 0)
+    val ct = SimilarityOps.ivfTrain(c, "vec_id", "embedding", nlist = 16)
+    val cbDf = PqOps.pqTrain(c, "vec_id", "embedding", m = 8, ksub = 16)
+    def rows(pc: Option[org.apache.spark.sql.DataFrame],
+        pcb: Option[org.apache.spark.sql.DataFrame]) =
+      PqOps.ivfPqSearch(q, c, "vec_id", "embedding", 5, nlist = 16,
+        nprobe = 8, precomputedCentroids = pc, precomputedCodebooks = pcb)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(Some(ct), Some(cbDf)) == rows(None, None))
+    // sharding the probe join must not move a single row either
+    def shardRows(shards: Int) =
+      PqOps.ivfPqSearch(q, c, "vec_id", "embedding", 5, nlist = 16,
+        nprobe = 8, precomputedCentroids = Some(ct),
+        precomputedCodebooks = Some(cbDf), listShards = shards)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(shardRows(4) == shardRows(1),
+      "listShards changed ivfPqSearch rows")
+  }
 }
