@@ -438,6 +438,49 @@ object DedupOps {
           .as("sh64"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh64")))
 
+  /** Append an ingest batch to a persisted [[ngramPostings]] artifact,
+    * returning the EXACT union index:
+    * `ngramPostingsAppend(ngramPostings(prior), batch)` ≡
+    * `ngramPostings(prior ∪ batch)` row-for-row (pinned in
+    * graft.ApiSpec) — the maintenance operation that keeps the standing
+    * inverted index true across ingests, so chained incremental dedup
+    * calls (and the streaming composed-build cursor) never re-shingle
+    * the corpus. Prior postings whose shingle the batch never touches
+    * pass through with their df unchanged; postings on "hot" shingles
+    * get the increment's document count added; the batch's own postings
+    * enter at (increment df + prior df). Document frequencies are
+    * re-derived by COUNTING rows, never by trusting the denormalized
+    * column, so appends chain without drift.
+    *
+    * Shape at 100 TB: the df-bump join is increment-keyed (broadcast
+    * for a daily batch) over a full-index projection; a production
+    * store partitioned by shingle-hash bucket rewrites only the buckets
+    * the batch touches (merge-on-read, like the window store's dynamic
+    * partition overwrite).
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, text) frame. */
+  def ngramPostingsAppend(index: DataFrame, newBatch: DataFrame,
+      id: String, text: String): DataFrame = {
+    val incPost = newBatch
+      .select(col(id).as("doc_id"),
+        explode(graft.functions.TextKernels.shingleSet64(col(text)))
+          .as("sh64"))
+    val incDf = incPost.groupBy("sh64").agg(count(lit(1)).as("__inc_df"))
+    val priorBumped = index
+      .join(incDf, Seq("sh64"), "left")
+      .select(col("doc_id"), col("sh64"),
+        (col("df") + coalesce(col("__inc_df"), lit(0L))).as("df"))
+    // prior df per hot shingle — collision-bounded (shingles present in
+    // both the index and the batch)
+    val priorDfHot = index.join(incDf.select("sh64"), Seq("sh64"))
+      .groupBy("sh64").agg(count(lit(1)).as("__prior_df"))
+    val incRows = incPost.join(incDf, Seq("sh64"))
+      .join(priorDfHot, Seq("sh64"), "left")
+      .select(col("doc_id"), col("sh64"),
+        (col("__inc_df") + coalesce(col("__prior_df"), lit(0L))).as("df"))
+    priorBumped.unionByName(incRows)
+  }
+
   /** Near-dup n-gram-Jaccard pairs for an increment against a persisted
     * corpus index ([[ngramPostings]]' `(doc_id, sh64, df)` shape) —
     * EXACTLY the pairs `ngramJaccardPairs(prior ∪ increment)` would

@@ -1,0 +1,144 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{DedupOps, PipelineOps}
+
+/** Streaming ingest twin of the COMPOSED build
+  * ([[graft.operators.PipelineOps.trainReadyIncremental]]) — the
+  * packWindows pattern applied to the end-to-end pipeline (VERDICT r12
+  * brief #4): per micro-batch, new documents are fated against the
+  * STANDING corpus's persisted artifacts (content-hash table, shingle
+  * posting index, manifest), the formatter/pack/rank stages run over
+  * the increment with the pack cursor and epoch-rank block continued,
+  * and the standing artifacts advance by exactly the increment.
+  *
+  * WHY foreachBatch, not a single streaming plan: the composed build's
+  * near-dup stage runs connected components — a driver-side iteration
+  * over a checkpointed edge list — which cannot live inside one
+  * incremental streaming plan. Per-micro-batch batch semantics
+  * (`foreachBatch`, Structured Streaming's escape hatch for exactly
+  * this) gives batch ≡ stream parity BY CONSTRUCTION: feeding batches
+  * B1, B2, … as micro-batches yields the same manifest as chaining
+  * `trainReadyIncremental` over the same batch split (pinned in
+  * graft.StreamingWindowSpec against the planted-fates fixture).
+  *
+  * State discipline: the cursor holds exactly THREE standing artifacts
+  * (manifest, hash table, posting index) as eagerly-checkpointed
+  * frames plus one long (the prior doc count). Every ingest builds the
+  * three successors, then releases the superseded blocks — pinned
+  * storage is ∝ the artifacts' size, NEVER ∝ the number of ingests
+  * (asserted in the spec). A production deployment writes the same
+  * three artifacts to tables (the README walkthrough) instead of
+  * holding them as checkpoint blocks; the per-batch algebra —
+  * `hashes ∪ md5(batch)`, [[DedupOps.ngramPostingsAppend]],
+  * `manifest ∪ increment rows` — is identical.
+  */
+final class TrainReadyCursor private (
+    bench: DataFrame, id: String, text: String, cap: Double,
+    epoch: String, formatter: String, startRateBp: Int, meanSpan: Int,
+    fimRateBp: Int, minJaccard: Double, contamN: Int,
+    initManifest: DataFrame, initHashes: DataFrame,
+    initPostings: DataFrame, initDocCount: Long) {
+
+  private var manifestDf: DataFrame = initManifest
+  private var hashesDf: DataFrame = initHashes
+  private var postingsDf: DataFrame = initPostings
+  private var nPrior: Long = initDocCount
+
+  /** The standing manifest (one row per doc ever ingested: fate +
+    * formatted n_tok + chunk + rank) as of the last completed ingest. */
+  def manifest: DataFrame = synchronized { manifestDf }
+
+  /** Docs in the standing corpus (the near-dup df cap's denominator). */
+  def docCount: Long = synchronized { nPrior }
+
+  /** Ingest one batch: fate against the standing artifacts, continue
+    * the pack cursor and rank block, advance the artifacts. Returns the
+    * NEW standing manifest (prior rows frozen — manifest in ≡ manifest
+    * out, so ingests chain). Empty batches are a no-op. */
+  def ingest(batch: DataFrame): DataFrame = synchronized {
+    val b = batch.select(col(id), col(text)).localCheckpoint(true)
+    val n = b.count()
+    if (n == 0L) { b.unpersist(); return manifestDf }
+    val sc = b.sparkSession.sparkContext
+    // successors first (eager), then release the superseded blocks —
+    // the order that keeps every ingest's cost ∝ increment without a
+    // window where the standing state is unmaterialized. The composed
+    // build pins stage intermediates during construction (the fate
+    // barrier, the formatted token counts, the CC edge rounds); those
+    // are swept by id delta below, so pinned storage is ∝ the three
+    // artifacts, never ∝ the number of ingests (the cursor is
+    // single-writer — synchronized — which is what makes the id-delta
+    // sweep sound).
+    val before = sc.getPersistentRDDs.keySet
+    val built = PipelineOps.trainReadyIncremental(
+      manifestDf, bench.limit(0), b, bench, id, text, cap, epoch,
+      formatter, startRateBp, meanSpan, fimRateBp, minJaccard, contamN,
+      precomputedPostings = Some(postingsDf),
+      precomputedHashes = Some(hashesDf),
+      priorDocCount = Some(nPrior), sorted = false)
+    val inner = sc.getPersistentRDDs.keySet -- before
+    val newManifest = built.localCheckpoint(true)
+    val newHashes = hashesDf
+      .unionByName(b.select(md5(col(text).cast("binary")).as("h")))
+      .localCheckpoint(true)
+    val newPostings = DedupOps
+      .ngramPostingsAppend(postingsDf, b, id, text)
+      .localCheckpoint(true)
+    val pinned = sc.getPersistentRDDs
+    inner.foreach(i => pinned.get(i).foreach(_.unpersist(blocking = true)))
+    manifestDf.unpersist(); hashesDf.unpersist(); postingsDf.unpersist()
+    b.unpersist()
+    manifestDf = newManifest
+    hashesDf = newHashes
+    postingsDf = newPostings
+    nPrior += n
+    newManifest
+  }
+
+  /** Wire a STREAMING `(id, text)` frame into this cursor: one
+    * [[ingest]] per micro-batch. The returned query's progress IS the
+    * cursor's: after `processAllAvailable()`, [[manifest]] reflects
+    * every delivered batch. */
+  def attach(stream: DataFrame): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        ingest(batch); ()
+      }
+      .start()
+}
+
+object TrainReadyCursor {
+
+  /** Open a cursor over a standing build: `priorManifest` is a
+    * [[graft.operators.PipelineOps.trainReady]] /
+    * `trainReadyIncremental` output over `priorCorpus`, built with the
+    * SAME cap/epoch/formatter/rate parameters passed here (the
+    * same-config rule of the batch incremental). An EMPTY pair
+    * bootstraps from nothing — the first micro-batch becomes the
+    * initial build. The three standing artifacts are derived once
+    * here (hash table + posting index over `priorCorpus`) and then
+    * advanced incrementally per ingest, never re-derived. */
+  def apply(priorManifest: DataFrame, priorCorpus: DataFrame,
+      bench: DataFrame, id: String, text: String, cap: Double = 4096.0,
+      epoch: String = "ep1", formatter: String = "span",
+      startRateBp: Int = 500, meanSpan: Int = 3, fimRateBp: Int = 9000,
+      minJaccard: Double = 0.1, contamN: Int = 8): TrainReadyCursor = {
+    val prior = priorCorpus.select(col(id).as("doc_id"),
+      col(text).as("text"))
+    new TrainReadyCursor(bench, id, text, cap, epoch, formatter,
+      startRateBp, meanSpan, fimRateBp, minJaccard, contamN,
+      initManifest = priorManifest
+        .select("doc_id", "fate", "n_tok", "chunk", "rank")
+        .localCheckpoint(true),
+      initHashes = prior
+        .select(md5(col("text").cast("binary")).as("h"))
+        .localCheckpoint(true),
+      initPostings = DedupOps.ngramPostings(prior, "doc_id", "text")
+        .localCheckpoint(true),
+      initDocCount = priorCorpus.count())
+  }
+}

@@ -1118,6 +1118,35 @@ class ApiSpec extends SparkSpec {
       "historic prior-only pair resurfaced in the increment output")
   }
 
+  test("ngramPostingsAppend equals the from-scratch union index row-for-row, and chains") {
+    val s = spark
+    import s.implicits._
+    // overlapping shingles across batches so the df-bump leg, the
+    // hot-shingle leg, and the untouched-prior leg all carry rows
+    def doc(i: Long, words: Seq[String]) = (i, words.mkString(" "))
+    val b0 = Seq(
+      doc(1L, Seq("alpha", "beta", "gamma", "delta")),
+      doc(2L, Seq("beta", "gamma", "delta", "epsilon")),
+      doc(3L, Seq("zeta", "eta", "theta", "iota"))).toDF("id", "body")
+    val b1 = Seq(
+      doc(11L, Seq("alpha", "beta", "gamma", "kappa")),
+      doc(12L, Seq("unique", "words", "only", "here"))).toDF("id", "body")
+    val b2 = Seq(
+      doc(21L, Seq("beta", "gamma", "delta", "epsilon"))).toDF("id", "body")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+    val p0 = DedupOps.ngramPostings(b0, "id", "body")
+    val a1 = DedupOps.ngramPostingsAppend(p0, b1, "id", "body")
+    assert(rowsOf(a1) ==
+      rowsOf(DedupOps.ngramPostings(b0.unionByName(b1), "id", "body")),
+      "one append diverged from the union index")
+    val a2 = DedupOps.ngramPostingsAppend(a1, b2, "id", "body")
+    assert(rowsOf(a2) == rowsOf(DedupOps.ngramPostings(
+      b0.unionByName(b1).unionByName(b2), "id", "body")),
+      "chained appends diverged from the union index")
+  }
+
   test("trainReadyIncremental chains two ingests: frozen prior rows, planted fates, appended ranks") {
     val s = spark
     import s.implicits._

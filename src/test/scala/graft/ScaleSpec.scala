@@ -172,6 +172,74 @@ class ScaleSpec extends SparkSpec {
       s"realized mask fraction $maskFrac outside the density envelope")
   }
 
+  test("BPE distributed merge loop holds at production merge counts (1k merges, 30k vocab)") {
+    // VERDICT r12 #3/#5: the distributed regime costs 2 driver-scheduled
+    // jobs per merge round — correct and vocab-bounded, but unmeasured
+    // beyond nMerges=10 before this regime. Pins three things at 1,000
+    // merges on a 30k-word vocab (driverVocabRows = 0 forces the
+    // distributed path): (a) the merge sequence prefix-matches the
+    // driver regime (greedy BPE is prefix-stable, so a 200-merge driver
+    // run validates the first 200 distributed rounds byte-for-byte);
+    // (b) structure holds end to end (dense ranks, positive counts);
+    // (c) the re-checkpoint cadence keeps per-round cost BOUNDED — the
+    // 1,000-merge run must stay within linear scaling of the 100-merge
+    // run (generous 15× bound; a plan-depth blowup between checkpoints
+    // would go quadratic). Measured per-round constants are logged and
+    // recorded in BASELINE.md.
+    val s = spark
+    import s.implicits._
+    // deterministic 30k-word vocab, 8-16 chars over 16 letters, freq 1-7
+    def word(i: Int): String = {
+      var x = i.toLong * 2654435761L + 11L
+      val len = 8 + (i % 9)
+      val sb = new StringBuilder
+      (0 until len).foreach { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb += ('a' + ((x >>> 33) % 16).toInt).toChar
+      }
+      sb.result()
+    }
+    val corpus = (0 until 30000).map { i =>
+      (i.toLong, List.fill(1 + i % 7)(word(i)).mkString(" "))
+    }.toDF("id", "text")
+      .repartition(8).localCheckpoint(true)
+    try {
+      def timeIt[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime
+        val r = f
+        (r, (System.nanoTime - t0) / 1e9)
+      }
+      val (m100, t100) = timeIt(graft.operators.TokenizerOps
+        .bpeMerges(corpus, "text", 100, driverVocabRows = 0)
+        .collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq)
+      val (m1000, t1000) = timeIt(graft.operators.TokenizerOps
+        .bpeMerges(corpus, "text", 1000, driverVocabRows = 0)
+        .collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq)
+      info(f"distributed: 100 merges ${t100}%.1fs (${t100 * 10}%.0f ms/round), " +
+        f"1000 merges ${t1000}%.1fs (${t1000}%.0f ms/round)")
+      assert(m1000.size == 1000, s"merge loop exhausted at ${m1000.size}")
+      assert(m1000.map(_._1) == (1 to 1000), "ranks not dense")
+      assert(m1000.forall(_._4 > 0), "non-positive pair count")
+      // prefix stability vs the driver regime — the cross-regime
+      // correctness pin at scale (full-table parity at small scale is
+      // BpeSpec's)
+      val driver200 = graft.operators.TokenizerOps
+        .bpeMerges(corpus, "text", 200, driverVocabRows = Long.MaxValue)
+        .collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(m1000.take(200) == driver200,
+        "distributed merge sequence diverged from the driver regime")
+      assert(m1000.take(100) == m100,
+        "distributed regime is not prefix-stable")
+      // bounded per-round cost: linear scaling within generous slack
+      assert(t1000 <= 15.0 * math.max(t100, 1.0),
+        f"1000-merge run ${t1000}%.1fs blew past linear scaling of the " +
+          f"100-merge run ${t100}%.1fs — checkpoint cadence regressed")
+    } finally corpus.unpersist()
+  }
+
   test("observe() surfaces inline QA metrics without an extra pass") {
     val observed = Tables(spark, sf, "documents")
       .observe("qa",
