@@ -460,11 +460,18 @@ object DedupOps {
     *
     * LIBRARY ENTRY POINT — generic over any (id, text) frame. */
   def ngramPostingsAppend(index: DataFrame, newBatch: DataFrame,
-      id: String, text: String): DataFrame = {
-    val incPost = newBatch
+      id: String, text: String): DataFrame =
+    mergePostings(index, newBatch
       .select(col(id).as("doc_id"),
         explode(graft.functions.TextKernels.shingleSet64(col(text)))
-          .as("sh64"))
+          .as("sh64")))
+
+  /** [[ngramPostingsAppend]]'s merge core over an already-shingled
+    * increment `(doc_id, sh64)` — split out so the q_postings_append
+    * oracle can run both engines over the SAME persisted bytes
+    * (the q_ivf_scan_verify pattern). */
+  private[operators] def mergePostings(index: DataFrame,
+      incPost: DataFrame): DataFrame = {
     val incDf = incPost.groupBy("sh64").agg(count(lit(1)).as("__inc_df"))
     val priorBumped = index
       .join(incDf, Seq("sh64"), "left")
@@ -592,6 +599,33 @@ object DedupOps {
       ngramPostings(docsSpread(s, d).filter(col("doc_id") % 10 =!= 0),
         "doc_id", "text")
     }
+
+  // --- q_postings_append: index-maintenance oracle (r13) ---------------
+  /** The two persisted inputs of the append verification (the
+    * q_ivf_scan_verify pattern): the standing 90% posting index and the
+    * 10% increment's shingled postings — both engines merge the SAME
+    * bytes, so the oracle checks the maintenance arithmetic (df bump +
+    * hot-prior lookup + union) bit-for-bit. */
+  private def appendPriorAux(s: SparkSession, d: String): DataFrame =
+    graft.sources.OracleAux.table(s, d, "append_prior_postings") {
+      ngramPostingsAux(s, d)
+    }
+
+  private def appendBatchAux(s: SparkSession, d: String): DataFrame =
+    graft.sources.OracleAux.table(s, d, "append_batch_post") {
+      docsSpread(s, d).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          explode(graft.functions.TextKernels.shingleSet64(col("text")))
+            .as("sh64"))
+    }
+
+  /** q_postings_append binding: the union index produced by the
+    * maintenance op over the persisted prior index + increment postings;
+    * DuckDB re-derives the whole union index from the identical bytes
+    * with one COUNT window. */
+  private def postingsAppendQuery(s: SparkSession, d: String): DataFrame =
+    mergePostings(appendPriorAux(s, d), appendBatchAux(s, d))
+      .orderBy("doc_id", "sh64")
 
   /** 10%-increment binding of [[ngramJaccardPairsIncremental]]: docs
     * with `doc_id % 10 = 0` ingest against the rest's persisted posting
@@ -1077,6 +1111,20 @@ object DedupOps {
          |  floor((inter / (na + nb - inter)) * 10000 + 0.5) / 10000 AS jaccard
          | FROM njp WHERE da % 10 = 0 OR db % 10 = 0
          | ORDER BY da, db""".stripMargin)),
+    // Posting-index maintenance (r13): both engines merge the SAME
+    // persisted prior-index + increment-posting bytes; DuckDB rebuilds
+    // the union index with one COUNT window, so every df the append
+    // arithmetic produces is checked bit-for-bit.
+    QDef("q_postings_append", postingsAppendQuery, Some {
+      val priGlob = graft.sources.OracleAux.gateGlob("append_prior_postings")
+      val batGlob = graft.sources.OracleAux.gateGlob("append_batch_post")
+      s"""WITH u AS (
+         |  SELECT doc_id, sh64 FROM read_parquet('$priGlob')
+         |  UNION ALL
+         |  SELECT doc_id, sh64 FROM read_parquet('$batGlob'))
+         |SELECT doc_id, sh64, COUNT(*) OVER (PARTITION BY sh64) AS df
+         |FROM u ORDER BY doc_id, sh64""".stripMargin
+    }),
     // The incremental LSH path over the same persisted signature table as
     // the verify query: DuckDB re-derives the increment/corpus split, the
     // hot-bucket restriction, and the >=1-increment-doc pair filter from

@@ -69,8 +69,23 @@ object TokenizerOps {
     * vocabularies (1e5-1e7 words) take the distributed path. */
   private val DriverVocabRows = 64 * 1024
 
+  /** Re-checkpoint cadence of the distributed merge loop. Each round
+    * appends one `regexp_replace` to the pending chain and every round's
+    * action REPLAYS the chain since the last checkpoint, so the replay
+    * work per checkpoint window grows quadratically in the cadence
+    * (~depth × vocabRows regex applications) while each checkpoint costs
+    * one flat materialization job. Measured at 30k vocab rows / 1,000
+    * merges (graft.ScaleSpec + BASELINE.md r13): cadence 50 ≈ 2.1
+    * s/round — the replay dominates; cadence 8 balances the two terms at
+    * ~10k-row partitions and holds the per-round cost at the 2-job
+    * scheduling floor. */
+  private val CheckpointEvery = 8
+
   def bpeMerges(rows: DataFrame, text: String, nMerges: Int,
-      driverVocabRows: Long = DriverVocabRows): DataFrame = {
+      driverVocabRows: Long = DriverVocabRows,
+      checkpointEvery: Int = CheckpointEvery): DataFrame = {
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
     val s = rows.sparkSession
     // Corpus → word-frequency table: the single pass over the data.
     var words = rows
@@ -126,9 +141,11 @@ object TokenizerOps {
         // Each round's action replays the pending regex chain over the
         // checkpointed base — a per-row merge over a vocab-sized table,
         // far cheaper than a materialization job per round. Re-checkpoint
-        // periodically so plan depth (and replay) stays bounded when
-        // learning production-sized merge tables.
-        if (rank % 50 == 0) words = words.localCheckpoint(eager = true)
+        // every [[CheckpointEvery]] rounds: replay work per window grows
+        // quadratically in the cadence (r13 measurement: cadence 50 was
+        // replay-DOMINATED at 30k vocab rows — see the cadence scaladoc).
+        if (rank % checkpointEvery == 0)
+          words = words.localCheckpoint(eager = true)
         rank += 1
       }
     }
@@ -151,43 +168,93 @@ object TokenizerOps {
   }
 
   /** Merge rounds over a collected word table — the small-vocab regime of
-    * [[bpeMerges]]. Same algorithm, same tie-break, same left-to-right
-    * non-overlapping merge the distributed regexp applies; BpeSpec pins
-    * both regimes to the sequential Sennrich reference. */
+    * [[bpeMerges]]. Same greedy sequence, same tie-break, same
+    * left-to-right non-overlapping merge the distributed regexp applies;
+    * BpeSpec pins both regimes to the sequential Sennrich reference.
+    *
+    * r13: INCREMENTAL pair statistics — the full recount this replaced
+    * cost O(vocab·len) per round (a 32k-merge production train over a
+    * 1M-word vocab would re-scan ~3·10^11 symbol pairs). This maintains
+    * (a) the global pair-count table, (b) an ordered view for the
+    * argmax, and (c) an inverted pair→words index, and on each merge
+    * touches ONLY the words the merged pair occurs in (delta out their
+    * old adjacencies, merge, delta in the new ones) — the standard
+    * production BPE trainer shape (Sennrich's subword-nmt maintains the
+    * same incremental stats). Per-round cost ∝ occurrences of the
+    * merged pair, not vocab; measured in graft.ScaleSpec and
+    * BASELINE.md r13 (with the distributed regime's per-round
+    * scheduling floor, this regime is why DriverVocabRows — not the
+    * distributed loop — is the production path for real merge counts). */
   private def driverMerges(table: Array[(Long, Array[String])],
       nMerges: Int): Seq[(Int, String, String, Long)] = {
-    var words = table
+    val words: Array[(Long, Array[String])] = table.clone()
+    val utf8Ord: Ordering[String] = (a: String, b: String) => utf8Cmp(a, b)
+    val rankOrd: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long, utf8Ord, utf8Ord)
+    val counts = collection.mutable.HashMap.empty[(String, String), Long]
+    // best-first view of counts: (-count, left, right) — head is the
+    // next merge under the exact (count DESC, left, right) tie order
+    val heap = collection.mutable.TreeSet.empty[(Long, String, String)](rankOrd)
+    // pair -> indices of words that (at some point) contained it; stale
+    // entries (the word has since lost the pair) are filtered on use
+    val where = collection.mutable
+      .HashMap.empty[(String, String), collection.mutable.Set[Int]]
+    def bump(k: (String, String), delta: Long, wordIdx: Int): Unit = {
+      val old = counts.getOrElse(k, 0L)
+      if (old != 0L) heap.remove((-old, k._1, k._2))
+      val nc = old + delta
+      if (nc != 0L) {
+        counts(k) = nc
+        heap.add((-nc, k._1, k._2))
+      } else counts.remove(k)
+      if (delta > 0 && wordIdx >= 0)
+        where.getOrElseUpdate(k,
+          collection.mutable.Set.empty[Int]) += wordIdx
+    }
+    var wi = 0
+    while (wi < words.length) {
+      val (f, syms) = words(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        bump((syms(i), syms(i + 1)), f, wi); i += 1
+      }
+      wi += 1
+    }
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
-    var exhausted = false
-    while (rank <= nMerges && !exhausted) {
-      val counts = collection.mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (f, syms) =>
+    while (rank <= nMerges && heap.nonEmpty) {
+      val (negC, l, r) = heap.head
+      out += ((rank, l, r, -negC))
+      val occ = where.remove((l, r))
+        .map(_.toArray).getOrElse(Array.empty[Int])
+      occ.foreach { w =>
+        val (f, syms) = words(w)
+        var has = false
         var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          counts(k) = counts.getOrElse(k, 0L) + f
-          i += 1
+        while (!has && i < syms.length - 1) {
+          has = syms(i) == l && syms(i + 1) == r; i += 1
         }
-      }
-      if (counts.isEmpty) exhausted = true
-      else {
-        val utf8Ord: Ordering[String] = (a: String, b: String) => utf8Cmp(a, b)
-        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }(
-          Ordering.Tuple3(Ordering.Long, utf8Ord, utf8Ord))
-        out += ((rank, l, r, cnt))
-        words = words.map { case (f, syms) =>
+        if (has) {
+          i = 0
+          while (i < syms.length - 1) {
+            bump((syms(i), syms(i + 1)), -f, -1); i += 1
+          }
           val b = Array.newBuilder[String]
-          var i = 0
+          i = 0
           while (i < syms.length) {
             if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
               b += (l + r); i += 2
             } else { b += syms(i); i += 1 }
           }
-          (f, b.result())
+          val ns = b.result()
+          words(w) = (f, ns)
+          i = 0
+          while (i < ns.length - 1) {
+            bump((ns(i), ns(i + 1)), f, w); i += 1
+          }
         }
-        rank += 1
       }
+      rank += 1
     }
     out.result()
   }

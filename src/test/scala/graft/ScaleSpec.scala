@@ -172,25 +172,25 @@ class ScaleSpec extends SparkSpec {
       s"realized mask fraction $maskFrac outside the density envelope")
   }
 
-  test("BPE distributed merge loop holds at production merge counts (1k merges, 30k vocab)") {
-    // VERDICT r12 #3/#5: the distributed regime costs 2 driver-scheduled
-    // jobs per merge round — correct and vocab-bounded, but unmeasured
-    // beyond nMerges=10 before this regime. Pins three things at 1,000
-    // merges on a 30k-word vocab (driverVocabRows = 0 forces the
-    // distributed path): (a) the merge sequence prefix-matches the
-    // driver regime (greedy BPE is prefix-stable, so a 200-merge driver
-    // run validates the first 200 distributed rounds byte-for-byte);
-    // (b) structure holds end to end (dense ranks, positive counts);
-    // (c) the re-checkpoint cadence keeps per-round cost BOUNDED — the
-    // 1,000-merge run must stay within linear scaling of the 100-merge
-    // run (generous 15× bound; a plan-depth blowup between checkpoints
-    // would go quadratic). Measured per-round constants are logged and
-    // recorded in BASELINE.md.
+  test("BPE holds at production merge counts: incremental driver regime + distributed per-round floor") {
+    // VERDICT r12 #3/#5 executed as a measurement + a fix. Measured
+    // first (BASELINE.md r13): the distributed loop's per-round cost at
+    // 30k vocab rows is ~0.6-0.7s and CADENCE-FLAT (591/673/712 ms at
+    // checkpointEvery 1/4/8) — the floor is the per-round scheduling
+    // fabric (pair-agg shuffle + checkpoint job), the same class as
+    // pageRank's ~1s/round, so a 32k-merge production train does NOT
+    // belong in the distributed regime. The production path is the
+    // DRIVER regime (a 1M-word table is ~tens of MB), made real this
+    // round by incremental pair statistics in driverMerges (delta
+    // updates touch only the merged pair's words — subword-nmt's
+    // shape). This pins: (a) cross-regime parity at 30k vocab / 60
+    // merges (small-scale parity is BpeSpec's), (b) the driver regime
+    // completing 1,500 merges over a 100k-word vocab in interactive
+    // time, (c) structure + prefix stability.
     val s = spark
     import s.implicits._
-    // deterministic 30k-word vocab, 8-16 chars over 16 letters, freq 1-7
-    def word(i: Int): String = {
-      var x = i.toLong * 2654435761L + 11L
+    def word(n: Int)(i: Int): String = {
+      var x = i.toLong * 2654435761L + n
       val len = 8 + (i % 9)
       val sb = new StringBuilder
       (0 until len).foreach { _ =>
@@ -199,45 +199,47 @@ class ScaleSpec extends SparkSpec {
       }
       sb.result()
     }
-    val corpus = (0 until 30000).map { i =>
-      (i.toLong, List.fill(1 + i % 7)(word(i)).mkString(" "))
-    }.toDF("id", "text")
-      .repartition(8).localCheckpoint(true)
-    try {
-      def timeIt[A](f: => A): (A, Double) = {
-        val t0 = System.nanoTime
-        val r = f
-        (r, (System.nanoTime - t0) / 1e9)
-      }
-      val (m100, t100) = timeIt(graft.operators.TokenizerOps
-        .bpeMerges(corpus, "text", 100, driverVocabRows = 0)
-        .collect().map(r =>
-          (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq)
-      val (m1000, t1000) = timeIt(graft.operators.TokenizerOps
-        .bpeMerges(corpus, "text", 1000, driverVocabRows = 0)
-        .collect().map(r =>
-          (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq)
-      info(f"distributed: 100 merges ${t100}%.1fs (${t100 * 10}%.0f ms/round), " +
-        f"1000 merges ${t1000}%.1fs (${t1000}%.0f ms/round)")
-      assert(m1000.size == 1000, s"merge loop exhausted at ${m1000.size}")
-      assert(m1000.map(_._1) == (1 to 1000), "ranks not dense")
-      assert(m1000.forall(_._4 > 0), "non-positive pair count")
-      // prefix stability vs the driver regime — the cross-regime
-      // correctness pin at scale (full-table parity at small scale is
-      // BpeSpec's)
-      val driver200 = graft.operators.TokenizerOps
-        .bpeMerges(corpus, "text", 200, driverVocabRows = Long.MaxValue)
+    def corpusOf(vocab: Int): org.apache.spark.sql.DataFrame =
+      (0 until vocab).map { i =>
+        (i.toLong, List.fill(1 + i % 7)(word(11)(i)).mkString(" "))
+      }.toDF("id", "text").repartition(8).localCheckpoint(true)
+    def timeIt[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime
+      val r = f
+      (r, (System.nanoTime - t0) / 1e9)
+    }
+    def run(c: org.apache.spark.sql.DataFrame, n: Int, dvr: Long) =
+      graft.operators.TokenizerOps
+        .bpeMerges(c, "text", n, driverVocabRows = dvr)
         .collect().map(r =>
           (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
-      assert(m1000.take(200) == driver200,
-        "distributed merge sequence diverged from the driver regime")
-      assert(m1000.take(100) == m100,
-        "distributed regime is not prefix-stable")
-      // bounded per-round cost: linear scaling within generous slack
-      assert(t1000 <= 15.0 * math.max(t100, 1.0),
-        f"1000-merge run ${t1000}%.1fs blew past linear scaling of the " +
-          f"100-merge run ${t100}%.1fs — checkpoint cadence regressed")
-    } finally corpus.unpersist()
+    val c30 = corpusOf(30000)
+    try {
+      // cross-regime parity at 30k vocab (forced distributed vs driver)
+      val (dist60, tDist) = timeIt(run(c30, 60, dvr = 0))
+      val (drv60, _) = timeIt(run(c30, 60, dvr = Long.MaxValue))
+      assert(dist60 == drv60,
+        "distributed and driver regimes diverged at 30k vocab")
+      info(f"distributed floor: ${tDist / 60 * 1000}%.0f ms/round at 30k vocab")
+      assert(dist60.size == 60 && dist60.map(_._1) == (1 to 60))
+    } finally c30.unpersist()
+    val c100k = corpusOf(100000)
+    try {
+      val (m, tDrv) = timeIt(run(c100k, 1500, dvr = Long.MaxValue))
+      info(f"driver regime: 1500 merges over 100k vocab in ${tDrv}%.1fs " +
+        f"(${tDrv / 1500 * 1000}%.1f ms/round)")
+      assert(m.size == 1500, s"merge loop exhausted at ${m.size}")
+      assert(m.map(_._1) == (1 to 1500), "ranks not dense")
+      assert(m.forall(_._4 > 0), "non-positive pair count")
+      // greedy BPE is prefix-stable: a shorter train is a prefix
+      val (m200, _) = timeIt(run(c100k, 200, dvr = Long.MaxValue))
+      assert(m.take(200) == m200, "driver regime is not prefix-stable")
+      // interactive-time bound, generous vs the ~30-60s expectation —
+      // a regression to full per-round recounts would take minutes
+      assert(tDrv <= 300.0,
+        f"driver regime took ${tDrv}%.1fs for 1500 merges — " +
+          "incremental pair stats regressed")
+    } finally c100k.unpersist()
   }
 
   test("observe() surfaces inline QA metrics without an extra pass") {
