@@ -271,6 +271,33 @@ object PqOps {
       .orderBy("va", "rk")
   }
 
+  /** Build the persistable IVFADC corpus index `(<id>, list, codes)` —
+    * the third standing artifact of the PQ retrieval family next to the
+    * quantizer ([[SimilarityOps.ivfTrain]]) and the codebook
+    * ([[pqTrain]]): assign + encode ONCE per corpus version, persist,
+    * and every later [[ivfPqSearch]] session passes it back via
+    * `precomputedIndex` — the session then never scans the corpus
+    * vector column except to re-rank the shortlist survivors. Encoding
+    * is deterministic, so build-once-then-reuse is bit-identical to
+    * in-call derivation (pinned in graft.PqSpec).
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, array-of-float) frame. */
+  def ivfPqIndex(rows: DataFrame, id: String, vec: String,
+      centroids: DataFrame, codebooks: DataFrame,
+      m: Int = 8, ksub: Int = 16, nlist: Int = 16): DataFrame = {
+    val ne = SimilarityOps.normalizedVecs(rows, id, vec)
+    val cs = SimilarityOps.resolveCentroids(ne, nlist, iters = 1,
+      trainFraction = 1.0, Some(centroids))
+    val cb = resolveCodebook(ne, m, ksub, iters = 1, trainFraction = 1.0,
+      Some(codebooks))
+    val sc = rows.sparkSession.sparkContext
+    val bcC = sc.broadcast(cs.map(_.toArray))
+    val bcCb = sc.broadcast(cb)
+    ne.select(col("vec_id").as(id),
+      graft.functions.ArgTopDot.argMaxDot(col("ne"), bcC).as("list"),
+      PqKernels.pqEncode(col("ne"), bcCb).as("codes"))
+  }
+
   /** IVFADC k-NN SEARCH — the TWO-FRAME retrieval shape
     * ([[ivfPqKnnJoin]] is the self-join dedup shape; this completes the
     * retrieval family next to [[SimilarityOps.knnSearch]] /
@@ -302,14 +329,23 @@ object PqOps {
       trainFraction: Double = 1.0,
       precomputedCentroids: Option[DataFrame] = None,
       precomputedCodebooks: Option[DataFrame] = None,
-      listShards: Int = 1): DataFrame = {
+      listShards: Int = 1,
+      precomputedIndex: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && refineFactor >= 1 && nlist >= 2 &&
       nprobe >= 1 && nprobe <= nlist,
       s"bad IVFPQ config: k=$k refineFactor=$refineFactor nlist=$nlist " +
         s"nprobe=$nprobe")
     require(listShards >= 1, s"listShards must be >= 1, got $listShards")
-    val cne = SimilarityOps.normalizedVecs(corpus, id, vec)
-      .localCheckpoint(true)
+    require(precomputedIndex.isEmpty ||
+      (precomputedCentroids.nonEmpty && precomputedCodebooks.nonEmpty),
+      "precomputedIndex requires precomputedCentroids and " +
+        "precomputedCodebooks (the probe and ADC stages consume them)")
+    // with a precomputed index ([[ivfPqIndex]]) the corpus vector column
+    // is consumed ONLY by the survivor re-rank join — no corpus-wide
+    // materialization, the search-session shape the index exists for
+    val cne0 = SimilarityOps.normalizedVecs(corpus, id, vec)
+    val cne =
+      if (precomputedIndex.isEmpty) cne0.localCheckpoint(true) else cne0
     val centroids = SimilarityOps.resolveCentroids(cne, nlist, iters,
       trainFraction, precomputedCentroids)
     val cb = resolveCodebook(cne, m, ksub, iters, trainFraction,
@@ -322,9 +358,13 @@ object PqOps {
 
     // indexed corpus: list + codes only — the vector is gone before any
     // join (the PlanSpec no-vector-reaches-ADC pin covers this shape too)
-    val indexed0 = cne.select(col("vec_id").as("vb"),
-      graft.functions.ArgTopDot.argMaxDot(col("ne"), bcC).as("l"),
-      PqKernels.pqEncode(col("ne"), bcCb).as("codes"))
+    val indexed0 = precomputedIndex match {
+      case Some(ix) => ix.select(col(id).as("vb"),
+        col("list").cast("int").as("l"), col("codes"))
+      case None => cne.select(col("vec_id").as("vb"),
+        graft.functions.ArgTopDot.argMaxDot(col("ne"), bcC).as("l"),
+        PqKernels.pqEncode(col("ne"), bcCb).as("codes"))
+    }
     val probes0 = SimilarityOps.normalizedVecs(queries, id, vec)
       .select(col("vec_id").as("va"), col("ne").as("ea"),
         explode(graft.functions.ArgTopDot.argTopDot(

@@ -234,6 +234,29 @@ class PqSpec extends SparkSpec {
     assert(mismatch == 0, s"$mismatch refined cosines differ from exact")
   }
 
+  test("ivfPqIndex reuse is bit-identical — the encode-once/search-many session shape") {
+    val q = embeddings.filter(col("vec_id") % 10 === 0)
+    val c = embeddings.filter(col("vec_id") % 10 =!= 0)
+    val ct = SimilarityOps.ivfTrain(c, "vec_id", "embedding", nlist = 16)
+    val cbDf = PqOps.pqTrain(c, "vec_id", "embedding", m = 8, ksub = 16)
+    val ix = PqOps.ivfPqIndex(c, "vec_id", "embedding", ct, cbDf)
+    assert(ix.columns.toSeq == Seq("vec_id", "list", "codes"))
+    def rows(pix: Option[org.apache.spark.sql.DataFrame]) =
+      PqOps.ivfPqSearch(q, c, "vec_id", "embedding", 5, nlist = 16,
+        nprobe = 8, precomputedCentroids = Some(ct),
+        precomputedCodebooks = Some(cbDf), precomputedIndex = pix)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(Some(ix)) == rows(None),
+      "persisted-index search diverged from in-call derivation")
+    // the index alone is not enough: probes need the quantizer, ADC the
+    // codebook — fail loudly instead of self-training a MISMATCHED pair
+    val bad = intercept[IllegalArgumentException](
+      PqOps.ivfPqSearch(q, c, "vec_id", "embedding", 5,
+        precomputedIndex = Some(ix)))
+    assert(bad.getMessage.contains("precomputedIndex requires"))
+  }
+
   test("ivfPqSearch with precomputed artifacts is bit-identical to self-training") {
     val q = embeddings.filter(col("vec_id") % 10 === 0)
     val c = embeddings.filter(col("vec_id") % 10 =!= 0)
