@@ -431,6 +431,40 @@ object PipelineOps {
       .write.mode(mode).partitionBy("part").parquet(path)
   }
 
+  /** INGEST-write a [[packExamplesIncremental]] /
+    * [[trainReadyIncremental]] output into an existing [[writeWindows]]
+    * store: only part directories at/after the boundary window's part
+    * are replaced (dynamic partition overwrite — set and restored
+    * here), everything earlier stays untouched on disk. The filter
+    * aligns DOWN to the part grid: dynamic overwrite replaces WHOLE
+    * part directories, and the boundary part also holds the last few
+    * pre-boundary windows — writing only `chunk >= boundary` would
+    * silently drop them from the store (the footgun this entry point
+    * exists to remove; pinned in graft.ApiSpec). Those aligned-down
+    * windows are present in the incremental output (prior rows pass
+    * through), so the write stays ∝ increment + one part directory.
+    *
+    * `boundaryChunk` is the incremental build's boundary —
+    * `floor(prior_total_tokens / cap)`, the first chunk the ingest can
+    * touch. */
+  def writeWindowsIngest(updatedWindows: DataFrame, path: String,
+      boundaryChunk: Long, chunksPerPart: Long = 4096L): Unit = {
+    require(boundaryChunk >= 0,
+      s"boundaryChunk must be >= 0, got $boundaryChunk")
+    val partLo = boundaryChunk / chunksPerPart * chunksPerPart
+    val s = updatedWindows.sparkSession
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try writeWindows(updatedWindows.filter(col("chunk") >= partLo),
+      path, chunksPerPart, mode = "overwrite")
+    finally prev match {
+      case Some(v) =>
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Read a [[writeWindows]] store back, optionally restricted to a
     * chunk range `[fromChunk, untilChunk)` — the range filter lands on
     * BOTH the `part` partition column (directory pruning: untouched

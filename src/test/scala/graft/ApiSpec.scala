@@ -1022,6 +1022,42 @@ class ApiSpec extends SparkSpec {
     assert(scanned.contains("part"), s"part filter missing from scan:\n$scanned")
   }
 
+  test("window store ingest: dynamic partition overwrite rewrites only the boundary + fresh parts") {
+    // the README walkthrough's claim, executed: day-0 store + an
+    // incremental build whose >= boundary windows are written with
+    // partitionOverwriteMode=dynamic must equal the full incremental
+    // build — history parts untouched on disk, boundary part replaced
+    val s = spark
+    import s.implicits._
+    def mkDocs(ids: Seq[Long]) =
+      ids.map(i => (i, (1 to (3 + (i % 9)).toInt)
+        .map(j => s"w${i}x$j").mkString(" "))).toDF("id", "body")
+    val cap = 16L
+    val b0 = mkDocs(1L to 40L)
+    val b1 = mkDocs(41L to 60L)
+    val w0 = PipelineOps.packExamples(b0, "id", "body", cap, sorted = false)
+      .localCheckpoint(true)
+    val w1 = PipelineOps.packExamplesIncremental(w0, b1, "id", "body", cap)
+    val boundary = w0.agg(floor(sum("n_tokens") / cap).cast("long"))
+      .head().getLong(0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-").toString + "/store"
+    PipelineOps.writeWindows(w0, dir, chunksPerPart = 4L)
+    PipelineOps.writeWindowsIngest(
+      PipelineOps.packExamplesIncremental(w0, b1, "id", "body", cap,
+        sorted = false),
+      dir, boundaryChunk = boundary, chunksPerPart = 4L)
+    val back = PipelineOps.readWindows(s, dir, chunksPerPart = 4L)
+    assert(back.orderBy("chunk").collect().map(_.toSeq).toSeq ==
+      w1.collect().map(_.toSeq).toSeq,
+      "ingested store diverged from the full incremental build")
+    // the overwrite-mode setting is restored, not leaked session-wide
+    assert(s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .forall(_ != "dynamic"),
+      "writeWindowsIngest leaked partitionOverwriteMode=dynamic")
+    w0.unpersist()
+  }
+
   test("trainReadyExamples windows align with trainReady's chunk column and rebuild the exact stream") {
     val s = spark
     import s.implicits._
