@@ -1713,11 +1713,15 @@ class ApiSpec extends SparkSpec {
     // query without an oracle must be a deliberate act, not a typo. (BPE
     // left this set in r10: the merge loop is chained-CTE-expressible;
     // each remaining member's generation stage has an oracle-checked
-    // verify sibling or a pinned recall/accuracy ScalaTest.)
+    // verify sibling or a pinned recall/accuracy ScalaTest. q_pq_search
+    // joined in r13: IVFADC retrieval is recall-pinned vs the exact
+    // knnSearch in PqSpec, with its encode/ADC stages oracle-checked via
+    // q_pq_encode_verify / q_pq_adc_verify.)
     val noOracle = qs -- os
     assert(noOracle == Set("q_dedup_minhash",
       "q_dedup_simhash", "q_distinct_users_approx", "q_quantiles_approx",
-      "q_similarity_ann", "q_similarity_ivf", "q_similarity_pq"),
+      "q_similarity_ann", "q_similarity_ivf", "q_similarity_pq",
+      "q_pq_search"),
       s"unexpected no-oracle set: $noOracle")
   }
 
