@@ -200,6 +200,7 @@ object Bench {
     val memoBuilds =
       graft.operators.DedupOps.memoBuilds ++
         graft.operators.TokenizerOps.memoBuilds ++
+        graft.operators.UnigramOps.memoBuilds ++
         graft.operators.PipelineOps.memoBuilds ++
         graft.operators.SimilarityOps.memoBuilds ++
         graft.operators.PqOps.memoBuilds ++

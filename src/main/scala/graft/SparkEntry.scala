@@ -18,6 +18,7 @@ object SparkEntry {
     FrolykOps.defs ++ RelationalOps.defs ++ AnalyticOps.defs ++
       WindowOps.defs ++ TemporalOps.defs ++ GraphOps.defs ++
       DedupOps.defs ++ TextOps.defs ++ TokenizerOps.defs ++
+      UnigramOps.defs ++
       PipelineOps.defs ++ SimilarityOps.defs ++ PqOps.defs ++
       MultimodalOps.defs
 

@@ -438,6 +438,44 @@ class ApiSpec extends SparkSpec {
     assert(got == Seq((1, 2L, 2L), (2, 1L, 2L), (3, 0L, 0L)), s"got $got")
   }
 
+  test("unigramEncode segments under a given model on a generic frame") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(("x", "abab ab"), ("y", "zq"), ("z", " "))
+      .toDF("key", "body")
+    // "ab" is a strong piece; z/q are covered only by the UNK fallback
+    val model = Map("ab" -> -100000000L, "a" -> -5000000000L,
+      "b" -> -5000000000L)
+    val got = graft.operators.UnigramOps
+      .unigramEncode(corpus, "key", "body", model, maxPieceLen = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4))).toSeq
+    // doc x: "abab"→2 pieces + "ab"→1 piece = 3 tokens, 3 × -1e8;
+    // doc y: two UNK chars; doc z: no tokens, zero row
+    assert(got == Seq(
+      ("x", 3L, -300000000L),
+      ("y", 2L, 2L * graft.operators.UnigramOps.UnkScaled),
+      ("z", 0L, 0L)), s"got $got")
+  }
+
+  test("unigramTrain learns the dominant piece on a generic frame") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq.tabulate(20)(i => (i, "abab abab zq"))
+      .toDF("n", "phrase")
+    val model = graft.operators.UnigramOps
+      .unigramTrain(corpus, "phrase", vocabSize = 6, seedSize = 16,
+        maxPieceLen = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    val pieces = model.map(_._1).toSet
+    // coverage singles always present
+    assert(Set("a", "b", "z", "q").subsetOf(pieces), s"got $pieces")
+    // the dominant repeated piece survives the prune with most of the
+    // probability mass among multi-char pieces
+    val best = model.filter(_._1.length > 1).maxBy(_._2)
+    assert(best._1 == "abab" || best._1 == "ab", s"got ${model.toSeq}")
+  }
+
   test("bpeMerges learns the dominant pair first on a generic frame") {
     val s = spark
     import s.implicits._

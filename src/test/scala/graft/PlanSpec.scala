@@ -428,4 +428,23 @@ class PlanSpec extends SparkSpec {
       joinInputs.forall(l => !l.contains("eb")),
       s"indexed-side vector reached the ADC stage:\n$p")
   }
+
+  test("unigramEncode: vocab side broadcasts, occurrence stream never sort-merges") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq.tabulate(50)(i => (i.toLong, "ab ra cad abra"))
+      .toDF("doc_id", "text")
+    val model = Map("ab" -> -1000000000L, "ra" -> -1200000000L,
+      "a" -> -3000000000L, "b" -> -3000000000L, "c" -> -3100000000L,
+      "d" -> -3200000000L, "r" -> -3300000000L)
+    val df = graft.operators.UnigramOps
+      .unigramEncode(corpus, "doc_id", "text", model)
+    val p = df.queryExecution.executedPlan.toString
+    // the per-word Viterbi table joins back to occurrences as a
+    // BROADCAST — the corpus-scale occurrence stream must not shuffle
+    // onto the word key (skewed at real scale)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"occurrence stream shuffled onto the word key:\n$p")
+  }
 }
