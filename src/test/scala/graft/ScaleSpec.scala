@@ -242,6 +242,58 @@ class ScaleSpec extends SparkSpec {
     } finally c100k.unpersist()
   }
 
+  test("unigram trainer holds at a 30k-word vocabulary (distributed E-step regime)") {
+    // The unigram counterpart of the BPE regime above. The E-step is
+    // always distributed (mapPartitions over the word-frequency table,
+    // model broadcast) and its per-round cost is O(vocabWords · len ·
+    // maxPieceLen) independent of corpus size; the shrink loop runs a
+    // BOUNDED number of E-steps (seed→target under shrinkFactor 0.75:
+    // ~6 prune iterations × 2 EM rounds + the final re-estimation).
+    // This pins: completion + structure at 30k words / 10k seed pieces,
+    // and the per-E-step constant as an info line for BASELINE.md.
+    val s = spark
+    import s.implicits._
+    def word(i: Int): String = {
+      var x = i.toLong * 2654435761L + 7
+      val len = 6 + (i % 9)
+      val sb = new StringBuilder
+      (0 until len).foreach { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb += ('a' + ((x >>> 33) % 16).toInt).toChar
+      }
+      sb.result()
+    }
+    val corpus = (0 until 30000).map { i =>
+      (i.toLong, List.fill(1 + i % 5)(word(i)).mkString(" "))
+    }.toDF("id", "text").repartition(8).localCheckpoint(true)
+    try {
+      val t0 = System.nanoTime
+      val model = graft.operators.UnigramOps
+        .unigramTrain(corpus, "text", vocabSize = 2000,
+          seedSize = 10000, maxPieceLen = 6)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val secs = (System.nanoTime - t0) / 1e9
+      // seed 10000 → target under 0.75-shrink: 6 prunes × 2 EM + 2 final
+      val eSteps = 14
+      info(f"30k-word train: ${secs}%.1fs (~${secs / eSteps}%.2f s/E-step)")
+      assert(model.length <= 2000, s"vocab ${model.length} > 2000")
+      assert(model.count(_._1.length > 1) > 1500,
+        s"multi-piece vocab collapsed: ${model.count(_._1.length > 1)}")
+      val singles = corpus.select("text").collect()
+        .flatMap(_.getString(0).split(" ").flatMap(_.toCharArray))
+        .map(_.toString).toSet
+      assert(singles.subsetOf(model.map(_._1).toSet), "coverage broken")
+      // encode rides the same distinct-word reduction: 30k-word corpus
+      // through the trained model, exact scores, every doc covered
+      val enc = graft.operators.UnigramOps.unigramEncode(
+        corpus, "id", "text", model.toMap, maxPieceLen = 6)
+      val agg = enc.agg(count(lit(1)), sum(when(col("n_tokens") > 0, 0L)
+        .otherwise(1L))).collect()(0)
+      assert(agg.getLong(0) == 30000 && agg.getLong(1) == 0L,
+        "encode left uncovered docs")
+    } finally corpus.unpersist()
+  }
+
   test("observe() surfaces inline QA metrics without an extra pass") {
     val observed = Tables(spark, sf, "documents")
       .observe("qa",
