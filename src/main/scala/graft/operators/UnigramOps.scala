@@ -155,6 +155,32 @@ object UnigramOps {
     ev
   }
 
+  /** Driver-regime E-step: the identical fold over a collected word
+    * table. Contributions are the SAME 12-dp rounded decimals and
+    * decimal addition is exact in any order, so this regime's expected
+    * counts — and therefore the trained model — are bit-identical to
+    * the distributed path's (pinned in graft.UnigramSpec). */
+  private def eStepLocal(table: Array[(String, Long)],
+      model: Map[String, Double], maxPieceLen: Int)
+      : Map[String, BigDecimal] = {
+    val acc = collection.mutable.HashMap.empty[String, BigDecimal]
+    table.foreach { case (w, f) =>
+      expectedCounts(w, f, model, maxPieceLen).foreach { case (p, d) =>
+        acc(p) = acc.getOrElse(p, BigDecimal(0)) + BigDecimal(d)
+      }
+    }
+    acc.toMap
+  }
+
+  /** Vocab size under which the EM rounds run on the DRIVER over the
+    * collected word table — the [[TokenizerOps]] regime boundary: the
+    * corpus pass and the substring seeding are ALWAYS distributed, but
+    * when the word table is a few thousand rows each distributed E-step
+    * costs pure scheduling (a job over near-empty partitions, ~2.3s
+    * at 30k rows per BASELINE.md r13) while the local fold is
+    * milliseconds. Production vocabularies take the distributed path. */
+  private val DriverVocabRows = 64 * 1024
+
   /** M-step: renormalize expected counts to log-probs. Pieces with zero
     * expected mass are dropped (a multi-char piece the lattice never
     * uses) unless single-char (coverage floor at the UNK constant). */
@@ -175,7 +201,8 @@ object UnigramOps {
     * Shape: ONE corpus pass (word-frequency aggregation), then the
     * SentencePiece shrink loop over the vocab-sized table — seed with the
     * top `seedSize` substrings by frequency (plus every single character
-    * for coverage), alternate `emRounds` distributed E/M rounds with a
+    * for coverage), alternate `emRounds` E/M rounds — distributed, or a
+    * bit-identical driver fold under `driverVocabRows` — with a
     * prune that keeps the top `shrinkFactor` share of multi-char pieces
     * by expected count (ties by piece — fully deterministic, no RNG)
     * until the target size holds. Expected-count pruning is the
@@ -185,7 +212,8 @@ object UnigramOps {
     * LIBRARY ENTRY POINT — generic over any corpus (text column). */
   def unigramTrain(rows: DataFrame, text: String, vocabSize: Int,
       seedSize: Int = 8192, maxPieceLen: Int = 8, emRounds: Int = 2,
-      shrinkFactor: Double = 0.75): DataFrame = {
+      shrinkFactor: Double = 0.75,
+      driverVocabRows: Long = DriverVocabRows): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be > 0, got $vocabSize")
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
     require(shrinkFactor > 0d && shrinkFactor < 1d,
@@ -196,6 +224,16 @@ object UnigramOps {
       .select(explode(toks(col(text))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .localCheckpoint(eager = true)
+    // Regime switch (bit-identical results, see eStepLocal): small word
+    // tables fold their E-steps on the driver; big ones distribute.
+    val vocabRows = words.count()
+    val localTable: Array[(String, Long)] =
+      if (vocabRows <= driverVocabRows)
+        words.collect().map(r => (r.getString(0), r.getLong(1)))
+      else null
+    def runEStep(model: Map[String, Double]): Map[String, BigDecimal] =
+      if (localTable != null) eStepLocal(localTable, model, maxPieceLen)
+      else eStep(words, model, maxPieceLen)
     // Seed: every substring up to maxPieceLen, weighted by occurrence ×
     // word frequency — a second aggregation over the WORD table (not the
     // corpus). Single characters always survive seeding and pruning:
@@ -225,7 +263,7 @@ object UnigramOps {
       var ev: Map[String, BigDecimal] = Map.empty
       var r = 0
       while (r < emRounds) {
-        ev = eStep(words, model, maxPieceLen)
+        ev = runEStep(model)
         model = mStep(ev)
         r += 1
       }
@@ -244,7 +282,7 @@ object UnigramOps {
           // final re-estimation on the pruned vocabulary
           var r2 = 0
           while (r2 < emRounds) {
-            model = mStep(eStep(words, model, maxPieceLen))
+            model = mStep(runEStep(model))
             r2 += 1
           }
           done = true

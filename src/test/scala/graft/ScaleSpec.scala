@@ -270,12 +270,22 @@ class ScaleSpec extends SparkSpec {
       val t0 = System.nanoTime
       val model = graft.operators.UnigramOps
         .unigramTrain(corpus, "text", vocabSize = 2000,
-          seedSize = 10000, maxPieceLen = 6)
+          seedSize = 10000, maxPieceLen = 6, driverVocabRows = 0)
         .collect().map(r => (r.getString(0), r.getLong(1)))
       val secs = (System.nanoTime - t0) / 1e9
       // seed 10000 → target under 0.75-shrink: 6 prunes × 2 EM + 2 final
       val eSteps = 14
-      info(f"30k-word train: ${secs}%.1fs (~${secs / eSteps}%.2f s/E-step)")
+      info(f"30k-word train (distributed): ${secs}%.1fs (~${secs / eSteps}%.2f s/E-step)")
+      val t1 = System.nanoTime
+      val drv = graft.operators.UnigramOps
+        .unigramTrain(corpus, "text", vocabSize = 2000,
+          seedSize = 10000, maxPieceLen = 6,
+          driverVocabRows = Long.MaxValue)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      info(f"30k-word train (driver regime): ${(System.nanoTime - t1) / 1e9}%.1fs")
+      // the regimes are BIT-identical (decimal-exact expected counts)
+      assert(drv.toSeq == model.toSeq,
+        "driver and distributed regimes diverged at 30k words")
       assert(model.length <= 2000, s"vocab ${model.length} > 2000")
       assert(model.count(_._1.length > 1) > 1500,
         s"multi-piece vocab collapsed: ${model.count(_._1.length > 1)}")

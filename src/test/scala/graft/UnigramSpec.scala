@@ -125,6 +125,13 @@ class UnigramSpec extends SparkSpec {
       seedSize = 128, maxPieceLen = 6).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(m1.toSeq == m2.toSeq)
+    // regime parity: the forced-distributed E-step path builds the
+    // BIT-identical model (decimal-exact expected counts in any order)
+    val m3 = UnigramOps.unigramTrain(docs, "text", vocabSize = 32,
+      seedSize = 128, maxPieceLen = 6, driverVocabRows = 0).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(m1.toSeq == m3.toSeq,
+      "driver and distributed regimes diverged")
   }
 
   test("encode: trained model segments the training corpus without UNK; empty docs zero") {
