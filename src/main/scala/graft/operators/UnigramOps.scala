@@ -335,6 +335,88 @@ object UnigramOps {
     (ntok(n), score(n))
   }
 
+  /** [[viterbi]] with backtracking: the optimal piece sequence itself.
+    * Identical DP and acceptance rule (strictly-better (score, -ntok),
+    * k scanned ascending — ties keep the FIRST, i.e. shortest, final
+    * piece), so the returned path's (length, total score) equals
+    * [[viterbi]]'s value exactly (pinned in graft.UnigramSpec). */
+  private[graft] def viterbiPieces(word: String,
+      model: collection.Map[String, Long], maxPieceLen: Int)
+      : (Array[String], Long) = {
+    val n = word.length
+    val score = Array.fill(n + 1)(Long.MinValue)
+    val ntok = Array.fill(n + 1)(Int.MaxValue)
+    val from = Array.fill(n + 1)(0)
+    score(0) = 0L; ntok(0) = 0
+    var i = 1
+    while (i <= n) {
+      var k = 1
+      val kMax = math.min(maxPieceLen, i)
+      while (k <= kMax) {
+        if (score(i - k) != Long.MinValue) {
+          val lpOpt = model.get(word.substring(i - k, i)) match {
+            case Some(v) => v
+            case None => if (k == 1) UnkScaled else Long.MinValue
+          }
+          if (lpOpt != Long.MinValue) {
+            val cs = score(i - k) + lpOpt
+            val ct = ntok(i - k) + 1
+            if (cs > score(i) || (cs == score(i) && ct < ntok(i))) {
+              score(i) = cs; ntok(i) = ct; from(i) = k
+            }
+          }
+        }
+        k += 1
+      }
+      i += 1
+    }
+    var pos = n
+    val rev = collection.mutable.ArrayBuffer.empty[String]
+    while (pos > 0) {
+      val k = from(pos)
+      rev += word.substring(pos - k, pos)
+      pos -= k
+    }
+    (rev.reverseIterator.toArray, score(n))
+  }
+
+  /** SEGMENT with a trained model — the materialization side: per-doc
+    * piece sequences in token order, the artifact a training pipeline
+    * actually feeds downstream (packing, id-mapping). Zero shuffle: one
+    * mapPartitions projection with the model broadcast and a
+    * per-partition word→segmentation memo (the distinct-word reduction
+    * applied LOCALLY — zipfy text hits the memo, nothing re-crosses the
+    * wire, and there is no doc-keyed exchange of the token payload).
+    *
+    * LIBRARY ENTRY POINT — generic over any corpus (id + text columns). */
+  def unigramSegment(rows: DataFrame, id: String, text: String,
+      model: Map[String, Long], maxPieceLen: Int = 8): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(model)
+    val L = maxPieceLen
+    rows.select(col(id).cast("string").as("doc_id"),
+        toks(col(text)).as("ws"))
+      .as[(String, Seq[String])]
+      .mapPartitions { it =>
+        val m = bc.value
+        val memo = collection.mutable.HashMap
+          .empty[String, (Array[String], Long)]
+        it.map { case (d, ws) =>
+          var sc = 0L
+          val pieces = Array.newBuilder[String]
+          ws.foreach { w =>
+            val (ps, wsc) =
+              memo.getOrElseUpdate(w, viterbiPieces(w, m, L))
+            pieces ++= ps; sc += wsc
+          }
+          val arr = pieces.result()
+          (d, arr, arr.length.toLong, sc)
+        }
+      }
+      .toDF("doc_id", "pieces", "n_tokens", "score_scaled")
+  }
+
   /** ENCODE with a trained model — the inference side. The model
     * (`piece -> logp_scaled`) broadcasts (vocab-sized: 1e5-1e7 short
     * rows at production scale); Viterbi runs once per DISTINCT word (the
@@ -419,6 +501,56 @@ object UnigramOps {
       maxPieceLen = BindPieceLen)
   }
 
+  /** Persisted per-word segmentation of the corpus vocabulary under the
+    * trained model — the bytes BOTH engines verify (q_*_verify). */
+  private def segAux(s: SparkSession, d: String): DataFrame =
+    graft.sources.OracleAux.table(s, d, "unigram_segments") {
+      val m = modelAux(s, d).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      import s.implicits._
+      val bc = s.sparkContext.broadcast(m)
+      docs(s, d)
+        .select(explode(toks(col("text"))).as("word"))
+        .distinct().as[String]
+        .mapPartitions { it =>
+          val mm = bc.value
+          it.map { w =>
+            (w, viterbiPieces(w, mm, BindPieceLen)._1.mkString(" "))
+          }
+        }
+        .toDF("word", "pieces")
+    }
+
+  /** q_unigram_segment: optimality verification of the materialized
+    * segmentation. Both engines read the SAME persisted (word, pieces)
+    * bytes; Spark scores the path with the broadcast model and restates
+    * its Viterbi optimum, DuckDB scores the path with a model join and
+    * re-derives the optimum INDEPENDENTLY via the unrolled DP — a
+    * hash-match proves the emitted path's score is the true optimum
+    * (`piece_score == dp_score` within every row, asserted in
+    * UnigramSpec; cross-engine equality of `dp_score` re-proves the DP;
+    * `pieces` round-trips the persisted bytes). */
+  private def segmentQuery(s: SparkSession, d: String): DataFrame = {
+    val m = modelAux(s, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(m)
+    segAux(s, d).as[(String, String)]
+      .mapPartitions { it =>
+        val mm = bc.value
+        it.map { case (w, ps) =>
+          val pieces =
+            if (ps.isEmpty) Array.empty[String] else ps.split(" ")
+          val pieceScore =
+            pieces.map(p => mm.getOrElse(p, UnkScaled)).sum
+          (w, ps, pieces.length, pieceScore,
+            viterbi(w, mm, BindPieceLen)._2)
+        }
+      }
+      .toDF("word", "pieces", "n_pieces", "piece_score", "dp_score")
+      .orderBy("word")
+  }
+
   /** Bench accounting hook (see [[DedupOps.memoBuilds]]). */
   def memoBuilds: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("_memo_unigram_model" -> ((s, d) => sharedModel(s, d)))
@@ -480,7 +612,32 @@ object UnigramOps {
        |FROM documents d LEFT JOIN cnt c USING (doc_id) ORDER BY d.doc_id""".stripMargin
   }
 
+  private def segmentOracle: String = {
+    val mGlob = graft.sources.OracleAux.gateGlob("unigram_model")
+    val sGlob = graft.sources.OracleAux.gateGlob("unigram_segments")
+    val dps = (1 to OracleMaxWordLen)
+      .map(i => dpCte(i, BindPieceLen)).mkString(",\n")
+    val fin = (1 to OracleMaxWordLen)
+      .map(i => s"SELECT word, score FROM dp$i WHERE len(word) = $i")
+      .mkString(" UNION ALL ")
+    s"""WITH m AS MATERIALIZED (SELECT piece, logp_scaled FROM read_parquet('$mGlob')),
+       |seg AS MATERIALIZED (SELECT word, pieces FROM read_parquet('$sGlob')),
+       |dp0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS score, 0 AS ntok FROM seg),
+       |$dps,
+       |fin AS ($fin),
+       |pc AS (SELECT word,
+       |         CAST(count(*) AS INT) AS n_pieces,
+       |         CAST(sum(coalesce(m.logp_scaled, $UnkScaled)) AS BIGINT) AS piece_score
+       |       FROM (SELECT word, unnest(string_split(pieces, ' ')) AS p FROM seg)
+       |       LEFT JOIN m ON m.piece = p GROUP BY 1)
+       |SELECT s.word, s.pieces, pc.n_pieces, pc.piece_score,
+       |       f.score AS dp_score
+       |FROM seg s JOIN pc USING (word) JOIN fin f USING (word)
+       |ORDER BY s.word""".stripMargin
+  }
+
   lazy val defs: Seq[QDef] = Seq(
-    QDef("q_unigram_encode", encodeQuery, Some(encodeOracle))
+    QDef("q_unigram_encode", encodeQuery, Some(encodeOracle)),
+    QDef("q_unigram_segment", segmentQuery, Some(segmentOracle))
   )
 }

@@ -458,6 +458,20 @@ class ApiSpec extends SparkSpec {
       ("z", 0L, 0L)), s"got $got")
   }
 
+  test("unigramSegment emits piece sequences on a generic frame") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(("k1", "abab zq")).toDF("ref", "payload")
+    val model = Map("ab" -> -100000000L, "a" -> -5000000000L,
+      "b" -> -5000000000L)
+    val got = graft.operators.UnigramOps
+      .unigramSegment(corpus, "ref", "payload", model, maxPieceLen = 4)
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toList))
+    // "abab" → ab+ab; z/q fall back to UNK single chars but still emit
+    assert(got.toSeq == Seq(("k1", List("ab", "ab", "z", "q"))),
+      s"got ${got.toSeq}")
+  }
+
   test("unigramTrain learns the dominant piece on a generic frame") {
     val s = spark
     import s.implicits._

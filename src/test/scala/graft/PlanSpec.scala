@@ -447,4 +447,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"occurrence stream shuffled onto the word key:\n$p")
   }
+
+  test("unigramSegment is a pure projection: zero exchanges") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq.tabulate(50)(i => (i.toLong, "ab ra cad abra"))
+      .toDF("doc_id", "text")
+    val model = Map("ab" -> -1000000000L, "a" -> -3000000000L,
+      "b" -> -3000000000L, "c" -> -3100000000L, "d" -> -3200000000L,
+      "r" -> -3300000000L)
+    val df = graft.operators.UnigramOps
+      .unigramSegment(corpus, "doc_id", "text", model)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"segmentation materialization must not shuffle:\n$p")
+  }
 }

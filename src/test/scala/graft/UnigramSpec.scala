@@ -164,6 +164,49 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("viterbiPieces: valid cover, same value as viterbi, on generated cases") {
+    val cases = Gen.listOfN(300, Gen.zip(wordGen, modelGen)).sample.get
+    cases.foreach { case (w, m) =>
+      val (pieces, sc) = UnigramOps.viterbiPieces(w, m, L)
+      val (nt, vsc) = UnigramOps.viterbi(w, m, L)
+      assert(pieces.mkString("") == w, s"not a cover: $w -> ${pieces.toSeq}")
+      assert(pieces.forall(p => p.nonEmpty && p.length <= L))
+      assert(sc == vsc && pieces.length == nt,
+        s"path value diverged from DP value: $w ${pieces.toSeq}")
+      assert(pieces.map(p => m.getOrElse(p, UnigramOps.UnkScaled)).sum == sc,
+        s"claimed score is not the path sum: $w")
+    }
+  }
+
+  test("unigramSegment flattens per-word optimal paths in token order; zero-token docs empty") {
+    val s = spark
+    import s.implicits._
+    val model = Map("ab" -> -100000000L, "a" -> -5000000000L,
+      "b" -> -5000000000L, "c" -> -6000000000L)
+    val frame = Seq((1L, "abab c ab"), (2L, " "), (3L, "cc"))
+      .toDF("doc_id", "text")
+    val got = UnigramOps.unigramSegment(frame, "doc_id", "text", model,
+      maxPieceLen = 4)
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toList,
+        r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("1", List("ab", "ab", "c", "ab"), 4L, -6300000000L),
+      ("2", List(), 0L, 0L),
+      ("3", List("c", "c"), 2L, -12000000000L)), s"got $got")
+  }
+
+  test("q_unigram_segment rows satisfy piece_score == dp_score (optimality of the emitted path)") {
+    val rows = graft.SparkEntry
+      .queries("q_unigram_segment")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(4),
+        s"emitted path not optimal: $r")
+      assert(r.getString(1).replace(" ", "") == r.getString(0),
+        s"pieces do not cover the word: $r")
+    }
+  }
+
   test("a tighter vocab compresses worse, never better, on the same corpus") {
     val docs = graft.sources.Tables(spark, sf, "documents")
     def meanCpt(vocab: Int): Double = {
