@@ -248,6 +248,23 @@ object PipelineOps {
     if (sorted) w.orderBy("chunk") else w
   }
 
+  /** [[packExamples]] over a PRE-TOKENIZED corpus — `tokens` is an
+    * `array<string>` column (e.g. [[UnigramOps.unigramSegment]]'s piece
+    * sequences, or any model tokenizer's output), so the packed windows
+    * carry the REAL training token stream instead of whitespace words.
+    * Same deterministic md5 layout, same two-phase assignment, same
+    * window schema (q_pack_pieces binds the unigram composition at the
+    * gate).
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, array-of-token) frame. */
+  def packExamplesTokens(rows: DataFrame, id: String, tokens: String,
+      cap: Long, sorted: Boolean = true): DataFrame = {
+    val w = packExamplesCore(rows
+      .select(col(id).cast("string").as("doc_id"), col(tokens).as("t"))
+      .filter(size(col("t")) > 0), cap)
+    if (sorted) w.orderBy("chunk") else w
+  }
+
   /** [[packExamples]]' window materializer over a pre-tokenized
     * `(doc_id, t: array<string>)` frame — shared with
     * [[trainReadyExamples]], whose unit is a FORMATTED token stream.
@@ -1948,7 +1965,7 @@ object PipelineOps {
     * global positions — CTE suffix + final SELECT, names prefixed with
     * `pfx`. Shared by the q_pack_examples and q_train_ready_examples
     * oracles. */
-  private def packExamplesOracleTail(src: String, cap: Int,
+  private[operators] def packExamplesOracleTail(src: String, cap: Int,
       pfx: String,
       ord: String = "md5(CAST(doc_id AS VARCHAR)), doc_id"): String =
     s"""${pfx}c AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tok,

@@ -636,8 +636,43 @@ object UnigramOps {
        |ORDER BY s.word""".stripMargin
   }
 
+  /** q_pack_pieces: the tokenizer→packer composition — the corpus
+    * segmented under the trained unigram model and the PIECE stream
+    * packed into training windows ([[PipelineOps.packExamplesTokens]]).
+    * The windows carry real model tokens, not whitespace words — the
+    * artifact an LLM trainer actually consumes. DuckDB re-derives the
+    * per-doc piece arrays from the persisted (word, pieces) bytes in
+    * token order and re-runs the full pack derivation (md5 layout,
+    * prefix sums, window slices) over them. */
+  private val PackPiecesCap = 64
+  private def packPiecesQuery(s: SparkSession, d: String): DataFrame = {
+    val m = modelAux(s, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the real composition: per-doc Viterbi pieces (deterministic, so
+    // byte-equal to the persisted segAux the oracle reads) → packer
+    PipelineOps.packExamplesTokens(
+      unigramSegment(docs(s, d), "doc_id", "text", m,
+        maxPieceLen = BindPieceLen),
+      "doc_id", "pieces", cap = PackPiecesCap.toLong)
+  }
+
+  private def packPiecesOracle: String = {
+    val toks = TextOps.oracleToks
+    val sGlob = graft.sources.OracleAux.gateGlob("unigram_segments")
+    s"""WITH seg AS MATERIALIZED (SELECT word, pieces FROM read_parquet('$sGlob')),
+       |tok AS (SELECT doc_id, unnest(ts) AS word, generate_subscripts(ts, 1) AS i
+       |        FROM (SELECT doc_id, $toks AS ts FROM documents)),
+       |tp AS (SELECT t.doc_id, t.i, string_split(s.pieces, ' ') AS pl
+       |       FROM tok t JOIN seg s USING (word)),
+       |b AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       |        flatten(list(pl ORDER BY i)) AS t
+       |      FROM tp GROUP BY 1),
+       |${PipelineOps.packExamplesOracleTail("b", PackPiecesCap, "")}""".stripMargin
+  }
+
   lazy val defs: Seq[QDef] = Seq(
     QDef("q_unigram_encode", encodeQuery, Some(encodeOracle)),
-    QDef("q_unigram_segment", segmentQuery, Some(segmentOracle))
+    QDef("q_unigram_segment", segmentQuery, Some(segmentOracle)),
+    QDef("q_pack_pieces", packPiecesQuery, Some(packPiecesOracle))
   )
 }

@@ -472,6 +472,23 @@ class ApiSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("packExamplesTokens equals packExamples when the token arrays are the whitespace words") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+    val viaText = graft.operators.PipelineOps
+      .packExamples(docs, "doc_id", "text", cap = 64).collect().toSeq
+    val tokenized = docs.select(col("doc_id"),
+      filter(split(lower(col("text")), "\\s+"),
+        t => length(t) > 0).as("tks"))
+    val viaTokens = graft.operators.PipelineOps
+      .packExamplesTokens(tokenized, "doc_id", "tks", cap = 64)
+      .collect().toSeq
+    assert(viaTokens == viaText,
+      "token-array packing diverged from text packing on the same stream")
+  }
+
   test("unigramTrain learns the dominant piece on a generic frame") {
     val s = spark
     import s.implicits._
