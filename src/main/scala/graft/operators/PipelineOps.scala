@@ -1149,6 +1149,42 @@ object PipelineOps {
   private val oracleNTok =
     s"len(${TextOps.oracleToks}) "
 
+  /** Per-FATE curation audit — the accounting table a 100 TB ingest
+    * publishes next to its fate manifest: for each curation fate (kept /
+    * quality / exact_dup / near_dup / contaminated), how many documents
+    * and raw tokens landed there and each fate's share of the corpus.
+    * The complement of [[corpusReport]] (volume by source, BEFORE
+    * curation): this is volume by verdict, AFTER — the table that answers
+    * "where did 40% of the crawl go" when a release is sized.
+    *
+    * One manifest-to-token-count join (the token side is a projection of
+    * the corpus scan) + a hash aggregate down to one row per fate; the
+    * share denominators come from an unpartitioned window over that
+    * aggregated frame — bounded at the fate cardinality (≤5 rows), never
+    * table-scale (the PLANS.md bounded-window note applies). Cost ∝ one
+    * corpus scan, output driver-small by construction.
+    *
+    * LIBRARY ENTRY POINT — generic over any (manifest, corpus) pair:
+    * `manifest` needs (doc_id, fate) columns ([[curate]] / [[trainReady]]
+    * output), `corpus` the (id, text) relation it was built from. */
+  def curationReport(manifest: DataFrame, corpus: DataFrame, id: String,
+      text: String): DataFrame = {
+    val ntk = corpus.select(col(id).as("doc_id"),
+      size(TextOps.toks(col(text))).cast("long").as("n_tok"))
+    val byFate = manifest.select(col("doc_id"), col("fate"))
+      .join(ntk, Seq("doc_id"))
+      .groupBy("fate")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_total"))
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    byFate
+      .withColumn("pct_docs", Det.r4(col("n_docs") / sum("n_docs").over(w)))
+      .withColumn("pct_tok",
+        Det.r4(col("tok_total") / sum("tok_total").over(w)))
+      .select("fate", "n_docs", "tok_total", "pct_docs", "pct_tok")
+      .orderBy("fate")
+  }
+
   /** End-to-end corpus CURATION — the composed pipeline a training-data
     * team runs before packing: every corpus document gets a fate, decided
     * by the FIRST stage that drops it (stage order is part of the
@@ -1752,6 +1788,15 @@ object PipelineOps {
       precomputedPairs = Some(curatePairs(s, d)))
   }
 
+  // q_curation_report: the per-fate audit over the same train-split
+  // curation as q_curate, fed through the memoized fate manifest (the
+  // production shape — the report is derived FROM the standing manifest,
+  // not by re-running the curation stages).
+  private def curationReportQuery(s: SparkSession, d: String): DataFrame =
+    curationReport(curateFateManifest(s, d),
+      TextOps.splitAssign(s, d).filter(col("split") === "train"),
+      "doc_id", "text")
+
   /** The 8-token verbatim-run list DuckDB derives per doc (the
     * decontamination grams — shared by the fate chains). */
   private val grams8 =
@@ -2091,6 +2136,20 @@ object PipelineOps {
 
   val defs: Seq[QDef] = Seq(
     QDef("q_curate", curateQuery, Some(curateOracleSql)),
+    QDef("q_curation_report", curationReportQuery, Some(
+      s"""WITH RECURSIVE
+         |$curateFateCtes,
+         |ntk AS (SELECT doc_id, CAST($oracleNTok AS BIGINT) AS n_tok
+         |  FROM tr),
+         |bf AS (SELECT fate, count(*) AS n_docs,
+         |   CAST(sum(n_tok) AS BIGINT) AS tok_total
+         |  FROM fates JOIN ntk USING (doc_id) GROUP BY 1)
+         |SELECT fate, n_docs, tok_total,
+         | ${Det.r4Sql("n_docs / (SELECT sum(n_docs) FROM bf)")}
+         |   AS pct_docs,
+         | ${Det.r4Sql("tok_total / (SELECT sum(tok_total) FROM bf)")}
+         |   AS pct_tok
+         | FROM bf ORDER BY fate""".stripMargin)),
     QDef("q_train_ready_incr", trainReadyIncrQuery,
       Some(trainReadyIncrOracleSql)),
     QDef("q_train_ready", trainReadyQuery, Some(trainReadyOracleSql)),

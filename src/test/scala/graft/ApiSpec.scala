@@ -836,6 +836,44 @@ class ApiSpec extends SparkSpec {
     assert(fates2 == fates, s"precomputed-pairs path diverged: $fates2")
   }
 
+  test("curationReport audits a generic manifest/corpus pair per fate") {
+    val s = spark
+    import s.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => f"$prefix$i%02d")
+    def clean(prefix: String): String =
+      ("the" +: words(prefix, 31) :+ "and").mkString(" ")
+    val nearDupOfB =
+      ("the" +: (words("beta", 28) ++ words("zeta", 3)) :+ "and").mkString(" ")
+    val corpus = Seq(
+      (1L, "too short"),    // quality, 2 tokens
+      (2L, clean("alpha")), // kept, 33 tokens
+      (3L, clean("alpha")), // exact_dup, 33
+      (4L, clean("beta")),  // kept, 33
+      (5L, nearDupOfB),     // near_dup, 33
+      (6L, clean("gamma"))) // contaminated, 33
+      .toDF("id", "body")
+    val bench = Seq(
+      (100L, (words("bench", 5) ++ words("gamma", 8) ++ words("bench2", 5))
+        .mkString(" ")))
+      .toDF("id", "body")
+    val manifest = PipelineOps.curate(corpus, bench, "id", "body")
+    val rows = PipelineOps.curationReport(manifest, corpus, "id", "body")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("contaminated", "exact_dup", "kept", "near_dup", "quality"),
+      s"fate order: ${rows.map(_.getString(0)).toSeq}")
+    def r4(x: Double) = math.floor(x * 10000d + 0.5d) / 10000d
+    val rep = rows.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // 6 docs / 167 raw tokens total; every count and share is exact
+    assert(rep("kept") == ((2L, 66L, r4(2d / 6), r4(66d / 167))), s"$rep")
+    assert(rep("quality") == ((1L, 2L, r4(1d / 6), r4(2d / 167))), s"$rep")
+    assert(rep("exact_dup") == ((1L, 33L, r4(1d / 6), r4(33d / 167))))
+    assert(rep("near_dup") == ((1L, 33L, r4(1d / 6), r4(33d / 167))))
+    assert(rep("contaminated") == ((1L, 33L, r4(1d / 6), r4(33d / 167))))
+  }
+
   test("packSequencesIncremental: chained increments match a from-scratch batch-major re-pack") {
     val s = spark
     import s.implicits._
