@@ -55,12 +55,24 @@ import graft.operators.PipelineOps
   *      totals (counted from the persisted store, so the summary attests
   *      what is ON DISK, not what the plan promised).
   *
+  * The build additionally persists the STANDING index artifacts an
+  * ingest fates against: `out/index/hashes` (content-hash table) and
+  * `out/index/postings` (raw `(doc_id, sh64)` shingle pairs; df is
+  * re-attached at read by counting rows, so the on-disk index is
+  * append-only and every ingest write stays ∝ increment).
+  *
+  * `"mode": "ingest"` + `"increment": <parquet>` appends a new batch to
+  * an existing build directory ([[executeIngest]]): fates from the
+  * persisted artifacts only, manifest rows appended, window store
+  * advanced via the boundary-part dynamic overwrite (exactly one part
+  * directory re-read), indexes appended — the batch twin of
+  * [[graft.streaming.TrainReadyCursor]], with the artifacts on disk
+  * instead of in checkpoint blocks.
+  *
   * Scale shape: identical to the library entry points it composes — the
   * runner adds no collect, no extra shuffle, and no driver-side loop; its
   * only driver-side data is the ≤6-row fate report and the 1-row window
-  * total. Incremental ingests into an existing build dir are
-  * [[PipelineOps.trainReadyIncremental]] + [[PipelineOps.writeWindowsIngest]]
-  * (see README) — this runner is the BATCH bootstrap of that artifact set.
+  * total.
   */
 object Run {
 
@@ -70,7 +82,7 @@ object Run {
       chunksPerPart: Long, minJaccard: Double, contamN: Int,
       scrubPii: Boolean, mixtureSource: Option[String],
       mixtureAlpha: Double, mixtureBudgetFraction: Double,
-      overwrite: Boolean)
+      overwrite: Boolean, mode: String, increment: Option[String])
 
   /** Parse a spec JSON string (defaults applied here, not in consumers). */
   def parseSpec(json: String): Spec = {
@@ -82,8 +94,17 @@ object Run {
       v.asText
     }
     def opt(k: String): Option[JsonNode] = Option(n.get(k))
+    val mode = opt("mode").map(_.asText).getOrElse("build")
+    require(Set("build", "ingest")(mode),
+      s"mode must be build | ingest, got '$mode'")
+    val increment = opt("increment").map(_.asText).filter(_.nonEmpty)
+    require(mode == "build" || increment.isDefined,
+      "mode 'ingest' requires an 'increment' parquet path")
     Spec(
-      corpus = req("corpus"), benchmark = req("benchmark"), out = req("out"),
+      corpus = opt("corpus").map(_.asText)
+        .getOrElse { require(mode == "ingest",
+          "spec is missing required string field 'corpus'"); "" },
+      benchmark = req("benchmark"), out = req("out"),
       id = opt("id").map(_.asText).getOrElse("doc_id"),
       text = opt("text").map(_.asText).getOrElse("text"),
       cap = opt("cap").map(_.asLong).getOrElse(4096L),
@@ -96,13 +117,19 @@ object Run {
       mixtureAlpha = opt("mixtureAlpha").map(_.asDouble).getOrElse(0.3),
       mixtureBudgetFraction =
         opt("mixtureBudgetFraction").map(_.asDouble).getOrElse(0.5),
-      overwrite = opt("overwrite").exists(_.asBoolean))
+      overwrite = opt("overwrite").exists(_.asBoolean),
+      mode = mode, increment = increment)
   }
 
-  /** Execute the build; returns the SUMMARY.json content (also written to
+  /** Execute the spec ([[executeBuild]] or [[executeIngest]] by
+    * `spec.mode`); returns the SUMMARY.json content (also written to
     * `spec.out/SUMMARY.json`). Separated from [[main]] so tests drive it
     * with their own session and read the same summary a user would. */
-  def execute(s: SparkSession, spec: Spec): String = {
+  def execute(s: SparkSession, spec: Spec): String =
+    if (spec.mode == "ingest") executeIngest(s, spec)
+    else executeBuild(s, spec)
+
+  private def executeBuild(s: SparkSession, spec: Spec): String = {
     val mode = if (spec.overwrite) "overwrite" else "errorifexists"
     val corpus = s.read.parquet(spec.corpus)
     val bench = s.read.parquet(spec.benchmark)
@@ -113,6 +140,19 @@ object Run {
       .write.mode(mode).parquet(s"${spec.out}/fates")
     val fates = s.read.parquet(s"${spec.out}/fates")
       .select("doc_id", "fate")
+
+    // 1b. the STANDING index artifacts an ingest fates against
+    // (content-hash table + RAW shingle postings — df is re-attached at
+    // read time by counting rows, the [[DedupOps.ngramPostingsAppend]]
+    // "never trust the denormalized column" rule taken to its on-disk
+    // conclusion: every ingest write stays ∝ increment, append-only)
+    corpus.select(md5(col(spec.text).cast("binary")).as("h"))
+      .write.mode(mode).parquet(s"${spec.out}/index/hashes")
+    corpus
+      .select(col(spec.id).as("doc_id"),
+        explode(graft.functions.TextKernels.shingleSet64(col(spec.text)))
+          .as("sh64"))
+      .write.mode(mode).parquet(s"${spec.out}/index/postings")
 
     // 2. per-fate audit over the persisted fates
     PipelineOps.curationReport(fates, corpus, spec.id, spec.text)
@@ -149,12 +189,6 @@ object Run {
       .agg(count(lit(1)).as("n"),
         coalesce(sum("n_tokens"), lit(0L)).as("t"))
       .head()
-    def esc(x: String): String = x.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
     val fateLines = report.map(r =>
       s"""{"fate":"${esc(r.getAs[String]("fate"))}","n_docs":${
         r.getAs[Long]("n_docs")},"tok_total":${
@@ -169,6 +203,115 @@ object Run {
     Files.write(Paths.get(spec.out, "SUMMARY.json"),
       summary.getBytes(StandardCharsets.UTF_8))
     summary
+  }
+
+  /** Ingest an increment into an existing [[executeBuild]] directory —
+    * the daily-ingest twin: new docs are fated against the PERSISTED
+    * artifacts only (prior manifest + hash table + raw postings; the
+    * prior corpus is never re-read), the increment's manifest rows are
+    * APPENDED to `out/manifest` (history on disk is never rewritten),
+    * the window store advances by the boundary-part dynamic overwrite
+    * reading exactly ONE part directory, and the index artifacts grow
+    * append-only. Every write in this path is ∝ increment + one part.
+    * `out/report` is a batch-build artifact (it needs the raw corpus) —
+    * the ingest summary carries the increment's per-fate counts instead.
+    * Mixture sampling is a batch-build decision
+    * ([[PipelineOps.trainReadyIncremental]] has no mixture stage), so an
+    * ingest spec must not set `mixtureSource`. */
+  private def executeIngest(s: SparkSession, spec: Spec): String = {
+    require(spec.mixtureSource.isEmpty,
+      "mode 'ingest' does not support mixtureSource (a batch-build stage)")
+    val out = spec.out
+    val inc = s.read.parquet(spec.increment.get)
+    val bench = s.read.parquet(spec.benchmark)
+    val manifest = s.read.parquet(s"$out/manifest")
+    val nPrior = manifest.count()
+    val priorTok = manifest
+      .agg(coalesce(sum(when(col("chunk").isNotNull, col("n_tok"))),
+        lit(0L)).as("t"))
+      .head().getAs[Long]("t")
+    val hashes = s.read.parquet(s"$out/index/hashes")
+    // df re-attached by counting rows — the raw store IS
+    // ngramPostings(prior) minus the denormalized column
+    val postings = s.read.parquet(s"$out/index/postings")
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh64")))
+    val built = PipelineOps.trainReadyIncremental(
+      manifest, bench.limit(0), inc, bench, spec.id, spec.text,
+      cap = spec.cap.toDouble, formatter = spec.formatter,
+      minJaccard = spec.minJaccard, contamN = spec.contamN,
+      precomputedPostings = Some(postings),
+      precomputedHashes = Some(hashes),
+      priorDocCount = Some(nPrior), sorted = false)
+    // the increment's rows only — prior rows pass through the build
+    // bit-identical and are ALREADY on disk. Materialized eagerly so
+    // the append below never reads the path it writes.
+    val incRows = built
+      .join(inc.select(col(spec.id).as("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .localCheckpoint(true)
+    incRows.write.mode("append").parquet(s"$out/manifest")
+
+    // window store: the increment's formatted streams continue the
+    // pack cursor; only the boundary part is read (then checkpointed,
+    // freeing the store for its own dynamic overwrite)
+    val incKept = inc
+      .select(col(spec.id).as("doc_id"), col(spec.text).as("text"))
+      .join(incRows.filter(col("chunk").isNotNull).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    val boundary = priorTok / spec.cap
+    val partLo = boundary / spec.chunksPerPart * spec.chunksPerPart
+    val region = PipelineOps.readWindows(s, s"$out/windows",
+        spec.chunksPerPart, fromChunk = Some(partLo))
+      .localCheckpoint(true)
+    PipelineOps.writeWindowsIngest(
+      PipelineOps.packExamplesTokensIncremental(region,
+        PipelineOps.formattedToks(incKept, spec.formatter,
+          startRateBp = 500, meanSpan = 3, fimRateBp = 9000),
+        "doc_id", "t", spec.cap, sorted = false,
+        priorTokens = Some(priorTok)),
+      s"$out/windows", boundary, spec.chunksPerPart)
+
+    // index advance — append-only
+    inc.select(md5(col(spec.text).cast("binary")).as("h"))
+      .write.mode("append").parquet(s"$out/index/hashes")
+    inc.select(col(spec.id).as("doc_id"),
+        explode(graft.functions.TextKernels.shingleSet64(col(spec.text)))
+          .as("sh64"))
+      .write.mode("append").parquet(s"$out/index/postings")
+
+    val incFates = incRows.groupBy("fate")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("n_tok"), lit(0L)).as("tok_total"))
+      .orderBy("fate").collect()
+    val wtot = PipelineOps.readWindows(s, s"$out/windows",
+        spec.chunksPerPart)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum("n_tokens"), lit(0L)).as("t"))
+      .head()
+    region.unpersist(); incRows.unpersist()
+    val fateLines = incFates.map(r =>
+      s"""{"fate":"${esc(r.getAs[String]("fate"))}","n_docs":${
+        r.getAs[Long]("n_docs")},"tok_total":${
+        r.getAs[Long]("tok_total")}}""").mkString("[", ",", "]")
+    val summary =
+      s"""{"mode":"ingest","increment":"${esc(spec.increment.get)}",""" +
+        s""""out":"${esc(out)}","cap":${spec.cap},""" +
+        s""""formatter":"${esc(spec.formatter)}",""" +
+        s""""chunksPerPart":${spec.chunksPerPart},""" +
+        s""""increment_fates":$fateLines,""" +
+        s""""n_windows":${wtot.getAs[Long]("n")},""" +
+        s""""n_window_tokens":${wtot.getAs[Long]("t")}}"""
+    Files.write(Paths.get(out, "SUMMARY.json"),
+      summary.getBytes(StandardCharsets.UTF_8))
+    summary
+  }
+
+  private def esc(x: String): String = x.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
 
   def main(args: Array[String]): Unit = {

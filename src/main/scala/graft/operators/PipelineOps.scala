@@ -346,8 +346,8 @@ object PipelineOps {
     */
   def packExamplesIncremental(priorWindows: DataFrame, newRows: DataFrame,
       id: String, text: String, cap: Long,
-      sorted: Boolean = true): DataFrame = {
-    require(cap >= 1, s"cap must be >= 1, got $cap")
+      sorted: Boolean = true,
+      priorTokens: Option[Long] = None): DataFrame =
     // ids are carried as STRINGS end to end: the boundary window's
     // segments re-derive from the artifact's comma-joined doc_ids (a
     // string column whatever the source id type), and the increment's
@@ -355,13 +355,61 @@ object PipelineOps {
     // correctly instead of silently nulling the re-assembled boundary
     // lineage (ADVICE r12). Window offsets tile the chunk uniquely, so
     // the in-window struct sort never compares ids across types.
-    val newToks = newRows
+    packExamplesIncrementalCore(priorWindows, newRows
       .select(col(id).cast("string").as("doc_id"),
         TextOps.toks(col(text)).as("t"))
-      .filter(size(col("t")) > 0)
-    val totals = priorWindows
-      .agg(coalesce(sum("n_tokens"), lit(0L)).as("prior_tok"))
-      .withColumn("boundary", floor(col("prior_tok") / cap).cast("long"))
+      .filter(size(col("t")) > 0), cap, sorted, priorTokens)
+
+  /** [[packExamplesIncremental]] over a PRE-TOKENIZED increment —
+    * `tokens` is an `array<string>` column, the incremental twin of
+    * [[packExamplesTokens]] exactly as the text form is the twin of
+    * [[packExamples]]: append a pre-tokenized batch (model pieces, a
+    * FORMATTED example stream) to an existing window artifact at cost
+    * ∝ increment + one boundary window. Same same-cap/disjoint-ids
+    * preconditions.
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, array-of-token)
+    * increment over any [[packExamplesTokens]]-shaped prior artifact. */
+  def packExamplesTokensIncremental(priorWindows: DataFrame,
+      newRows: DataFrame, id: String, tokens: String, cap: Long,
+      sorted: Boolean = true,
+      priorTokens: Option[Long] = None): DataFrame =
+    packExamplesIncrementalCore(priorWindows, newRows
+      .select(col(id).cast("string").as("doc_id"), col(tokens).as("t"))
+      .filter(size(col("t")) > 0), cap, sorted, priorTokens)
+
+  /** The shared incremental assembly over a pre-tokenized
+    * `(doc_id: string, t: array<string>)` increment.
+    *
+    * `priorTokens`: the prior artifact's EXACT total token count, when
+    * the caller already has it (a build manifest, store metadata).
+    * With it supplied, `priorWindows` may be a chunk-RESTRICTED region
+    * of the store covering at least the boundary part
+    * (`readWindows(fromChunk = partLo)`) instead of the whole
+    * artifact: pre-boundary rows in the region pass through untouched,
+    * and the store is never scanned below the region — the shape that
+    * lets an on-disk ingest ([[graft.Run]]) read one part directory,
+    * checkpoint it, and dynamic-overwrite the same store without a
+    * read-your-own-write cycle, at memory ∝ one part. Without it the
+    * totals come from a full `priorWindows` scan (1-row aggregate).
+    * A WRONG value silently mis-places the increment — the same
+    * exactness contract as `corpusDocCount` in
+    * [[DedupOps.ngramJaccardPairsIncremental]]. */
+  private def packExamplesIncrementalCore(priorWindows: DataFrame,
+      newToks: DataFrame, cap: Long, sorted: Boolean,
+      priorTokens: Option[Long] = None): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    require(priorTokens.forall(_ >= 0),
+      s"priorTokens must be >= 0, got $priorTokens")
+    val totals = priorTokens match {
+      case Some(pt) => priorWindows.sparkSession.range(1)
+        .select(lit(pt).as("prior_tok"),
+          lit(pt / cap).as("boundary"))
+      case None => priorWindows
+        .agg(coalesce(sum("n_tokens"), lit(0L)).as("prior_tok"))
+        .withColumn("boundary",
+          floor(col("prior_tok") / cap).cast("long"))
+    }
     val priorW = priorWindows
       .select("chunk", "n_segs", "n_tokens", "doc_ids", "doc_starts",
         "chunk_text", "is_partial")
@@ -1473,7 +1521,21 @@ object PipelineOps {
     val (_, keptDocs) = curateKeptDocs(corpus, bench, id, text,
       minJaccard, contamN, precomputedPairs, precomputedFates,
       mixtureSource, mixtureAlpha, mixtureBudgetFraction)
-    val toksRows = formatter match {
+    val w = packExamplesCore(
+      formattedToks(keptDocs, formatter, startRateBp, meanSpan, fimRateBp),
+      cap)
+    if (sorted) w.orderBy("chunk") else w
+  }
+
+  /** Formatted-example token STREAMS `(doc_id, t: array<string>)` over a
+    * kept-docs `(doc_id, text)` frame — the array twin of
+    * [[formattedTok]] (which counts the same streams), shared by
+    * [[trainReadyExamples]] and the ingest runner's window path
+    * ([[graft.Run]]): the deterministic per-doc formatter output whose
+    * token counts trainReady's manifest records. */
+  private[graft] def formattedToks(keptDocs: DataFrame, formatter: String,
+      startRateBp: Int, meanSpan: Int, fimRateBp: Int): DataFrame =
+    formatter match {
       case "span" =>
         spanApplyCore(keptDocs, "doc_id", "text", startRateBp, meanSpan)
           .select(col("doc_id"),
@@ -1487,9 +1549,6 @@ object PipelineOps {
         keptDocs.select(col("doc_id"), TextOps.toks(col("text")).as("t"))
           .filter(size(col("t")) > 0)
     }
-    val w = packExamplesCore(toksRows, cap)
-    if (sorted) w.orderBy("chunk") else w
-  }
 
   /** Formatted-example token counts `(doc_id, n_tok)` over a kept-docs
     * `(doc_id, text)` frame — [[trainReady]]'s formatter stage, shared

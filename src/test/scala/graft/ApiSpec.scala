@@ -1165,6 +1165,44 @@ class ApiSpec extends SparkSpec {
     w0.unpersist()
   }
 
+  test("packExamplesTokensIncremental: token-array twin matches the text form; region + priorTokens matches the full-prior path") {
+    val s = spark
+    import s.implicits._
+    def mkText(ids: Seq[Long]) =
+      ids.map(i => (i, (1 to (3 + (i % 9)).toInt)
+        .map(j => s"w${i}x$j").mkString(" "))).toDF("id", "body")
+    val cap = 16L
+    val prior = mkText(1L to 24L)
+    val inc = mkText(25L to 34L)
+    val w0 = PipelineOps.packExamples(prior, "id", "body", cap,
+      sorted = false).localCheckpoint(true)
+    val viaText = PipelineOps
+      .packExamplesIncremental(w0, inc, "id", "body", cap)
+      .collect().map(_.toString).toSeq
+    // the pre-tokenized twin over split(text) is row-identical
+    val incToks = inc.select($"id", split($"body", " ").as("tk"))
+    val viaTokens = PipelineOps
+      .packExamplesTokensIncremental(w0, incToks, "id", "tk", cap)
+      .collect().map(_.toString).toSeq
+    assert(viaTokens == viaText, "token-array twin diverged from text form")
+    // region + priorTokens: feeding only the boundary part (the on-disk
+    // ingest shape) reproduces the full-prior path's >= partLo rows
+    val pt = w0.agg(coalesce(sum("n_tokens"), lit(0L)))
+      .head().getLong(0)
+    val chunksPerPart = 4L
+    val partLo = pt / cap / chunksPerPart * chunksPerPart
+    val region = w0.filter($"chunk" >= partLo)
+    val tail = PipelineOps.packExamplesTokensIncremental(region, incToks,
+      "id", "tk", cap, priorTokens = Some(pt))
+      .collect().map(_.toString).toSeq
+    assert(tail == viaTokens.zip(
+      PipelineOps.packExamplesTokensIncremental(w0, incToks, "id", "tk",
+        cap).collect().map(r => r.getLong(0))).collect {
+        case (r, c) if c >= partLo => r },
+      "region + priorTokens path diverged from the full-prior tail")
+    w0.unpersist()
+  }
+
   test("trainReadyExamples windows align with trainReady's chunk column and rebuild the exact stream") {
     val s = spark
     import s.implicits._

@@ -88,4 +88,103 @@ class RunSpec extends SparkSpec {
     val e = intercept[Exception](Run.execute(s, spec))
     assert(e.getMessage != null)
   }
+
+  test("Run ingest mode appends an increment matching the direct incremental composition") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-run-ing").toFile
+      .getAbsolutePath
+    val nearDupOfB =
+      ("the" +: (words("beta", 28) ++ words("zeta", 3)) :+ "and").mkString(" ")
+    val prior = Seq(
+      (1L, "too short"),          // quality
+      (2L, clean("alpha")),       // kept
+      (4L, clean("beta")),        // kept
+      (6L, clean("delta")))       // kept
+      .toDF("id", "body")
+    val inc = Seq(
+      (11L, clean("alpha")),      // exact_dup of prior doc 2 (hash table)
+      (12L, nearDupOfB),          // near_dup of prior doc 4 (postings)
+      (13L, clean("gamma")),      // contaminated (bench 8-gram)
+      (14L, "tiny"),              // quality
+      (15L, clean("kappa")))      // kept
+      .toDF("id", "body")
+    val bench = Seq(
+      (100L, (words("bench", 5) ++ words("gamma", 8) ++ words("bench2", 5))
+        .mkString(" ")))
+      .toDF("id", "body")
+    prior.write.parquet(s"$dir/prior")
+    inc.write.parquet(s"$dir/inc")
+    bench.write.parquet(s"$dir/bench")
+
+    val buildSpec = Run.parseSpec(
+      s"""{"corpus": "$dir/prior", "benchmark": "$dir/bench",
+         | "out": "$dir/build", "id": "id", "text": "body",
+         | "cap": 16, "formatter": "plain", "chunksPerPart": 2}"""
+        .stripMargin)
+    Run.execute(s, buildSpec)
+    val storeBefore = PipelineOps
+      .readWindows(s, s"$dir/build/windows", chunksPerPart = 2L)
+      .collect().map(_.toString).toSet
+
+    val ingSpec = Run.parseSpec(
+      s"""{"mode": "ingest", "increment": "$dir/inc",
+         | "benchmark": "$dir/bench", "out": "$dir/build",
+         | "id": "id", "text": "body",
+         | "cap": 16, "formatter": "plain", "chunksPerPart": 2}"""
+        .stripMargin)
+    val summary = Run.execute(s, ingSpec)
+
+    // increment fates: every planted fate decided from the persisted
+    // artifacts alone (the prior corpus is gone from this path)
+    val j = new ObjectMapper().readTree(summary)
+    val fateCounts = (0 until j.get("increment_fates").size).map { i =>
+      val f = j.get("increment_fates").get(i)
+      f.get("fate").asText -> f.get("n_docs").asLong
+    }.toMap
+    assert(fateCounts == Map("exact_dup" -> 1L, "near_dup" -> 1L,
+      "contaminated" -> 1L, "quality" -> 1L, "kept" -> 1L),
+      s"increment fates: $fateCounts")
+
+    // manifest on disk == the direct chained composition re-deriving
+    // postings/hashes from the prior corpus (independent artifact path)
+    val direct = PipelineOps.trainReadyIncremental(
+      PipelineOps.trainReady(prior, bench, "id", "body", cap = 16.0,
+        formatter = "plain"),
+      prior, inc, bench, "id", "body", cap = 16.0, formatter = "plain")
+      .collect().map(_.toString).toSet
+    val stored = s.read.parquet(s"$dir/build/manifest")
+      .collect().map(_.toString).toSet
+    assert(stored == direct,
+      s"manifest diverged:\nonly stored: ${stored -- direct}\n" +
+        s"only direct: ${direct -- stored}")
+
+    // window store: every packed doc's manifest chunk is the first
+    // window holding its id; totals agree; pre-boundary windows intact
+    val win = PipelineOps
+      .readWindows(s, s"$dir/build/windows", chunksPerPart = 2L)
+      .localCheckpoint(true)
+    val firstWin = win
+      .select(col("chunk"), explode(split(col("doc_ids"), ",")).as("d"))
+      .groupBy("d").agg(min("chunk").as("w_chunk"))
+    val manifest = s.read.parquet(s"$dir/build/manifest")
+    val misaligned = manifest.filter(col("chunk").isNotNull)
+      .join(firstWin, manifest("doc_id").cast("string") === firstWin("d"))
+      .filter(col("chunk") =!= col("w_chunk"))
+      .count()
+    assert(misaligned == 0, "manifest chunk != first window in store")
+    val tokStore = win.agg(sum("n_tokens")).head().getLong(0)
+    val tokManifest = manifest
+      .agg(sum(when(col("chunk").isNotNull, col("n_tok"))))
+      .head().getLong(0)
+    assert(tokStore == tokManifest,
+      s"store tokens $tokStore != manifest tokens $tokManifest")
+    val after = win.collect().map(_.toString).toSet
+    val priorIntact = storeBefore.filter(after.contains)
+    // full windows of the prior build (all but the partial tail) survive
+    assert(priorIntact.size >= storeBefore.size - 1,
+      s"ingest rewrote prior full windows: kept ${priorIntact.size}" +
+        s" of ${storeBefore.size}")
+    win.unpersist()
+  }
 }
