@@ -318,6 +318,36 @@ object PipelineOps {
         concat_ws(" ", col("tk")).as("chunk_text"),
         (size(col("tk")) < cap).as("is_partial"))
 
+  /** Packing-efficiency report over a window artifact — the one-row
+    * capacity-planning summary a trainer sizes its data loader with:
+    * window count, token total, (doc, window) segment incidences,
+    * partial-window count, achieved fill rate (tokens / window capacity
+    * — how much of every context window is real data), and mean
+    * documents per window. A single hash-free aggregate over the slim
+    * window columns (the token payload is never touched); works on a
+    * live [[packExamples]] / [[trainReadyExamples]] frame or a
+    * [[readWindows]] store scan.
+    *
+    * LIBRARY ENTRY POINT — generic over any window frame with
+    * (n_tokens, n_segs, is_partial) columns; `cap` must be the build's. */
+  def packStats(windows: DataFrame, cap: Long): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    windows
+      .agg(count(lit(1)).as("n_windows"),
+        coalesce(sum("n_tokens"), lit(0L)).as("tok_total"),
+        coalesce(sum("n_segs"), lit(0L)).as("n_segments"),
+        coalesce(sum(when(col("is_partial"), lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("n_partial"))
+      .select(col("n_windows"), col("tok_total"), col("n_segments"),
+        col("n_partial"),
+        when(col("n_windows") === 0, lit(0.0d))
+          .otherwise(Det.r4(col("tok_total") / (col("n_windows") * cap)))
+          .as("fill_rate"),
+        when(col("n_windows") === 0, lit(0.0d))
+          .otherwise(Det.r4(col("n_segments") / col("n_windows")))
+          .as("mean_segs"))
+  }
+
   /** INCREMENTAL window materialization — append an ingest batch to an
     * existing [[packExamples]] artifact without re-emitting the corpus's
     * windows: every full prior window passes through UNTOUCHED (it is
@@ -2246,6 +2276,32 @@ object PipelineOps {
       s"""WITH b AS (SELECT doc_id, ${TextOps.oracleToks} AS t
          |  FROM documents WHERE len(${TextOps.oracleToks}) > 0),
          |${packExamplesOracleTail("b", 64, "")}""".stripMargin)),
+    // The capacity-planning summary over the same cap-64 pack — the
+    // oracle re-derives every number from first principles (the cumsum
+    // tiling), NOT from a window rebuild: windows = ceil(total/cap),
+    // segments = per-doc straddle count, partial = the tail remainder.
+    QDef("q_pack_stats", ((s, d) => packStats(
+      packExamples(docs(s, d), "doc_id", "text", cap = 64L,
+        sorted = false), 64L)), Some(
+      s"""WITH b AS (SELECT doc_id, ${TextOps.oracleToks} AS t
+         |  FROM documents WHERE len(${TextOps.oracleToks}) > 0),
+         |c AS (SELECT CAST(len(t) AS BIGINT) AS n_tok,
+         |   sum(len(t)) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+         |     doc_id) AS cum
+         |  FROM b),
+         |g AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tok_total,
+         |   CAST(sum(floor((cum - 1) / 64.0)
+         |     - floor((cum - n_tok) / 64.0) + 1) AS BIGINT) AS n_segments
+         |  FROM c)
+         |SELECT CAST(ceil(tok_total / 64.0) AS BIGINT) AS n_windows,
+         | tok_total, n_segments,
+         | CAST(CASE WHEN tok_total % 64 = 0 THEN 0 ELSE 1 END AS BIGINT)
+         |   AS n_partial,
+         | ${Det.r4Sql("tok_total / (ceil(tok_total / 64.0) * 64.0)")}
+         |   AS fill_rate,
+         | ${Det.r4Sql("n_segments / ceil(tok_total / 64.0)")}
+         |   AS mean_segs
+         | FROM g""".stripMargin)),
     // The ON-DISK window store round-trip (r13): the same windows as
     // q_pack_examples, but built UNSORTED, written through the
     // partitioned writeWindows store, and read back via readWindows —

@@ -1165,6 +1165,35 @@ class ApiSpec extends SparkSpec {
     w0.unpersist()
   }
 
+  test("packStats reports exact capacity numbers on a planted window frame") {
+    val s = spark
+    import s.implicits._
+    // 2 docs / 10 + 7 = 17 tokens at cap 8 → 3 windows (2 full + 1
+    // partial), 4 (doc, window) segments: doc A straddles w0|w1, doc B
+    // w1|w2
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 7).map(i => s"b$i").mkString(" ")))
+      .toDF("id", "body")
+    // force the layout: md5-order is opaque, so derive expectations from
+    // the windows themselves and cross-check against first principles
+    val w = PipelineOps.packExamples(docs, "id", "body", cap = 8L,
+      sorted = false)
+    val r = PipelineOps.packStats(w, 8L).head()
+    assert(r.getAs[Long]("n_windows") == 3L)
+    assert(r.getAs[Long]("tok_total") == 17L)
+    assert(r.getAs[Long]("n_segments") == 4L)
+    assert(r.getAs[Long]("n_partial") == 1L)
+    def r4(x: Double) = math.floor(x * 10000d + 0.5d) / 10000d
+    assert(r.getAs[Double]("fill_rate") == r4(17d / 24))
+    assert(r.getAs[Double]("mean_segs") == r4(4d / 3))
+    // empty frame: zero row with 0.0 rates, not a division blow-up
+    val z = PipelineOps.packStats(w.filter(lit(false)), 8L).head()
+    assert(z.getAs[Long]("n_windows") == 0L &&
+      z.getAs[Double]("fill_rate") == 0.0d &&
+      z.getAs[Double]("mean_segs") == 0.0d)
+  }
+
   test("packExamplesTokensIncremental: token-array twin matches the text form; region + priorTokens matches the full-prior path") {
     val s = spark
     import s.implicits._

@@ -89,7 +89,15 @@ class RunSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
-  test("Run ingest mode appends an increment matching the direct incremental composition") {
+  test("Run ingest mode appends an increment matching the direct incremental composition (plain)") {
+    ingestRoundTrip("plain")
+  }
+
+  test("Run ingest mode matches the direct composition under the span formatter") {
+    ingestRoundTrip("span")
+  }
+
+  private def ingestRoundTrip(formatter: String): Unit = {
     val s = spark
     import s.implicits._
     val dir = Files.createTempDirectory("graft-run-ing").toFile
@@ -120,7 +128,7 @@ class RunSpec extends SparkSpec {
     val buildSpec = Run.parseSpec(
       s"""{"corpus": "$dir/prior", "benchmark": "$dir/bench",
          | "out": "$dir/build", "id": "id", "text": "body",
-         | "cap": 16, "formatter": "plain", "chunksPerPart": 2}"""
+         | "cap": 16, "formatter": "$formatter", "chunksPerPart": 2}"""
         .stripMargin)
     Run.execute(s, buildSpec)
     val storeBefore = PipelineOps
@@ -131,7 +139,7 @@ class RunSpec extends SparkSpec {
       s"""{"mode": "ingest", "increment": "$dir/inc",
          | "benchmark": "$dir/bench", "out": "$dir/build",
          | "id": "id", "text": "body",
-         | "cap": 16, "formatter": "plain", "chunksPerPart": 2}"""
+         | "cap": 16, "formatter": "$formatter", "chunksPerPart": 2}"""
         .stripMargin)
     val summary = Run.execute(s, ingSpec)
 
@@ -150,8 +158,8 @@ class RunSpec extends SparkSpec {
     // postings/hashes from the prior corpus (independent artifact path)
     val direct = PipelineOps.trainReadyIncremental(
       PipelineOps.trainReady(prior, bench, "id", "body", cap = 16.0,
-        formatter = "plain"),
-      prior, inc, bench, "id", "body", cap = 16.0, formatter = "plain")
+        formatter = formatter),
+      prior, inc, bench, "id", "body", cap = 16.0, formatter = formatter)
       .collect().map(_.toString).toSet
     val stored = s.read.parquet(s"$dir/build/manifest")
       .collect().map(_.toString).toSet
