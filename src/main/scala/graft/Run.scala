@@ -214,7 +214,9 @@ object Run {
     * reading exactly ONE part directory, and the index artifacts grow
     * append-only. Every write in this path is ∝ increment + one part.
     * `out/report` is a batch-build artifact (it needs the raw corpus) —
-    * the ingest summary carries the increment's per-fate counts instead.
+    * the ingest summary carries the increment's per-fate counts instead,
+    * with tok_total measured in FORMATTED manifest tokens (n_tok; 0 for
+    * dropped docs), unlike the build report's raw-token accounting.
     * Mixture sampling is a batch-build decision
     * ([[PipelineOps.trainReadyIncremental]] has no mixture stage), so an
     * ingest spec must not set `mixtureSource`. */
