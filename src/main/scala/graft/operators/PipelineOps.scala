@@ -799,6 +799,195 @@ object PipelineOps {
     temperatureMixture(docs(s, d), "doc_id", "text", "source",
       alpha = 0.3, budgetFraction = 0.5)
 
+  /** DATA-CONSTRAINED epoch allocation (Muennighoff et al. 2023,
+    * arXiv:2305.16264 "Scaling Data-Constrained Language Models") — the
+    * UP-sampling complement of [[temperatureMixture]]: given a token
+    * budget LARGER than the corpus, decide how many epochs each source
+    * repeats, with temperature-weighted shares (∝ mass^alpha, so scarce
+    * sources are boosted) and a hard per-source repetition cap
+    * `maxEpochs` (beyond ~4 epochs repeated data stops helping — the
+    * paper's headline result).
+    *
+    * The allocation is the exact WATER-FILLING solution, computed in
+    * closed form (no driver iteration): epochs_s = min(maxEpochs,
+    * r · m_s^(alpha-1)) with r solving Σ_s epochs_s · m_s = budget.
+    * f(r) is piecewise linear with one breakpoint per source at
+    * t_s = maxEpochs · m_s^(1-alpha); sources sorted by t cap in
+    * order, so prefix sums over the sorted per-source table locate the
+    * unique segment containing the solution — every window here runs
+    * over the SOURCE table (tiny at any corpus size, the
+    * [[corpusReport]] bounded-window precedent). If the budget exceeds
+    * maxEpochs × corpus, every source caps and the (unreachable)
+    * surplus is reported by the epochs column summing short.
+    *
+    * Returns one row per source with trainable tokens: (source, n_docs,
+    * tok_total, epochs (r4), full_copies, frac_cut) — `full_copies`
+    * whole passes plus a deterministic md5-bucket draw at
+    * `frac_cut`/10000 for the fractional epoch (the
+    * [[temperatureMixture]] membership policy, so the partial-epoch
+    * sample is stable under corpus growth). A budget SMALLER than the
+    * corpus degrades gracefully to subsampling (epochs < 1 →
+    * full_copies 0, the fractional draw thins the source).
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, text, source) frame. */
+  def epochAllocation(rows: DataFrame, id: String, text: String,
+      source: String, budgetTokens: Long, maxEpochs: Double,
+      alpha: Double = 0.5): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val per = mixtureBase(rows, id, text, source)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_total"))
+      .filter(col("tok_total") > 0)
+      .withColumn("m", col("tok_total").cast("double"))
+      .withColumn("w", pow(col("m"), lit(alpha)))
+      .withColumn("t", lit(maxEpochs) * col("m") / col("w"))
+    // all windows below run over one row per source — bounded
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val byT = Window.orderBy("t", "source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s1 = per
+      .withColumn("tok_all", sum("tok_total").over(all))
+      .withColumn("w_all", Det.decSum(col("w")).over(all).cast("double"))
+      .withColumn("cm", sum("tok_total").over(byT))
+      .withColumn("cw", Det.decSum(col("w")).over(byT).cast("double"))
+      .withColumn("nt", lead(col("t"), 1).over(Window.orderBy("t", "source")))
+      .withColumn("t_min", min("t").over(all))
+    // the unique valid segment: k sources capped (those sorted before
+    // the segment), r_k = (B - E·cm_k) / (w_all - cw_k); the k = 0
+    // segment is r = B / w_all, valid when it undercuts every breakpoint
+    val cand = s1
+      // the last sorted row has cw = w_all (its segment is the
+      // everything-capped case, handled by the e_tok_all branch below);
+      // its rk is vacuous — NULL, not a division error
+      .withColumn("rk", when(col("w_all") - col("cw") > 0d,
+        (lit(budgetTokens.toDouble) - lit(maxEpochs) * col("cm"))
+          / (col("w_all") - col("cw"))))
+      .withColumn("r0", lit(budgetTokens.toDouble) / col("w_all"))
+      .withColumn("r_sel", when(
+        col("t") <= col("rk") && (col("nt").isNull || col("rk") < col("nt")),
+        col("rk")))
+    val rRow = cand.agg(
+      min(col("r_sel")).as("r_cap"),
+      min(when(col("r0") < col("t_min"), col("r0"))).as("r_free"),
+      max(lit(maxEpochs) * col("tok_all")).as("e_tok_all"))
+    per.crossJoin(broadcast(rRow))
+      .withColumn("e", when(
+        lit(budgetTokens.toDouble) >= col("e_tok_all"), lit(maxEpochs))
+        .otherwise(least(lit(maxEpochs),
+          coalesce(col("r_free"), col("r_cap")) * col("w") / col("m"))))
+      .select(col("source"), col("n_docs"), col("tok_total"),
+        Det.r4(col("e")).as("epochs"),
+        floor(col("e")).cast("long").as("full_copies"),
+        floor((col("e") - floor(col("e"))) * 10000.0d).cast("long")
+          .as("frac_cut"))
+      .orderBy("source")
+  }
+
+  // q_epoch_alloc / q_mix_epochs: budget = ceil(1.55 × corpus tokens)
+  // at maxEpochs 1.6, alpha 0.5 — constants chosen so the cap BINDS on
+  // part of the source set at both gate scales (4/20 sources capped at
+  // sf0.01, 1/20 at sf0.1): the breakpoint search is exercised, not
+  // just the uniform segment.
+  private def epochAllocQuery(s: SparkSession, d: String): DataFrame = {
+    val b = docs(s, d)
+    val tot = b
+      .agg(coalesce(sum(size(TextOps.toks(col("text"))).cast("long")),
+        lit(0L)))
+      .head().getLong(0)
+    epochAllocation(b, "doc_id", "text", "source",
+      budgetTokens = math.ceil(1.55d * tot).toLong, maxEpochs = 1.6,
+      alpha = 0.5)
+  }
+
+  private def mixEpochsQuery(s: SparkSession, d: String): DataFrame = {
+    val b = docs(s, d)
+    val tot = b
+      .agg(coalesce(sum(size(TextOps.toks(col("text"))).cast("long")),
+        lit(0L)))
+      .head().getLong(0)
+    dataConstrainedMixture(b, "doc_id", "text", "source",
+      budgetTokens = math.ceil(1.55d * tot).toLong, maxEpochs = 1.6,
+      alpha = 0.5)
+  }
+
+  /** DuckDB CTE chain re-deriving [[epochAllocation]]'s water-filling
+    * at the gate constants (budget ceil(1.55·corpus), E=1.6, α=0.5) —
+    * ends in `alloc(source, n_docs, tok_total, epochs, full_copies,
+    * frac_cut)`. Shared by the q_epoch_alloc / q_mix_epochs oracles. */
+  // a def, not a val: it interpolates oracleNTok, which is declared
+  // LATER in this object — a val here would capture null at init order
+  private def epochAllocCtes: String =
+    s"""eb AS (SELECT doc_id, source,
+       |   CAST($oracleNTok AS BIGINT) AS n_tok FROM documents),
+       |ebud AS (SELECT CAST(ceil(1.55 * sum(n_tok)) AS DOUBLE) AS B,
+       |   CAST(1.6 AS DOUBLE) AS E FROM eb),
+       |eper AS (SELECT source, count(*) AS n_docs,
+       |   CAST(sum(n_tok) AS BIGINT) AS tok_total
+       |  FROM eb GROUP BY 1 HAVING sum(n_tok) > 0),
+       |ex AS (SELECT source, n_docs, tok_total,
+       |   CAST(tok_total AS DOUBLE) AS m,
+       |   pow(CAST(tok_total AS DOUBLE), 0.5) AS w FROM eper),
+       |ex2 AS (SELECT ex.*, bu.E * m / w AS t
+       |  FROM ex CROSS JOIN ebud bu),
+       |es1 AS (SELECT *,
+       |   CAST(sum(tok_total) OVER () AS BIGINT) AS tok_all,
+       |   CAST(sum(CAST(w AS DECIMAL(28,6))) OVER () AS DOUBLE) AS w_all,
+       |   CAST(sum(tok_total) OVER (ORDER BY t, source) AS BIGINT) AS cm,
+       |   CAST(sum(CAST(w AS DECIMAL(28,6))) OVER (ORDER BY t, source)
+       |     AS DOUBLE) AS cw,
+       |   lead(t) OVER (ORDER BY t, source) AS nt,
+       |   min(t) OVER () AS t_min
+       |  FROM ex2),
+       |ecand AS (SELECT s.*,
+       |   CASE WHEN w_all - cw > 0
+       |     THEN (bu.B - bu.E * cm) / (w_all - cw) END AS rk,
+       |   bu.B / w_all AS r0
+       |  FROM es1 s CROSS JOIN ebud bu),
+       |ersel AS (SELECT
+       |   min(CASE WHEN t <= rk AND (nt IS NULL OR rk < nt)
+       |       THEN rk END) AS r_cap,
+       |   min(CASE WHEN r0 < t_min THEN r0 END) AS r_free,
+       |   max(tok_all) AS tok_all FROM ecand),
+       |alloc AS (SELECT source, n_docs, tok_total,
+       |   ${Det.r4Sql("e")} AS epochs,
+       |   CAST(floor(e) AS BIGINT) AS full_copies,
+       |   CAST(floor((e - floor(e)) * 10000) AS BIGINT) AS frac_cut
+       |  FROM (SELECT x.source, x.n_docs, x.tok_total,
+       |     CASE WHEN bu.B >= bu.E * r.tok_all THEN bu.E
+       |          ELSE least(bu.E, coalesce(r.r_free, r.r_cap) * x.w / x.m)
+       |     END AS e
+       |    FROM ex2 x CROSS JOIN ersel r CROSS JOIN ebud bu))""".stripMargin
+
+  /** The repeat MANIFEST materializing [[epochAllocation]] — one row
+    * per (document, training pass): `copy` 0 .. copies-1 where copies =
+    * full_copies (+ 1 if the doc's md5 bucket falls under the
+    * fractional-epoch cut). The relation a data loader joins against
+    * the corpus (or the window store's lineage) to realize repetition;
+    * deterministic, so re-materializing never reshuffles which docs
+    * carry the partial epoch. Cost ∝ output rows (explode over a
+    * broadcast 1-row-per-source allocation).
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, text, source) frame. */
+  def dataConstrainedMixture(rows: DataFrame, id: String, text: String,
+      source: String, budgetTokens: Long, maxEpochs: Double,
+      alpha: Double = 0.5, sorted: Boolean = true): DataFrame = {
+    val alloc = epochAllocation(rows, id, text, source, budgetTokens,
+      maxEpochs, alpha)
+    val out = mixtureBase(rows, id, text, source)
+      .filter(col("n_tok") > 0)
+      .join(broadcast(alloc.select("source", "full_copies", "frac_cut")),
+        Seq("source"))
+      .withColumn("copies", col("full_copies")
+        + when(col("bucket") < col("frac_cut"), lit(1L)).otherwise(lit(0L)))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("copies") - 1)).as("copy"))
+    if (sorted) out.orderBy("doc_id", "copy") else out
+  }
+
   /** Per-doc (doc_id, source, n_tok, bucket) projection shared by the
     * mixture samplers and [[trainReady]]'s mixture stage — the md5
     * bucket is the q_data_split membership policy, so samples are
@@ -2276,6 +2465,22 @@ object PipelineOps {
       s"""WITH b AS (SELECT doc_id, ${TextOps.oracleToks} AS t
          |  FROM documents WHERE len(${TextOps.oracleToks}) > 0),
          |${packExamplesOracleTail("b", 64, "")}""".stripMargin)),
+    QDef("q_epoch_alloc", epochAllocQuery, Some(
+      s"""WITH $epochAllocCtes
+         |SELECT source, n_docs, tok_total, epochs, full_copies, frac_cut
+         | FROM alloc ORDER BY source""".stripMargin)),
+    QDef("q_mix_epochs", mixEpochsQuery, Some(
+      s"""WITH $epochAllocCtes,
+         |emb AS (SELECT doc_id, source,
+         |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |     AS BIGINT) % 10000 AS bucket
+         |  FROM eb WHERE n_tok > 0),
+         |ecp AS (SELECT doc_id, source, full_copies
+         |   + (CASE WHEN bucket < frac_cut THEN 1 ELSE 0 END) AS copies
+         |  FROM emb JOIN alloc USING (source))
+         |SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT)
+         |   AS copy
+         | FROM ecp WHERE copies > 0 ORDER BY doc_id, copy""".stripMargin)),
     // The capacity-planning summary over the same cap-64 pack — the
     // oracle re-derives every number from first principles (the cumsum
     // tiling), NOT from a window rebuild: windows = ceil(total/cap),

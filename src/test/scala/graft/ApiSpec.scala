@@ -1165,6 +1165,66 @@ class ApiSpec extends SparkSpec {
     w0.unpersist()
   }
 
+  test("epochAllocation water-fills a generic frame: scarce source caps, budget conserved, manifest realizes it") {
+    val s = spark
+    import s.implicits._
+    // scarce source "rare": 10 tokens; abundant "bulk": 90 tokens.
+    // alpha = 0.5 boosts rare; maxEpochs 2 caps it; budget 150 tokens.
+    // water-filling: rare capped at 2 epochs (20 tok), bulk gets
+    // (150 - 20) / 90 = 1.444… epochs — exactly the r·m^(α-1) segment.
+    val docs = (
+      (1 to 2).map(i => (i.toLong, "rare", (1 to 5).map(j => s"r${i}_$j")
+        .mkString(" "))) ++
+      (3 to 11).map(i => (i.toLong, "bulk", (1 to 10).map(j => s"b${i}_$j")
+        .mkString(" ")))
+    ).toDF("id", "src", "body").select($"id", $"src",
+      $"body") // 2×5 + 9×10 = 100 tokens
+    val alloc = PipelineOps.epochAllocation(docs, "id", "body", "src",
+      budgetTokens = 150L, maxEpochs = 2.0, alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    def r4(x: Double) = math.floor(x * 10000d + 0.5d) / 10000d
+    assert(alloc("rare") == ((2L, 10L, 2.0d, 2L, 0L)), s"$alloc")
+    val eBulk = 130d / 90d
+    assert(alloc("bulk") == ((9L, 90L, r4(eBulk), 1L,
+      math.floor((eBulk - 1d) * 10000d).toLong)), s"$alloc")
+    // the manifest realizes the allocation: every rare doc twice; bulk
+    // docs once + the md5 draw for the fractional epoch; budget within
+    // one doc of target by construction
+    val man = PipelineOps.dataConstrainedMixture(docs, "id", "body", "src",
+      budgetTokens = 150L, maxEpochs = 2.0, alpha = 0.5)
+    val copies = man.groupBy("doc_id")
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(copies(1L) == 2L && copies(2L) == 2L, s"$copies")
+    assert((3L to 11L).forall(i => copies(i) == 1L || copies(i) == 2L))
+    val bulkExtra = (3L to 11L).count(i => copies(i) == 2L)
+    // fractional cut ≈ 0.4444 → roughly 4 of 9 bulk docs drawn; the md5
+    // draw is deterministic, so pin the exact realized count
+    assert(bulkExtra == (3L to 11L).count { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 10000 <
+        math.floor((eBulk - 1d) * 10000d).toLong
+    }, "fractional-epoch draw diverged from the md5 policy")
+    // all-capped branch: budget beyond maxEpochs × corpus → E everywhere
+    val capped = PipelineOps.epochAllocation(docs, "id", "body", "src",
+      budgetTokens = 500L, maxEpochs = 2.0, alpha = 0.5)
+      .collect().map(_.getDouble(3)).toSeq
+    assert(capped == Seq(2.0d, 2.0d), s"all-capped: $capped")
+    // sub-corpus budget: no source caps (the k = 0 segment) — the
+    // α-boosted scarce source still repeats (50/(10+30) = 1.25 epochs,
+    // closed form via √10·√90 = 30), the abundant one thins below 1
+    val thin = PipelineOps.epochAllocation(docs, "id", "body", "src",
+      budgetTokens = 50L, maxEpochs = 2.0, alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getLong(4)))).toMap
+    assert(thin("rare") == ((1.25d, 1L)), s"$thin")
+    assert(thin("bulk") == ((r4(50d / 120d), 0L)), s"$thin")
+  }
+
   test("packStats reports exact capacity numbers on a planted window frame") {
     val s = spark
     import s.implicits._
