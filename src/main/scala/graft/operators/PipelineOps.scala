@@ -832,11 +832,19 @@ object PipelineOps {
     * LIBRARY ENTRY POINT — generic over any (id, text, source) frame. */
   def epochAllocation(rows: DataFrame, id: String, text: String,
       source: String, budgetTokens: Long, maxEpochs: Double,
-      alpha: Double = 0.5): DataFrame = {
+      alpha: Double = 0.5): DataFrame =
+    epochAllocationFromBase(
+      mixtureBase(rows, id, text, source), budgetTokens, maxEpochs, alpha)
+
+  /** [[epochAllocation]]'s water-filling over a prepared per-doc
+    * `(source, n_tok)` frame — shared with [[trainReadyEpochs]], whose
+    * masses are FORMATTED example tokens, not raw text. */
+  private def epochAllocationFromBase(base: DataFrame, budgetTokens: Long,
+      maxEpochs: Double, alpha: Double): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
     require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
-    val per = mixtureBase(rows, id, text, source)
+    val per = base
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_total"))
       .filter(col("tok_total") > 0)
@@ -902,6 +910,28 @@ object PipelineOps {
       alpha = 0.5)
   }
 
+  // q_train_ready_epochs: the composed data-constrained build over the
+  // train split — memoized fates, span formatter, cap 256 (the
+  // q_train_ready_examples window scale), budget ceil(1.55 × formatted
+  // kept mass) at E = 1.6 / α = 0.5 (the q_epoch_alloc constants, now
+  // applied to FORMATTED masses).
+  private def trainReadyEpochsQuery(s: SparkSession, d: String): DataFrame = {
+    val sp = TextOps.splitAssign(s, d)
+    val tr = sp.filter(col("split") === "train")
+    val fates = curateFateManifest(s, d)
+    val kept = tr
+      .join(fates.filter(col("fate") === "kept").select("doc_id"),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val tot = formattedToks(kept, "span", 500, 3, 9000)
+      .agg(coalesce(sum(size(col("t")).cast("long")), lit(0L)))
+      .head().getLong(0)
+    trainReadyEpochs(tr, sp.filter(col("split") =!= "train"),
+      "doc_id", "text", "source",
+      budgetTokens = math.ceil(1.55d * tot).toLong, maxEpochs = 1.6,
+      alpha = 0.5, cap = 256L, precomputedFates = Some(fates))
+  }
+
   private def mixEpochsQuery(s: SparkSession, d: String): DataFrame = {
     val b = docs(s, d)
     val tot = b
@@ -914,24 +944,22 @@ object PipelineOps {
   }
 
   /** DuckDB CTE chain re-deriving [[epochAllocation]]'s water-filling
-    * at the gate constants (budget ceil(1.55·corpus), E=1.6, α=0.5) —
-    * ends in `alloc(source, n_docs, tok_total, epochs, full_copies,
-    * frac_cut)`. Shared by the q_epoch_alloc / q_mix_epochs oracles. */
-  // a def, not a val: it interpolates oracleNTok, which is declared
-  // LATER in this object — a val here would capture null at init order
-  private def epochAllocCtes: String =
-    s"""eb AS (SELECT doc_id, source,
-       |   CAST($oracleNTok AS BIGINT) AS n_tok FROM documents),
-       |ebud AS (SELECT CAST(ceil(1.55 * sum(n_tok)) AS DOUBLE) AS B,
-       |   CAST(1.6 AS DOUBLE) AS E FROM eb),
+    * at the gate constants (budget ceil(1.55·mass), E=1.6, α=0.5) over
+    * any `src` CTE with (doc_id, source, n_tok) — ends in
+    * `alloc(source, n_docs, tok_total, epochs, full_copies, frac_cut)`.
+    * Shared by the q_epoch_alloc / q_mix_epochs /
+    * q_train_ready_epochs oracles. */
+  private def epochAllocCtesFor(src: String): String =
+    s"""ebud AS (SELECT CAST(ceil(1.55 * sum(n_tok)) AS DOUBLE) AS B,
+       |   CAST(1.6 AS DOUBLE) AS E FROM $src),
        |eper AS (SELECT source, count(*) AS n_docs,
        |   CAST(sum(n_tok) AS BIGINT) AS tok_total
-       |  FROM eb GROUP BY 1 HAVING sum(n_tok) > 0),
-       |ex AS (SELECT source, n_docs, tok_total,
+       |  FROM $src GROUP BY 1 HAVING sum(n_tok) > 0),
+       |exw AS (SELECT source, n_docs, tok_total,
        |   CAST(tok_total AS DOUBLE) AS m,
        |   pow(CAST(tok_total AS DOUBLE), 0.5) AS w FROM eper),
-       |ex2 AS (SELECT ex.*, bu.E * m / w AS t
-       |  FROM ex CROSS JOIN ebud bu),
+       |exw2 AS (SELECT exw.*, bu.E * m / w AS t
+       |  FROM exw CROSS JOIN ebud bu),
        |es1 AS (SELECT *,
        |   CAST(sum(tok_total) OVER () AS BIGINT) AS tok_all,
        |   CAST(sum(CAST(w AS DECIMAL(28,6))) OVER () AS DOUBLE) AS w_all,
@@ -940,7 +968,7 @@ object PipelineOps {
        |     AS DOUBLE) AS cw,
        |   lead(t) OVER (ORDER BY t, source) AS nt,
        |   min(t) OVER () AS t_min
-       |  FROM ex2),
+       |  FROM exw2),
        |ecand AS (SELECT s.*,
        |   CASE WHEN w_all - cw > 0
        |     THEN (bu.B - bu.E * cm) / (w_all - cw) END AS rk,
@@ -959,7 +987,7 @@ object PipelineOps {
        |     CASE WHEN bu.B >= bu.E * r.tok_all THEN bu.E
        |          ELSE least(bu.E, coalesce(r.r_free, r.r_cap) * x.w / x.m)
        |     END AS e
-       |    FROM ex2 x CROSS JOIN ersel r CROSS JOIN ebud bu))""".stripMargin
+       |    FROM exw2 x CROSS JOIN ersel r CROSS JOIN ebud bu))""".stripMargin
 
   /** The repeat MANIFEST materializing [[epochAllocation]] — one row
     * per (document, training pass): `copy` 0 .. copies-1 where copies =
@@ -986,6 +1014,70 @@ object PipelineOps {
       .select(col("doc_id"), col("source"),
         explode(sequence(lit(0L), col("copies") - 1)).as("copy"))
     if (sorted) out.orderBy("doc_id", "copy") else out
+  }
+
+  /** The composed DATA-CONSTRAINED build — [[trainReady]]'s curation +
+    * formatter stages with the [[epochAllocation]] REPEAT stage in
+    * place of the (down-sampling) temperature mixture, materialized as
+    * training windows: kept documents are formatted once, the epoch
+    * budget is water-filled over the FORMATTED per-source masses (the
+    * tokens that actually fill context windows, not raw text), and
+    * every (doc, pass) pair packs as its own stream under the composite
+    * `doc:copy` key — md5 of that key scatters a document's repeats
+    * across the epoch stream instead of clustering them back-to-back
+    * (the property repetition-robust training wants). Window lineage
+    * (`doc_ids`) carries the composite keys, so a trainer can still
+    * attribute every token to (document, pass).
+    *
+    * Stage costs at 100 TB: curation via `precomputedFates` is a scan;
+    * the formatter subtree runs twice per action (the documented
+    * [[trainReadyExamples]] shape — once into the slim checkpointed
+    * per-doc mass table, once into the stream join); the allocation is
+    * windows over the source table; the repeat join is one broadcast;
+    * packing shuffles each training token exactly once.
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, text, source) corpus
+    * and (id, text) benchmark. */
+  def trainReadyEpochs(corpus: DataFrame, bench: DataFrame, id: String,
+      text: String, source: String, budgetTokens: Long, maxEpochs: Double,
+      alpha: Double = 0.5, cap: Long = 4096L, formatter: String = "span",
+      startRateBp: Int = 500, meanSpan: Int = 3, fimRateBp: Int = 9000,
+      minJaccard: Double = 0.1, contamN: Int = 8,
+      precomputedPairs: Option[DataFrame] = None,
+      precomputedFates: Option[DataFrame] = None,
+      sorted: Boolean = true): DataFrame = {
+    require(Set("span", "fim", "plain")(formatter),
+      s"formatter must be span | fim | plain, got '$formatter'")
+    val (_, keptDocs) = curateKeptDocs(corpus, bench, id, text,
+      minJaccard, contamN, precomputedPairs, precomputedFates,
+      None, 0.3, 0.5)
+    val fmt = formattedToks(keptDocs, formatter, startRateBp, meanSpan,
+      fimRateBp)
+    // slim (doc, source, mass, bucket) relation — checkpointed so the
+    // allocation's consumption never re-runs the formatter
+    val base = fmt
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"))
+      .join(corpus.select(col(id).as("doc_id"), col(source).as("source")),
+        Seq("doc_id"))
+      .withColumn("bucket",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 10000))
+      .localCheckpoint(true)
+    val alloc = epochAllocationFromBase(base, budgetTokens, maxEpochs,
+      alpha)
+    val rep = base
+      .join(broadcast(alloc.select("source", "full_copies", "frac_cut")),
+        Seq("source"))
+      .withColumn("copies", col("full_copies")
+        + when(col("bucket") < col("frac_cut"), lit(1L)).otherwise(lit(0L)))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("copies") - 1)).as("copy"))
+    val streams = rep.join(fmt, Seq("doc_id"))
+      .select(concat(col("doc_id").cast("string"), lit(":"),
+        col("copy").cast("string")).as("doc_id"), col("t"))
+    val w = packExamplesCore(streams, cap)
+    if (sorted) w.orderBy("chunk") else w
   }
 
   /** Per-doc (doc_id, source, n_tok, bucket) projection shared by the
@@ -2465,12 +2557,44 @@ object PipelineOps {
       s"""WITH b AS (SELECT doc_id, ${TextOps.oracleToks} AS t
          |  FROM documents WHERE len(${TextOps.oracleToks}) > 0),
          |${packExamplesOracleTail("b", 64, "")}""".stripMargin)),
+    QDef("q_train_ready_epochs", trainReadyEpochsQuery, Some(
+      s"""WITH RECURSIVE
+         |$curateFateCtes,
+         |kd AS (SELECT t.doc_id, t.text FROM tr t
+         |  JOIN fates f USING (doc_id) WHERE f.fate = 'kept'),
+         |${spanApplyCtes("kd", "sc_")},
+         |str AS (SELECT doc_id,
+         |    CASE WHEN target_text = '' THEN string_split(input_text, ' ')
+         |         ELSE list_concat(string_split(input_text, ' '),
+         |                          string_split(target_text, ' ')) END AS t
+         |  FROM sc_fmt),
+         |eb AS (SELECT s.doc_id, d.source, CAST(len(s.t) AS BIGINT)
+         |    AS n_tok
+         |  FROM str s JOIN documents d USING (doc_id)),
+         |${epochAllocCtesFor("eb")},
+         |emb AS (SELECT doc_id, source, n_tok,
+         |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |     AS BIGINT) % 10000 AS bucket
+         |  FROM eb),
+         |ecp AS (SELECT doc_id, full_copies
+         |   + (CASE WHEN bucket < frac_cut THEN 1 ELSE 0 END) AS copies
+         |  FROM emb JOIN alloc USING (source)),
+         |erep AS (SELECT doc_id, unnest(range(copies)) AS copy
+         |  FROM ecp WHERE copies > 0),
+         |str2 AS (SELECT CAST(r.doc_id AS VARCHAR) || ':'
+         |    || CAST(r.copy AS VARCHAR) AS doc_id, s.t
+         |  FROM erep r JOIN str s USING (doc_id)),
+         |${packExamplesOracleTail("str2", 256, "w_")}""".stripMargin)),
     QDef("q_epoch_alloc", epochAllocQuery, Some(
-      s"""WITH $epochAllocCtes
+      s"""WITH eb AS (SELECT doc_id, source,
+         |   CAST($oracleNTok AS BIGINT) AS n_tok FROM documents),
+         |${epochAllocCtesFor("eb")}
          |SELECT source, n_docs, tok_total, epochs, full_copies, frac_cut
          | FROM alloc ORDER BY source""".stripMargin)),
     QDef("q_mix_epochs", mixEpochsQuery, Some(
-      s"""WITH $epochAllocCtes,
+      s"""WITH eb AS (SELECT doc_id, source,
+         |   CAST($oracleNTok AS BIGINT) AS n_tok FROM documents),
+         |${epochAllocCtesFor("eb")},
          |emb AS (SELECT doc_id, source,
          |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
          |     AS BIGINT) % 10000 AS bucket

@@ -1225,6 +1225,43 @@ class ApiSpec extends SparkSpec {
     assert(thin("bulk") == ((r4(50d / 120d), 0L)), s"$thin")
   }
 
+  test("trainReadyEpochs packs every (doc, pass) stream exactly once under the composite key") {
+    val s = spark
+    import s.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => f"$prefix$i%02d")
+    def clean(prefix: String): String =
+      ("the" +: words(prefix, 31) :+ "and").mkString(" ")
+    // two sources, all docs kept; budget 2× corpus at maxEpochs 2 →
+    // every source allocates exactly 2.0 epochs (the all-capped branch):
+    // each doc must appear in exactly two passes, :0 and :1
+    val corpus = Seq(
+      (2L, "a", clean("alpha")), (4L, "a", clean("beta")),
+      (7L, "b", clean("delta")), (8L, "b", clean("epsil")))
+      .toDF("id", "src", "body")
+    val bench = Seq((100L, words("bench", 20).mkString(" ")))
+      .toDF("id", "body")
+    val win = PipelineOps.trainReadyEpochs(corpus, bench, "id", "body",
+      "src", budgetTokens = 1000L, maxEpochs = 2.0, alpha = 0.5,
+      cap = 40L, formatter = "plain")
+    val rows = win.collect()
+    // lineage: exactly the 8 composite keys id:copy, each spanning at
+    // most two windows (a 33-token stream straddles one cap-40 boundary
+    // at most — a key in 3+ windows would mean a pass packed twice)
+    val keys = rows.flatMap(_.getAs[String]("doc_ids").split(","))
+    assert(keys.toSet ==
+      (for (i <- Seq(2L, 4L, 7L, 8L); c <- 0 to 1) yield s"$i:$c").toSet,
+      s"keys: ${keys.toSeq}")
+    assert(keys.groupBy(identity).values.forall(_.length <= 2),
+      s"a pass spans 3+ windows: ${keys.toSeq}")
+    // total tokens = 2 × the 4 × 33 raw tokens (plain formatter)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == 2L * 4L * 33L)
+    // copies of one doc scatter: doc 2's two passes land at different
+    // md5 positions, so they need not share a window — just assert both
+    // exist and the stream is cap-tiled
+    assert(rows.count(_.getAs[Boolean]("is_partial")) <= 1)
+  }
+
   test("packStats reports exact capacity numbers on a planted window frame") {
     val s = spark
     import s.implicits._
