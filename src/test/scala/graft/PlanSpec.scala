@@ -339,6 +339,25 @@ class PlanSpec extends SparkSpec {
       s"expected at most 2 bounded 256-row prefix exchanges, got $singleParts:\n$p")
   }
 
+  test("q_train_ready_epochs: no cartesian, one presentation sort, bounded allocation exchanges") {
+    // the data-constrained composition: the only global sort is the
+    // final orderBy(chunk); single-partition exchanges are bounded —
+    // the water-filling windows run over ONE ROW PER SOURCE and the
+    // pack prefix over 256 bucket rows, never over the token stream.
+    // (The 1-row allocation scalars join via broadcast; the plan may
+    // render those as BroadcastNestedLoopJoin over one row, which the
+    // inventory-wide guard already allows.)
+    val p = plan("q_train_ready_epochs")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    val rangeSorts = distinctExchanges(p, "Exchange rangepartitioning")
+    assert(rangeSorts <= 1,
+      s"expected at most 1 global sort (final orderBy), got $rangeSorts:\n$p")
+    val singleParts = distinctExchanges(p, "Exchange SinglePartition")
+    assert(singleParts <= 4,
+      s"expected at most 4 bounded source/bucket-table exchanges, " +
+        s"got $singleParts:\n$p")
+  }
+
   // AQE plan text renders a reused exchange subtree once per reference —
   // count DISTINCT plan ids. A line WITHOUT a plan_id cannot prove reuse,
   // so it counts individually (dedup by text would let two genuinely
