@@ -17,7 +17,8 @@ object SparkEntry {
   val all: Seq[QDef] =
     FrolykOps.defs ++ RelationalOps.defs ++ AnalyticOps.defs ++
       WindowOps.defs ++ TemporalOps.defs ++ GraphOps.defs ++
-      DedupOps.defs ++ TextOps.defs ++ TokenizerOps.defs ++
+      DedupOps.defs ++ TextOps.defs ++ ClassifierOps.defs ++
+      TokenizerOps.defs ++
       UnigramOps.defs ++
       PipelineOps.defs ++ SimilarityOps.defs ++ PqOps.defs ++
       MultimodalOps.defs

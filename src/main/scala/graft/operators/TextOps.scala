@@ -24,7 +24,7 @@ object TextOps {
   private[operators] def toks(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => length(t) > 0)
 
-  private val enStop = "\\b(the|and|of|to|in|is|that|it|was|for)\\b"
+  private[operators] val enStop = "\\b(the|and|of|to|in|is|that|it|was|for)\\b"
   private val deStop = "\\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\\b"
   private val esStop = "\\b(el|la|los|las|que|y|en|un|una|por)\\b"
   private val frStop = "\\b(le|les|des|et|est|une|dans|pour|sur|avec)\\b"

@@ -1225,6 +1225,50 @@ class ApiSpec extends SparkSpec {
     assert(thin("bulk") == ((r4(50d / 120d), 0L)), s"$thin")
   }
 
+  test("qualityClassifierTrain: deterministic coefficients, separates planted labels, score matches hand math") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.ClassifierOps
+    def words(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => f"$prefix$i%02d")
+    def clean(prefix: String): String =
+      ("the" +: words(prefix, 31) :+ "and").mkString(" ")
+    // even ids: long, stopword-bearing, distinct-vocab docs (good);
+    // odd ids: 3-token repetitive junk — separable on every feature
+    val docs = (1 to 30).map { i =>
+      (i.toLong, if (i % 2 == 0) clean(f"p$i%02d") else "zz zz zz")
+    }.toDF("id", "body")
+    val labels = (1 to 30).map(i => (i.toLong, i % 2 == 0))
+      .toDF("id", "good")
+    val m1 = ClassifierOps.qualityClassifierTrain(docs, "id", "body",
+      labels, "id", "good")
+    val m2 = ClassifierOps.qualityClassifierTrain(docs, "id", "body",
+      labels, "id", "good")
+    val rows1 = m1.orderBy("feature").collect().map(_.toString).toSeq
+    assert(rows1 == m2.orderBy("feature").collect().map(_.toString).toSeq,
+      "re-training on identical data changed coefficients")
+    // the learned model separates the planted classes at 0.5
+    val scored = ClassifierOps.qualityClassifierScore(docs, "id", "body", m1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getBoolean(2)))).toMap
+    (1 to 30).foreach { i =>
+      assert(scored(i.toLong)._2 == (i % 2 == 0),
+        s"doc $i misclassified: ${scored(i.toLong)}")
+    }
+    // score = σ(b + Σ θ·z) r9-rounded — hand-recompute one doc
+    val m = m1.collect().map(r => r.getString(0) ->
+      ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val f2 = ClassifierOps.qualityFeatures(
+      docs.filter($"id" === 2L), "id", "body").head()
+    val margin = m("__intercept")._3 + Seq("x1", "x2", "x3", "x4")
+      .zipWithIndex.map { case (fn, j) =>
+        (f2.getDouble(j + 1) - m(fn)._1) / m(fn)._2 * m(fn)._3 }.sum
+    val expect =
+      math.floor(1d / (1d + math.exp(-margin)) * 1e9d + 0.5d) / 1e9d
+    assert(scored(2L)._1 == expect,
+      s"score ${scored(2L)._1} != hand-computed $expect")
+  }
+
   test("trainReadyEpochs packs every (doc, pass) stream exactly once under the composite key") {
     val s = spark
     import s.implicits._
