@@ -103,6 +103,70 @@ object PipelineOps {
         floor((col("cum") - col("n_tok")) / cap).cast("long").as("chunk"))
   }
 
+  /** [[packAssign]] under GROUP-MAJOR order — the layout of in-context
+    * pretraining (Shi et al. 2023, arXiv:2310.10638 "In-Context
+    * Pretraining: Language Modeling Beyond Document Boundaries"):
+    * documents sort by (group, md5(doc_id)) instead of the global md5
+    * shuffle, so RELATED documents (same source, same cluster, same
+    * retrieval neighborhood) become context-window neighbors while the
+    * order within a group stays deterministic-shuffled. Same two-phase
+    * prefix sum, bucketed by (group, first order byte): the local
+    * cumsum parallelism is |groups| × 256, and the one single-partition
+    * window runs over the (group, bucket) totals — bounded at
+    * 256·|groups| rows, never data-sized.
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, token-count, group)
+    * frame. */
+  def packAssignGrouped(rows: DataFrame, id: String, nTok: String,
+      group: String, cap: Double): DataFrame = {
+    require(cap > 0, s"cap must be > 0, got $cap")
+    val base = rows.select(
+      col(id).as("doc_id"),
+      col(nTok).cast("long").as("n_tok"),
+      col(group).cast("string").as("g"),
+      md5(col(id).cast("string")).as("ord"))
+      .withColumn("bucket",
+        conv(substring(col("ord"), 1, 2), 16, 10).cast("int"))
+    val wLocal = Window.partitionBy("g", "bucket").orderBy("ord", "doc_id")
+    val local = base.withColumn("lcum", sum("n_tok").over(wLocal))
+    val wPrefix = Window.orderBy("g", "bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = base.groupBy("g", "bucket").agg(sum("n_tok").as("btot"))
+      .withColumn("prefix", coalesce(sum("btot").over(wPrefix), lit(0L)))
+      .select("g", "bucket", "prefix")
+    local.join(broadcast(prefix), Seq("g", "bucket"))
+      .withColumn("cum", col("lcum") + col("prefix"))
+      .select(col("doc_id"), col("n_tok"), col("cum"),
+        floor((col("cum") - col("n_tok")) / cap).cast("long").as("chunk"))
+  }
+
+  /** [[packExamples]] under the [[packAssignGrouped]] layout — the
+    * in-context window materializer: same window schema, same exact
+    * cap tiling, but context windows fill group-major so a window's
+    * neighbors share the grouping column (windows straddling a group
+    * boundary carry both — the stream is continuous by design).
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, text, group) frame. */
+  def packExamplesGrouped(rows: DataFrame, id: String, text: String,
+      group: String, cap: Long, sorted: Boolean = true): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val toksRows = rows
+      .select(col(id).cast("string").as("doc_id"),
+        col(group).cast("string").as("g"),
+        TextOps.toks(col(text)).as("t"))
+      .filter(size(col("t")) > 0)
+    val nTok = toksRows
+      .select(col("doc_id"), col("g"),
+        size(col("t")).cast("long").as("n_tok"))
+      .localCheckpoint(true)
+    val w = packSpansAssemble(toksRows,
+      packAssignGrouped(nTok, "doc_id", "n_tok", "g", cap.toDouble), cap)
+    if (sorted) w.orderBy("chunk") else w
+  }
+
+  private def packGroupedQuery(s: SparkSession, d: String): DataFrame =
+    packExamplesGrouped(docs(s, d), "doc_id", "text", "source", cap = 64L)
+
   private def packSequencesQuery(s: SparkSession, d: String): DataFrame =
     packSequences(docs(s, d), "doc_id", "text", Cap)
 
@@ -278,10 +342,19 @@ object PipelineOps {
     val nTok = toksRows
       .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"))
       .localCheckpoint(true)
-    val asg = packAssign(nTok, "doc_id", "n_tok", cap.toDouble)
+    packSpansAssemble(toksRows,
+      packAssign(nTok, "doc_id", "n_tok", cap.toDouble), cap)
+  }
+
+  /** The shared span-cut + window assembly over a pre-tokenized
+    * `(doc_id, t)` frame and ANY pack assignment `(doc_id, n_tok, cum,
+    * chunk)` — the layout policy ([[packAssign]]'s global md5 order,
+    * [[packAssignGrouped]]'s group-major order) is the caller's. */
+  private def packSpansAssemble(toksRows: DataFrame, asg: DataFrame,
+      cap: Long): DataFrame = {
     // one (doc, window) row per overlapped window, with the doc's token
     // slice for that window cut BEFORE the chunk-keyed shuffle
-    val spans = asg.join(toksRows, Seq("doc_id"))
+    val spans = asg.join(toksRows.select("doc_id", "t"), Seq("doc_id"))
       .withColumn("start", col("cum") - col("n_tok"))
       .select(col("doc_id"), col("t"), col("start"), col("cum"),
         explode(sequence(col("chunk"),
@@ -2614,6 +2687,15 @@ object PipelineOps {
          |SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT)
          |   AS copy
          | FROM ecp WHERE copies > 0 ORDER BY doc_id, copy""".stripMargin)),
+    // In-context (group-major) packing: same tiling, layout ordered by
+    // (source, md5) — the oracle re-runs the full pack derivation under
+    // the grouped order via the tail's ord parameter.
+    QDef("q_pack_grouped", packGroupedQuery, Some(
+      s"""WITH b AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         |   ${TextOps.oracleToks} AS t
+         |  FROM documents WHERE len(${TextOps.oracleToks}) > 0),
+         |${packExamplesOracleTail("b", 64, "",
+            "source, md5(doc_id), doc_id")}""".stripMargin)),
     // The capacity-planning summary over the same cap-64 pack — the
     // oracle re-derives every number from first principles (the cumsum
     // tiling), NOT from a window rebuild: windows = ceil(total/cap),

@@ -1225,6 +1225,32 @@ class ApiSpec extends SparkSpec {
     assert(thin("bulk") == ((r4(50d / 120d), 0L)), s"$thin")
   }
 
+  test("packExamplesGrouped: groups pack contiguously, md5-shuffled inside, exact cap tiling") {
+    val s = spark
+    import s.implicits._
+    val docs = ((1 to 5).map(i => (i.toLong, "a",
+      (1 to 7).map(j => s"a${i}_$j").mkString(" "))) ++
+      (6 to 10).map(i => (i.toLong, "b",
+        (1 to 7).map(j => s"b${i}_$j").mkString(" "))))
+      .toDF("id", "grp", "body")
+    val w = PipelineOps.packExamplesGrouped(docs, "id", "body", "grp",
+      cap = 10L).collect()
+    // 70 tokens at cap 10 → 7 exactly-tiled windows, none partial
+    assert(w.length == 7 && w.forall(!_.getAs[Boolean]("is_partial")))
+    // reconstruct the doc stream order from (chunk, off) lineage
+    val order = w.sortBy(_.getAs[Long]("chunk")).flatMap { r =>
+      r.getAs[String]("doc_ids").split(",")
+        .zip(r.getAs[String]("doc_starts").split(",").map(_.toLong))
+        .map { case (d, off) => (r.getAs[Long]("chunk") * 10 + off, d) }
+    }.sortBy(_._1).map(_._2).distinct.map(_.toLong)
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = (1L to 5L).sortBy(i => (md5hex(i.toString), i)) ++
+      (6L to 10L).sortBy(i => (md5hex(i.toString), i))
+    assert(order.toSeq == expect,
+      s"grouped layout diverged:\n got $order\n want $expect")
+  }
+
   test("qualityClassifierTrain: deterministic coefficients, separates planted labels, score matches hand math") {
     val s = spark
     import s.implicits._
