@@ -167,6 +167,20 @@ object PipelineOps {
   private def packGroupedQuery(s: SparkSession, d: String): DataFrame =
     packExamplesGrouped(docs(s, d), "doc_id", "text", "source", cap = 64L)
 
+  // q_pack_semantic: the FULL in-context pretraining recipe — cluster by
+  // embedding similarity (the persisted SemDeDup k-means assignment, the
+  // production reuse of an already-trained quantizer), then pack each
+  // cluster's documents as context-window neighbors. Composition of two
+  // verified stages; the oracle packs from the same persisted assignment
+  // bytes under the same (cluster, md5) order.
+  private def packSemanticQuery(s: SparkSession, d: String): DataFrame =
+    packExamplesGrouped(
+      docs(s, d).join(
+        SimilarityOps.semdedupAssignAux(s, d)
+          .select(col("vec_id").as("doc_id"), col("l")),
+        Seq("doc_id")),
+      "doc_id", "text", "l", cap = 64L)
+
   private def packSequencesQuery(s: SparkSession, d: String): DataFrame =
     packSequences(docs(s, d), "doc_id", "text", Cap)
 
@@ -2696,6 +2710,16 @@ object PipelineOps {
          |  FROM documents WHERE len(${TextOps.oracleToks}) > 0),
          |${packExamplesOracleTail("b", 64, "",
             "source, md5(doc_id), doc_id")}""".stripMargin)),
+    QDef("q_pack_semantic", packSemanticQuery, Some {
+      val glob = graft.sources.OracleAux.gateGlob("semdedup_assign")
+      s"""WITH asg AS (SELECT vec_id, l FROM read_parquet('$glob')),
+         |b AS (SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         |   CAST(a.l AS VARCHAR) AS g, ${TextOps.oracleToks} AS t
+         |  FROM documents d JOIN asg a ON d.doc_id = a.vec_id
+         |  WHERE len(${TextOps.oracleToks}) > 0),
+         |${packExamplesOracleTail("b", 64, "",
+            "g, md5(doc_id), doc_id")}""".stripMargin
+    }),
     // The capacity-planning summary over the same cap-64 pack — the
     // oracle re-derives every number from first principles (the cumsum
     // tiling), NOT from a window rebuild: windows = ceil(total/cap),

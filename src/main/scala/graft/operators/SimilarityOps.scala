@@ -737,7 +737,7 @@ object SimilarityOps {
     * SAME trained centroid table as q_similarity_ivf, and the
     * within-cluster verification downstream is a pure function of the
     * persisted (vec_id, l, ne) columns. */
-  private def semdedupAssignAux(s: SparkSession, d: String): DataFrame =
+  private[operators] def semdedupAssignAux(s: SparkSession, d: String): DataFrame =
     graft.sources.OracleAux.table(s, d, "semdedup_assign") {
       assignClusters(emb(s, d), "vec_id", "embedding", nlist = 16,
         iters = 3, trainFraction = 0.3,
