@@ -337,4 +337,92 @@ object StreamingTemporal {
           out.iterator
       }
   }
+
+  /** Streaming twin of
+    * [[graft.operators.PipelineOps.epochAllocation]] — the live
+    * data-constrained allocation table: per trigger, the running
+    * per-source (docs, tokens) totals re-solve the water-filling in
+    * closed form and emit the CURRENT `(source, n_docs, tok_total,
+    * epochs, full_copies, frac_cut)` rows, bit-identical to the batch
+    * operator over everything delivered so far (the
+    * [[temperatureMixtureRates]] pattern: O(|sources|) state, a
+    * per-partition pre-sum feeding one single-key fold, driver-sized
+    * math mirrored term-for-term — same pow, same decimal-6 summation
+    * of the weights, same r4/floor renderings). Batch ≡ stream parity
+    * is pinned in graft.StreamingWindowSpec. */
+  def epochAllocationRates(docs: Dataset[(String, Long)],
+      budgetTokens: Long, maxEpochs: Double, alpha: Double = 0.5)
+      : Dataset[(String, Long, Long, Double, Long, Long)] = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val session = docs.sparkSession
+    import session.implicits._
+    val compacted = docs.mapPartitions { it =>
+      val m = collection.mutable.HashMap.empty[String, (Long, Long)]
+      it.foreach { case (s, n) =>
+        val (d0, t0) = m.getOrElse(s, (0L, 0L))
+        m(s) = (d0 + 1L, t0 + n)
+      }
+      m.iterator.map { case (s, (d, t)) => (s, d, t) }
+    }
+    compacted.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Int, values: Iterator[(String, Long, Long)],
+         state: GroupState[Map[String, (Long, Long)]]) =>
+          var totals = state.getOption
+            .getOrElse(Map.empty[String, (Long, Long)])
+          values.foreach { case (s, d, t) =>
+            val (d0, t0) = totals.getOrElse(s, (0L, 0L))
+            totals = totals.updated(s, (d0 + d, t0 + t))
+          }
+          state.update(totals)
+          // the batch operator's water-filling, term-for-term in scala
+          val per = totals.toSeq.collect {
+            case (src, (nd, tok)) if tok > 0 =>
+              val m = tok.toDouble
+              val w = math.pow(m, alpha)
+              (src, nd, tok, m, w, maxEpochs * m / w)
+          }.sortBy { case (src, _, _, _, _, t) => (t, src) }
+          def dec6(x: Double): java.math.BigDecimal =
+            java.math.BigDecimal.valueOf(x)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+          val tokAll = per.map(_._3).sum
+          val wAll = per.map(p => dec6(p._5))
+            .reduceOption(_.add(_))
+            .map(_.doubleValue()).getOrElse(0.0d)
+          val b = budgetTokens.toDouble
+          // candidate rk per sorted row (prefix sums mirror the batch's
+          // decimal-accumulated cw); the k=0 segment is B / w_all
+          var cm = 0L
+          var cwDec = java.math.BigDecimal.ZERO
+          val cands = per.zipWithIndex.map { case (p, i) =>
+            cm += p._3
+            cwDec = cwDec.add(dec6(p._5))
+            val cw = cwDec.doubleValue()
+            val rk = if (wAll - cw > 0d)
+              Some((b - maxEpochs * cm) / (wAll - cw)) else None
+            val nt = if (i + 1 < per.length) Some(per(i + 1)._6) else None
+            (p._6, rk, nt)
+          }
+          val rCap = cands.collect {
+            case (t, Some(rk), nt) if t <= rk && nt.forall(rk < _) => rk
+          }.reduceOption((a: Double, b: Double) => math.min(a, b))
+          val rFree = per.headOption.collect {
+            case h if b / wAll < h._6 => b / wAll
+          }
+          val r = rFree.orElse(rCap)
+          per.sortBy(_._1).iterator.map {
+            case (src, nd, tok, m, w, _) =>
+              val e =
+                if (b >= maxEpochs * tokAll.toDouble) maxEpochs
+                else math.min(maxEpochs, r.get * w / m)
+              val epochs = math.floor(e * 10000d + 0.5d) / 10000d
+              val full = math.floor(e).toLong
+              val frac = math.floor((e - math.floor(e)) * 10000d).toLong
+              (src, nd, tok, epochs, full, frac)
+          }
+      }
+  }
 }

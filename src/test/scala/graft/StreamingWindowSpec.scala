@@ -306,6 +306,61 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming epoch-allocation rates match the batch water-filling bit-for-bit") {
+    // StreamingTemporal.epochAllocationRates re-solves the closed-form
+    // water-filling from its running per-source (docs, tokens) state
+    // each trigger; after the final batch the table must be
+    // BIT-IDENTICAL to PipelineOps.epochAllocation over the union —
+    // same pow, same decimal-6 weight summation, same r4/floor columns.
+    // The budget sits between 1 and maxEpochs corpus passes so the cap
+    // BINDS on the scarce source (the breakpoint branch, not the
+    // uniform segment).
+    val s = spark
+    import s.implicits._
+    val batch1 = Seq((1L, "t t t", "web"), (2L, "t t t t t t t t", "code"),
+      (3L, "t", "wiki"))
+    val batch2 = Seq((4L, "t t t t", "web"),
+      (5L, "t t t t t t t t t t", "code"), (6L, "t t", "wiki"))
+    val all = (batch1 ++ batch2).toDF("doc_id", "text", "source")
+    val budget = 50L // 28 corpus tokens; E=2, α=0.5 → wiki caps
+    val expected = graft.operators.PipelineOps
+      .epochAllocation(all, "doc_id", "text", "source",
+        budgetTokens = budget, maxEpochs = 2.0, alpha = 0.5)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5))).toSet
+    val in = MemoryStream[(String, Long)](s)
+    val rates = graft.streaming.StreamingTemporal
+      .epochAllocationRates(in.toDS(), budgetTokens = budget,
+        maxEpochs = 2.0, alpha = 0.5)
+    val q = rates
+      .toDF("source", "n_docs", "tok_total", "epochs", "full_copies",
+        "frac_cut")
+      .writeStream.format("memory").queryName("stream_epoch_rates")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      def toks(t: String): Long = t.trim.split("\\s+").length.toLong
+      in.addData(batch1.map(d => (d._3, toks(d._2))): _*)
+      q.processAllAvailable()
+      in.addData(batch2.map(d => (d._3, toks(d._2))): _*)
+      q.processAllAvailable()
+      val rows = s.table("stream_epoch_rates").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4), r.getLong(5)))
+      assert(rows.length == 6, s"expected 6 emissions, got ${rows.toSeq}")
+      val finalRows = rows.groupBy(_._1)
+        .map { case (_, vs) => vs.maxBy(_._3) }.toSet
+      assert(finalRows == expected,
+        s"stream final table $finalRows vs batch $expected")
+      // the cap genuinely binds in this fixture (breakpoint branch hit)
+      assert(expected.exists(_._4 == 2.0d),
+        s"fixture lost its capped source: $expected")
+      assert(expected.exists(_._4 < 2.0d),
+        s"fixture lost its uncapped source: $expected")
+    } finally q.stop()
+  }
+
   test("streaming temperature-mixture rates match the batch rate table") {
     // StreamingTemporal.temperatureMixtureRates re-derives the sampling
     // rate table from its running per-source totals each trigger; after
