@@ -29,6 +29,45 @@ class ScaleSpec extends SparkSpec {
     assert(d == s2)
   }
 
+  test("packAssignGrouped holds at production group counts (4096 groups, 64k docs)") {
+    // the grouped layout's one single-partition window runs over the
+    // (group, bucket) totals — bounded at 256·|groups|, i.e. ~1M rows
+    // at nlist-scale grouping. This regime proves the shape holds
+    // there: 64k docs across 4096 groups assign correctly (cum tiles
+    // [0, total) exactly; chunks strictly group-major) in one pass.
+    val s = spark
+    import s.implicits._
+    val n = 65536
+    val docs = s.range(1, n + 1).select(
+      col("id"),
+      pmod(col("id") * 2654435761L, lit(4096L)).as("g"),
+      (pmod(col("id") * 40503L, lit(13L)) + 3L).as("n_tok"))
+    val asg = graft.operators.PipelineOps
+      .packAssignGrouped(docs, "id", "n_tok", "g", cap = 64.0)
+      .localCheckpoint(true)
+    val total = docs.agg(sum("n_tok")).head().getLong(0)
+    // cum tiles [1, total] exactly: max cum = total, and the windows'
+    // token mass accounts for every token exactly once
+    assert(asg.agg(max("cum")).head().getLong(0) == total)
+    assert(asg.agg(sum("n_tok")).head().getLong(0) == total)
+    assert(asg.count() == n)
+    // group-major: every doc of a lower-sorted (g, md5) key packs at a
+    // cum strictly before any doc of a higher group — spot-check via
+    // the per-group [min, max] cum ranges being disjoint in g order
+    val ranges = asg
+      .join(docs.select(col("id").as("doc_id"), col("g")), Seq("doc_id"))
+      .groupBy("g")
+      .agg(min(col("cum") - col("n_tok")).as("lo"), max("cum").as("hi"))
+      .orderBy(col("g").cast("string"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 == lo2, s"group ranges not contiguous: $hi1 vs $lo2")
+      case _ =>
+    }
+    asg.unpersist()
+  }
+
   test("broadcast-matrix kernels hold at production parameters (nlist=4096, 32x16 planes)") {
     // the r5 literal renderings grew the expression tree linearly in
     // nlist / tables*planes and could not plan at these sizes; the
