@@ -164,6 +164,35 @@ object PipelineOps {
     if (sorted) w.orderBy("chunk") else w
   }
 
+  /** CURRICULUM training order — documents ranked easy-to-hard by
+    * length stage (the classic short-first curriculum), deterministically
+    * shuffled WITHIN each stage: rank = position under (stage,
+    * md5(doc_id)) order. Stages are fixed token-count classes (<32, <128,
+    * <512, ≥512 — thresholds, not quantiles, so a doc's stage never
+    * moves when the corpus grows, the same stability rule as the md5
+    * split). The global rank is the [[packAssignGrouped]] two-phase
+    * prefix machinery at n_tok = 1 — rank ≡ unit-token cum − 1, no
+    * global sort of the corpus, the one single-partition window bounded
+    * at 256·|stages| rows.
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, text) frame. */
+  def curriculumOrder(rows: DataFrame, id: String, text: String): DataFrame = {
+    val base = rows.select(col(id).as("doc_id"),
+      size(TextOps.toks(col(text))).cast("long").as("n_tok"))
+      .withColumn("stage",
+        when(col("n_tok") < 32, lit(0L)).when(col("n_tok") < 128, lit(1L))
+          .when(col("n_tok") < 512, lit(2L)).otherwise(lit(3L)))
+    packAssignGrouped(base.withColumn("one", lit(1L)),
+      "doc_id", "one", "stage", cap = 1e18)
+      .select(col("doc_id"), (col("cum") - 1L).as("rank"))
+      .join(base.select("doc_id", "stage", "n_tok"), Seq("doc_id"))
+      .select("doc_id", "stage", "n_tok", "rank")
+      .orderBy("rank")
+  }
+
+  private def curriculumQuery(s: SparkSession, d: String): DataFrame =
+    curriculumOrder(docs(s, d), "doc_id", "text")
+
   private def packGroupedQuery(s: SparkSession, d: String): DataFrame =
     packExamplesGrouped(docs(s, d), "doc_id", "text", "source", cap = 64L)
 
@@ -2710,6 +2739,18 @@ object PipelineOps {
          |  FROM documents WHERE len(${TextOps.oracleToks}) > 0),
          |${packExamplesOracleTail("b", 64, "",
             "source, md5(doc_id), doc_id")}""".stripMargin)),
+    QDef("q_curriculum", curriculumQuery, Some(
+      s"""WITH cb AS (SELECT doc_id,
+         |   CAST(len(${TextOps.oracleToks}) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |cs AS (SELECT doc_id, n_tok,
+         |   CAST(CASE WHEN n_tok < 32 THEN 0 WHEN n_tok < 128 THEN 1
+         |        WHEN n_tok < 512 THEN 2 ELSE 3 END AS BIGINT) AS stage
+         |  FROM cb)
+         |SELECT doc_id, stage, n_tok,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY stage,
+         |    md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS rank
+         | FROM cs ORDER BY rank""".stripMargin)),
     QDef("q_pack_semantic", packSemanticQuery, Some {
       val glob = graft.sources.OracleAux.gateGlob("semdedup_assign")
       s"""WITH asg AS (SELECT vec_id, l FROM read_parquet('$glob')),

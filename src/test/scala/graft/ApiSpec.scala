@@ -1225,6 +1225,27 @@ class ApiSpec extends SparkSpec {
     assert(thin("bulk") == ((r4(50d / 120d), 0L)), s"$thin")
   }
 
+  test("curriculumOrder: stages ascend, ranks are dense, within-stage order is the md5 shuffle") {
+    val s = spark
+    import s.implicits._
+    val docs = ((1 to 4).map(i => (i.toLong, (1 to 5).map(j => s"s${i}_$j")
+      .mkString(" "))) ++                                // stage 0 (<32)
+      (5 to 8).map(i => (i.toLong, (1 to 50).map(j => s"m${i}_$j")
+        .mkString(" "))))                                // stage 1 (<128)
+      .toDF("id", "body")
+    val r = PipelineOps.curriculumOrder(docs, "id", "body").collect()
+    assert(r.map(_.getAs[Long]("rank")).toSeq == (0L until 8L),
+      "ranks not dense ascending")
+    // all stage-0 docs rank before every stage-1 doc
+    assert(r.take(4).forall(_.getAs[Long]("stage") == 0L) &&
+      r.drop(4).forall(_.getAs[Long]("stage") == 1L))
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.take(4).map(_.getAs[Long]("doc_id")).toSeq ==
+      (1L to 4L).sortBy(i => (md5hex(i.toString), i)),
+      "within-stage order is not the md5 shuffle")
+  }
+
   test("packExamplesGrouped: groups pack contiguously, md5-shuffled inside, exact cap tiling") {
     val s = spark
     import s.implicits._
