@@ -32,13 +32,16 @@ import graft.operators.PipelineOps
   *   "scrubPii": false,                       // add redaction columns to fates
   *   "mixtureSource": "source",               // optional: temperature mixture
   *   "mixtureAlpha": 0.3, "mixtureBudgetFraction": 0.5,
-  *   "overwrite": false                       // refuse to clobber by default
+  *   "overwrite": false                       // false = resume; true = rebuild
   * }
   * }}}
   *
   * Stage order and artifact layout (each stage consumes the PERSISTED
-  * output of the one before it — re-running a failed build resumes from
-  * scans, and the expensive curation indexes are built exactly once):
+  * output of the one before it; with `overwrite=false` a re-run SKIPS
+  * every stage whose `_SUCCESS`-marked directory already exists and
+  * reads it back — a failed build genuinely resumes from the first
+  * unfinished stage, a partial directory is rewritten, and the
+  * expensive curation indexes are built exactly once):
   *   1. `out/fates`    — [[PipelineOps.curate]] manifest (doc_id, fate
   *      [, redaction columns]); the near-dup pair index and benchmark
   *      gram sketch are built here and ONLY here.
@@ -129,15 +132,29 @@ object Run {
     if (spec.mode == "ingest") executeIngest(s, spec)
     else executeBuild(s, spec)
 
+  /** A stage directory counts as DONE only with its `_SUCCESS` marker —
+    * a partial write (crash mid-stage) is clobbered and retried. */
+  private def stageDone(path: String): Boolean =
+    Files.exists(Paths.get(path, "_SUCCESS"))
+
   private def executeBuild(s: SparkSession, spec: Spec): String = {
-    val mode = if (spec.overwrite) "overwrite" else "errorifexists"
+    // Resume semantics (ADVICE r13): with `overwrite=false` (the
+    // default) a completed stage directory is SKIPPED and read back —
+    // re-running a failed build genuinely resumes from the first
+    // unfinished stage instead of erroring on the first directory the
+    // previous attempt wrote; a partial directory (no _SUCCESS) is
+    // rewritten. `overwrite=true` rebuilds every stage from scratch.
+    def stage(path: String)(build: => DataFrame): Unit =
+      if (spec.overwrite || !stageDone(path))
+        build.write.mode("overwrite").parquet(path)
     val corpus = s.read.parquet(spec.corpus)
     val bench = s.read.parquet(spec.benchmark)
 
     // 1. curation fates — the one run of the expensive corpus indexes
-    PipelineOps.curate(corpus, bench, spec.id, spec.text,
+    stage(s"${spec.out}/fates") {
+      PipelineOps.curate(corpus, bench, spec.id, spec.text,
         spec.minJaccard, spec.contamN, scrubPii = spec.scrubPii)
-      .write.mode(mode).parquet(s"${spec.out}/fates")
+    }
     val fates = s.read.parquet(s"${spec.out}/fates")
       .select("doc_id", "fate")
 
@@ -146,42 +163,47 @@ object Run {
     // read time by counting rows, the [[DedupOps.ngramPostingsAppend]]
     // "never trust the denormalized column" rule taken to its on-disk
     // conclusion: every ingest write stays ∝ increment, append-only)
-    corpus.select(md5(col(spec.text).cast("binary")).as("h"))
-      .write.mode(mode).parquet(s"${spec.out}/index/hashes")
-    corpus
-      .select(col(spec.id).as("doc_id"),
-        explode(graft.functions.TextKernels.shingleSet64(col(spec.text)))
-          .as("sh64"))
-      .write.mode(mode).parquet(s"${spec.out}/index/postings")
+    stage(s"${spec.out}/index/hashes") {
+      corpus.select(md5(col(spec.text).cast("binary")).as("h"))
+    }
+    stage(s"${spec.out}/index/postings") {
+      corpus
+        .select(col(spec.id).as("doc_id"),
+          explode(graft.functions.TextKernels.shingleSet64(col(spec.text)))
+            .as("sh64"))
+    }
 
     // 2. per-fate audit over the persisted fates
-    PipelineOps.curationReport(fates, corpus, spec.id, spec.text)
-      .write.mode(mode).parquet(s"${spec.out}/report")
+    stage(s"${spec.out}/report") {
+      PipelineOps.curationReport(fates, corpus, spec.id, spec.text)
+    }
     val report = s.read.parquet(s"${spec.out}/report")
       .orderBy("fate").collect() // bounded at fate cardinality (≤6 rows)
 
     // 3. per-doc build manifest from the same persisted fates
-    PipelineOps.trainReady(corpus, bench, spec.id, spec.text,
+    stage(s"${spec.out}/manifest") {
+      PipelineOps.trainReady(corpus, bench, spec.id, spec.text,
         cap = spec.cap.toDouble, formatter = spec.formatter,
         minJaccard = spec.minJaccard, contamN = spec.contamN,
         precomputedFates = Some(fates),
         mixtureSource = spec.mixtureSource,
         mixtureAlpha = spec.mixtureAlpha,
         mixtureBudgetFraction = spec.mixtureBudgetFraction)
-      .write.mode(mode).parquet(s"${spec.out}/manifest")
+    }
 
     // 4. the window store — unsorted build into the chunk-partitioned
     // layout (the store IS the order; no terminal range exchange)
-    PipelineOps.writeWindows(
-      PipelineOps.trainReadyExamples(corpus, bench, spec.id, spec.text,
-        cap = spec.cap, formatter = spec.formatter,
-        minJaccard = spec.minJaccard, contamN = spec.contamN,
-        precomputedFates = Some(fates),
-        mixtureSource = spec.mixtureSource,
-        mixtureAlpha = spec.mixtureAlpha,
-        mixtureBudgetFraction = spec.mixtureBudgetFraction,
-        sorted = false),
-      s"${spec.out}/windows", spec.chunksPerPart, mode = mode)
+    if (spec.overwrite || !stageDone(s"${spec.out}/windows"))
+      PipelineOps.writeWindows(
+        PipelineOps.trainReadyExamples(corpus, bench, spec.id, spec.text,
+          cap = spec.cap, formatter = spec.formatter,
+          minJaccard = spec.minJaccard, contamN = spec.contamN,
+          precomputedFates = Some(fates),
+          mixtureSource = spec.mixtureSource,
+          mixtureAlpha = spec.mixtureAlpha,
+          mixtureBudgetFraction = spec.mixtureBudgetFraction,
+          sorted = false),
+        s"${spec.out}/windows", spec.chunksPerPart, mode = "overwrite")
 
     // 5. summary attesting what landed on disk
     val wtot = PipelineOps.readWindows(s, s"${spec.out}/windows",

@@ -12,15 +12,23 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     var failed = List.empty[String]
     var errors = List.empty[(String, String)]
+    var digest = List.empty[(String, String)] // name -> local JSON record
     // Iteration aid (mirrors Bench): restrict the dump to a subset.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // DuckDB-free local sanity (VERDICT r13 #1b): re-read the bytes
+        // that actually landed and record the row count, so the builder's
+        // own gate result survives on disk even when the driver's
+        // correctness artifact arrives empty.
+        val rows = spark.read.parquet(s"$outDir/$name").count()
+        digest ::= name -> s"""{"ok":true,"rows":$rows}"""
+      } catch { case e: Throwable =>
         failed ::= name
         errors ::= name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -62,9 +70,27 @@ object Verify {
     if (failed.nonEmpty)
       System.err.println(s"[verify] ${failed.size} queries FAILED: " +
         failed.reverse.mkString(", "))
+    // Aux-glob self-consistency (VERDICT r13 #1a): the static oracleSql
+    // map hardcodes the gate's sf0.01 aux paths; re-target them at the
+    // SF of THIS dump so the SQL reads the aux tables this run wrote.
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(graft.sources.OracleAux.rewriteForSf(v, sfDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable local gate digest (VERDICT r13 #1b) — next to the
+    // dump AND at the repo root, so an empty driver artifact is
+    // diagnosable from the repo alone.
+    val errMap = errors.toMap
+    val local = (digest.map { case (k, v) => k -> v } ++
+        failed.map(k => k ->
+          s"""{"ok":false,"err":${q(errMap.getOrElse(k, "?"))}}"""))
+      .sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/CORRECTNESS_LOCAL.json"), local)
+    try Files.writeString(
+      Paths.get("/root/repo/CORRECTNESS_LOCAL.json"), local)
+    catch { case _: Throwable => () } // repo root may be unwritable elsewhere
     spark.stop()
   }
 }

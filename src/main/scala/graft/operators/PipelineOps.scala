@@ -996,12 +996,21 @@ object PipelineOps {
     val rRow = cand.agg(
       min(col("r_sel")).as("r_cap"),
       min(when(col("r0") < col("t_min"), col("r0"))).as("r_free"),
+      // deterministic fallback (ADVICE r13): if double rounding of the
+      // decimal-6 cw leaves the root matching NO candidate segment
+      // (rk an ulp below its own breakpoint), clamp to the rk of the
+      // highest-breakpoint row with t <= rk, then to r0 — epochs can
+      // never silently go NULL on a boundary tie.
+      max(when(col("t") <= col("rk"), struct(col("t"), col("rk"))))
+        .getField("rk").as("r_clamp"),
+      max(col("r0")).as("r0_all"),
       max(lit(maxEpochs) * col("tok_all")).as("e_tok_all"))
     per.crossJoin(broadcast(rRow))
       .withColumn("e", when(
         lit(budgetTokens.toDouble) >= col("e_tok_all"), lit(maxEpochs))
         .otherwise(least(lit(maxEpochs),
-          coalesce(col("r_free"), col("r_cap")) * col("w") / col("m"))))
+          coalesce(col("r_free"), col("r_cap"), col("r_clamp"),
+            col("r0_all")) * col("w") / col("m"))))
       .select(col("source"), col("n_docs"), col("tok_total"),
         Det.r4(col("e")).as("epochs"),
         floor(col("e")).cast("long").as("full_copies"),
@@ -2086,13 +2095,26 @@ object PipelineOps {
       coalesce(sum("n_tok"), lit(0L)).as("prior_tok"),
       count(col("rank")).as("prior_ranks"))
     // The prior doc count anchors the near-dup df cap at the UNION
-    // size. By default it is read off the manifest — which therefore
-    // must cover the ENTIRE prior corpus, one row per prior doc (a
-    // filtered/partial manifest would silently shift the cap and
-    // change near_dup fates; ADVICE r12). A caller that tracks the
-    // corpus size as table metadata passes it explicitly and skips
-    // this count action (the streaming runner does).
-    val nPrior = priorDocCount.getOrElse(priorManifest.count())
+    // size. By default it comes from the prior CORPUS itself (the
+    // ground truth the cap is defined over), and a manifest that does
+    // not cover that corpus one-row-per-doc is REJECTED outright
+    // (VERDICT r13 #2): a filtered/partial manifest would otherwise
+    // silently shift the df cap AND mis-anchor packing/ranking through
+    // its under-counted prior_tok/prior_ranks totals. A caller that
+    // tracks the corpus size as table metadata passes `priorDocCount`
+    // explicitly and skips both count actions (the streaming runner
+    // does) — explicit means "I attest the manifest is complete".
+    val nPrior = priorDocCount.getOrElse {
+      val mc = priorManifest.count()
+      val cc = priorCorpus.count()
+      require(mc == cc,
+        s"priorManifest covers $mc docs but priorCorpus has $cc — a " +
+          "partial/filtered manifest silently shifts near-dup fates and " +
+          "mis-anchors packing; pass the full build manifest (one row " +
+          "per prior doc), or attest completeness with an explicit " +
+          "priorDocCount")
+      cc
+    }
     require(nPrior >= 0, s"priorDocCount must be >= 0, got $nPrior")
     val q = TextOps.qualityFilter(newBase, "doc_id", "text")
       .select(col("doc_id"), col("keep").as("q_keep"))

@@ -74,6 +74,38 @@ object SimilarityOps {
     * FRONT: their cosine is 0/0 = NaN, and Spark sorts NaN above every
     * real value — one zero vector would otherwise corrupt every top-k
     * list it touches. Returns (va, ea, na, ba, bb) ⋈ (vb, eb, nb). */
+  /** Broadcast guard for the B×B grid joins (VERDICT r13 #4): the grid
+    * replicates each side `numBlocks`× before its equi-join, so the
+    * planner's auto-broadcast choice sees a post-explode relation whose
+    * size it can only guess at — and at production corpus sizes a
+    * broadcast of a replicated vector relation OOMs the driver. Decide
+    * EXPLICITLY from the optimizer's PRE-explode size estimate ×
+    * `factor`: within the session's `autoBroadcastJoinThreshold` the
+    * build side is hinted `broadcast` (the small-regime plan, now
+    * deterministic instead of stats-dependent); past it — or with the
+    * threshold disabled (-1) — it is hinted `shuffle_hash`: a shuffled
+    * hash join on the grid key, no driver materialization, and no sort
+    * of the wide vector payload. Both regimes produce the identical
+    * result (graft.SimilaritySpec parity; graft.PlanSpec pins the two
+    * plan shapes). */
+  private def fitsBroadcast(base: DataFrame, factor: Int): Boolean = {
+    val thr = {
+      val v = base.sparkSession.conf
+        .get("spark.sql.autoBroadcastJoinThreshold", "10485760").trim
+      // a leading '-' (the disabled setting, -1) must read as disabled:
+      // JavaUtils rejects negatives with the same exception as garbage,
+      // and falling into the default here would re-enable the broadcast
+      // the user explicitly turned off
+      if (v.startsWith("-")) -1L
+      else
+        try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+        catch { case _: Exception => 10L << 20 }
+    }
+    thr > 0 &&
+      base.queryExecution.optimizedPlan.stats.sizeInBytes * factor <=
+        BigInt(thr)
+  }
+
   private def gridPairs(rows: DataFrame, id: String, vec: String,
       numBlocks: Int): DataFrame = {
     require(numBlocks >= 1, s"numBlocks must be >= 1, got $numBlocks")
@@ -87,7 +119,9 @@ object SimilarityOps {
       col("nrm").as("na"), col("blk").as("ba"), explode(grid).as("bb"))
     val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
       col("nrm").as("nb"), explode(grid).as("ba"), col("blk").as("bb"))
-    a.join(b, Seq("ba", "bb"))
+    val bh = if (fitsBroadcast(e, numBlocks)) broadcast(b)
+             else b.hint("shuffle_hash")
+    a.join(bh, Seq("ba", "bb"))
   }
 
   /** All-pairs near-duplicate by embedding cosine — exact, via the block
@@ -196,7 +230,14 @@ object SimilarityOps {
     val wLocal = Window.partitionBy("va", "cb")
       .orderBy(desc("cos"), col("vb"))
     val wFinal = Window.partitionBy("va").orderBy(desc("cos"), col("vb"))
-    qn.join(cn, Seq("qa", "cb"))
+    // same broadcast guard as [[gridPairs]] — the query side is the
+    // natural build side (retrieval workloads have Q ≪ C), but only
+    // under the threshold at its replicated size; past it the grid key
+    // join stays a shuffled hash join.
+    val qh = if (fitsBroadcast(queries.select(col(id), col(vec)),
+        numBlocks)) broadcast(qn)
+      else qn.hint("shuffle_hash")
+    qh.join(cn, Seq("qa", "cb"))
       .select(col("va"), col("cb"), col("vb"),
         Det.r4(dotf(col("ea"), col("eb")) / (col("na") * col("nb")))
           .as("cos"))
@@ -528,6 +569,44 @@ object SimilarityOps {
       .toDF("list", "centroid")
   }
 
+  /** INCREMENTAL IVF index maintenance — assign an ingest batch of
+    * vectors to a FROZEN trained quantizer ([[ivfTrain]]'s persisted
+    * `(list, centroid)` table) and return the posting rows
+    * `(vec_id, l, ne)` that APPEND to the standing assignment artifact
+    * (the same schema [[semanticDedupPairs]]'s persisted assignment and
+    * the IVF probe/scan read). The quantizer is never retrained here:
+    * the standing index's list geometry is frozen exactly like
+    * [[PipelineOps.packExamplesIncremental]]'s full windows — a retrain
+    * would reshuffle every existing posting list and invalidate what
+    * the index already serves. Quantizer drift is the caller's policy
+    * decision (FAISS guidance: retrain when recall decays), never an
+    * append-time side effect.
+    *
+    * Shape at 100 TB: cost ∝ increment — the nlist×dim centroid matrix
+    * rides a broadcast through the [[graft.functions.ArgTopDot]] kernel
+    * and the assignment is one shuffle-free codegen projection over the
+    * batch (graft.PlanSpec pins zero joins / zero hash exchanges); the
+    * standing index is never read, let alone rewritten. Appending this
+    * output to the bucketed index layout keeps every ingest write ∝
+    * increment, the [[DedupOps.ngramPostingsAppend]] append-only rule
+    * applied to the ANN index.
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, vector-array) frame;
+    * `centroids` is an [[ivfTrain]]-shaped table (lists 0..nlist-1,
+    * validated with the same dimension guard as the search path). */
+  def ivfAppend(newRows: DataFrame, id: String, vec: String,
+      centroids: DataFrame): DataFrame = {
+    val nlist = centroids.count().toInt
+    require(nlist >= 2,
+      s"centroid table must carry >= 2 lists, got $nlist")
+    val ne = normalizedVecs(newRows, id, vec)
+    val cs = resolveCentroids(ne, nlist, 1, 1.0, Some(centroids))
+    val bc = newRows.sparkSession.sparkContext.broadcast(cs.map(_.toArray))
+    ne.select(col("vec_id"),
+      graft.functions.ArgTopDot.argMaxDot(col("ne"), bc).as("l"),
+      col("ne"))
+  }
+
   /** The corpus's trained IVF quantizer, materialized once per
     * application ([[graft.sources.Materialize]]) — the production
     * train-once/search-many pattern [[ivfTrain]] exists for, applied to
@@ -807,6 +886,35 @@ object SimilarityOps {
       .orderBy("va", "rk")
   }
 
+  // --- q_ivf_append: incremental index maintenance (r14) -----------------
+  // The 25% id-mod increment assigns against the quantizer trained on the
+  // 75% PRIOR corpus only — the frozen-quantizer ingest regime ivfAppend
+  // exists for. Both artifacts persist (OracleAux) so DuckDB re-derives
+  // the argmax assignment from the same parquet bytes: the one
+  // cross-engine check of the ArgTopDot kernel's (dot DESC, index DESC)
+  // selection over real ingest data.
+
+  private val ivfAppendIncr: Column = col("vec_id") % 4 === 0
+
+  private def ivfAppendCentroidsAux(s: SparkSession, d: String): DataFrame =
+    graft.sources.OracleAux.table(s, d, "ivf_append_centroids") {
+      ivfTrain(emb(s, d).filter(!ivfAppendIncr), "vec_id", "embedding",
+        nlist = 16)
+    }
+
+  private def ivfAppendNeAux(s: SparkSession, d: String): DataFrame =
+    graft.sources.OracleAux.table(s, d, "ivf_append_ne") {
+      normalizedVecs(emb(s, d).filter(ivfAppendIncr), "vec_id", "embedding")
+    }
+
+  private def ivfAppendQuery(s: SparkSession, d: String): DataFrame = {
+    ivfAppendNeAux(s, d) // persist the increment's ne for the oracle
+    ivfAppend(emb(s, d).filter(ivfAppendIncr), "vec_id", "embedding",
+        ivfAppendCentroidsAux(s, d))
+      .select(col("vec_id"), col("l"))
+      .orderBy("vec_id")
+  }
+
   // --- LSH bucketing oracle verification (q_ann_bucket_verify, r10) ------
   // q_similarity_ann stays rows-only (its planes are Scala-side constants
   // baked into a recall-oriented wide-bucket config), but the bucketing
@@ -992,6 +1100,25 @@ object SimilarityOps {
          |  SELECT va, vb, cos, ROW_NUMBER() OVER (PARTITION BY va
          |    ORDER BY cos DESC, vb) AS rk FROM cand)
          |WHERE rk <= $IvfVerifyTopK ORDER BY va, rk""".stripMargin
+    }),
+    // Incremental index maintenance: the increment's frozen-quantizer
+    // assignment, re-derived by DuckDB as the argmax of centroid dots
+    // over the persisted quantizer + the increment's persisted normalized
+    // vectors (tie order = the kernel's dot DESC, index DESC).
+    QDef("q_ivf_append", ivfAppendQuery, Some {
+      val cGlob = graft.sources.OracleAux.gateGlob("ivf_append_centroids")
+      val nGlob = graft.sources.OracleAux.gateGlob("ivf_append_ne")
+      s"""WITH c AS (SELECT list, centroid FROM read_parquet('$cGlob')),
+         |n AS (SELECT vec_id, ne FROM read_parquet('$nGlob')),
+         |d AS (SELECT n.vec_id, c.list,
+         |    list_sum(list_transform(list_zip(n.ne, c.centroid),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) AS dt
+         |  FROM n, c)
+         |SELECT vec_id, l FROM (
+         |  SELECT vec_id, list AS l, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id ORDER BY dt DESC, list DESC) AS rk
+         |  FROM d)
+         |WHERE rk = 1 ORDER BY vec_id""".stripMargin
     }),
     // SemDeDup: training is k-means (not DuckDB-expressible), but the
     // within-cluster pair verification is a pure function of the persisted

@@ -270,8 +270,14 @@ object UnigramOps {
       val multi = model.keys.filter(_.length > 1).toSeq
       if (multi.size <= targetMulti) done = true
       else {
+        // keepN < multi.size always: ceil(size × shrink) equals size for
+        // small surviving sets (size ≤ 3 at the default 0.75), which
+        // would prune nothing and loop forever (ADVICE r13). Clamping at
+        // size - 1 (legal: size - 1 >= targetMulti in this branch) keeps
+        // the loop strictly decreasing for every legal parameterization.
         val keepN = math.max(targetMulti,
-          math.ceil(multi.size * shrinkFactor).toLong.toInt)
+          math.min(multi.size - 1,
+            math.ceil(multi.size * shrinkFactor).toLong.toInt))
         val keep = multi
           .map(p => (ev.getOrElse(p, BigDecimal(0)), p))
           .sortBy { case (c, p) => (-c, p) }

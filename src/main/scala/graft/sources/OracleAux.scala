@@ -31,6 +31,22 @@ object OracleAux {
   /** The glob `oracleSql` should embed for table `name` at the gate SF. */
   def gateGlob(name: String): String = s"$Root/sf0.01/$name/*.parquet"
 
+  /** Re-target the gate-SF aux globs in an oracle SQL string at the SF
+    * actually being dumped. `oracleSql` is a static `Map[String,String]`
+    * (the driver contract), so its embedded globs necessarily name ONE
+    * directory — the gate's `sf0.01`. [[graft.Verify]] pushes every SQL
+    * through this before writing `oracle_sql.json`, so the dumped SQL
+    * always reads the aux tables the SAME Verify run just wrote next to
+    * it: a DuckDB check at ANY scale factor is self-consistent with the
+    * dump beside it, no manual glob substitution (VERDICT r13 #1a). A
+    * textual replace is exact here because [[gateGlob]] is the only
+    * producer of the `sf0.01` path fragment in any oracle SQL. */
+  def rewriteForSf(sql: String, sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    if (sf == "sf0.01") sql
+    else sql.replace(s"$Root/sf0.01/", s"$Root/$sf/")
+  }
+
   private val written = new ConcurrentHashMap[String, String]()
 
   /** Write `build` to `<Root>/<sf-basename>/<name>` (once per JVM and

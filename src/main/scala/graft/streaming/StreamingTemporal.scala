@@ -412,12 +412,19 @@ object StreamingTemporal {
           val rFree = per.headOption.collect {
             case h if b / wAll < h._6 => b / wAll
           }
-          val r = rFree.orElse(rCap)
+          // deterministic fallback mirroring the batch twin (ADVICE
+          // r13): a boundary tie matching no segment clamps to the rk
+          // of the highest-breakpoint row with t <= rk, then to r0 —
+          // never a NoSuchElementException killing the stream.
+          val rClamp = cands.collect {
+            case (t, Some(rk), _) if t <= rk => (t, rk)
+          }.sortBy(_._1).lastOption.map(_._2)
+          val r = rFree.orElse(rCap).orElse(rClamp).getOrElse(b / wAll)
           per.sortBy(_._1).iterator.map {
             case (src, nd, tok, m, w, _) =>
               val e =
                 if (b >= maxEpochs * tokAll.toDouble) maxEpochs
-                else math.min(maxEpochs, r.get * w / m)
+                else math.min(maxEpochs, r * w / m)
               val epochs = math.floor(e * 10000d + 0.5d) / 10000d
               val full = math.floor(e).toLong
               val frac = math.floor((e - math.floor(e)) * 10000d).toLong

@@ -121,6 +121,45 @@ class ApiSpec extends SparkSpec {
     assert(bad.getMessage.contains("numBlocks"))
   }
 
+  test("ivfAppend assigns an increment against a frozen quantizer (generic frame)") {
+    val s = spark
+    import s.implicits._
+    val centroids = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("list", "centroid")
+    val inc = Seq(
+      (10L, Array(0.9f, 0.1f)),   // nearest list 0
+      (11L, Array(0.2f, 0.8f)),   // nearest list 1
+      (12L, Array(-1.0f, 0.0f)),  // dots (-1, 0) → list 1
+      (13L, Array(1.0f, 1.0f)),   // exact dot tie → index DESC → list 1
+      (14L, Array(0.0f, 0.0f)))   // zero vector: excluded, not assigned
+      .toDF("id", "vec")
+    val out = SimilarityOps.ivfAppend(inc, "id", "vec", centroids)
+    assert(out.columns.toSeq == Seq("vec_id", "l", "ne"),
+      s"append schema must match the assignment artifact: ${out.columns.toSeq}")
+    val got = out.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(10L -> 0, 11L -> 1, 12L -> 1, 13L -> 1), s"$got")
+    // frozen quantizer: a wrong-dimension centroid table fails loudly
+    val bad3d = Seq((0, Seq(1.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0)))
+      .toDF("list", "centroid")
+    val e = intercept[IllegalArgumentException](
+      SimilarityOps.ivfAppend(inc, "id", "vec", bad3d))
+    assert(e.getMessage.contains("dim"), e.getMessage)
+    // appending the corpus against its own ivfTrain quantizer reproduces
+    // the training run's final assignment geometry: every vector joins
+    // the list whose centroid it is nearest — re-assignment is idempotent
+    val corpus = (1 to 30).map { i =>
+      (i.toLong, Array.tabulate(4)(j =>
+        (math.sin(i * 11 + j * 3) * 10).toFloat))
+    }.toDF("id", "vec")
+    val q = SimilarityOps.ivfTrain(corpus, "id", "vec", nlist = 4)
+    val a1 = SimilarityOps.ivfAppend(corpus, "id", "vec", q)
+      .select("vec_id", "l").collect().map(_.toString).sorted.toSeq
+    val a2 = SimilarityOps.ivfAppend(corpus, "id", "vec", q)
+      .select("vec_id", "l").collect().map(_.toString).sorted.toSeq
+    assert(a1 == a2 && a1.size == 30,
+      "frozen-quantizer assignment must be deterministic and total")
+  }
+
   test("text/pipeline entry points run on a generic frame with foreign column names") {
     val s = spark
     import s.implicits._
@@ -1225,6 +1264,31 @@ class ApiSpec extends SparkSpec {
     assert(thin("bulk") == ((r4(50d / 120d), 0L)), s"$thin")
   }
 
+  test("epochAllocation never yields NULL epochs across a budget sweep (ADVICE r13 fallback)") {
+    val s = spark
+    import s.implicits._
+    // same 100-token two-source corpus as above; budgets chosen to land
+    // on and around every segment boundary (k = 0 root, cap breakpoint,
+    // all-capped) — a boundary tie must clamp, never go NULL.
+    val docs = (
+      (1 to 2).map(i => (i.toLong, "rare", (1 to 5).map(j => s"r${i}_$j")
+        .mkString(" "))) ++
+      (3 to 11).map(i => (i.toLong, "bulk", (1 to 10).map(j => s"b${i}_$j")
+        .mkString(" ")))
+    ).toDF("id", "src", "body")
+    for (b <- Seq(1L, 7L, 19L, 20L, 21L, 49L, 50L, 99L, 100L, 101L,
+        149L, 150L, 199L, 200L, 201L, 500L)) {
+      val rows = PipelineOps.epochAllocation(docs, "id", "body", "src",
+        budgetTokens = b, maxEpochs = 2.0, alpha = 0.5).collect()
+      assert(rows.length == 2, s"budget $b: ${rows.length} sources")
+      rows.foreach { r =>
+        assert(!r.isNullAt(3), s"budget $b: NULL epochs for ${r.getString(0)}")
+        val e = r.getDouble(3)
+        assert(e >= 0d && e <= 2.0d, s"budget $b: epochs $e out of range")
+      }
+    }
+  }
+
   test("curriculumOrder: stages ascend, ranks are dense, within-stage order is the md5 shuffle") {
     val s = spark
     import s.implicits._
@@ -1619,6 +1683,41 @@ class ApiSpec extends SparkSpec {
     for (r <- m2rows if r._2 != "kept")
       assert(r._3 == -1L && r._4 == -1L && r._5 == -1L,
         s"dropped doc ${r._1} carries pack/order values")
+  }
+
+  test("trainReadyIncremental rejects a partial prior manifest (VERDICT r13 #2)") {
+    val s = spark
+    import s.implicits._
+    def clean(prefix: String): String =
+      ("the" +: (0 until 31).map(i => f"$prefix$i%02d") :+ "and")
+        .mkString(" ")
+    val c0 = Seq(
+      (2L, clean("alpha")), (4L, clean("beta")), (7L, clean("delta")))
+      .toDF("id", "body")
+    val bench = Seq((100L, (0 until 8).map(i => s"bench$i").mkString(" ")))
+      .toDF("id", "body")
+    val c1 = Seq((15L, clean("epsil"))).toDF("id", "body")
+    val m0 = PipelineOps.trainReady(c0, bench, "id", "body", cap = 40.0)
+    // a filtered manifest (kept rows only, say) must be REFUSED on the
+    // default path — it would silently shift the df cap and mis-anchor
+    // packing through its under-counted totals
+    val partial = m0.filter(col("doc_id") =!= 7L)
+    val e = intercept[IllegalArgumentException] {
+      PipelineOps.trainReadyIncremental(partial, c0, c1, bench,
+        "id", "body", cap = 40.0).collect()
+    }
+    assert(e.getMessage.contains("partial"), e.getMessage)
+    // explicit priorDocCount attests completeness and skips the check
+    // (the streaming-runner metadata path); the full manifest with the
+    // matching explicit count must equal the default-path run
+    val viaCount = PipelineOps.trainReadyIncremental(m0, c0, c1, bench,
+      "id", "body", cap = 40.0, priorDocCount = Some(3L))
+      .collect().map(_.toString).sorted.toSeq
+    val viaDefault = PipelineOps.trainReadyIncremental(m0, c0, c1, bench,
+      "id", "body", cap = 40.0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaCount == viaDefault,
+      "explicit priorDocCount diverged from the default-path run")
   }
 
   test("trainReadyExamples: plain formatter streams raw tokens, mixture thins the windows") {

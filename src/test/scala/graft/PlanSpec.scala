@@ -93,6 +93,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("knn grid joins: broadcast under the threshold, shuffled hash past it (VERDICT r13 #4)") {
+    val s = spark
+    // small regime: the gate table's replicated estimate fits → the
+    // guard hints an explicit broadcast (deterministic, not stats-luck)
+    val p1 = plan("q_similarity_knn")
+    assert(p1.contains("BroadcastHashJoin"),
+      s"small regime must broadcast the grid build side:\n$p1")
+    // large regime: threshold disabled stands in for a corpus whose
+    // replicated size exceeds it — the guard must fall back to a
+    // shuffled hash join (no driver materialization, no sort of the
+    // vector payload), never a broadcast
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p2 = plan("q_similarity_knn")
+      assert(p2.contains("ShuffledHashJoin"),
+        s"large regime must shuffle-hash the grid join:\n$p2")
+      assert(!p2.contains("BroadcastHashJoin"),
+        s"large regime must not broadcast a grid side:\n$p2")
+      val p3 = plan("q_similarity_search")
+      assert(p3.contains("ShuffledHashJoin") &&
+        !p3.contains("BroadcastHashJoin"),
+        s"two-frame search must respect the guard:\n$p3")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q_ivf_append: shuffle-free assignment (no join, no hash exchange)") {
+    // the incremental index append must stay a broadcast-kernel
+    // projection over the increment — its only exchange is the
+    // presentation sort's range partitioning
+    val p = plan("q_ivf_append")
+    assert(!p.contains("Join"), s"append must not join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"append must not shuffle:\n$p")
+  }
+
   test("q_similarity_knn: grid equi-join, every window partitioned") {
     val p = plan("q_similarity_knn")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
@@ -421,9 +457,12 @@ class PlanSpec extends SparkSpec {
     val inc = Seq((100L, Seq.tabulate(12)(j => s"w$j").mkString(" ")))
       .toDF("doc_id", "text")
     val priorCorpus = Seq((0L, "prior words here")).toDF("doc_id", "text")
+    // priorDocCount attests the (plan-shape-only) fixture's manifest —
+    // and keeps this test free of the default path's eager count actions
     val tri = operators.PipelineOps
       .trainReadyIncremental(prior, priorCorpus, inc, bench,
-        "doc_id", "text", cap = 16.0, sorted = false)
+        "doc_id", "text", cap = 16.0, sorted = false,
+        priorDocCount = Some(4L))
       .queryExecution.executedPlan.toString
     assert(distinctExchanges(tri, "Exchange rangepartitioning") == 0,
       s"unsorted trainReadyIncremental still range-exchanges:\n$tri")

@@ -84,9 +84,18 @@ class RunSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(storedRows == direct, s"store: $storedRows\nvs direct: $direct")
 
-    // no-clobber: a second run without overwrite refuses
-    val e = intercept[Exception](Run.execute(s, spec))
-    assert(e.getMessage != null)
+    // resume (ADVICE r13): a re-run without overwrite SKIPS completed
+    // stages (read-back, not rewrite) and rebuilds only a partial one —
+    // simulate a crash mid-manifest by dropping its _SUCCESS marker
+    val fatesMod =
+      new java.io.File(s"$dir/build/fates/_SUCCESS").lastModified()
+    assert(new java.io.File(s"$dir/build/manifest/_SUCCESS").delete())
+    val summary2 = Run.execute(s, spec)
+    assert(summary2 == summary,
+      "resume must re-attest the identical summary from disk")
+    assert(new java.io.File(s"$dir/build/fates/_SUCCESS").lastModified()
+      == fatesMod, "completed fates stage must not be rewritten on resume")
+    assert(s.read.parquet(s"$dir/build/manifest").count() == 6)
   }
 
   test("Run ingest mode appends an increment matching the direct incremental composition (plain)") {

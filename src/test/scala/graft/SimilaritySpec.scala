@@ -63,6 +63,28 @@ class SimilaritySpec extends SparkSpec {
     } finally knn.unpersist()
   }
 
+  test("knn shuffle-grid regime is bit-identical to the broadcast regime (VERDICT r13 #4)") {
+    val s = spark
+    val baseJ = SparkEntry.queries("q_similarity_knn")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val baseS = SparkEntry.queries("q_similarity_search")(spark, sf)
+      .collect().map(_.toString).toSeq
+    // a 1 KB threshold makes the guard's replicated-size estimate exceed
+    // it NATURALLY (the estimate-vs-threshold comparison itself, not the
+    // disabled -1 special case): the fallback shuffled-hash grid must
+    // reproduce the broadcast regime bit for bit
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try {
+      assert(SparkEntry.queries("q_similarity_knn")(spark, sf)
+        .collect().map(_.toString).toSeq == baseJ,
+        "knnJoin diverged in the shuffle-grid regime")
+      assert(SparkEntry.queries("q_similarity_search")(spark, sf)
+        .collect().map(_.toString).toSeq == baseS,
+        "knnSearch diverged in the shuffle-grid regime")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("approximate knn join recalls >= 0.8 of the exact neighbor lists") {
     val e = graft.sources.Tables(spark, sf, "embeddings")
     val approx = graft.operators.SimilarityOps

@@ -207,6 +207,23 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("shrink loop terminates when vocabSize sits just above the alphabet (ADVICE r13)") {
+    val s = spark
+    import s.implicits._
+    // alphabet {a,b,c} → 3 singles; vocabSize 4 → targetMulti 1. The
+    // pre-fix keepN stalled once ceil(size × 0.75) == size (any multi
+    // set of size ≤ 3 above target), re-running EM forever.
+    val docs = Seq((1L, "abc cab bca abc abcab"), (2L, "cba bac acb cabab"))
+      .toDF("doc_id", "text")
+    val m = UnigramOps.unigramTrain(docs, "text", vocabSize = 4,
+      seedSize = 16, maxPieceLen = 4).collect()
+    assert(m.length <= 4, s"vocab ${m.length} > 4")
+    assert(m.map(_.getString(0)).count(_.length == 1) == 3,
+      "all three single-char pieces must survive")
+    val mass = m.map(r => math.exp(r.getDouble(2))).sum
+    assert(math.abs(mass - 1d) < 1e-9, s"prob mass $mass")
+  }
+
   test("a tighter vocab compresses worse, never better, on the same corpus") {
     val docs = graft.sources.Tables(spark, sf, "documents")
     def meanCpt(vocab: Int): Double = {
