@@ -88,9 +88,13 @@ object Verify {
       .sortBy(_._1)
       .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/CORRECTNESS_LOCAL.json"), local)
-    try Files.writeString(
-      Paths.get("/root/repo/CORRECTNESS_LOCAL.json"), local)
-    catch { case _: Throwable => () } // repo root may be unwritable elsewhere
+    // the repo-root copy is the ROUND's artifact — only a FULL dump may
+    // replace it (a SPARK_GRAFT_VERIFY_ONLY iteration run would clobber
+    // the full digest with its subset)
+    if (only.isEmpty)
+      try Files.writeString(
+        Paths.get("/root/repo/CORRECTNESS_LOCAL.json"), local)
+      catch { case _: Throwable => () } // repo root may be unwritable elsewhere
     spark.stop()
   }
 }

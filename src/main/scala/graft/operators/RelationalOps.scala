@@ -158,6 +158,62 @@ object RelationalOps {
       .agg(approx_count_distinct("user_id", 0.05).as("n_users_approx"))
       .orderBy("event_type")
 
+  /** Mergeable per-group distinct-count SKETCH — the INCREMENTAL member
+    * of the G15 family next to the exact `countDistinct` and the
+    * `approx_count_distinct` estimate: the per-group Apache DataSketches
+    * HLL sketch (Spark's `hll_sketch_agg`) lands as persistable BYTES,
+    * so each ingest sketches ONLY its increment and the standing table
+    * advances by a register-level union ([[distinctSketchMerge]]) —
+    * distinct-count maintenance at cost ∝ increment, with history never
+    * re-scanned (the exactDedupIncremental artifact rule applied to
+    * cardinality). HLL registers are max-merged, so the union of
+    * increment sketches carries the IDENTICAL estimate to a
+    * from-scratch sketch of the union (graft.RelationalSpec pins the
+    * equality and the ≤2% accuracy vs exact; graft.ApiSpec the generic
+    * frame).
+    *
+    * LIBRARY ENTRY POINT — generic over any (group, key) frame. */
+  def distinctSketch(rows: DataFrame, group: String, key: String): DataFrame =
+    rows.groupBy(col(group))
+      .agg(hll_sketch_agg(col(key)).as("sketch"))
+
+  /** Union two [[distinctSketch]] tables (standing ∪ increment) into the
+    * advanced standing table — groups present in either side survive,
+    * shared groups union at the HLL register level (`hll_union_agg`).
+    *
+    * LIBRARY ENTRY POINT — generic over any two same-group sketch tables. */
+  def distinctSketchMerge(standing: DataFrame, increment: DataFrame,
+      group: String): DataFrame =
+    standing.unionByName(increment)
+      .groupBy(col(group))
+      .agg(hll_union_agg(col("sketch")).as("sketch"))
+
+  /** Read the distinct-count estimates off a sketch table — a pure
+    * projection of the persisted bytes (`hll_sketch_estimate`); no data
+    * pass, usable on any [[distinctSketch]]/[[distinctSketchMerge]]
+    * output or a parquet scan of one.
+    *
+    * LIBRARY ENTRY POINT. */
+  def distinctSketchEstimate(sketches: DataFrame, group: String): DataFrame =
+    sketches.select(col(group),
+      hll_sketch_estimate(col("sketch")).as("n_distinct_est"))
+
+  // q_distinct_incr: the ingest regime — the standing per-type user
+  // sketch advances by the increment's sketch (75/25 id-mod split),
+  // estimates read off the merged bytes. Not DuckDB-expressible
+  // (DataSketches HLL) → rows-only; RelationalSpec pins merged ≡
+  // from-scratch estimate equality and ≤2% of exact.
+  private def distinctIncr(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val standing = distinctSketch(ev.filter(col("event_id") % 4 =!= 0),
+      "event_type", "user_id")
+    val inc = distinctSketch(ev.filter(col("event_id") % 4 === 0),
+      "event_type", "user_id")
+    distinctSketchEstimate(
+      distinctSketchMerge(standing, inc, "event_type"), "event_type")
+      .orderBy("event_type")
+  }
+
   // Top-k per group, two-phase: a single window partitioned by the group
   // key alone caps parallelism at the group cardinality (5 priorities =
   // 5 tasks forever). Phase 1 ranks within (group, salt) — 64-way salt →
@@ -398,6 +454,7 @@ object RelationalOps {
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     QDef("q_distinct_users_approx", distinctUsersApprox, None),
+    QDef("q_distinct_incr", distinctIncr, None),
     QDef("q_topk_per_group", topKPerGroup, Some(
       """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
         | SELECT o_orderpriority, o_orderkey, o_totalprice,

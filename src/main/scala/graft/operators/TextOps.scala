@@ -786,6 +786,71 @@ object TextOps {
         PiiPatterns.map { case (k, _) => col(s"n_$k") } :+ col("n_pii"): _*)
   }
 
+  /** Corpus heavy-hitter VALUES without a key-keyed shuffle — the
+    * frequent-items sketch ([[graft.functions.FreqItemsAgg]], Misra-Gries
+    * via DataSketches) folded per partition into a bounded
+    * `maxMapSize`-entry map, merged at kilobyte cost, then an EXACT count
+    * pass over just the returned candidates (an `isin` literal list —
+    * the broadcast-model pattern): the Bloom-prefilter / exact-verify
+    * shape of [[decontaminate]], applied to frequency. Returns every
+    * value whose exact count ≥ ceil(minShare × N) as `(item, n)` —
+    * EXACTLY (the sketch's no-false-negative guarantee covers candidate
+    * RECALL, the verify pass restores exact counts and removes false
+    * positives), so the result is DuckDB-oracle-checkable despite the
+    * sketch in the middle.
+    *
+    * Shape at 100 TB: the exact `groupBy(key).count` alternative
+    * shuffles the full key stream to find the handful of keys that
+    * matter; here the first pass moves only sketch buffers and the
+    * second only candidate-matching rows (≤ maxMapSize distinct keys).
+    * The guarantee needs ceil(minShare × N) > maxError ≤
+    * N·3.5/maxMapSize — checked dynamically against the sketch's own
+    * error bound, loud failure instead of silent false negatives.
+    *
+    * LIBRARY ENTRY POINT — generic over any frame + string column. */
+  def frequentItems(rows: DataFrame, key: String, minShare: Double,
+      maxMapSize: Int = 1024): DataFrame = {
+    require(minShare > 0 && minShare <= 1,
+      s"minShare must be in (0, 1], got $minShare")
+    val keyed = rows.select(col(key).cast("string").as("item"))
+    val bytes = keyed
+      .agg(graft.functions.FreqItems.freqItemsAgg(col("item"), maxMapSize)
+        .as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val (n, maxErr, cands) =
+      graft.functions.FreqItems.decode(bytes, threshold = 1L)
+    if (n == 0) return keyed.limit(0)
+      .groupBy("item").agg(count(lit(1)).as("n"))
+    val thr = math.max(1L, math.ceil(minShare * n).toLong)
+    require(thr > maxErr,
+      s"minShare=$minShare (threshold $thr over $n items) is inside the " +
+        s"sketch's error band (maxError=$maxErr at maxMapSize=" +
+        s"$maxMapSize) — the no-false-negative guarantee would not " +
+        "cover it; raise minShare or maxMapSize")
+    val candidates = cands.filter(_.ub >= thr).map(_.item)
+    if (candidates.isEmpty) return keyed.limit(0)
+      .groupBy("item").agg(count(lit(1)).as("n"))
+    keyed.filter(col("item").isin(candidates: _*))
+      .groupBy("item").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= thr)
+      .orderBy(desc("n"), col("item"))
+  }
+
+  /** [[frequentItems]] over the token stream of a text column — the
+    * heavy-hitter TOKEN list (stop-list induction, boilerplate-candidate
+    * mining) as `(token, n)`.
+    *
+    * LIBRARY ENTRY POINT — generic over any (text) frame. */
+  def frequentTokens(rows: DataFrame, text: String, minShare: Double,
+      maxMapSize: Int = 1024): DataFrame =
+    frequentItems(
+      rows.select(explode(toks(col(text))).as("tok")), "tok",
+      minShare, maxMapSize)
+      .withColumnRenamed("item", "token")
+
+  private def heavyHittersQuery(s: SparkSession, d: String): DataFrame =
+    frequentTokens(docs(s, d), "text", minShare = 0.005)
+
   private[operators] val oracleToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
 
@@ -831,6 +896,17 @@ object TextOps {
       s"""SELECT tok, count(*) AS n FROM (
          | SELECT unnest($oracleToks) AS tok FROM documents)
          | GROUP BY 1 ORDER BY n DESC, tok LIMIT 100""".stripMargin)),
+    // Heavy hitters through the frequent-items sketch + exact verify:
+    // the RESULT is exact (candidate recall guaranteed by the sketch's
+    // no-false-negative band, counts restored by the verify pass), so
+    // DuckDB re-derives it with a plain HAVING over the token stream.
+    QDef("q_heavy_hitters", heavyHittersQuery, Some(
+      s"""WITH t AS (SELECT unnest($oracleToks) AS tok FROM documents),
+         |tot AS (SELECT count(*) AS n FROM t)
+         |SELECT tok AS token, count(*) AS n FROM t GROUP BY tok
+         |HAVING count(*) >= (SELECT GREATEST(1,
+         |    CAST(ceil(0.005 * n) AS BIGINT)) FROM tot)
+         |ORDER BY n DESC, token""".stripMargin)),
     // Per-token JS contributions are pure per-row double arithmetic over
     // one conditional-count aggregation — DuckDB mirrors every term (the
     // ln parity precedent of tfidf/zipf/importance).

@@ -121,6 +121,45 @@ class ApiSpec extends SparkSpec {
     assert(bad.getMessage.contains("numBlocks"))
   }
 
+  test("frequentItems/frequentTokens: sketch-prefiltered result equals the exact heavy-hitter list") {
+    val s = spark
+    import s.implicits._
+    // 60% "alpha", 25% "beta", the rest singletons — exact heavy hitters
+    // at minShare 0.1 are exactly {alpha, beta}
+    val vals = Seq.fill(60)("alpha") ++ Seq.fill(25)("beta") ++
+      (0 until 15).map(i => s"rare_$i")
+    val df = vals.zipWithIndex.map(_.swap).toDF("row", "v")
+    val got = TextOps.frequentItems(df, "v", minShare = 0.1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == Seq("alpha" -> 60L, "beta" -> 25L), s"$got")
+    // token form on a generic text frame
+    val docs = Seq((1L, "the cat the dog the bird"), (2L, "the fish"))
+      .toDF("k", "body")
+    val tok = TextOps.frequentTokens(docs, "body", minShare = 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(tok == Seq("the" -> 4L), s"$tok")
+    // guarantee gate: a threshold inside the sketch's error band must
+    // fail loudly instead of silently dropping true heavy hitters
+    val wide = (0 until 500).map(i => (i, s"u_$i")).toDF("row", "v")
+    val e = intercept[IllegalArgumentException](
+      TextOps.frequentItems(wide, "v", minShare = 0.001, maxMapSize = 8))
+    assert(e.getMessage.contains("error band"), e.getMessage)
+  }
+
+  test("distinct sketches run on a generic frame with foreign column names") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(("x", 1L), ("x", 2L), ("y", 1L)).toDF("cat", "member")
+    val b = Seq(("x", 2L), ("x", 3L), ("z", 9L)).toDF("cat", "member")
+    val est = RelationalOps.distinctSketchEstimate(
+      RelationalOps.distinctSketchMerge(
+        RelationalOps.distinctSketch(a, "cat", "member"),
+        RelationalOps.distinctSketch(b, "cat", "member"), "cat"), "cat")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tiny cardinalities sit in the sketch's exact regime
+    assert(est == Map("x" -> 3L, "y" -> 1L, "z" -> 1L), s"$est")
+  }
+
   test("ivfAppend assigns an increment against a frozen quantizer (generic frame)") {
     val s = spark
     import s.implicits._

@@ -396,4 +396,50 @@ class KernelSpec extends SparkSpec {
         |  vec_normalize(array(0.0F)) AS z""".stripMargin).collect().head
     assert(r4.getSeq[Double](0) == Seq(0.6, 0.8) && r4.isNullAt(1))
   }
+
+  test("FreqItemsAgg: no false negatives above the error band, bounds contain exact counts, merge sums streams") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.FreqItems
+    // planted stream: hot_i appears (i+1)*40 times; 200 background
+    // singletons force the maxMapSize=64 sketch past its exact regime
+    val items = (0 until 5).flatMap(i =>
+      Seq.fill((i + 1) * 40)(s"hot_$i")) ++
+      (0 until 200).map(i => s"bg_$i")
+    val df = items.zipWithIndex
+      .map { case (it, ix) => (ix.toLong, it) }.toDF("i", "item")
+      .repartition(8)
+    val bytes = df
+      .agg(FreqItems.freqItemsAgg(col("item"), 64)).head()
+      .getAs[Array[Byte]](0)
+    val (n, maxErr, cands) = FreqItems.decode(bytes, threshold = 1L)
+    assert(n == items.size.toLong, s"stream length $n")
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val candMap = cands.map(c => c.item -> c).toMap
+    // Misra-Gries guarantee: every item with true count > maxError is
+    // retained with exact ∈ [lb, ub]
+    exact.filter(_._2 > maxErr).foreach { case (it, cnt) =>
+      val c = candMap.getOrElse(it,
+        fail(s"$it (count $cnt > maxErr $maxErr) missing from sketch"))
+      assert(c.lb <= cnt && cnt <= c.ub,
+        s"$it: exact $cnt outside [${c.lb}, ${c.ub}]")
+    }
+    // bytes-level merge: two half-stream sketches union to the same
+    // guarantees over the full stream
+    val halves = (0 to 1).map { h =>
+      df.filter(col("i") % 2 === h)
+        .agg(FreqItems.freqItemsAgg(col("item"), 64)).head()
+        .getAs[Array[Byte]](0)
+    }
+    val merged = FreqItems.mergeBytes(halves(0), halves(1))
+    val (n2, maxErr2, cands2) = FreqItems.decode(merged, threshold = 1L)
+    assert(n2 == n, s"merged stream length $n2 != $n")
+    val cand2Map = cands2.map(c => c.item -> c).toMap
+    exact.filter(_._2 > maxErr2).foreach { case (it, cnt) =>
+      val c = cand2Map.getOrElse(it,
+        fail(s"$it missing from the MERGED sketch"))
+      assert(c.lb <= cnt && cnt <= c.ub,
+        s"merged $it: exact $cnt outside [${c.lb}, ${c.ub}]")
+    }
+  }
 }

@@ -119,6 +119,24 @@ class PlanSpec extends SparkSpec {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_heavy_hitters: candidate verify is join-free with one data shuffle") {
+    // the sketch pass runs at construction (bytes-only shuffle); the
+    // returned verify plan must be explode → isin literal filter →
+    // count — no join against a candidate table, exactly one hash
+    // exchange (the candidate-row count), no range exchange but the
+    // presentation sort's
+    val p = plan("q_heavy_hitters")
+    assert(!p.contains("Join"), s"verify pass must not join:\n$p")
+    assert(p.linesIterator.count(
+      _.trim.startsWith("Exchange hashpartitioning")) <= 1,
+      s"verify pass should shuffle once (candidate rows only):\n$p")
+  }
+
+  test("q_distinct_incr: sketch merge is join-free (bytes-only exchanges)") {
+    val p = plan("q_distinct_incr")
+    assert(!p.contains("Join"), s"sketch merge must not join:\n$p")
+  }
+
   test("q_ivf_append: shuffle-free assignment (no join, no hash exchange)") {
     // the incremental index append must stay a broadcast-kernel
     // projection over the increment — its only exchange is the
