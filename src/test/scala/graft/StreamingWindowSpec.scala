@@ -607,4 +607,48 @@ class StreamingWindowSpec extends SparkSpec {
         s"pinned RDDs grew across ingests: $pinnedAfter1 -> $pinnedAfter2")
     } finally q.stop()
   }
+
+  test("distinct sketches advance through a streaming ingest: merged standing table == batch") {
+    // the HLL-bytes ingest story end-to-end: each micro-batch sketches
+    // ONLY its rows (RelationalOps.distinctSketch) and the standing
+    // table advances by a register-level union in foreachBatch — the
+    // TrainReadyCursor artifact pattern applied to cardinality. After
+    // the last batch the standing estimates must equal a from-scratch
+    // sketch of everything delivered (HLL registers max-merge).
+    val s = spark
+    import s.implicits._
+    import graft.operators.RelationalOps
+    val in = MemoryStream[(String, Long)](s)
+    var standing: Option[org.apache.spark.sql.DataFrame] = None
+    val q = in.toDS().toDF("cat", "member")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val inc = RelationalOps.distinctSketch(batch, "cat", "member")
+        // the standing table is a tiny persisted artifact in production;
+        // localCheckpoint stands in for the parquet round-trip here
+        standing = Some(standing
+          .map(st => RelationalOps.distinctSketchMerge(st, inc, "cat"))
+          .getOrElse(inc)
+          .localCheckpoint(true))
+      }
+      .start()
+    try {
+      val batches = Seq(
+        Seq(("x", 1L), ("x", 2L), ("y", 7L)),
+        Seq(("x", 2L), ("x", 3L), ("z", 1L)),
+        Seq(("y", 7L), ("y", 8L), ("x", 1L)))
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val streamed = RelationalOps
+        .distinctSketchEstimate(standing.get, "cat")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val direct = RelationalOps.distinctSketchEstimate(
+        RelationalOps.distinctSketch(
+          batches.flatten.toDF("cat", "member"), "cat", "member"), "cat")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == direct && streamed == Map(
+        "x" -> 3L, "y" -> 2L, "z" -> 1L),
+        s"streamed $streamed vs direct $direct")
+    } finally q.stop()
+  }
 }
