@@ -2216,12 +2216,15 @@ class ApiSpec extends SparkSpec {
     // verify sibling or a pinned recall/accuracy ScalaTest. q_pq_search
     // joined in r13: IVFADC retrieval is recall-pinned vs the exact
     // knnSearch in PqSpec, with its encode/ADC stages oracle-checked via
-    // q_pq_encode_verify / q_pq_adc_verify.)
+    // q_pq_encode_verify / q_pq_adc_verify. q_distinct_incr joined in
+    // r14: DataSketches HLL bytes are not DuckDB-expressible; its
+    // merged-increments ≡ from-scratch estimate equality and ≤2%-of-
+    // exact accuracy are pinned in RelationalSpec.)
     val noOracle = qs -- os
     assert(noOracle == Set("q_dedup_minhash",
       "q_dedup_simhash", "q_distinct_users_approx", "q_quantiles_approx",
       "q_similarity_ann", "q_similarity_ivf", "q_similarity_pq",
-      "q_pq_search"),
+      "q_pq_search", "q_distinct_incr"),
       s"unexpected no-oracle set: $noOracle")
   }
 
