@@ -265,4 +265,53 @@ class KernelPropertySpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("FreqItemsAgg guarantees hold on generated streams at arbitrary split points") {
+    // Misra-Gries invariants on ARBITRARY streams, not the planted
+    // fixture: for any generated multiset and any 2-way split, both the
+    // one-shot sketch and the bytes-merged split sketches must (a)
+    // retain every item with true count > maxError, (b) bound every
+    // candidate's true count in [lb, ub], (c) report the exact stream
+    // length. Streams are skew-mixed so the 32-entry map purges.
+    val s = spark
+    import s.implicits._
+    import graft.functions.FreqItems
+    val streamGen: Gen[List[String]] = for {
+      nHot <- Gen.choose(1, 6)
+      hotCounts <- Gen.listOfN(nHot, Gen.choose(20, 60))
+      nBg <- Gen.choose(50, 150)
+    } yield hotCounts.zipWithIndex.flatMap { case (c, i) =>
+        List.fill(c)(s"h$i") } ++ (0 until nBg).map(i => s"b$i").toList
+    (0 until 5).foreach { trial =>
+      val items = streamGen.sample.get
+      val exact = items.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val df = items.zipWithIndex.map(_.swap).toDF("i", "v")
+        .repartition(4)
+      def sketchOf(d: org.apache.spark.sql.DataFrame): Array[Byte] = d
+        .agg(FreqItems.freqItemsAgg(col("v"), 32)).head()
+        .getAs[Array[Byte]](0)
+      val oneShot = sketchOf(df)
+      val split = items.size / 3
+      val merged = FreqItems.mergeBytes(
+        sketchOf(df.filter(col("i") < split)),
+        sketchOf(df.filter(col("i") >= split)))
+      for ((bytes, label) <- Seq(oneShot -> "one-shot", merged -> "merged")) {
+        val (n, maxErr, cands) = FreqItems.decode(bytes, threshold = 1L)
+        assert(n == items.size.toLong, s"trial $trial $label: length $n")
+        val cm = cands.map(c => c.item -> c).toMap
+        exact.filter(_._2 > maxErr).foreach { case (it, cnt) =>
+          val c = cm.getOrElse(it, fail(
+            s"trial $trial $label: $it (count $cnt > maxErr $maxErr) lost"))
+          assert(c.lb <= cnt && cnt <= c.ub,
+            s"trial $trial $label: $it exact $cnt outside [${c.lb},${c.ub}]")
+        }
+        cands.foreach { c =>
+          val cnt = exact.getOrElse(c.item, 0L)
+          assert(c.lb <= cnt && cnt <= c.ub,
+            s"trial $trial $label: bound violation for ${c.item}")
+        }
+      }
+    }
+  }
 }

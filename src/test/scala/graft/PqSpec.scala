@@ -257,6 +257,43 @@ class PqSpec extends SparkSpec {
     assert(bad.getMessage.contains("precomputedIndex requires"))
   }
 
+  test("index appends compose with search: prior ∪ increment index feeds ivfPqSearch bit-identically (r14 ingest parity)") {
+    // the ANN ingest story end-to-end: the standing (vec_id, list,
+    // codes) index advances by ivfPqIndex over each increment against
+    // the FROZEN prior-trained quantizer + codebook (never retrained at
+    // append time — the ivfAppend rule), and a search session consuming
+    // the unioned artifact must equal one consuming a from-scratch
+    // whole-corpus index
+    val q = embeddings.filter(col("vec_id") % 10 === 0)
+    val c = embeddings.filter(col("vec_id") % 10 =!= 0)
+    val prior = c.filter(col("vec_id") % 4 =!= 1)
+    val inc = c.filter(col("vec_id") % 4 === 1)
+    val ct = SimilarityOps.ivfTrain(prior, "vec_id", "embedding",
+      nlist = 16)
+    val cbDf = PqOps.pqTrain(prior, "vec_id", "embedding", m = 8,
+      ksub = 16)
+    val standing = PqOps.ivfPqIndex(prior, "vec_id", "embedding", ct, cbDf)
+      .unionByName(PqOps.ivfPqIndex(inc, "vec_id", "embedding", ct, cbDf))
+    val direct = PqOps.ivfPqIndex(c, "vec_id", "embedding", ct, cbDf)
+    def rows(ix: org.apache.spark.sql.DataFrame) =
+      PqOps.ivfPqSearch(q, c, "vec_id", "embedding", 5, nlist = 16,
+        nprobe = 8, precomputedCentroids = Some(ct),
+        precomputedCodebooks = Some(cbDf), precomputedIndex = Some(ix))
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(standing) == rows(direct),
+      "appended-index search diverged from the whole-corpus index")
+    // the flat-index append composes the same way
+    val flat = SimilarityOps.ivfAppend(prior, "vec_id", "embedding", ct)
+      .unionByName(SimilarityOps.ivfAppend(inc, "vec_id", "embedding", ct))
+      .collect().map(_.toString).sorted.toSeq
+    val flatDirect = SimilarityOps
+      .ivfAppend(c, "vec_id", "embedding", ct)
+      .collect().map(_.toString).sorted.toSeq
+    assert(flat == flatDirect,
+      "flat-index appends diverged from the whole-corpus assignment")
+  }
+
   test("ivfPqSearch with precomputed artifacts is bit-identical to self-training") {
     val q = embeddings.filter(col("vec_id") % 10 === 0)
     val c = embeddings.filter(col("vec_id") % 10 =!= 0)

@@ -343,6 +343,40 @@ class ScaleSpec extends SparkSpec {
     } finally corpus.unpersist()
   }
 
+  test("frequent-items sketch holds at the purging regime (2M-item zipf stream, maxMapSize 1024)") {
+    // the sketch's 100 TB claim is a bounded map per partition however
+    // large the stream — prove the guarantee in the regime where the
+    // map PURGES (maxError > 0) at a stream size that forces it: 2M
+    // items, ~100k distinct, zipf-ish tail. The exact heavy-hitter
+    // list at 0.5% must come back EXACTLY through the sketch + verify
+    // composition (the no-false-negative band covers candidate recall).
+    val s = spark
+    import s.implicits._
+    val n = 2000000L
+    // deterministic zipf-ish stream: item rank r with frequency ~ 1/r —
+    // rank = floor(exp(u * ln(maxRank))) over a hash-uniform u
+    val stream = spark.range(n)
+      .select((floor(exp((pmod(xxhash64(col("id")), lit(1000000L)) / 1e6d)
+          * math.log(100000d))))
+        .cast("long").as("rank"))
+      .select(concat(lit("item_"), col("rank")).as("v"))
+    val t0 = System.nanoTime()
+    val got = graft.operators.TextOps
+      .frequentItems(stream.toDF(), "v", minShare = 0.005)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val secs = (System.nanoTime() - t0) / 1e9
+    val thr = math.ceil(0.005 * n).toLong
+    val exact = stream.groupBy("v").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= thr)
+      .orderBy(desc("n"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(exact.nonEmpty && exact.size >= 5,
+      s"regime check: expected a real heavy-hitter set, got ${exact.size}")
+    assert(got == exact,
+      s"sketch+verify diverged from exact: ${got.take(5)} vs ${exact.take(5)}")
+    info(f"2M-item purging-regime frequentItems: ${got.size} hitters in $secs%.1f s")
+  }
+
   test("observe() surfaces inline QA metrics without an extra pass") {
     val observed = Tables(spark, sf, "documents")
       .observe("qa",
