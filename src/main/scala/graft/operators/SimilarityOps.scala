@@ -806,6 +806,54 @@ object SimilarityOps {
       minCos, numBlocks)
   }
 
+  /** Topic-balanced sub-corpus — CLUSTER-BALANCED SAMPLING: k-means
+    * cluster the embedding space (the same coarse quantizer SemDeDup and
+    * IVF search train) and draw an exactly-`n`-per-cluster uniform
+    * sample ([[PipelineOps.quotaSample]]'s md5-ranked draw, stratified
+    * by cluster id instead of a label column). A web-scale corpus's
+    * topic mass is wildly skewed; a per-embedding-cluster quota flattens
+    * it WITHOUT labels — the unsupervised twin of per-source quota
+    * sampling, the standard diversity lever in embedding-curated
+    * pipelines. Returns `(cluster, rk, doc_id)`.
+    *
+    * Shape at 100 TB: assignment is the broadcast-kernel projection
+    * ([[ivfAppend]]'s cost story); the quota draw plans a
+    * WindowGroupLimit below its shuffle (the quotaSample property), so
+    * a giant cluster forwards ≤ n rows per map task, never its mass.
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, vector-array) frame;
+    * `precomputedCentroids` is the train-once path (iters/trainFraction
+    * then unused). */
+  def clusterBalancedSample(rows: DataFrame, id: String, vec: String,
+      n: Int, nlist: Int = 16, iters: Int = 3,
+      trainFraction: Double = 1.0,
+      precomputedCentroids: Option[DataFrame] = None): DataFrame = {
+    require(n >= 1, s"quota must be >= 1, got $n")
+    require(nlist >= 2 && iters >= 1,
+      s"bad cluster config: nlist=$nlist iters=$iters")
+    // a precomputed quantizer defines its own list count ([[ivfAppend]]'s
+    // rule) — `nlist` only sizes an in-place training run
+    val lists = precomputedCentroids.map(_.count().toInt).getOrElse(nlist)
+    require(lists >= 2, s"centroid table must carry >= 2 lists, got $lists")
+    val assigned = assignClusters(rows, id, vec, lists, iters,
+      trainFraction, precomputedCentroids).select("vec_id", "l")
+    PipelineOps.quotaSample(assigned, "vec_id", "l", n)
+      .select(col("stratum").as("cluster"), col("rk"), col("doc_id"))
+      .orderBy("cluster", "rk")
+  }
+
+  // q_sample_cluster: the PUBLIC entry point against the shared trained
+  // quantizer; the persisted assignment (the train-once artifact
+  // q_dedup_semantic also reads — bit-identical to the in-call
+  // assignment, both are the deterministic kernel over the same
+  // centroids) lets DuckDB re-derive the per-cluster md5 rank from the
+  // same bytes.
+  private def sampleClusterQuery(s: SparkSession, d: String): DataFrame = {
+    semdedupAssignAux(s, d) // persist the assignment for the oracle
+    clusterBalancedSample(emb(s, d), "vec_id", "embedding", n = 10,
+      precomputedCentroids = Some(sharedIvfCentroids(s, d)))
+  }
+
   /** Corpus binding's threshold: the corpus's qualifying near-dups sit at
     * cos 0.40+ (q_embed_neardup) — same bar here. */
   private val SemMinCos = 0.4
@@ -1134,6 +1182,18 @@ object SimilarityOps {
          | FROM a x JOIN a y ON x.l = y.l AND x.vec_id < y.vec_id)
          |SELECT va, vb, ${Det.r4Sql("c")} AS cos FROM p
          | WHERE c >= $SemMinCos ORDER BY va, vb""".stripMargin
+    }),
+    // Cluster-balanced sampling over the persisted assignment: the
+    // md5-ranked quota within each embedding cluster, re-derived by
+    // DuckDB from the same parquet (the q_sample_quota rule, stratified
+    // by the persisted l).
+    QDef("q_sample_cluster", sampleClusterQuery, Some {
+      val glob = graft.sources.OracleAux.gateGlob("semdedup_assign")
+      s"""WITH a AS (SELECT vec_id, l FROM read_parquet('$glob'))
+         |SELECT l AS cluster, rk, vec_id AS doc_id FROM (
+         | SELECT l, vec_id, ROW_NUMBER() OVER (PARTITION BY l
+         |   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+         | FROM a) WHERE rk <= 10 ORDER BY cluster, rk""".stripMargin
     }),
     QDef("q_similarity_knn", knnJoinQuery, Some(
       s"""WITH p AS (SELECT a.vec_id AS va, b.vec_id AS vb,

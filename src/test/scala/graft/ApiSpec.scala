@@ -121,6 +121,30 @@ class ApiSpec extends SparkSpec {
     assert(bad.getMessage.contains("numBlocks"))
   }
 
+  test("clusterBalancedSample draws exactly n per embedding cluster (generic frame)") {
+    val s = spark
+    import s.implicits._
+    val centroids = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("list", "centroid")
+    // 5 vectors near each axis — cluster membership is unambiguous
+    val rows = ((1 to 5).map(i => (i.toLong, Array(1.0f, i * 0.01f))) ++
+      (6 to 10).map(i => (i.toLong, Array(i * 0.01f, 1.0f))))
+      .toDF("rid", "v")
+    val got = SimilarityOps.clusterBalancedSample(rows, "rid", "v",
+      n = 2, precomputedCentroids = Some(centroids))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got.length == 4, s"expected 2 per cluster: $got")
+    assert(got.count(_._1 == 0) == 2 && got.count(_._1 == 1) == 2, s"$got")
+    assert(got.filter(_._1 == 0).forall(_._3 <= 5) &&
+      got.filter(_._1 == 1).forall(_._3 >= 6),
+      s"sample crossed cluster boundaries: $got")
+    // deterministic: the md5 draw re-runs identically
+    val again = SimilarityOps.clusterBalancedSample(rows, "rid", "v",
+      n = 2, precomputedCentroids = Some(centroids))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(again == got, "quota draw is not deterministic")
+  }
+
   test("frequentItems/frequentTokens: sketch-prefiltered result equals the exact heavy-hitter list") {
     val s = spark
     import s.implicits._
