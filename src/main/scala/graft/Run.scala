@@ -62,7 +62,11 @@ import graft.operators.PipelineOps
   * ingest fates against: `out/index/hashes` (content-hash table) and
   * `out/index/postings` (raw `(doc_id, sh64)` shingle pairs; df is
   * re-attached at read by counting rows, so the on-disk index is
-  * append-only and every ingest write stays ∝ increment).
+  * append-only and every ingest write stays ∝ increment) — and one
+  * corpus-stats artifact, `out/stats/heavy_tokens` (the exact ≥0.5%
+  * token list via [[graft.operators.TextOps.frequentTokens]]'s
+  * sketch-prefiltered pass: stop-list/boilerplate candidates, bounded
+  * by the sketch's map size however large the corpus).
   *
   * `"mode": "ingest"` + `"increment": <parquet>` appends a new batch to
   * an existing build directory ([[executeIngest]]): fates from the
@@ -171,6 +175,15 @@ object Run {
         .select(col(spec.id).as("doc_id"),
           explode(graft.functions.TextKernels.shingleSet64(col(spec.text)))
             .as("sh64"))
+    }
+
+    // 1c. corpus stats: the heavy-token list (stop-list/boilerplate
+    // candidates) through the frequent-items sketch + exact verify —
+    // a bounded artifact (≤ the sketch's map size) however large the
+    // corpus, priced by one token pass with no token-keyed shuffle
+    stage(s"${spec.out}/stats/heavy_tokens") {
+      graft.operators.TextOps.frequentTokens(corpus, spec.text,
+        minShare = 0.005)
     }
 
     // 2. per-fate audit over the persisted fates

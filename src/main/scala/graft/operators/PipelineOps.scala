@@ -805,6 +805,46 @@ object PipelineOps {
   private def quotaSampleQuery(s: SparkSession, d: String): DataFrame =
     quotaSample(docs(s, d), "doc_id", "source", n = 20)
 
+  /** Exactly-n-per-SCORE-BUCKET uniform sample — [[quotaSample]]
+    * stratified by a numeric score against caller-fixed bucket EDGES
+    * (ascending; bucket = count of edges ≤ score, so k edges split the
+    * line into k+1 buckets). The perplexity-bucket curation recipe:
+    * profile the corpus once (q_quantiles / [[TextOps.lmScore]]), pick
+    * edges, then draw a balanced sample across the quality spectrum —
+    * mid-surprisal text is the usual keep, the extreme buckets the usual
+    * audit set.
+    *
+    * FIXED edges are the scale choice, not a shortcut: bucketing at
+    * sample time is then one projection (no global order statistics —
+    * the profiling pass owns that cost once), and the draw keeps
+    * quotaSample's WindowGroupLimit-below-the-shuffle property. A bucket
+    * smaller than `n` returns all its rows.
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, numeric score) frame. */
+  def bucketQuotaSample(rows: DataFrame, id: String, score: String,
+      edges: Seq[Double], n: Int): DataFrame = {
+    require(edges.nonEmpty, "edges must be non-empty")
+    require(edges == edges.sorted && edges.distinct.size == edges.size,
+      s"edges must be strictly ascending, got $edges")
+    val bucket = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(col("s") >= e, 1).otherwise(0) }
+    val bucketed = rows
+      .select(col(id).as("doc_id"), col(score).cast("double").as("s"))
+      .withColumn("bucket", bucket)
+    quotaSample(bucketed, "doc_id", "bucket", n)
+      .select(col("stratum").as("bucket"), col("rk"), col("doc_id"))
+  }
+
+  // q_sample_ppl: the perplexity-bucket draw composed end-to-end —
+  // lmScore's mean surprisal bucketed at fixed edges (picked from the
+  // corpus profile; all four buckets are populated at both gate scales),
+  // 15 docs per bucket. The oracle re-derives scoring, bucketing, and
+  // the md5 rank in one chained query.
+  private def samplePplQuery(s: SparkSession, d: String): DataFrame =
+    bucketQuotaSample(
+      TextOps.lmScore(docs(s, d), "doc_id", "text"),
+      "doc_id", "mean_surprisal", edges = Seq(4.905, 4.915, 5.0), n = 15)
+
   /** Sliding-window document chunking — the retrieval/embedding prep step
     * (packSequences CONCATENATES documents into context windows; this
     * SPLITS each document into overlapping token windows for embedding,
@@ -2852,6 +2892,24 @@ object PipelineOps {
         |   PARTITION BY source
         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         | FROM documents) WHERE rk <= 20 ORDER BY stratum, rk""".stripMargin)),
+    // Perplexity-bucket sampling: the full lmScore derivation + fixed-edge
+    // bucketing + the md5 quota rank, re-derived in one chained query.
+    QDef("q_sample_ppl", samplePplQuery, Some(
+      s"""WITH tok AS (SELECT doc_id, unnest(${TextOps.oracleToks}) AS tok
+         |  FROM documents),
+         |freq AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_total FROM tok),
+         |sc AS (SELECT doc_id,
+         |  ${Det.r4Sql(Det.dsumSql("-log2(CAST(n AS DOUBLE) / n_total)") + " / count(*)")} AS s
+         | FROM tok JOIN freq USING (tok), tot GROUP BY doc_id),
+         |b AS (SELECT doc_id,
+         |  (CASE WHEN s >= 4.905 THEN 1 ELSE 0 END +
+         |   CASE WHEN s >= 4.915 THEN 1 ELSE 0 END +
+         |   CASE WHEN s >= 5.0 THEN 1 ELSE 0 END) AS bucket FROM sc)
+         |SELECT bucket, rk, doc_id FROM (
+         | SELECT bucket, doc_id, ROW_NUMBER() OVER (PARTITION BY bucket
+         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM b)
+         |WHERE rk <= 15 ORDER BY bucket, rk""".stripMargin)),
     QDef("q_mixture_sample", mixtureSample, Some(
       s"""WITH base AS (SELECT doc_id, source, $oracleNTok AS n_tok,
          |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000

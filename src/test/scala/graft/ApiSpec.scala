@@ -121,6 +121,35 @@ class ApiSpec extends SparkSpec {
     assert(bad.getMessage.contains("numBlocks"))
   }
 
+  test("bucketQuotaSample: fixed-edge score buckets, quota per bucket, deterministic (generic frame)") {
+    val s = spark
+    import s.implicits._
+    // scores straddle the edges (2.0, 5.0): buckets 0/1/2 hold 3/4/2 rows
+    val rows = Seq(
+      (1L, 1.0), (2L, 1.5), (3L, 0.2),            // bucket 0
+      (4L, 2.0), (5L, 3.0), (6L, 4.9), (7L, 2.5), // bucket 1 (edge inclusive)
+      (8L, 5.0), (9L, 9.9))                       // bucket 2
+      .toDF("k", "sc")
+    val got = PipelineOps.bucketQuotaSample(rows, "k", "sc",
+      edges = Seq(2.0, 5.0), n = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got.count(_._1 == 0) == 2 && got.count(_._1 == 1) == 2 &&
+      got.count(_._1 == 2) == 2, s"$got")
+    // bucket membership respects the edges
+    val bucketOf = Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1,
+      6L -> 1, 7L -> 1, 8L -> 2, 9L -> 2)
+    got.foreach { case (b, _, k) => assert(bucketOf(k) == b, s"$k in $b") }
+    // a bucket smaller than n returns all its rows
+    val small = PipelineOps.bucketQuotaSample(rows, "k", "sc",
+      edges = Seq(2.0, 5.0), n = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(small.size == 9, s"$small")
+    // unsorted edges refuse loudly
+    val e = intercept[IllegalArgumentException](
+      PipelineOps.bucketQuotaSample(rows, "k", "sc", Seq(5.0, 2.0), 1))
+    assert(e.getMessage.contains("ascending"))
+  }
+
   test("clusterBalancedSample draws exactly n per embedding cluster (generic frame)") {
     val s = spark
     import s.implicits._

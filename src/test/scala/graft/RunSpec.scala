@@ -84,6 +84,17 @@ class RunSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(storedRows == direct, s"store: $storedRows\nvs direct: $direct")
 
+    // corpus stats: the heavy-token artifact equals the direct
+    // sketch-prefiltered pass over the same corpus
+    val heavyStored = s.read.parquet(s"$dir/build/stats/heavy_tokens")
+      .orderBy(desc("n"), col("token"))
+      .collect().map(_.toString).toSeq
+    val heavyDirect = graft.operators.TextOps
+      .frequentTokens(corpus, "body", minShare = 0.005)
+      .collect().map(_.toString).toSeq
+    assert(heavyStored == heavyDirect && heavyStored.nonEmpty,
+      s"stats artifact diverged: $heavyStored vs $heavyDirect")
+
     // resume (ADVICE r13): a re-run without overwrite SKIPS completed
     // stages (read-back, not rewrite) and rebuilds only a partial one —
     // simulate a crash mid-manifest by dropping its _SUCCESS marker
