@@ -74,7 +74,12 @@ import graft.operators.PipelineOps
   * advanced via the boundary-part dynamic overwrite (exactly one part
   * directory re-read), indexes appended — the batch twin of
   * [[graft.streaming.TrainReadyCursor]], with the artifacts on disk
-  * instead of in checkpoint blocks.
+  * instead of in checkpoint blocks. The `stats/` artifacts are BUILD
+  * snapshots and are NOT advanced by an ingest (an exact heavy-token
+  * refresh needs candidate counts over the whole corpus — re-run the
+  * stats stage, or maintain the serialized sketch bytes via
+  * [[graft.functions.FreqItems.mergeBytes]] when an estimate-grade
+  * refresh suffices).
   *
   * Scale shape: identical to the library entry points it composes — the
   * runner adds no collect, no extra shuffle, and no driver-side loop; its

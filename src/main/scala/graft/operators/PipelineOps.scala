@@ -830,6 +830,10 @@ object PipelineOps {
       acc + when(col("s") >= e, 1).otherwise(0) }
     val bucketed = rows
       .select(col(id).as("doc_id"), col(score).cast("double").as("s"))
+      // a NULL score has no bucket — dropping it up front beats the
+      // silent bucket-0 misclassification the edge fold would produce
+      // (the normalizedVecs null-filter convention)
+      .filter(col("s").isNotNull)
       .withColumn("bucket", bucket)
     quotaSample(bucketed, "doc_id", "bucket", n)
       .select(col("stratum").as("bucket"), col("rk"), col("doc_id"))

@@ -148,6 +148,13 @@ class ApiSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       PipelineOps.bucketQuotaSample(rows, "k", "sc", Seq(5.0, 2.0), 1))
     assert(e.getMessage.contains("ascending"))
+    // a NULL score is dropped, never silently bucketed at 0
+    val withNull = rows.unionByName(
+      Seq((99L, Option.empty[Double])).toDF("k", "sc"))
+    val nn = PipelineOps.bucketQuotaSample(withNull, "k", "sc",
+      edges = Seq(2.0, 5.0), n = 10)
+      .collect().map(r => r.getLong(2)).toSeq
+    assert(!nn.contains(99L) && nn.size == 9, s"$nn")
   }
 
   test("clusterBalancedSample draws exactly n per embedding cluster (generic frame)") {
