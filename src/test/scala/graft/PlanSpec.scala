@@ -256,6 +256,24 @@ class PlanSpec extends SparkSpec {
       p.contains("Partial"), s"expected a map-side (partial) group limit:\n$p")
   }
 
+  test("q_sample_cluster / q_sample_ppl inherit the map-side group limit (r14)") {
+    // both compose quotaSample, so the rank <= n predicate must still
+    // reach the map side through the derived stratum (cluster id /
+    // score bucket). (q_sample_ppl's upstream lmScore carries its
+    // documented 1-row-totals broadcast cross join — the global
+    // nested-loop policy test owns that whitelist; here we pin only the
+    // sampling shape.)
+    for (q <- Seq("q_sample_cluster", "q_sample_ppl")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q: expected WindowGroupLimit:\n$p")
+      assert(p.contains("Partial"),
+        s"$q: expected a map-side (partial) group limit:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: cartesian product leaked into the sampling plan:\n$p")
+    }
+  }
+
   test("ngramJaccardPairs never forces a broadcast of the candidate pair list") {
     // r5 verdict: the pre-filter pair aggregate (every pair sharing ≥1
     // surviving shingle) must not carry an explicit broadcast hint — on a
