@@ -651,4 +651,48 @@ class StreamingWindowSpec extends SparkSpec {
         s"streamed $streamed vs direct $direct")
     } finally q.stop()
   }
+
+  test("frequent-items sketch advances through a streaming ingest: merged bytes keep the guarantees") {
+    // the estimate-grade refresh path graft.Run's stats scaladoc names:
+    // per micro-batch, FreqItems.freqItemsAgg sketches ONLY the batch
+    // and the standing BYTES advance via FreqItems.mergeBytes — after
+    // the last batch the standing sketch must carry the whole delivered
+    // stream (length exact, every above-band item retained with its
+    // true count inside [lb, ub]).
+    val s = spark
+    import s.implicits._
+    import graft.functions.FreqItems
+    val in = MemoryStream[String](s)
+    var standing: Option[Array[Byte]] = None
+    val q = in.toDS().toDF("v")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch
+          .agg(FreqItems.freqItemsAgg(col("v"), 32)).head()
+          .getAs[Array[Byte]](0)
+        standing = Some(standing.map(FreqItems.mergeBytes(_, b)).getOrElse(b))
+      }
+      .start()
+    try {
+      val batches = Seq(
+        Seq.fill(30)("hot") ++ (0 until 40).map(i => s"a$i"),
+        Seq.fill(25)("hot") ++ Seq.fill(20)("warm"),
+        (0 until 40).map(i => s"b$i") ++ Seq.fill(10)("warm"))
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val all = batches.flatten
+      val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (n, maxErr, cands) = FreqItems.decode(standing.get, threshold = 1L)
+      assert(n == all.size.toLong, s"stream length $n != ${all.size}")
+      val cm = cands.map(c => c.item -> c).toMap
+      exact.filter(_._2 > maxErr).foreach { case (it, cnt) =>
+        val c = cm.getOrElse(it,
+          fail(s"$it (count $cnt > maxErr $maxErr) lost across batches"))
+        assert(c.lb <= cnt && cnt <= c.ub,
+          s"$it: exact $cnt outside [${c.lb}, ${c.ub}]")
+      }
+      assert(Seq("hot", "warm").forall(cm.contains),
+        s"planted heavy hitters missing: ${cm.keySet}")
+    } finally q.stop()
+  }
 }
