@@ -82,10 +82,12 @@ object Verify {
     // dump AND at the repo root, so an empty driver artifact is
     // diagnosable from the repo alone.
     val errMap = errors.toMap
-    val local = (digest.map { case (k, v) => k -> v } ++
+    val local = (("_meta" ->
+        s"""{"sfDir":${q(sfDir)},"queries":${digest.size + failed.size}}""")
+        +: (digest.map { case (k, v) => k -> v } ++
         failed.map(k => k ->
           s"""{"ok":false,"err":${q(errMap.getOrElse(k, "?"))}}"""))
-      .sortBy(_._1)
+      .sortBy(_._1))
       .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/CORRECTNESS_LOCAL.json"), local)
     // the repo-root copy is the ROUND's artifact — only a FULL dump may
