@@ -146,6 +146,83 @@ object Run {
   private def stageDone(path: String): Boolean =
     Files.exists(Paths.get(path, "_SUCCESS"))
 
+  /** Canonical fingerprint strings the resume/ingest guard compares
+    * (ADVICE r14). `shape` covers every spec field that determines the
+    * persisted artifacts' content given the same inputs (thresholds,
+    * formatter, cap, column names, mixture, store granularity) plus the
+    * benchmark path (an ingest must decontaminate against the SAME
+    * benchmark its standing artifacts were built with); `build`
+    * additionally pins the corpus path. */
+  private def shapeFingerprint(spec: Spec): String =
+    s"""{"benchmark":"${esc(spec.benchmark)}","id":"${esc(spec.id)}",""" +
+      s""""text":"${esc(spec.text)}","cap":${spec.cap},""" +
+      s""""formatter":"${esc(spec.formatter)}",""" +
+      s""""chunksPerPart":${spec.chunksPerPart},""" +
+      s""""minJaccard":${spec.minJaccard},"contamN":${spec.contamN},""" +
+      s""""scrubPii":${spec.scrubPii},""" +
+      s""""mixtureSource":${spec.mixtureSource
+        .map(m => "\"" + esc(m) + "\"").getOrElse("null")},""" +
+      s""""mixtureAlpha":${spec.mixtureAlpha},""" +
+      s""""mixtureBudgetFraction":${spec.mixtureBudgetFraction}}"""
+
+  private def buildFingerprint(spec: Spec): String =
+    s"""{"corpus":"${esc(spec.corpus)}","shape":${shapeFingerprint(spec)}}"""
+
+  private def fingerprintPath(out: String) =
+    Paths.get(out, "_spec_fingerprint.json")
+
+  /** Resume guard (ADVICE r14): skip-on-`_SUCCESS` is only sound when
+    * the on-disk stages were built from THIS spec — a re-run with a
+    * changed corpus/threshold/formatter on the same out dir would
+    * otherwise silently mix stale stages into the build (the prior
+    * errorifexists default made that impossible). A build refuses to
+    * resume over a missing or differing fingerprint; `overwrite=true`
+    * rebuilds and re-stamps. */
+  private def checkBuildFingerprint(spec: Spec): Unit = {
+    val fp = buildFingerprint(spec)
+    val p = fingerprintPath(spec.out)
+    if (!spec.overwrite && Files.exists(p)) {
+      val prior = Files.readString(p)
+      require(prior == fp,
+        s"out dir '${spec.out}' was built from a DIFFERENT spec — " +
+          s"refusing to resume (stale stages would silently mix into " +
+          s"this build).\n  on disk: $prior\n  this run: $fp\n" +
+          "Set \"overwrite\": true to rebuild, or use a fresh out dir.")
+    } else if (!spec.overwrite &&
+        Seq("fates", "report", "manifest", "windows")
+          .exists(d => stageDone(s"${spec.out}/$d"))) {
+      throw new IllegalArgumentException(
+        s"out dir '${spec.out}' has completed stages but no spec " +
+          "fingerprint (built before fingerprinting, or foreign) — " +
+          "refusing to resume over unverifiable stages. Set " +
+          "\"overwrite\": true to rebuild, or use a fresh out dir.")
+    }
+    Files.createDirectories(Paths.get(spec.out))
+    Files.writeString(p, fp)
+  }
+
+  /** Ingest twin of [[checkBuildFingerprint]]: the increment's fates and
+    * windows must extend the standing artifacts under the same shape
+    * (thresholds/formatter/cap/benchmark); the corpus path legitimately
+    * differs. A pre-fingerprint build dir gets a loud warning, not a
+    * refusal — ingest writes are append-shaped and the operator may know
+    * the build's provenance out-of-band. */
+  private def checkIngestFingerprint(spec: Spec): Unit = {
+    val p = fingerprintPath(spec.out)
+    if (Files.exists(p)) {
+      val prior = Files.readString(p)
+      val shape = shapeFingerprint(spec)
+      require(prior.endsWith(s""""shape":$shape}"""),
+        s"ingest spec shape differs from the build that wrote " +
+          s"'${spec.out}' — the increment would be fated/packed under " +
+          s"different thresholds than the standing artifacts.\n" +
+          s"  on disk: $prior\n  this run shape: $shape")
+    } else
+      System.err.println(s"[run] WARNING: '${spec.out}' has no spec " +
+        "fingerprint (built before fingerprinting?) — cannot verify " +
+        "this ingest's thresholds match the build's.")
+  }
+
   private def executeBuild(s: SparkSession, spec: Spec): String = {
     // Resume semantics (ADVICE r13): with `overwrite=false` (the
     // default) a completed stage directory is SKIPPED and read back —

@@ -92,11 +92,21 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/CORRECTNESS_LOCAL.json"), local)
     // the repo-root copy is the ROUND's artifact — only a FULL dump may
     // replace it (a SPARK_GRAFT_VERIFY_ONLY iteration run would clobber
-    // the full digest with its subset)
-    if (only.isEmpty)
-      try Files.writeString(
-        Paths.get("/root/repo/CORRECTNESS_LOCAL.json"), local)
-      catch { case _: Throwable => () } // repo root may be unwritable elsewhere
+    // the full digest with its subset). The root is derived, not
+    // hardcoded (ADVICE r14): SPARK_GRAFT_REPO_ROOT overrides, else the
+    // launch directory (sbt runs from the repo root); a failed write
+    // WARNS instead of silently leaving a stale round artifact.
+    if (only.isEmpty) {
+      val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT",
+        sys.props.getOrElse("user.dir", "."))
+      val rootCopy = Paths.get(repoRoot, "CORRECTNESS_LOCAL.json")
+      try Files.writeString(rootCopy, local)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] WARNING: could not write the " +
+          s"round digest copy at $rootCopy (${e.getMessage}); the full " +
+          s"digest is at $outDir/CORRECTNESS_LOCAL.json")
+      }
+    }
     spark.stop()
   }
 }

@@ -28,8 +28,18 @@ object OracleAux {
   /** Root for emitted tables — inside the repo's build dir (gitignored). */
   val Root = "/root/repo/target/oracle_aux"
 
+  /** Every aux name a [[gateGlob]] call has minted this JVM — the
+    * registry [[rewriteForSf]]'s invariant check runs against.
+    * `SparkEntry.oracleSql` is built (all gateGlob calls evaluated)
+    * before Verify rewrites any SQL, so the registry is complete by
+    * check time. */
+  private val mintedNames = ConcurrentHashMap.newKeySet[String]()
+
   /** The glob `oracleSql` should embed for table `name` at the gate SF. */
-  def gateGlob(name: String): String = s"$Root/sf0.01/$name/*.parquet"
+  def gateGlob(name: String): String = {
+    mintedNames.add(name)
+    s"$Root/sf0.01/$name/*.parquet"
+  }
 
   /** Re-target the gate-SF aux globs in an oracle SQL string at the SF
     * actually being dumped. `oracleSql` is a static `Map[String,String]`
@@ -39,12 +49,30 @@ object OracleAux {
     * always reads the aux tables the SAME Verify run just wrote next to
     * it: a DuckDB check at ANY scale factor is self-consistent with the
     * dump beside it, no manual glob substitution (VERDICT r13 #1a). A
-    * textual replace is exact here because [[gateGlob]] is the only
-    * producer of the `sf0.01` path fragment in any oracle SQL. */
+    * textual replace is exact because [[gateGlob]] is the only producer
+    * of the `sf0.01` path fragment in any oracle SQL — an invariant this
+    * method now ENFORCES (ADVICE r14) rather than assumes: every
+    * occurrence of the fragment must be the prefix of a glob gateGlob
+    * minted this JVM, else the rewrite refuses loudly instead of
+    * silently mangling an oracle that embedded the literal for another
+    * purpose. */
   def rewriteForSf(sql: String, sfDir: String): String = {
+    val frag = s"$Root/sf0.01/"
+    var i = sql.indexOf(frag)
+    while (i >= 0) {
+      val rest = sql.substring(i + frag.length)
+      val matched = mintedNames.stream()
+        .anyMatch(n => rest.startsWith(n + "/*.parquet"))
+      require(matched,
+        s"oracle SQL embeds the gate aux fragment '$frag' not followed " +
+          s"by a gateGlob-minted '<name>/*.parquet' (at index $i); " +
+          "rewriteForSf only rewrites gateGlob output — use " +
+          "OracleAux.gateGlob for aux paths")
+      i = sql.indexOf(frag, i + frag.length)
+    }
     val sf = new java.io.File(sfDir).getName
     if (sf == "sf0.01") sql
-    else sql.replace(s"$Root/sf0.01/", s"$Root/$sf/")
+    else sql.replace(frag, s"$Root/$sf/")
   }
 
   private val written = new ConcurrentHashMap[String, String]()

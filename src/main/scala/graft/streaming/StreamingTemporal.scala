@@ -416,9 +416,12 @@ object StreamingTemporal {
           // r13): a boundary tie matching no segment clamps to the rk
           // of the highest-breakpoint row with t <= rk, then to r0 —
           // never a NoSuchElementException killing the stream.
+          // max by (t, rk) — the EXACT mirror of the batch twin's
+          // max(struct(t, rk)).getField("rk") (ADVICE r14): on a t tie
+          // the max rk wins, not whichever source sorted last.
           val rClamp = cands.collect {
             case (t, Some(rk), _) if t <= rk => (t, rk)
-          }.sortBy(_._1).lastOption.map(_._2)
+          }.maxByOption { case (t, rk) => (t, rk) }.map(_._2)
           val r = rFree.orElse(rCap).orElse(rClamp).getOrElse(b / wAll)
           per.sortBy(_._1).iterator.map {
             case (src, nd, tok, m, w, _) =>
