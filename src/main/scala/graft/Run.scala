@@ -230,6 +230,8 @@ object Run {
     // unfinished stage instead of erroring on the first directory the
     // previous attempt wrote; a partial directory (no _SUCCESS) is
     // rewritten. `overwrite=true` rebuilds every stage from scratch.
+    // Resume is only legal from the SAME spec (ADVICE r14):
+    checkBuildFingerprint(spec)
     def stage(path: String)(build: => DataFrame): Unit =
       if (spec.overwrite || !stageDone(path))
         build.write.mode("overwrite").parquet(path)
@@ -340,6 +342,7 @@ object Run {
   private def executeIngest(s: SparkSession, spec: Spec): String = {
     require(spec.mixtureSource.isEmpty,
       "mode 'ingest' does not support mixtureSource (a batch-build stage)")
+    checkIngestFingerprint(spec)
     val out = spec.out
     val inc = s.read.parquet(spec.increment.get)
     val bench = s.read.parquet(spec.benchmark)

@@ -107,6 +107,29 @@ class RunSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/build/fates/_SUCCESS").lastModified()
       == fatesMod, "completed fates stage must not be rewritten on resume")
     assert(s.read.parquet(s"$dir/build/manifest").count() == 6)
+
+    // resume guard (ADVICE r14): a CHANGED spec on the same out dir must
+    // refuse to resume (stale stages would silently mix into the build)
+    // instead of skipping stages built under different thresholds…
+    val changed = spec.copy(minJaccard = 0.5)
+    val ex = intercept[IllegalArgumentException](Run.execute(s, changed))
+    assert(ex.getMessage.contains("refusing to resume"), ex.getMessage)
+    // …while overwrite=true rebuilds and re-stamps the new fingerprint,
+    // after which the changed spec resumes cleanly
+    Run.execute(s, changed.copy(overwrite = true))
+    Run.execute(s, changed)
+
+    // an ingest whose shape differs from the build's must refuse too
+    // (the increment would be fated under different thresholds than the
+    // standing artifacts were built with)
+    corpus.limit(1).write.mode("overwrite").parquet(s"$dir/inc0")
+    val badIngest = Run.parseSpec(
+      s"""{"mode": "ingest", "increment": "$dir/inc0",
+         | "benchmark": "$dir/bench", "out": "$dir/build",
+         | "id": "id", "text": "body", "cap": 16, "formatter": "plain",
+         | "chunksPerPart": 2, "minJaccard": 0.1}""".stripMargin)
+    val ex2 = intercept[IllegalArgumentException](Run.execute(s, badIngest))
+    assert(ex2.getMessage.contains("shape differs"), ex2.getMessage)
   }
 
   test("Run ingest mode appends an increment matching the direct incremental composition (plain)") {

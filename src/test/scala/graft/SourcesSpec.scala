@@ -115,4 +115,21 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("event_id"),
       s"expected pushdown into the ORC scan:\n$plan")
   }
+
+  test("OracleAux.rewriteForSf rewrites only gateGlob-minted paths and refuses foreign fragments") {
+    import graft.sources.OracleAux
+    val g = OracleAux.gateGlob("sourcesspec_aux") // mints the name
+    val sql = s"SELECT * FROM read_parquet('$g') WHERE x > 0"
+    // minted glob: rewritten at a different SF, untouched at the gate SF
+    assert(OracleAux.rewriteForSf(sql, "/root/testdata/sf0.01") == sql)
+    val rw = OracleAux.rewriteForSf(sql, "/root/testdata/sf0.1")
+    assert(rw.contains("/sf0.1/sourcesspec_aux/*.parquet") &&
+      !rw.contains("/sf0.01/"), rw)
+    // a foreign use of the literal fragment (ADVICE r14): the invariant
+    // the textual replace rests on is now enforced, not assumed
+    val foreign = s"SELECT '${OracleAux.Root}/sf0.01/not_a_glob.csv'"
+    val ex = intercept[IllegalArgumentException](
+      OracleAux.rewriteForSf(foreign, "/root/testdata/sf0.1"))
+    assert(ex.getMessage.contains("gateGlob"), ex.getMessage)
+  }
 }
