@@ -214,6 +214,95 @@ object RelationalOps {
       .orderBy("event_type")
   }
 
+  /** Mergeable per-group QUANTILE sketch — the order-statistics member
+    * of the mergeable-sketch family (frequent items + distinct landed
+    * r14; this completes VERDICT r14 #2): the per-group Apache
+    * DataSketches KLL doubles sketch (Spark's `kll_sketch_agg_double`)
+    * lands as persistable BYTES, so each ingest sketches ONLY its
+    * increment and the standing table advances by a sketch-level merge
+    * ([[quantileSketchMerge]]) — quantile maintenance at cost ∝
+    * increment with history never re-scanned. This is the artifact an
+    * ingest pipeline reads its perplexity-bucket edges (q_sample_ppl)
+    * from WITHOUT a profiling re-scan of the corpus.
+    *
+    * `k` is the accuracy lever: single-sided normalized rank error
+    * ≈ 2.3/k^0.9 (k=2048 → ~0.25% of rank). While a group's total
+    * stream fits the sketch's exact regime (n ≤ capacity(k)) the
+    * retained items ARE the stream and every estimate is the exact
+    * quantile — there graft.RelationalSpec pins merged-increments ≡
+    * from-scratch bit-equality; in the compacting regime it pins the
+    * rank-error band against the exact quantiles at corpus scale.
+    * KLL compaction draws random offsets, so compacting-regime bytes
+    * are not replay-identical — the GUARANTEE (rank error) is what an
+    * ingest consumer may rely on, exactly as documented by DataSketches.
+    *
+    * LIBRARY ENTRY POINT — generic over any (group, numeric value) frame. */
+  def quantileSketch(rows: DataFrame, group: String, value: String,
+      k: Int = 2048): DataFrame =
+    rows.groupBy(col(group))
+      .agg(call_function("kll_sketch_agg_double",
+        col(value).cast("double"), lit(k)).as("qsketch"))
+
+  /** Merge two [[quantileSketch]] tables (standing ∪ increment) into the
+    * advanced standing table — groups present in either side survive,
+    * shared groups merge at the sketch level (`kll_merge_agg_double`).
+    * `k` must be the family's k: a merge buffer coarser than the inputs
+    * would silently downgrade every future estimate's guarantee.
+    *
+    * LIBRARY ENTRY POINT — generic over any two same-group sketch tables. */
+  def quantileSketchMerge(standing: DataFrame, increment: DataFrame,
+      group: String, k: Int = 2048): DataFrame =
+    standing.unionByName(increment)
+      .groupBy(col(group))
+      .agg(call_function("kll_merge_agg_double", col("qsketch"), lit(k))
+        .as("qsketch"))
+
+  /** Column label for quantile q: p50, p95, p99_9, p99_95. */
+  private def pLabel(q: Double): String = {
+    val bp = math.round(q * 10000).toInt
+    val frac = bp % 100
+    if (frac == 0) s"p${bp / 100}"
+    else if (frac % 10 == 0) s"p${bp / 100}_${frac / 10}"
+    else s"p${bp / 100}_$frac"
+  }
+
+  /** Read quantile estimates off a sketch table — a pure projection of
+    * the persisted bytes (`kll_sketch_get_quantile_double`); no data
+    * pass, usable on any [[quantileSketch]]/[[quantileSketchMerge]]
+    * output or a parquet scan of one.
+    *
+    * LIBRARY ENTRY POINT. */
+  def quantileSketchEstimate(sketches: DataFrame, group: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0d && q <= 1d),
+      s"quantiles must be in [0, 1], got $qs")
+    sketches.select(col(group) +: qs.map(q =>
+      call_function("kll_sketch_get_quantile_double", col("qsketch"),
+        lit(q)).as(pLabel(q))): _*)
+  }
+
+  // q_quantiles_incr: the ingest regime for order statistics — the
+  // standing per-type value sketch advances by the increment's sketch
+  // (75/25 id-mod split, the q_distinct_incr shape), quartiles + p95
+  // read off the merged bytes. Not DuckDB-expressible (DataSketches
+  // KLL) → rows-only; RelationalSpec pins exact-regime merged ≡
+  // from-scratch equality and the compacting-regime rank-error band
+  // vs the exact quantiles.
+  private def quantilesIncr(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val standing = quantileSketch(ev.filter(col("event_id") % 4 =!= 0),
+      "event_type", "value")
+    val inc = quantileSketch(ev.filter(col("event_id") % 4 === 0),
+      "event_type", "value")
+    val est = quantileSketchEstimate(
+      quantileSketchMerge(standing, inc, "event_type"),
+      "event_type", Seq(0.25, 0.5, 0.75, 0.95))
+    est.select(col("event_type") +:
+      est.columns.filter(_ != "event_type").map(c =>
+        Det.r4(col(c)).as(c)): _*)
+      .orderBy("event_type")
+  }
+
   // Top-k per group, two-phase: a single window partitioned by the group
   // key alone caps parallelism at the group cardinality (5 priorities =
   // 5 tasks forever). Phase 1 ranks within (group, salt) — 64-way salt →
@@ -455,6 +544,7 @@ object RelationalOps {
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     QDef("q_distinct_users_approx", distinctUsersApprox, None),
     QDef("q_distinct_incr", distinctIncr, None),
+    QDef("q_quantiles_incr", quantilesIncr, None),
     QDef("q_topk_per_group", topKPerGroup, Some(
       """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
         | SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -220,6 +220,31 @@ class ApiSpec extends SparkSpec {
     assert(est == Map("x" -> 3L, "y" -> 1L, "z" -> 1L), s"$est")
   }
 
+  test("quantile sketches run on a generic frame with foreign column names") {
+    val s = spark
+    import s.implicits._
+    // two ingests whose union per group sits in the KLL exact regime —
+    // merged estimates must BE the exact quantiles of the union
+    val a = (1 to 40).map(i => ("x", i.toDouble)).toDF("cat", "score")
+    val b = (41 to 100).map(i => ("x", i.toDouble)) ++
+      Seq(("y", 7.0), ("y", 9.0))
+    val est = RelationalOps.quantileSketchEstimate(
+      RelationalOps.quantileSketchMerge(
+        RelationalOps.quantileSketch(a, "cat", "score"),
+        RelationalOps.quantileSketch(b.toDF("cat", "score"), "cat", "score"),
+        "cat"),
+      "cat", Seq(0.5, 0.95))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(est("x") == ((50.0, 95.0)), s"$est")
+    assert(est("y")._1 == 7.0 && est("y")._2 == 9.0, s"$est")
+    // estimate columns are labeled by quantile
+    val cols = RelationalOps.quantileSketchEstimate(
+      RelationalOps.quantileSketch(a, "cat", "score"), "cat",
+      Seq(0.25, 0.999)).columns.toSeq
+    assert(cols == Seq("cat", "p25", "p99_9"), s"$cols")
+  }
+
   test("ivfAppend assigns an increment against a frozen quantizer (generic frame)") {
     val s = spark
     import s.implicits._
@@ -2279,12 +2304,15 @@ class ApiSpec extends SparkSpec {
     // q_pq_encode_verify / q_pq_adc_verify. q_distinct_incr joined in
     // r14: DataSketches HLL bytes are not DuckDB-expressible; its
     // merged-increments ≡ from-scratch estimate equality and ≤2%-of-
-    // exact accuracy are pinned in RelationalSpec.)
+    // exact accuracy are pinned in RelationalSpec. q_quantiles_incr
+    // joined in r15: DataSketches KLL bytes likewise; its exact-regime
+    // merged ≡ from-scratch equality and compacting-regime rank-error
+    // band vs the exact quantiles are pinned in RelationalSpec.)
     val noOracle = qs -- os
     assert(noOracle == Set("q_dedup_minhash",
       "q_dedup_simhash", "q_distinct_users_approx", "q_quantiles_approx",
       "q_similarity_ann", "q_similarity_ivf", "q_similarity_pq",
-      "q_pq_search", "q_distinct_incr"),
+      "q_pq_search", "q_distinct_incr", "q_quantiles_incr"),
       s"unexpected no-oracle set: $noOracle")
   }
 

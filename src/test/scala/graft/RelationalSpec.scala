@@ -68,4 +68,78 @@ class RelationalSpec extends SparkSpec {
     val gate = SparkEntry.queries("q_distinct_incr")(spark, sf).collect()
     assert(gate.map(_.getString(0)).toSet == exact.keySet)
   }
+
+  test("quantile sketches: exact-regime merged increments == from-scratch == exact quantiles") {
+    import graft.operators.RelationalOps
+    val s = spark
+    import s.implicits._
+    // 3 disjoint increments, union per group well inside the KLL exact
+    // regime (k=2048): no compaction ever runs, so the retained items
+    // ARE the stream and merged-increments must estimate IDENTICALLY to
+    // the from-scratch sketch — and both identically to exact quantiles
+    val rows = (1 to 900).map(i => (s"g${i % 3}", i.toDouble))
+    val all = rows.toDF("grp", "v")
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val parts = (0 to 2).map(i =>
+      RelationalOps.quantileSketch(
+        rows.zipWithIndex.filter(_._2 % 3 == i).map(_._1).toDF("grp", "v"),
+        "grp", "v"))
+    def est(d: org.apache.spark.sql.DataFrame) =
+      RelationalOps.quantileSketchEstimate(d, "grp", qs)
+        .collect().map(r => r.getString(0) ->
+          (1 to qs.length).map(r.getDouble)).toMap
+    val merged = est(RelationalOps.quantileSketchMerge(
+      RelationalOps.quantileSketchMerge(parts(0), parts(1), "grp"),
+      parts(2), "grp"))
+    val direct = est(RelationalOps.quantileSketch(all, "grp", "v"))
+    assert(merged == direct,
+      s"exact-regime merged estimates diverged: $merged vs $direct")
+    // exact quantiles: inclusive rank — smallest v with #(≤v)/n ≥ q
+    val exact = all.collect().groupBy(_.getString(0)).map { case (g, rs) =>
+      val sorted = rs.map(_.getDouble(1)).sorted
+      g -> qs.map(q => sorted(math.ceil(q * sorted.length).toInt - 1))
+    }
+    assert(merged == exact, s"exact-regime estimates vs true: $merged vs $exact")
+  }
+
+  test("quantile sketches: compacting regime keeps the rank-error band at corpus scale") {
+    import graft.operators.RelationalOps
+    val ev = graft.sources.Tables(spark, sf, "events")
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    // the gate composition: standing 3/4 advanced by the 1/4 increment
+    val merged = RelationalOps.quantileSketchEstimate(
+      RelationalOps.quantileSketchMerge(
+        RelationalOps.quantileSketch(ev.filter(col("event_id") % 4 =!= 0),
+          "event_type", "value"),
+        RelationalOps.quantileSketch(ev.filter(col("event_id") % 4 === 0),
+          "event_type", "value"), "event_type"),
+      "event_type", qs)
+      .collect().map(r => r.getString(0) ->
+        (1 to qs.length).map(r.getDouble)).toMap
+    // KLL guarantee: the TRUE rank of each estimate is within the
+    // normalized rank error of the requested rank. k=2048 → ~0.25%
+    // single-sided; assert a 4x margin (1%) so the pin never flakes on
+    // compaction's random offsets.
+    val values = graft.sources.Tables(spark, sf, "events")
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).map { case (g, rs) =>
+        g -> rs.map(_.getDouble(1)).sorted }
+    assert(merged.keySet == values.keySet)
+    merged.foreach { case (g, ests) =>
+      val sorted = values(g)
+      qs.zip(ests).foreach { case (q, e) =>
+        val trueRank = sorted.count(_ <= e).toDouble / sorted.length
+        assert(math.abs(trueRank - q) <= 0.01,
+          s"$g p$q: estimate $e has true rank $trueRank (off by " +
+            s"${math.abs(trueRank - q)})")
+      }
+    }
+    // the gate binding returns one row per type, quantiles monotone
+    val gate = SparkEntry.queries("q_quantiles_incr")(spark, sf).collect()
+    assert(gate.map(_.getString(0)).toSet == values.keySet)
+    gate.foreach { r =>
+      val v = (1 to qs.length).map(r.getDouble)
+      assert(v == v.sorted, s"non-monotone quantiles: $r")
+    }
+  }
 }

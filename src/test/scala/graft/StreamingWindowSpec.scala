@@ -652,6 +652,51 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quantile sketches advance through a streaming ingest: merged standing table == batch") {
+    // the KLL-bytes ingest story end-to-end (r15, completing the
+    // mergeable-sketch family): each micro-batch sketches ONLY its rows
+    // (RelationalOps.quantileSketch) and the standing table advances by
+    // a sketch-level merge in foreachBatch. Exact-regime data (union ≤
+    // k per group, no compaction randomness), so the standing estimates
+    // must equal a from-scratch sketch of everything delivered — and
+    // both the exact quantiles.
+    val s = spark
+    import s.implicits._
+    import graft.operators.RelationalOps
+    val in = MemoryStream[(String, Double)](s)
+    var standing: Option[org.apache.spark.sql.DataFrame] = None
+    val q = in.toDS().toDF("cat", "score")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val inc = RelationalOps.quantileSketch(batch, "cat", "score")
+        standing = Some(standing
+          .map(st => RelationalOps.quantileSketchMerge(st, inc, "cat"))
+          .getOrElse(inc)
+          .localCheckpoint(true))
+      }
+      .start()
+    try {
+      val batches = Seq(
+        (1 to 30).map(i => ("x", i.toDouble)),
+        (31 to 70).map(i => ("x", i.toDouble)) :+ ("y", 5.0),
+        (71 to 100).map(i => ("x", i.toDouble)) :+ ("y", 15.0))
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val qs = Seq(0.5, 0.9)
+      def read(d: org.apache.spark.sql.DataFrame) =
+        RelationalOps.quantileSketchEstimate(d, "cat", qs)
+          .collect().map(r => r.getString(0) ->
+            (r.getDouble(1), r.getDouble(2))).toMap
+      val streamed = read(standing.get)
+      val direct = read(RelationalOps.quantileSketch(
+        batches.flatten.toDF("cat", "score"), "cat", "score"))
+      assert(streamed == direct &&
+        streamed("x") == ((50.0, 90.0)) &&
+        streamed("y") == ((5.0, 15.0)),
+        s"streamed $streamed vs direct $direct")
+    } finally q.stop()
+  }
+
   test("frequent-items sketch advances through a streaming ingest: merged bytes keep the guarantees") {
     // the estimate-grade refresh path graft.Run's stats scaladoc names:
     // per micro-batch, FreqItems.freqItemsAgg sketches ONLY the batch
