@@ -790,9 +790,11 @@ object TextOps {
     * frequent-items sketch ([[graft.functions.FreqItemsAgg]], Misra-Gries
     * via DataSketches) folded per partition into a bounded
     * `maxMapSize`-entry map, merged at kilobyte cost, then an EXACT count
-    * pass over just the returned candidates (an `isin` literal list —
-    * the broadcast-model pattern): the Bloom-prefilter / exact-verify
-    * shape of [[decontaminate]], applied to frequency. Returns every
+    * pass over just the returned candidates (an `isin` literal list
+    * while small, a broadcast candidate-frame semi-join past
+    * [[IsinCandidateCap]] — either way the broadcast-model pattern):
+    * the Bloom-prefilter / exact-verify shape of [[decontaminate]],
+    * applied to frequency. Returns every
     * value whose exact count ≥ ceil(minShare × N) as `(item, n)` —
     * EXACTLY (the sketch's no-false-negative guarantee covers candidate
     * RECALL, the verify pass restores exact counts and removes false
@@ -830,11 +832,33 @@ object TextOps {
     val candidates = cands.filter(_.ub >= thr).map(_.item)
     if (candidates.isEmpty) return keyed.limit(0)
       .groupBy("item").agg(count(lit(1)).as("n"))
-    keyed.filter(col("item").isin(candidates: _*))
+    // Two verify regimes (VERDICT r14 #4): an `isin` literal list keeps
+    // the default-config plan join-free, but its size grows linearly in
+    // candidate count — at the documented 64k-map accuracy regimes that
+    // replays the LshBuckets JIT-limit lesson (BASELINE.md r6). Past a
+    // few thousand candidates, switch to a broadcast semi-join against
+    // a candidate frame: constant plan size, same kilobyte-scale data
+    // movement (the candidate list IS the broadcast). PlanSpec pins
+    // both regimes; ScaleSpec proves the join regime at maxMapSize 64k.
+    val matched =
+      if (candidates.length <= IsinCandidateCap)
+        keyed.filter(col("item").isin(candidates: _*))
+      else {
+        val candDf = rows.sparkSession
+          .createDataFrame(candidates.map(Tuple1.apply))
+          .toDF("item")
+        keyed.join(broadcast(candDf), Seq("item"), "left_semi")
+      }
+    matched
       .groupBy("item").agg(count(lit(1)).as("n"))
       .filter(col("n") >= thr)
       .orderBy(desc("n"), col("item"))
   }
+
+  /** Above this many verify candidates, [[frequentItems]] swaps its
+    * `isin` literal for a broadcast semi-join (plan size vs one extra
+    * broadcast — the literal wins while the plan stays small). */
+  private val IsinCandidateCap = 2048
 
   /** [[frequentItems]] over the token stream of a text column — the
     * heavy-hitter TOKEN list (stop-list induction, boilerplate-candidate
@@ -847,6 +871,30 @@ object TextOps {
       rows.select(explode(toks(col(text))).as("tok")), "tok",
       minShare, maxMapSize)
       .withColumnRenamed("item", "token")
+
+  /** Serialized frequent-items sketch BYTES over a text column's token
+    * stream — the MERGEABLE artifact behind [[frequentTokens]]: persist
+    * it alongside the exact list and advance it per ingest with
+    * [[graft.functions.FreqItems.mergeBytes]], so an estimate-grade
+    * token profile always covers the whole corpus at cost ∝ increment
+    * (the exact list stays a build snapshot — exact counts need a
+    * corpus scan). One row, `sk` binary.
+    *
+    * LIBRARY ENTRY POINT — generic over any (text) frame. */
+  def tokenSketchBytes(rows: DataFrame, text: String,
+      maxMapSize: Int = 1024): DataFrame =
+    rows.select(explode(toks(col(text))).as("tok"))
+      .agg(graft.functions.FreqItems.freqItemsAgg(col("tok"), maxMapSize)
+        .as("sk"))
+
+  /** Per-document whitespace token counts `(doc_id, n_tok)` — the
+    * corpus length-profile's source relation (feed it to
+    * [[RelationalOps.quantileSketch]] for mergeable length quantiles).
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, text) frame. */
+  def tokenCounts(rows: DataFrame, id: String, text: String): DataFrame =
+    rows.select(col(id).as("doc_id"),
+      size(toks(col(text))).cast("long").as("n_tok"))
 
   private def heavyHittersQuery(s: SparkSession, d: String): DataFrame =
     frequentTokens(docs(s, d), "text", minShare = 0.005)

@@ -137,6 +137,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"sketch merge must not join:\n$p")
   }
 
+  test("q_quantiles_incr: KLL merge is join-free (bytes-only exchanges)") {
+    val p = plan("q_quantiles_incr")
+    assert(!p.contains("Join"), s"sketch merge must not join:\n$p")
+  }
+
+  test("frequentItems verify: isin literal while small, broadcast semi-join past the cap") {
+    // VERDICT r14 #4 — both verify regimes pinned: a handful of
+    // candidates verifies through the join-free literal plan, a
+    // many-thousand-candidate sketch (big maxMapSize, tiny minShare)
+    // through a constant-size broadcast semi-join instead of a plan
+    // growing linearly in candidates (the LshBuckets JIT lesson).
+    val s = spark
+    import s.implicits._
+    val small = graft.operators.TextOps.frequentItems(
+      (1 to 400).map(i => s"it_${i % 4}").toDF("v"), "v", minShare = 0.1)
+    val pSmall = small.queryExecution.executedPlan.toString
+    assert(!pSmall.contains("Join"),
+      s"small-candidate verify must stay the isin literal:\n$pSmall")
+    val big = graft.operators.TextOps.frequentItems(
+      (1 to 4096).map(i => s"it_$i").toDF("v"), "v",
+      minShare = 1e-5, maxMapSize = 8192)
+    val pBig = big.queryExecution.executedPlan.toString
+    assert(pBig.contains("BroadcastHashJoin") && pBig.contains("LeftSemi"),
+      s"4096-candidate verify must broadcast-semi-join:\n$pBig")
+    // both regimes stay exact
+    assert(small.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("it_0", 100L), ("it_1", 100L), ("it_2", 100L), ("it_3", 100L)))
+    assert(big.count() == 4096)
+  }
+
   test("q_ivf_append: shuffle-free assignment (no join, no hash exchange)") {
     // the incremental index append must stay a broadcast-kernel
     // projection over the increment — its only exchange is the

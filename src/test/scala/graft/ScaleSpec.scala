@@ -377,6 +377,43 @@ class ScaleSpec extends SparkSpec {
     info(f"2M-item purging-regime frequentItems: ${got.size} hitters in $secs%.1f s")
   }
 
+  test("frequent-items verify holds at the 64k-map accuracy regime (broadcast-join path)") {
+    // VERDICT r14 #4's documented regime: maxMapSize 65536 over a 2M
+    // stream with a tiny minShare — tens of thousands of candidates
+    // survive the ub filter, which the isin literal could not carry
+    // (linear plan growth, the LshBuckets JIT limit); the broadcast
+    // semi-join regime must return the exact list. Distinct count
+    // (~40k) sits under the 64k map's purge point, so the dynamic
+    // thr > maxError gate holds at this tiny threshold by design.
+    val s = spark
+    import s.implicits._
+    val n = 2000000L
+    val stream = spark.range(n)
+      .select((floor(exp((pmod(xxhash64(col("id")), lit(1000000L)) / 1e6d)
+          * math.log(40000d))))
+        .cast("long").as("rank"))
+      .select(concat(lit("item_"), col("rank")).as("v"))
+    val t0 = System.nanoTime()
+    val got = graft.operators.TextOps
+      .frequentItems(stream.toDF(), "v", minShare = 2.5e-6,
+        maxMapSize = 65536)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "64k-map regime must take the broadcast-join verify path")
+    val rows = got.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val secs = (System.nanoTime() - t0) / 1e9
+    val thr = math.ceil(2.5e-6 * n).toLong
+    val exact = stream.groupBy("v").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= thr)
+      .orderBy(desc("n"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(exact.size > 2048,
+      s"regime check: need the join path's candidate scale, got ${exact.size}")
+    assert(rows == exact,
+      s"sketch+verify diverged from exact at 64k: ${rows.take(3)} vs ${exact.take(3)}")
+    info(f"64k-map frequentItems: ${rows.size} hitters in $secs%.1f s")
+  }
+
   test("observe() surfaces inline QA metrics without an extra pass") {
     val observed = Tables(spark, sf, "documents")
       .observe("qa",
