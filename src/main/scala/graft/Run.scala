@@ -62,11 +62,14 @@ import graft.operators.PipelineOps
   * ingest fates against: `out/index/hashes` (content-hash table) and
   * `out/index/postings` (raw `(doc_id, sh64)` shingle pairs; df is
   * re-attached at read by counting rows, so the on-disk index is
-  * append-only and every ingest write stays ∝ increment) — and one
-  * corpus-stats artifact, `out/stats/heavy_tokens` (the exact ≥0.5%
+  * append-only and every ingest write stays ∝ increment) — plus the
+  * corpus-stats artifacts: `out/stats/heavy_tokens` (the exact ≥0.5%
   * token list via [[graft.operators.TextOps.frequentTokens]]'s
   * sketch-prefiltered pass: stop-list/boilerplate candidates, bounded
-  * by the sketch's map size however large the corpus).
+  * by the sketch's map size however large the corpus) and the STANDING
+  * PROFILE of mergeable sketch bytes — `stats/token_sketch`
+  * (frequent-items), `stats/len_quantiles` (KLL over per-doc token
+  * counts), `stats/distinct_content` (HLL over content hashes).
   *
   * `"mode": "ingest"` + `"increment": <parquet>` appends a new batch to
   * an existing build directory ([[executeIngest]]): fates from the
@@ -74,12 +77,13 @@ import graft.operators.PipelineOps
   * advanced via the boundary-part dynamic overwrite (exactly one part
   * directory re-read), indexes appended — the batch twin of
   * [[graft.streaming.TrainReadyCursor]], with the artifacts on disk
-  * instead of in checkpoint blocks. The `stats/` artifacts are BUILD
-  * snapshots and are NOT advanced by an ingest (an exact heavy-token
-  * refresh needs candidate counts over the whole corpus — re-run the
-  * stats stage, or maintain the serialized sketch bytes via
-  * [[graft.functions.FreqItems.mergeBytes]] when an estimate-grade
-  * refresh suffices).
+  * instead of in checkpoint blocks. The profile sketches ADVANCE per
+  * ingest by a bytes-merge with the increment's own sketches (VERDICT
+  * r14 #3) — estimates over the merged bytes equal a from-scratch
+  * build's, so the corpus profile never needs a re-scan; only the
+  * exact `stats/heavy_tokens` list stays a build snapshot (exact
+  * counts need candidate counts over the whole corpus — re-run the
+  * stats stage for an exact refresh).
   *
   * Scale shape: identical to the library entry points it composes — the
   * runner adds no collect, no extra shuffle, and no driver-side loop; its
@@ -270,6 +274,30 @@ object Run {
         minShare = 0.005)
     }
 
+    // 1d. the STANDING corpus profile (VERDICT r14 #3) — the mergeable
+    // sketch BYTES behind the stats. The exact heavy-token list above
+    // is a build snapshot (exact counts need a corpus scan); these
+    // three ADVANCE per ingest by bytes-merge, so an estimate-grade
+    // profile always covers the whole corpus at cost ∝ increment:
+    //   stats/token_sketch      frequent-items bytes, token stream
+    //   stats/len_quantiles     KLL bytes, per-doc token counts
+    //   stats/distinct_content  HLL bytes, content hashes
+    stage(s"${spec.out}/stats/token_sketch") {
+      graft.operators.TextOps.tokenSketchBytes(corpus, spec.text)
+    }
+    stage(s"${spec.out}/stats/len_quantiles") {
+      graft.operators.RelationalOps.quantileSketch(
+        graft.operators.TextOps.tokenCounts(corpus, spec.id, spec.text)
+          .withColumn("grp", lit("all")),
+        "grp", "n_tok")
+    }
+    stage(s"${spec.out}/stats/distinct_content") {
+      graft.operators.RelationalOps.distinctSketch(
+        corpus.select(lit("all").as("grp"),
+          md5(col(spec.text).cast("binary")).as("h")),
+        "grp", "h")
+    }
+
     // 2. per-fate audit over the persisted fates
     stage(s"${spec.out}/report") {
       PipelineOps.curationReport(fates, corpus, spec.id, spec.text)
@@ -402,6 +430,19 @@ object Run {
           .as("sh64"))
       .write.mode("append").parquet(s"$out/index/postings")
 
+    // corpus-profile advance (VERDICT r14 #3): the three mergeable
+    // sketch artifacts move forward by a bytes-merge with the
+    // increment's own sketch — after any number of ingests the profile
+    // estimates equal a from-scratch build's over the whole corpus
+    // (RunSpec pins it across two ingests). The exact
+    // stats/heavy_tokens list stays a BUILD snapshot: an exact refresh
+    // re-runs the stats stage; the estimate-grade token profile is the
+    // advanced token_sketch bytes. Standing state is collected or
+    // checkpointed BEFORE each overwrite so no write reads the path it
+    // replaces. A pre-profile build dir (missing artifacts) is warned
+    // about, not failed — ingest appends stay valid without it.
+    advanceProfile(s, spec, inc)
+
     val incFates = incRows.groupBy("fate")
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum("n_tok"), lit(0L)).as("tok_total"))
@@ -428,6 +469,60 @@ object Run {
       summary.getBytes(StandardCharsets.UTF_8))
     summary
   }
+
+  /** Advance the three mergeable corpus-profile artifacts by the
+    * increment's sketches (see the build's stage 1d and the ingest
+    * call site). Each standing artifact is tiny (one row / one group);
+    * merges run at kilobyte cost on the driver or through a
+    * checkpointed frame. */
+  private def advanceProfile(s: SparkSession, spec: Spec,
+      inc: DataFrame): Unit = {
+    val out = spec.out
+    import graft.operators.{RelationalOps, TextOps}
+
+    val skPath = s"$out/stats/token_sketch"
+    if (stageDone(skPath)) {
+      val standing = s.read.parquet(skPath).head().getAs[Array[Byte]]("sk")
+      val incSk = TextOps.tokenSketchBytes(inc, spec.text)
+        .head().getAs[Array[Byte]]("sk")
+      s.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(
+            graft.functions.FreqItems.mergeBytes(standing, incSk))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("sk",
+            org.apache.spark.sql.types.BinaryType, nullable = false))))
+        .write.mode("overwrite").parquet(skPath)
+    } else warnNoProfile(skPath)
+
+    val lqPath = s"$out/stats/len_quantiles"
+    if (stageDone(lqPath)) {
+      val standing = s.read.parquet(lqPath).localCheckpoint(true)
+      val incLq = RelationalOps.quantileSketch(
+        TextOps.tokenCounts(inc, spec.id, spec.text)
+          .withColumn("grp", lit("all")), "grp", "n_tok")
+      val merged = RelationalOps.quantileSketchMerge(standing, incLq, "grp")
+        .localCheckpoint(true)
+      merged.write.mode("overwrite").parquet(lqPath)
+      standing.unpersist(); merged.unpersist()
+    } else warnNoProfile(lqPath)
+
+    val dcPath = s"$out/stats/distinct_content"
+    if (stageDone(dcPath)) {
+      val standing = s.read.parquet(dcPath).localCheckpoint(true)
+      val incDc = RelationalOps.distinctSketch(
+        inc.select(lit("all").as("grp"),
+          md5(col(spec.text).cast("binary")).as("h")), "grp", "h")
+      val merged = RelationalOps.distinctSketchMerge(standing, incDc, "grp")
+        .localCheckpoint(true)
+      merged.write.mode("overwrite").parquet(dcPath)
+      standing.unpersist(); merged.unpersist()
+    } else warnNoProfile(dcPath)
+  }
+
+  private def warnNoProfile(path: String): Unit =
+    System.err.println(s"[run] WARNING: profile artifact '$path' absent " +
+      "(pre-profile build?) — ingest proceeds without advancing it; " +
+      "re-run the build's stats stages to create it.")
 
   private def esc(x: String): String = x.flatMap {
     case '"' => "\\\""

@@ -238,4 +238,85 @@ class RunSpec extends SparkSpec {
         s" of ${storeBefore.size}")
     win.unpersist()
   }
+
+  test("Run ingest advances the corpus profile: two ingests == from-scratch build") {
+    // VERDICT r14 #3: the standing profile (token sketch bytes, length
+    // KLL, content HLL) must move with the corpus — after two ingests
+    // the merged artifacts' estimates equal a from-scratch build's over
+    // the union. Tiny corpora sit in every sketch's exact regime, so
+    // the equalities are exact, not banded.
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-run-prof").toFile
+      .getAbsolutePath
+    val prior = Seq((1L, clean("alpha")), (2L, clean("beta")))
+      .toDF("id", "body")
+    val inc1 = Seq((11L, clean("gamma")), (12L, clean("alpha")))
+      .toDF("id", "body") // 12 duplicates doc 1's content
+    val inc2 = Seq((21L, clean("delta") + " extra tail tokens"))
+      .toDF("id", "body")
+    val bench = Seq((100L, words("bench", 20).mkString(" ")))
+      .toDF("id", "body")
+    prior.write.parquet(s"$dir/prior")
+    inc1.write.parquet(s"$dir/inc1")
+    inc2.write.parquet(s"$dir/inc2")
+    bench.write.parquet(s"$dir/bench")
+    prior.unionByName(inc1).unionByName(inc2)
+      .write.parquet(s"$dir/union")
+
+    def spec(json: String) = Run.parseSpec(json)
+    Run.execute(s, spec(
+      s"""{"corpus": "$dir/prior", "benchmark": "$dir/bench",
+         | "out": "$dir/build", "id": "id", "text": "body",
+         | "cap": 16, "formatter": "plain", "chunksPerPart": 2}"""
+        .stripMargin))
+    Seq("inc1", "inc2").foreach { inc =>
+      Run.execute(s, spec(
+        s"""{"mode": "ingest", "increment": "$dir/$inc",
+           | "benchmark": "$dir/bench", "out": "$dir/build",
+           | "id": "id", "text": "body",
+           | "cap": 16, "formatter": "plain", "chunksPerPart": 2}"""
+          .stripMargin))
+    }
+    Run.execute(s, spec(
+      s"""{"corpus": "$dir/union", "benchmark": "$dir/bench",
+         | "out": "$dir/scratch", "id": "id", "text": "body",
+         | "cap": 16, "formatter": "plain", "chunksPerPart": 2}"""
+        .stripMargin))
+
+    // token sketch: decoded stream + candidate counts identical
+    def decodeSk(out: String) = {
+      val bytes = s.read.parquet(s"$out/stats/token_sketch")
+        .head().getAs[Array[Byte]]("sk")
+      val (n, err, cands) = graft.functions.FreqItems.decode(bytes, 1L)
+      (n, err, cands.map(c => c.item -> c.est).toMap)
+    }
+    val (nA, errA, candsA) = decodeSk(s"$dir/build")
+    val (nB, errB, candsB) = decodeSk(s"$dir/scratch")
+    assert(nA == nB && errA == 0L && errB == 0L && candsA == candsB,
+      s"token profile diverged: ($nA, $errA) vs ($nB, $errB); " +
+        s"only merged: ${candsA.toSet -- candsB.toSet}; " +
+        s"only scratch: ${candsB.toSet -- candsA.toSet}")
+
+    // length quantiles + distinct content: estimates identical
+    import graft.operators.RelationalOps
+    def lenQ(out: String) = RelationalOps.quantileSketchEstimate(
+        s.read.parquet(s"$out/stats/len_quantiles"), "grp",
+        Seq(0.25, 0.5, 0.95))
+      .collect().map(_.toString).toSeq
+    assert(lenQ(s"$dir/build") == lenQ(s"$dir/scratch"),
+      s"length profile diverged: ${lenQ(s"$dir/build")} vs " +
+        s"${lenQ(s"$dir/scratch")}")
+    def dc(out: String) = RelationalOps.distinctSketchEstimate(
+        s.read.parquet(s"$out/stats/distinct_content"), "grp")
+      .collect().map(_.toString).toSeq
+    assert(dc(s"$dir/build") == dc(s"$dir/scratch"),
+      s"content profile diverged: ${dc(s"$dir/build")} vs " +
+        s"${dc(s"$dir/scratch")}")
+    // the duplicate content (docs 1 and 12) must collapse in the count
+    val est = RelationalOps.distinctSketchEstimate(
+      s.read.parquet(s"$dir/build/stats/distinct_content"), "grp")
+      .head().getLong(1)
+    assert(est == 4L, s"expected 4 distinct contents over 5 docs, got $est")
+  }
 }
