@@ -284,6 +284,51 @@ class ApiSpec extends SparkSpec {
       "frozen-quantizer assignment must be deterministic and total")
   }
 
+  test("ivfDrift trips the re-train threshold on a drifted increment, not an in-distribution one") {
+    // VERDICT r14 #5: the frozen-quantizer rule's invalidation signal.
+    // Train on two clean spherical clusters around (1,0,0) and (0,1,0);
+    // an in-distribution ingest scores ~1x the baseline distortion, a
+    // drifted one (a third cluster near (0,0,1), orthogonal to every
+    // centroid) blows past maxRatio and must flag retrain.
+    val s = spark
+    import s.implicits._
+    def cluster(base: Array[Float], ids: Range, wiggle: Float) =
+      ids.map { i =>
+        val w = Array.tabulate(3)(j =>
+          base(j) + (if (j == (i % 3)) wiggle * (1 + i % 3) else 0f))
+        (i.toLong, w)
+      }
+    val corpus = (cluster(Array(1f, 0f, 0f), 0 until 20, 0.05f) ++
+      cluster(Array(0f, 1f, 0f), 20 until 40, 0.05f)).toDF("id", "vec")
+    val q = SimilarityOps.ivfTrain(corpus, "id", "vec", nlist = 2)
+    val baseline = SimilarityOps
+      .ivfQuantizationError(corpus, "id", "vec", q).localCheckpoint(true)
+    val base = baseline.head()
+    assert(base.getAs[Long]("n_vecs") == 40L &&
+      base.getAs[Double]("mean_qerr") < 0.05,
+      s"training distortion should be small on clean clusters: $base")
+
+    // in-distribution: fresh ids, vectors drawn from the SAME cluster
+    // generator the quantizer trained on
+    val inDist = cluster(Array(1f, 0f, 0f), 0 until 20, 0.05f)
+      .map { case (id, v) => (id + 1000L, v) }.toDF("id", "vec")
+    val ok = SimilarityOps.ivfDrift(inDist, "id", "vec", q, baseline).head()
+    assert(!ok.getAs[Boolean]("retrain") &&
+      ok.getAs[Double]("ratio") < 1.5,
+      s"in-distribution ingest must not trip the threshold: $ok")
+
+    val drifted = cluster(Array(0f, 0f, 1f), 200 until 210, 0.06f)
+      .toDF("id", "vec")
+    val bad = SimilarityOps.ivfDrift(drifted, "id", "vec", q, baseline).head()
+    assert(bad.getAs[Boolean]("retrain") &&
+      bad.getAs[Double]("ratio") > 1.5 &&
+      bad.getAs[Double]("mean_qerr") > 0.5,
+      s"orthogonal ingest must trip the re-train threshold: $bad")
+    assert(bad.schema.fieldNames.toSeq == Seq("n_vecs", "mean_qerr",
+      "max_qerr", "baseline_mean", "ratio", "retrain"),
+      s"ingest-stats row shape: ${bad.schema.fieldNames.toSeq}")
+  }
+
   test("text/pipeline entry points run on a generic frame with foreign column names") {
     val s = spark
     import s.implicits._
