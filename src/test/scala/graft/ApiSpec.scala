@@ -245,6 +245,42 @@ class ApiSpec extends SparkSpec {
     assert(cols == Seq("cat", "p25", "p99_9"), s"$cols")
   }
 
+  test("sketchEdges feeds bucketQuotaSample: profile-derived edges without a corpus re-scan") {
+    // the VERDICT r14 #2 composition, closed end-to-end: the standing
+    // KLL artifact yields the score-bucket edges, and the draw over
+    // them is identical to one over exact profiling-pass quantiles
+    // (exact regime — the sketch holds the stream).
+    val s = spark
+    import s.implicits._
+    val scored = (1 to 200).map(i => (i.toLong, (i % 97).toDouble * 0.1))
+      .toDF("doc_id", "score")
+    val sk = RelationalOps.quantileSketch(
+      scored.withColumn("grp", lit("all")), "grp", "score")
+      .localCheckpoint(true) // stands in for the persisted stats artifact
+    val qs = Seq(0.25, 0.5, 0.75)
+    val edges = RelationalOps.sketchEdges(sk, "grp", qs)
+    val exact = {
+      val sorted = scored.collect().map(_.getDouble(1)).sorted
+      qs.map(q => sorted(math.ceil(q * sorted.length).toInt - 1))
+        .distinct.sorted
+    }
+    assert(edges == exact, s"sketch edges $edges vs exact $exact")
+    val viaSketch = PipelineOps
+      .bucketQuotaSample(scored, "doc_id", "score", edges, n = 5)
+      .collect().map(_.toString).toSeq
+    val viaExact = PipelineOps
+      .bucketQuotaSample(scored, "doc_id", "score", exact, n = 5)
+      .collect().map(_.toString).toSeq
+    assert(viaSketch == viaExact && viaSketch.size == 20,
+      s"draws diverged: $viaSketch vs $viaExact")
+    // a multi-group sketch table is refused loudly
+    val multi = RelationalOps.quantileSketch(
+      Seq(("a", 1.0), ("b", 2.0)).toDF("grp", "v"), "grp", "v")
+    val e = intercept[IllegalArgumentException](
+      RelationalOps.sketchEdges(multi, "grp", Seq(0.5)))
+    assert(e.getMessage.contains("single-group"), e.getMessage)
+  }
+
   test("ivfAppend assigns an increment against a frozen quantizer (generic frame)") {
     val s = spark
     import s.implicits._
