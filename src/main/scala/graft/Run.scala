@@ -346,7 +346,8 @@ object Run {
         s""""chunksPerPart":${spec.chunksPerPart},""" +
         s""""fates":$fateLines,""" +
         s""""n_windows":${wtot.getAs[Long]("n")},""" +
-        s""""n_window_tokens":${wtot.getAs[Long]("t")}}"""
+        s""""n_window_tokens":${wtot.getAs[Long]("t")}""" +
+        profileSummary(s, spec.out).map("," + _).getOrElse("") + "}"
     Files.write(Paths.get(spec.out, "SUMMARY.json"),
       summary.getBytes(StandardCharsets.UTF_8))
     summary
@@ -464,7 +465,8 @@ object Run {
         s""""chunksPerPart":${spec.chunksPerPart},""" +
         s""""increment_fates":$fateLines,""" +
         s""""n_windows":${wtot.getAs[Long]("n")},""" +
-        s""""n_window_tokens":${wtot.getAs[Long]("t")}}"""
+        s""""n_window_tokens":${wtot.getAs[Long]("t")}""" +
+        profileSummary(s, out).map("," + _).getOrElse("") + "}"
     Files.write(Paths.get(out, "SUMMARY.json"),
       summary.getBytes(StandardCharsets.UTF_8))
     summary
@@ -523,6 +525,29 @@ object Run {
     System.err.println(s"[run] WARNING: profile artifact '$path' absent " +
       "(pre-profile build?) — ingest proceeds without advancing it; " +
       "re-run the build's stats stages to create it.")
+
+  /** The standing profile, read back for SUMMARY.json — token stream
+    * length off the frequent-items bytes, p50/p95 doc length off the
+    * KLL bytes, distinct-content estimate off the HLL bytes. Attests
+    * the ON-DISK artifacts (post-advance on ingest), same as the window
+    * totals. None when a pre-profile build dir lacks the artifacts. */
+  private def profileSummary(s: SparkSession, out: String): Option[String] = {
+    import graft.operators.RelationalOps
+    if (!stageDone(s"$out/stats/token_sketch") ||
+        !stageDone(s"$out/stats/len_quantiles") ||
+        !stageDone(s"$out/stats/distinct_content")) return None
+    val sk = s.read.parquet(s"$out/stats/token_sketch")
+      .head().getAs[Array[Byte]]("sk")
+    val (nTok, _, _) = graft.functions.FreqItems.decode(sk, Long.MaxValue)
+    val lq = RelationalOps.quantileSketchEstimate(
+      s.read.parquet(s"$out/stats/len_quantiles"), "grp", Seq(0.5, 0.95))
+      .head()
+    val dc = RelationalOps.distinctSketchEstimate(
+      s.read.parquet(s"$out/stats/distinct_content"), "grp")
+      .head().getLong(1)
+    Some(s""""profile":{"n_tokens":$nTok,"len_p50":${lq.getDouble(1)},""" +
+      s""""len_p95":${lq.getDouble(2)},"distinct_content_est":$dc}""")
+  }
 
   private def esc(x: String): String = x.flatMap {
     case '"' => "\\\""

@@ -270,7 +270,7 @@ class RunSpec extends SparkSpec {
          | "out": "$dir/build", "id": "id", "text": "body",
          | "cap": 16, "formatter": "plain", "chunksPerPart": 2}"""
         .stripMargin))
-    Seq("inc1", "inc2").foreach { inc =>
+    val ingSummaries = Seq("inc1", "inc2").map { inc =>
       Run.execute(s, spec(
         s"""{"mode": "ingest", "increment": "$dir/$inc",
            | "benchmark": "$dir/bench", "out": "$dir/build",
@@ -278,11 +278,22 @@ class RunSpec extends SparkSpec {
            | "cap": 16, "formatter": "plain", "chunksPerPart": 2}"""
           .stripMargin))
     }
-    Run.execute(s, spec(
+    val scratchSummary = Run.execute(s, spec(
       s"""{"corpus": "$dir/union", "benchmark": "$dir/bench",
          | "out": "$dir/scratch", "id": "id", "text": "body",
          | "cap": 16, "formatter": "plain", "chunksPerPart": 2}"""
         .stripMargin))
+
+    // the summary attests the advanced ON-DISK profile: the second
+    // ingest's profile object equals the from-scratch build's exactly
+    val m = new ObjectMapper()
+    val profIng = m.readTree(ingSummaries.last).get("profile")
+    val profScr = m.readTree(scratchSummary).get("profile")
+    assert(profIng != null && profIng == profScr,
+      s"summary profile diverged: $profIng vs $profScr")
+    assert(profIng.get("n_tokens").asLong >
+      m.readTree(ingSummaries.head).get("profile").get("n_tokens").asLong,
+      "profile token count must grow across ingests")
 
     // token sketch: decoded stream + candidate counts identical
     def decodeSk(out: String) = {
