@@ -360,6 +360,49 @@ object TextOps {
       .limit(topK)
   }
 
+  /** [[tokenDivergence]] over two serialized frequent-items sketches
+    * (r15) — the ESTIMATE-GRADE drift monitor the standing corpus
+    * profile enables: compare the ingest-advanced `token_sketch` bytes
+    * against an increment's own sketch WITHOUT touching either corpus —
+    * kilobytes in, a top-K report out, zero executor work. Same JS
+    * formula and r9 rounding as the exact operator over the union of
+    * the two sketches' retained candidates with their count estimates:
+    * in the sketches' exact regime (no purging) the candidates are ALL
+    * distinct tokens with exact counts and the report EQUALS
+    * [[tokenDivergence]]'s (graft.ApiSpec pins it); in the purging
+    * regime it is the heavy-hitter-restricted estimate — exactly the
+    * tokens a drift decision is about, each count within the sketch's
+    * proven band. Use the exact operator for an audit-grade report;
+    * use this per ingest.
+    *
+    * LIBRARY ENTRY POINT — any two [[graft.functions.FreqItems]] bytes
+    * (e.g. [[tokenSketchBytes]] output). */
+  def tokenDivergenceSketch(s: SparkSession, a: Array[Byte],
+      b: Array[Byte], topK: Int = 100): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import graft.functions.FreqItems
+    val (na, _, candsA) = FreqItems.decode(a, 1L)
+    val (nb, _, candsB) = FreqItems.decode(b, 1L)
+    val ma = candsA.map(c => c.item -> c.est).toMap
+    val mb = candsB.map(c => c.item -> c.est).toMap
+    def r9(x: Double): Double = math.floor(x * 1e9d + 0.5d) / 1e9d
+    val rows = (ma.keySet ++ mb.keySet).toSeq.map { tok =>
+      val nA = ma.getOrElse(tok, 0L)
+      val nB = mb.getOrElse(tok, 0L)
+      val p = if (na > 0) nA.toDouble / na else 0.0d
+      val q = if (nb > 0) nB.toDouble / nb else 0.0d
+      val m = (p + q) / 2.0d
+      // StrictMath.log: bit-parity with Spark's log codegen (the
+      // TextStats lesson) so the exact-regime equality is exact
+      val js = r9(
+        (if (p > 0) p * StrictMath.log(p / m) else 0.0d) * 0.5d +
+          (if (q > 0) q * StrictMath.log(q / m) else 0.0d) * 0.5d)
+      (tok, nA, nB, js)
+    }.sortBy { case (tok, _, _, js) => (-js, tok) }.take(topK)
+    import s.implicits._
+    rows.toDF("tok", "n_a", "n_b", "js_contrib")
+  }
+
   /** src0 vs the rest of the corpus — the per-source drift report a
     * mixture pipeline runs per build. */
   private def tokenDivergenceQuery(s: SparkSession, d: String): DataFrame = {

@@ -281,6 +281,28 @@ class ApiSpec extends SparkSpec {
     assert(e.getMessage.contains("single-group"), e.getMessage)
   }
 
+  test("tokenDivergenceSketch equals the exact report in the sketches' exact regime") {
+    // the bytes-only drift monitor: in the exact regime (no purging)
+    // the sketch candidates are ALL tokens with exact counts, so the
+    // report must equal tokenDivergence's row-for-row — same JS terms,
+    // same r9 rounding, same (js desc, tok) order
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "aa bb bb cc"), (2L, "aa dd dd dd")).toDF("k", "body")
+    val b = Seq((3L, "aa bb ee ee ee"), (4L, "ff")).toDF("k", "body")
+    def sk(d: org.apache.spark.sql.DataFrame) = TextOps
+      .tokenSketchBytes(d, "body").head().getAs[Array[Byte]]("sk")
+    val viaSketch = TextOps.tokenDivergenceSketch(s, sk(a), sk(b))
+      .collect().map(_.toString).toSeq
+    val exact = TextOps.tokenDivergence(a, b, "body")
+      .collect().map(_.toString).toSeq
+    assert(viaSketch == exact,
+      s"sketch drift report diverged:\n$viaSketch\nvs\n$exact")
+    // topK truncates identically
+    assert(TextOps.tokenDivergenceSketch(s, sk(a), sk(b), topK = 2)
+      .collect().map(_.toString).toSeq == exact.take(2))
+  }
+
   test("ivfAppend assigns an increment against a frozen quantizer (generic frame)") {
     val s = spark
     import s.implicits._
