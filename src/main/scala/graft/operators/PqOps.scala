@@ -173,6 +173,48 @@ object PqOps {
       case None => trainCodebook(ne, m, ksub, iters, trainFraction)
     }
 
+  /** Per-batch PQ reconstruction distortion against a FROZEN [[pqTrain]]
+    * codebook — the [[SimilarityOps.ivfQuantizationError]] twin for the
+    * product quantizer that [[ivfPqIndex]] freezes: ONE stats row
+    * `(n_vecs, mean_qerr, max_qerr)` where a vector's qerr is
+    * `1 − ⟨ne, recon(ne)⟩` — the ADC dot of the vector against its OWN
+    * codes, computed by the exact same encode + ADC kernels the search
+    * path runs, so the number measures precisely the quantity ADC
+    * shortlist quality depends on (recon ≈ ne → qerr ≈ 0). Run over the
+    * training corpus at train time (the persisted baseline), then per
+    * ingest through [[pqDrift]]. Cost ∝ batch, zero joins/shuffles —
+    * two broadcast-codebook codegen kernels and three aggregates.
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, array-of-float) frame. */
+  def pqQuantizationError(rows: DataFrame, id: String, vec: String,
+      codebooks: DataFrame, m: Int = 8, ksub: Int = 16): DataFrame = {
+    val ne = SimilarityOps.normalizedVecs(rows, id, vec)
+    val cb = resolveCodebook(ne, m, ksub, iters = 1, trainFraction = 1.0,
+      Some(codebooks))
+    val bc = rows.sparkSession.sparkContext.broadcast(cb)
+    ne.select((lit(1.0d) - PqKernels.pqAdcDot(
+        PqKernels.pqEncode(col("ne"), bc), col("ne"), bc)).as("qerr"))
+      .agg(count(lit(1)).as("n_vecs"),
+        Det.r4(avg(col("qerr"))).as("mean_qerr"),
+        Det.r4(max(col("qerr"))).as("max_qerr"))
+  }
+
+  /** The PQ codebook's re-train signal — [[SimilarityOps.ivfDrift]]'s
+    * policy applied to the [[ivfPqIndex]] freeze: one ingest-stats row
+    * `(n_vecs, mean_qerr, max_qerr, baseline_mean, ratio, retrain)`,
+    * `retrain = mean_qerr > maxRatio × baseline_mean`. Same default and
+    * same rationale (the MEAN is the trigger; see README's re-train
+    * policy note). `baseline` is [[pqQuantizationError]] over the
+    * training corpus, persisted next to the codebook.
+    *
+    * LIBRARY ENTRY POINT — generic over any (id, array-of-float) frame. */
+  def pqDrift(increment: DataFrame, id: String, vec: String,
+      codebooks: DataFrame, baseline: DataFrame, m: Int = 8,
+      ksub: Int = 16, maxRatio: Double = 1.5): DataFrame =
+    SimilarityOps.driftRow(
+      pqQuantizationError(increment, id, vec, codebooks, m, ksub),
+      baseline, maxRatio)
+
   /** Encode a corpus to PQ codes `(id, codes ARRAY<INT>)` — the compact
     * index a production pipeline persists next to the codebook: 8 codes
     * replace 64 floats per vector, and every later search session scans

@@ -660,9 +660,17 @@ object SimilarityOps {
     * LIBRARY ENTRY POINT — generic over any (id, vector-array) frame. */
   def ivfDrift(increment: DataFrame, id: String, vec: String,
       centroids: DataFrame, baseline: DataFrame,
-      maxRatio: Double = 1.5): DataFrame = {
+      maxRatio: Double = 1.5): DataFrame =
+    driftRow(ivfQuantizationError(increment, id, vec, centroids),
+      baseline, maxRatio)
+
+  /** Shared drift-row composition for the frozen-artifact signals
+    * ([[ivfDrift]] and [[graft.operators.PqOps.pqDrift]]): one
+    * ingest-stats row vs the persisted training-time baseline. */
+  private[operators] def driftRow(stats: DataFrame, baseline: DataFrame,
+      maxRatio: Double): DataFrame = {
     require(maxRatio > 0, s"maxRatio must be positive, got $maxRatio")
-    ivfQuantizationError(increment, id, vec, centroids)
+    stats
       .crossJoin(broadcast(
         baseline.select(col("mean_qerr").as("baseline_mean"))))
       .withColumn("ratio", when(col("baseline_mean") > 0d,

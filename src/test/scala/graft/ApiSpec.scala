@@ -387,6 +387,42 @@ class ApiSpec extends SparkSpec {
       s"ingest-stats row shape: ${bad.schema.fieldNames.toSeq}")
   }
 
+  test("pqDrift trips the re-train threshold on a drifted increment (codebook twin)") {
+    // the same invalidation signal for the OTHER frozen artifact
+    // (ivfPqIndex's codebook): reconstruction distortion through the
+    // search path's own encode + ADC kernels.
+    val s = spark
+    import s.implicits._
+    import graft.operators.PqOps
+    def cluster(base: Array[Float], ids: Range, wiggle: Float) =
+      ids.map { i =>
+        val w = Array.tabulate(4)(j =>
+          base(j) + (if (j == (i % 4)) wiggle * (1 + i % 3) else 0f))
+        (i.toLong, w)
+      }
+    val corpus = (cluster(Array(1f, 0f, 0f, 0f), 0 until 24, 0.05f) ++
+      cluster(Array(0f, 1f, 0f, 0f), 24 until 48, 0.05f)).toDF("id", "vec")
+    val cb = PqOps.pqTrain(corpus, "id", "vec", m = 2, ksub = 4)
+    val baseline = PqOps
+      .pqQuantizationError(corpus, "id", "vec", cb, m = 2, ksub = 4)
+      .localCheckpoint(true)
+    assert(baseline.head().getAs[Double]("mean_qerr") < 0.05,
+      s"training distortion should be small: ${baseline.head()}")
+    val inDist = cluster(Array(0f, 1f, 0f, 0f), 24 until 48, 0.05f)
+      .map { case (id, v) => (id + 1000L, v) }.toDF("id", "vec")
+    val ok = PqOps.pqDrift(inDist, "id", "vec", cb, baseline,
+      m = 2, ksub = 4).head()
+    assert(!ok.getAs[Boolean]("retrain"),
+      s"in-distribution ingest must not trip the threshold: $ok")
+    val drifted = cluster(Array(0f, 0f, 0f, 1f), 200 until 220, 0.05f)
+      .toDF("id", "vec")
+    val bad = PqOps.pqDrift(drifted, "id", "vec", cb, baseline,
+      m = 2, ksub = 4).head()
+    assert(bad.getAs[Boolean]("retrain") &&
+      bad.getAs[Double]("mean_qerr") > 0.3,
+      s"orthogonal ingest must trip the codebook re-train threshold: $bad")
+  }
+
   test("text/pipeline entry points run on a generic frame with foreign column names") {
     val s = spark
     import s.implicits._
