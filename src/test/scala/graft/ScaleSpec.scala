@@ -414,6 +414,57 @@ class ScaleSpec extends SparkSpec {
     info(f"64k-map frequentItems: ${rows.size} hitters in $secs%.1f s")
   }
 
+  test("quantile sketch holds the rank-error band at the compacting regime (10M rows, 4 merged increments)") {
+    // the KLL family's scale proof (the freq-sketch 2M-purging pattern
+    // applied to quantiles): a 10M-value stream per group forces deep
+    // compaction at k=2048, and the standing table is built the ingest
+    // way — four increments merged pairwise, never one big sketch. The
+    // PROVEN guarantee (normalized rank error ~0.25% at k=2048) must
+    // hold through the merges: every estimate's true rank within 1%
+    // (4x margin) of its target. True ranks are closed-form — the
+    // stream is a deterministic permutation of 0..n-1 per group.
+    val s = spark
+    import s.implicits._
+    import graft.operators.RelationalOps
+    val n = 10000000L
+    def part(i: Int) = spark.range(n / 4 * i, n / 4 * (i + 1))
+      .select((col("id") % 2).cast("string").as("grp"),
+        // a hash-spread value stream: v in [0, n/2), each exactly once
+        // per group, delivered in hash order (worst case for a
+        // streaming quantile sketch: no presortedness)
+        (xxhash64(col("id")).bitwiseAND(lit(Long.MaxValue)) % (n / 2))
+          .cast("double").as("v"))
+    // NOTE: xxhash64 % m is not a permutation — duplicates are fine,
+    // ranks are measured against the ACTUAL delivered stream below.
+    val t0 = System.nanoTime()
+    val standing = (1 to 3).foldLeft(
+      RelationalOps.quantileSketch(part(0), "grp", "v")) { (st, i) =>
+      RelationalOps.quantileSketchMerge(st,
+        RelationalOps.quantileSketch(part(i), "grp", "v"), "grp")
+    }
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    val est = RelationalOps.quantileSketchEstimate(standing, "grp", qs)
+      .collect().map(r => r.getString(0) ->
+        (1 to qs.length).map(r.getDouble)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    // true rank of each estimate, measured on the delivered stream
+    val whole = (0 to 3).map(part).reduce(_ unionByName _)
+    est.foreach { case (g, es) =>
+      val ranks = whole.filter(col("grp") === g)
+        .select(qs.indices.map(i =>
+          sum(when(col("v") <= es(i), 1L).otherwise(0L)).as(s"r$i")) :+
+          count(lit(1)).as("n"): _*)
+        .head()
+      val cnt = ranks.getAs[Long]("n").toDouble
+      qs.zipWithIndex.foreach { case (q, i) =>
+        val tr = ranks.getAs[Long](s"r$i") / cnt
+        assert(math.abs(tr - q) <= 0.01,
+          s"$g p$q: estimate ${es(i)} true rank $tr (off ${math.abs(tr - q)})")
+      }
+    }
+    info(f"10M-row 4-increment KLL: 2 groups x ${qs.size} quantiles in $secs%.1f s")
+  }
+
   test("observe() surfaces inline QA metrics without an extra pass") {
     val observed = Tables(spark, sf, "documents")
       .observe("qa",
