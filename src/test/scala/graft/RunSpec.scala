@@ -329,5 +329,29 @@ class RunSpec extends SparkSpec {
       s.read.parquet(s"$dir/build/stats/distinct_content"), "grp")
       .head().getLong(1)
     assert(est == 4L, s"expected 4 distinct contents over 5 docs, got $est")
+
+    // mode=stats: the EXACT refresh as its own job — stats/* rebuilt
+    // from the current corpus, everything else untouched
+    val manifestBefore = s.read.parquet(s"$dir/build/manifest")
+      .collect().map(_.toString).toSet
+    val statsSummary = Run.execute(s, spec(
+      s"""{"mode": "stats", "corpus": "$dir/union",
+         | "benchmark": "$dir/bench", "out": "$dir/build",
+         | "id": "id", "text": "body",
+         | "cap": 16, "formatter": "plain", "chunksPerPart": 2}"""
+        .stripMargin))
+    val heavyRefreshed = s.read
+      .parquet(s"$dir/build/stats/heavy_tokens")
+      .orderBy(desc("n"), col("token")).collect().map(_.toString).toSeq
+    val heavyDirect = graft.operators.TextOps.frequentTokens(
+      s.read.parquet(s"$dir/union"), "body", minShare = 0.005)
+      .collect().map(_.toString).toSeq
+    assert(heavyRefreshed == heavyDirect && heavyRefreshed.nonEmpty,
+      "exact stats refresh must equal a direct pass over the union")
+    assert(s.read.parquet(s"$dir/build/manifest")
+      .collect().map(_.toString).toSet == manifestBefore,
+      "stats refresh must not touch the manifest")
+    assert(m.readTree(statsSummary).get("profile") == profScr,
+      "re-baselined profile must equal the from-scratch build's")
   }
 }
