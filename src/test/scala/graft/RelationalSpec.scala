@@ -142,4 +142,43 @@ class RelationalSpec extends SparkSpec {
       assert(v == v.sorted, s"non-monotone quantiles: $r")
     }
   }
+
+  test("quantile sketches: generated streams, any split, exact-regime merge == exact quantiles") {
+    // property-style coverage (the kernel-parity convention applied to
+    // the sketch family): random values, random group labels, random
+    // 3-way split into "ingests" — merged estimates must equal the
+    // exact inclusive quantiles of the whole stream, for every group,
+    // at every requested rank
+    import graft.operators.RelationalOps
+    import org.scalacheck.Gen
+    val s = spark
+    import s.implicits._
+    val gen = for {
+      n <- Gen.choose(3, 120)
+      vs <- Gen.listOfN(n, Gen.choose(-1e6, 1e6))
+      gs <- Gen.listOfN(n, Gen.oneOf("g0", "g1", "g2"))
+      cut <- Gen.listOfN(n, Gen.choose(0, 2))
+    } yield (vs, gs, cut)
+    val qs = Seq(0.1, 0.5, 0.9, 1.0)
+    (1 to 8).foreach { trial =>
+      val (vs, gs, cut) = gen.sample.getOrElse((List(1.0, 2.0, 3.0),
+        List("g0", "g1", "g0"), List(0, 1, 2)))
+      val rows = vs.lazyZip(gs).lazyZip(cut).toList
+      val parts = (0 to 2).map(i =>
+        rows.filter(_._3 == i).map(r => (r._2, r._1)))
+      val sketches = parts.filter(_.nonEmpty).map(p =>
+        RelationalOps.quantileSketch(p.toDF("grp", "v"), "grp", "v"))
+      val merged = sketches.reduce(
+        RelationalOps.quantileSketchMerge(_, _, "grp"))
+      val est = RelationalOps.quantileSketchEstimate(merged, "grp", qs)
+        .collect().map(r => r.getString(0) ->
+          (1 to qs.length).map(r.getDouble)).toMap
+      val exact = rows.groupBy(_._2).map { case (g, rs) =>
+        val sorted = rs.map(_._1).sorted
+        g -> qs.map(q => sorted(
+          math.max(0, math.ceil(q * sorted.length).toInt - 1)))
+      }
+      assert(est == exact, s"trial $trial: $est vs $exact")
+    }
+  }
 }
