@@ -25,28 +25,37 @@ import graft.operators.{DedupOps, PipelineOps}
   * `trainReadyIncremental` over the same batch split (pinned in
   * graft.StreamingWindowSpec against the planted-fates fixture).
   *
-  * State discipline: the cursor holds exactly THREE standing artifacts
-  * (manifest, hash table, posting index) as eagerly-checkpointed
-  * frames plus one long (the prior doc count). Every ingest builds the
-  * three successors, then releases the superseded blocks — pinned
-  * storage is ∝ the artifacts' size, NEVER ∝ the number of ingests
-  * (asserted in the spec). A production deployment writes the same
-  * three artifacts to tables (the README walkthrough) instead of
+  * State discipline: the cursor holds exactly the standing artifacts
+  * `graft.Run` persists — manifest, hash table, posting index (as
+  * eagerly-checkpointed frames), the prior doc count (one long), and
+  * the corpus PROFILE (r15: the three mergeable sketch artifacts —
+  * token frequent-items bytes held driver-side at kilobyte size,
+  * length-KLL and content-HLL as 1-row checkpointed frames). Every
+  * ingest builds the successors, then releases the superseded blocks —
+  * pinned storage is ∝ the artifacts' size, NEVER ∝ the number of
+  * ingests (asserted in the spec). A production deployment writes the
+  * same artifacts to tables (the README walkthrough) instead of
   * holding them as checkpoint blocks; the per-batch algebra —
   * `hashes ∪ md5(batch)`, [[DedupOps.ngramPostingsAppend]],
-  * `manifest ∪ increment rows` — is identical.
+  * `manifest ∪ increment rows`, the profile bytes-merges — is
+  * identical.
   */
 final class TrainReadyCursor private (
     bench: DataFrame, id: String, text: String, cap: Double,
     epoch: String, formatter: String, startRateBp: Int, meanSpan: Int,
     fimRateBp: Int, minJaccard: Double, contamN: Int,
     initManifest: DataFrame, initHashes: DataFrame,
-    initPostings: DataFrame, initDocCount: Long) {
+    initPostings: DataFrame, initDocCount: Long,
+    initTokenSketch: Array[Byte], initLenQuantiles: DataFrame,
+    initDistinctContent: DataFrame) {
 
   private var manifestDf: DataFrame = initManifest
   private var hashesDf: DataFrame = initHashes
   private var postingsDf: DataFrame = initPostings
   private var nPrior: Long = initDocCount
+  private var tokenSk: Array[Byte] = initTokenSketch
+  private var lenQDf: DataFrame = initLenQuantiles
+  private var distCDf: DataFrame = initDistinctContent
 
   /** The standing manifest (one row per doc ever ingested: fate +
     * formatted n_tok + chunk + rank) as of the last completed ingest. */
@@ -54,6 +63,21 @@ final class TrainReadyCursor private (
 
   /** Docs in the standing corpus (the near-dup df cap's denominator). */
   def docCount: Long = synchronized { nPrior }
+
+  /** The standing token profile — serialized frequent-items bytes over
+    * every token ever delivered (decode with
+    * [[graft.functions.FreqItems.decode]], compare builds with
+    * [[graft.operators.TextOps.tokenDivergenceSketch]]). */
+  def tokenSketch: Array[Byte] = synchronized { tokenSk }
+
+  /** The standing length profile — [[graft.operators.RelationalOps
+    * .quantileSketch]] table (grp = "all") over per-doc token counts. */
+  def lenQuantiles: DataFrame = synchronized { lenQDf }
+
+  /** The standing distinct-content profile —
+    * [[graft.operators.RelationalOps.distinctSketch]] table
+    * (grp = "all") over content hashes. */
+  def distinctContent: DataFrame = synchronized { distCDf }
 
   /** Ingest one batch: fate against the standing artifacts, continue
     * the pack cursor and rank block, advance the artifacts. Returns the
@@ -88,13 +112,29 @@ final class TrainReadyCursor private (
     val newPostings = DedupOps
       .ngramPostingsAppend(postingsDf, b, id, text)
       .localCheckpoint(true)
+    // profile advance — the Run ingest's bytes-merges, in-cursor: token
+    // bytes merge on the driver (kilobytes), the two 1-row sketch
+    // tables through the library merge entry points
+    val newTokenSk = graft.functions.FreqItems.mergeBytes(tokenSk,
+      graft.operators.TextOps.tokenSketchBytes(b, text)
+        .head().getAs[Array[Byte]]("sk"))
+    val newLenQ = graft.operators.RelationalOps.quantileSketchMerge(
+      lenQDf, TrainReadyCursor.lenSketch(b, id, text), "grp")
+      .localCheckpoint(true)
+    val newDistC = graft.operators.RelationalOps.distinctSketchMerge(
+      distCDf, TrainReadyCursor.contentSketch(b, text), "grp")
+      .localCheckpoint(true)
     val pinned = sc.getPersistentRDDs
     inner.foreach(i => pinned.get(i).foreach(_.unpersist(blocking = true)))
     manifestDf.unpersist(); hashesDf.unpersist(); postingsDf.unpersist()
+    lenQDf.unpersist(); distCDf.unpersist()
     b.unpersist()
     manifestDf = newManifest
     hashesDf = newHashes
     postingsDf = newPostings
+    tokenSk = newTokenSk
+    lenQDf = newLenQ
+    distCDf = newDistC
     nPrior += n
     newManifest
   }
@@ -113,15 +153,29 @@ final class TrainReadyCursor private (
 
 object TrainReadyCursor {
 
+  /** Per-batch length-profile sketch (grp = "all"), shared by ingest
+    * and bootstrap. */
+  private def lenSketch(d: DataFrame, id: String, text: String): DataFrame =
+    graft.operators.RelationalOps.quantileSketch(
+      graft.operators.TextOps.tokenCounts(d, id, text)
+        .withColumn("grp", lit("all")), "grp", "n_tok")
+
+  /** Per-batch content-hash distinct sketch (grp = "all"). */
+  private def contentSketch(d: DataFrame, text: String): DataFrame =
+    graft.operators.RelationalOps.distinctSketch(
+      d.select(lit("all").as("grp"),
+        md5(col(text).cast("binary")).as("h")), "grp", "h")
+
   /** Open a cursor over a standing build: `priorManifest` is a
     * [[graft.operators.PipelineOps.trainReady]] /
     * `trainReadyIncremental` output over `priorCorpus`, built with the
     * SAME cap/epoch/formatter/rate parameters passed here (the
     * same-config rule of the batch incremental). An EMPTY pair
     * bootstraps from nothing — the first micro-batch becomes the
-    * initial build. The three standing artifacts are derived once
-    * here (hash table + posting index over `priorCorpus`) and then
-    * advanced incrementally per ingest, never re-derived. */
+    * initial build. The standing artifacts (hash table + posting index
+    * + the three profile sketches over `priorCorpus`) are derived once
+    * here and then advanced incrementally per ingest, never
+    * re-derived. */
   def apply(priorManifest: DataFrame, priorCorpus: DataFrame,
       bench: DataFrame, id: String, text: String, cap: Double = 4096.0,
       epoch: String = "ep1", formatter: String = "span",
@@ -139,6 +193,12 @@ object TrainReadyCursor {
         .localCheckpoint(true),
       initPostings = DedupOps.ngramPostings(prior, "doc_id", "text")
         .localCheckpoint(true),
-      initDocCount = priorCorpus.count())
+      initDocCount = priorCorpus.count(),
+      initTokenSketch = graft.operators.TextOps
+        .tokenSketchBytes(prior, "text").head().getAs[Array[Byte]]("sk"),
+      initLenQuantiles = lenSketch(prior, "doc_id", "text")
+        .localCheckpoint(true),
+      initDistinctContent = contentSketch(prior, "text")
+        .localCheckpoint(true))
   }
 }

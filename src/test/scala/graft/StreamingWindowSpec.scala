@@ -605,6 +605,32 @@ class StreamingWindowSpec extends SparkSpec {
       val pinnedAfter2 = s.sparkContext.getPersistentRDDs.size
       assert(pinnedAfter2 <= pinnedAfter1,
         s"pinned RDDs grew across ingests: $pinnedAfter1 -> $pinnedAfter2")
+      // the standing PROFILE advanced with the corpus (r15): every
+      // sketch estimate equals a from-scratch pass over everything
+      // delivered — the Run ingest's profile guarantee, in-cursor
+      val whole = df(c0).unionByName(df(c1)).unionByName(df(c2))
+      val (nTok, _, candsC) = graft.functions.FreqItems
+        .decode(cursor.tokenSketch, 1L)
+      val (nTokW, _, candsW) = graft.functions.FreqItems.decode(
+        graft.operators.TextOps.tokenSketchBytes(whole, "body")
+          .head().getAs[Array[Byte]]("sk"), 1L)
+      assert(nTok == nTokW &&
+        candsC.map(c => c.item -> c.est).toMap ==
+          candsW.map(c => c.item -> c.est).toMap,
+        s"cursor token profile diverged: $nTok vs $nTokW")
+      import graft.operators.RelationalOps
+      def lq(d: org.apache.spark.sql.DataFrame) = RelationalOps
+        .quantileSketchEstimate(d, "grp", Seq(0.5, 0.9))
+        .collect().map(_.toString).toSeq
+      assert(lq(cursor.lenQuantiles) == lq(RelationalOps.quantileSketch(
+        graft.operators.TextOps.tokenCounts(whole, "id", "body")
+          .withColumn("grp", lit("all")), "grp", "n_tok")),
+        "cursor length profile diverged from from-scratch")
+      val dEst = RelationalOps
+        .distinctSketchEstimate(cursor.distinctContent, "grp")
+        .head().getLong(1)
+      // 13 docs, 2 exact dups planted (12=2's alpha, 21=15's epsil)
+      assert(dEst == 11L, s"cursor content profile: $dEst distinct")
     } finally q.stop()
   }
 
