@@ -32,9 +32,18 @@ import graft.operators.PipelineOps
   *   "scrubPii": false,                       // add redaction columns to fates
   *   "mixtureSource": "source",               // optional: temperature mixture
   *   "mixtureAlpha": 0.3, "mixtureBudgetFraction": 0.5,
+  *   "vectors": "/data/embeddings.parquet",    // optional: ANN artifacts
+  *   "vecId": "vec_id", "vec": "embedding", "nlist": 16,
   *   "overwrite": false                       // false = resume; true = rebuild
   * }
   * }}}
+  *
+  * With `"vectors"` set, a build additionally persists the ANN
+  * artifacts under `out/ann` (trained quantizer, full assignment,
+  * training-distortion baseline) and an ingest — where `"vectors"`
+  * names the INCREMENT's vector parquet — appends assignment rows
+  * against the frozen quantizer and reports the measured drift row
+  * (`ann_drift` in the summary; retrain=true warns loudly).
   *
   * Stage order and artifact layout (each stage consumes the PERSISTED
   * output of the one before it; with `overwrite=false` a re-run SKIPS
@@ -100,7 +109,8 @@ object Run {
       chunksPerPart: Long, minJaccard: Double, contamN: Int,
       scrubPii: Boolean, mixtureSource: Option[String],
       mixtureAlpha: Double, mixtureBudgetFraction: Double,
-      overwrite: Boolean, mode: String, increment: Option[String])
+      overwrite: Boolean, mode: String, increment: Option[String],
+      vectors: Option[String], vecId: String, vec: String, nlist: Int)
 
   /** Parse a spec JSON string (defaults applied here, not in consumers). */
   def parseSpec(json: String): Spec = {
@@ -136,7 +146,11 @@ object Run {
       mixtureBudgetFraction =
         opt("mixtureBudgetFraction").map(_.asDouble).getOrElse(0.5),
       overwrite = opt("overwrite").exists(_.asBoolean),
-      mode = mode, increment = increment)
+      mode = mode, increment = increment,
+      vectors = opt("vectors").map(_.asText).filter(_.nonEmpty),
+      vecId = opt("vecId").map(_.asText).getOrElse("vec_id"),
+      vec = opt("vec").map(_.asText).getOrElse("embedding"),
+      nlist = opt("nlist").map(_.asInt).getOrElse(16))
   }
 
   /** Execute the spec ([[executeBuild]] or [[executeIngest]] by
@@ -216,10 +230,14 @@ object Run {
       s""""mixtureSource":${spec.mixtureSource
         .map(m => "\"" + esc(m) + "\"").getOrElse("null")},""" +
       s""""mixtureAlpha":${spec.mixtureAlpha},""" +
-      s""""mixtureBudgetFraction":${spec.mixtureBudgetFraction}}"""
+      s""""mixtureBudgetFraction":${spec.mixtureBudgetFraction},""" +
+      s""""vecId":"${esc(spec.vecId)}","vec":"${esc(spec.vec)}",""" +
+      s""""nlist":${spec.nlist}}"""
 
   private def buildFingerprint(spec: Spec): String =
-    s"""{"corpus":"${esc(spec.corpus)}","shape":${shapeFingerprint(spec)}}"""
+    s"""{"corpus":"${esc(spec.corpus)}","vectors":${spec.vectors
+      .map(v => "\"" + esc(v) + "\"").getOrElse("null")},""" +
+      s""""shape":${shapeFingerprint(spec)}}"""
 
   private def fingerprintPath(out: String) =
     Paths.get(out, "_spec_fingerprint.json")
@@ -345,6 +363,30 @@ object Run {
         corpus.select(lit("all").as("grp"),
           md5(col(spec.text).cast("binary")).as("h")),
         "grp", "h")
+    }
+
+    // 1e. optional ANN artifacts (`"vectors"` in the spec, r15): the
+    // trained coarse quantizer, the full-corpus assignment (the
+    // standing index postings), and the training-time distortion
+    // BASELINE the ingest drift gate compares against — the README
+    // re-train policy, operational. An ingest appends to the
+    // assignment against the FROZEN quantizer and reports the measured
+    // drift row in its summary.
+    spec.vectors.foreach { vp =>
+      val vecs = s.read.parquet(vp)
+      stage(s"${spec.out}/ann/quantizer") {
+        graft.operators.SimilarityOps.ivfTrain(vecs, spec.vecId,
+          spec.vec, nlist = spec.nlist)
+      }
+      val quant = s.read.parquet(s"${spec.out}/ann/quantizer")
+      stage(s"${spec.out}/ann/assignment") {
+        graft.operators.SimilarityOps.ivfAppend(vecs, spec.vecId,
+          spec.vec, quant)
+      }
+      stage(s"${spec.out}/ann/baseline") {
+        graft.operators.SimilarityOps.ivfQuantizationError(vecs,
+          spec.vecId, spec.vec, quant)
+      }
     }
 
     // 2. per-fate audit over the persisted fates
@@ -493,6 +535,33 @@ object Run {
     // about, not failed — ingest appends stay valid without it.
     advanceProfile(s, spec, inc)
 
+    // ANN ingest (optional, r15): `"vectors"` names the INCREMENT's
+    // vector parquet — append its assignment rows to the standing index
+    // against the FROZEN quantizer, then gate the freeze with the
+    // measured drift row (summary `ann_drift`; a tripped threshold
+    // warns loudly and is the operator's cue to schedule a retrain +
+    // index rebuild, per the README policy).
+    val annDrift: Option[String] = spec.vectors.map { vp =>
+      val vecs = s.read.parquet(vp)
+      val quant = s.read.parquet(s"$out/ann/quantizer")
+      graft.operators.SimilarityOps
+        .ivfAppend(vecs, spec.vecId, spec.vec, quant)
+        .write.mode("append").parquet(s"$out/ann/assignment")
+      val drift = graft.operators.SimilarityOps.ivfDrift(vecs, spec.vecId,
+        spec.vec, quant, s.read.parquet(s"$out/ann/baseline")).head()
+      if (drift.getAs[Boolean]("retrain"))
+        System.err.println("[run] WARNING: ANN ingest mean distortion " +
+          s"${drift.getAs[Double]("mean_qerr")} exceeds 1.5x the " +
+          s"training baseline ${drift.getAs[Double]("baseline_mean")} — " +
+          "the frozen quantizer has drifted; plan a retrain + index " +
+          "rebuild and re-baseline.")
+      s""""ann_drift":{"n_vecs":${drift.getAs[Long]("n_vecs")},""" +
+        s""""mean_qerr":${drift.getAs[Double]("mean_qerr")},""" +
+        s""""max_qerr":${drift.getAs[Double]("max_qerr")},""" +
+        s""""baseline_mean":${drift.getAs[Double]("baseline_mean")},""" +
+        s""""retrain":${drift.getAs[Boolean]("retrain")}}"""
+    }
+
     val incFates = incRows.groupBy("fate")
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum("n_tok"), lit(0L)).as("tok_total"))
@@ -515,7 +584,8 @@ object Run {
         s""""increment_fates":$fateLines,""" +
         s""""n_windows":${wtot.getAs[Long]("n")},""" +
         s""""n_window_tokens":${wtot.getAs[Long]("t")}""" +
-        profileSummary(s, out).map("," + _).getOrElse("") + "}"
+        profileSummary(s, out).map("," + _).getOrElse("") +
+        annDrift.map("," + _).getOrElse("") + "}"
     Files.write(Paths.get(out, "SUMMARY.json"),
       summary.getBytes(StandardCharsets.UTF_8))
     summary

@@ -354,4 +354,71 @@ class RunSpec extends SparkSpec {
     assert(m.readTree(statsSummary).get("profile") == profScr,
       "re-baselined profile must equal the from-scratch build's")
   }
+
+  test("Run maintains the ANN artifacts: build trains + baselines, ingest appends + gates drift") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-run-ann").toFile
+      .getAbsolutePath
+    def cluster(base: Array[Float], ids: Range, wiggle: Float) =
+      ids.map { i =>
+        (i.toLong, Array.tabulate(3)(j =>
+          base(j) + (if (j == (i % 3)) wiggle * (1 + i % 3) else 0f)))
+      }
+    val corpus = Seq((1L, clean("alpha")), (2L, clean("beta")))
+      .toDF("id", "body")
+    val inc = Seq((11L, clean("gamma"))).toDF("id", "body")
+    val bench = Seq((100L, words("bench", 20).mkString(" ")))
+      .toDF("id", "body")
+    corpus.write.parquet(s"$dir/corpus")
+    inc.write.parquet(s"$dir/inc")
+    bench.write.parquet(s"$dir/bench")
+    (cluster(Array(1f, 0f, 0f), 0 until 20, 0.05f) ++
+      cluster(Array(0f, 1f, 0f), 20 until 40, 0.05f))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/vecs")
+    cluster(Array(1f, 0f, 0f), 100 until 110, 0.05f)
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/vecsInc")
+    cluster(Array(0f, 0f, 1f), 200 until 210, 0.05f)
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/vecsDrift")
+
+    Run.execute(s, Run.parseSpec(
+      s"""{"corpus": "$dir/corpus", "benchmark": "$dir/bench",
+         | "out": "$dir/build", "id": "id", "text": "body",
+         | "cap": 16, "formatter": "plain", "chunksPerPart": 2,
+         | "vectors": "$dir/vecs", "nlist": 2}""".stripMargin))
+    assert(s.read.parquet(s"$dir/build/ann/quantizer").count() == 2)
+    assert(s.read.parquet(s"$dir/build/ann/assignment").count() == 40)
+    val base = s.read.parquet(s"$dir/build/ann/baseline").head()
+    assert(base.getAs[Long]("n_vecs") == 40L)
+
+    def ingest(vecs: String) = Run.execute(s, Run.parseSpec(
+      s"""{"mode": "ingest", "increment": "$dir/inc",
+         | "benchmark": "$dir/bench", "out": "$dir/build",
+         | "id": "id", "text": "body", "cap": 16,
+         | "formatter": "plain", "chunksPerPart": 2,
+         | "vectors": "$vecs", "nlist": 2}""".stripMargin))
+    val m = new ObjectMapper()
+    val okDrift = m.readTree(ingest(s"$dir/vecsInc")).get("ann_drift")
+    assert(okDrift != null && !okDrift.get("retrain").asBoolean,
+      s"in-distribution vector ingest must not flag retrain: $okDrift")
+    assert(s.read.parquet(s"$dir/build/ann/assignment").count() == 50,
+      "assignment must grow by the increment")
+    // a drifted vector batch trips the gate but the append still lands
+    // (the warning is the cue; the freeze decision is the operator's)
+    inc.select(col("id") + 100, col("body")).toDF("id", "body")
+      .write.parquet(s"$dir/inc2")
+    val badDrift = m.readTree(Run.execute(s, Run.parseSpec(
+      s"""{"mode": "ingest", "increment": "$dir/inc2",
+         | "benchmark": "$dir/bench", "out": "$dir/build",
+         | "id": "id", "text": "body", "cap": 16,
+         | "formatter": "plain", "chunksPerPart": 2,
+         | "vectors": "$dir/vecsDrift", "nlist": 2}""".stripMargin)))
+      .get("ann_drift")
+    assert(badDrift.get("retrain").asBoolean &&
+      badDrift.get("mean_qerr").asDouble > 0.5,
+      s"orthogonal vector ingest must flag retrain: $badDrift")
+    assert(s.read.parquet(s"$dir/build/ann/assignment").count() == 60)
+    // baseline is never silently moved by an ingest
+    assert(s.read.parquet(s"$dir/build/ann/baseline").head() == base)
+  }
 }
