@@ -34,6 +34,7 @@ import graft.operators.PipelineOps
   *   "mixtureAlpha": 0.3, "mixtureBudgetFraction": 0.5,
   *   "vectors": "/data/embeddings.parquet",    // optional: ANN artifacts
   *   "vecId": "vec_id", "vec": "embedding", "nlist": 16,
+  *   "pq": false, "pqM": 8, "pqKsub": 16,      // optional: IVFADC codes too
   *   "overwrite": false                       // false = resume; true = rebuild
   * }
   * }}}
@@ -110,7 +111,8 @@ object Run {
       scrubPii: Boolean, mixtureSource: Option[String],
       mixtureAlpha: Double, mixtureBudgetFraction: Double,
       overwrite: Boolean, mode: String, increment: Option[String],
-      vectors: Option[String], vecId: String, vec: String, nlist: Int)
+      vectors: Option[String], vecId: String, vec: String, nlist: Int,
+      pq: Boolean, pqM: Int, pqKsub: Int)
 
   /** Parse a spec JSON string (defaults applied here, not in consumers). */
   def parseSpec(json: String): Spec = {
@@ -150,7 +152,10 @@ object Run {
       vectors = opt("vectors").map(_.asText).filter(_.nonEmpty),
       vecId = opt("vecId").map(_.asText).getOrElse("vec_id"),
       vec = opt("vec").map(_.asText).getOrElse("embedding"),
-      nlist = opt("nlist").map(_.asInt).getOrElse(16))
+      nlist = opt("nlist").map(_.asInt).getOrElse(16),
+      pq = opt("pq").exists(_.asBoolean),
+      pqM = opt("pqM").map(_.asInt).getOrElse(8),
+      pqKsub = opt("pqKsub").map(_.asInt).getOrElse(16))
   }
 
   /** Execute the spec ([[executeBuild]] or [[executeIngest]] by
@@ -232,7 +237,8 @@ object Run {
       s""""mixtureAlpha":${spec.mixtureAlpha},""" +
       s""""mixtureBudgetFraction":${spec.mixtureBudgetFraction},""" +
       s""""vecId":"${esc(spec.vecId)}","vec":"${esc(spec.vec)}",""" +
-      s""""nlist":${spec.nlist}}"""
+      s""""nlist":${spec.nlist},"pq":${spec.pq},""" +
+      s""""pqM":${spec.pqM},"pqKsub":${spec.pqKsub}}"""
 
   private def buildFingerprint(spec: Spec): String =
     s"""{"corpus":"${esc(spec.corpus)}","vectors":${spec.vectors
@@ -386,6 +392,25 @@ object Run {
       stage(s"${spec.out}/ann/baseline") {
         graft.operators.SimilarityOps.ivfQuantizationError(vecs,
           spec.vecId, spec.vec, quant)
+      }
+      // `"pq": true` — the memory-bound IVFADC index alongside: the
+      // trained codebook, the corpus's PQ codes (what ivfPqSearch
+      // scans), and the reconstruction-distortion baseline pqDrift
+      // gates against
+      if (spec.pq) {
+        stage(s"${spec.out}/ann/codebook") {
+          graft.operators.PqOps.pqTrain(vecs, spec.vecId, spec.vec,
+            m = spec.pqM, ksub = spec.pqKsub)
+        }
+        val cb = s.read.parquet(s"${spec.out}/ann/codebook")
+        stage(s"${spec.out}/ann/codes") {
+          graft.operators.PqOps.pqEncode(vecs, spec.vecId, spec.vec, cb,
+            m = spec.pqM, ksub = spec.pqKsub)
+        }
+        stage(s"${spec.out}/ann/pq_baseline") {
+          graft.operators.PqOps.pqQuantizationError(vecs, spec.vecId,
+            spec.vec, cb, m = spec.pqM, ksub = spec.pqKsub)
+        }
       }
     }
 
@@ -555,11 +580,35 @@ object Run {
           s"training baseline ${drift.getAs[Double]("baseline_mean")} — " +
           "the frozen quantizer has drifted; plan a retrain + index " +
           "rebuild and re-baseline.")
-      s""""ann_drift":{"n_vecs":${drift.getAs[Long]("n_vecs")},""" +
-        s""""mean_qerr":${drift.getAs[Double]("mean_qerr")},""" +
-        s""""max_qerr":${drift.getAs[Double]("max_qerr")},""" +
-        s""""baseline_mean":${drift.getAs[Double]("baseline_mean")},""" +
-        s""""retrain":${drift.getAs[Boolean]("retrain")}}"""
+      val ivfJson =
+        s""""ann_drift":{"n_vecs":${drift.getAs[Long]("n_vecs")},""" +
+          s""""mean_qerr":${drift.getAs[Double]("mean_qerr")},""" +
+          s""""max_qerr":${drift.getAs[Double]("max_qerr")},""" +
+          s""""baseline_mean":${drift.getAs[Double]("baseline_mean")},""" +
+          s""""retrain":${drift.getAs[Boolean]("retrain")}}"""
+      if (!spec.pq) ivfJson
+      else {
+        val cb = s.read.parquet(s"$out/ann/codebook")
+        graft.operators.PqOps
+          .pqEncode(vecs, spec.vecId, spec.vec, cb,
+            m = spec.pqM, ksub = spec.pqKsub)
+          .write.mode("append").parquet(s"$out/ann/codes")
+        val pd = graft.operators.PqOps.pqDrift(vecs, spec.vecId,
+          spec.vec, cb, s.read.parquet(s"$out/ann/pq_baseline"),
+          m = spec.pqM, ksub = spec.pqKsub).head()
+        if (pd.getAs[Boolean]("retrain"))
+          System.err.println("[run] WARNING: PQ ingest reconstruction " +
+            s"distortion ${pd.getAs[Double]("mean_qerr")} exceeds 1.5x " +
+            s"the training baseline " +
+            s"${pd.getAs[Double]("baseline_mean")} — plan a codebook " +
+            "retrain + re-encode and re-baseline.")
+        ivfJson +
+          s""","pq_drift":{"n_vecs":${pd.getAs[Long]("n_vecs")},""" +
+          s""""mean_qerr":${pd.getAs[Double]("mean_qerr")},""" +
+          s""""max_qerr":${pd.getAs[Double]("max_qerr")},""" +
+          s""""baseline_mean":${pd.getAs[Double]("baseline_mean")},""" +
+          s""""retrain":${pd.getAs[Boolean]("retrain")}}"""
+      }
     }
 
     val incFates = incRows.groupBy("fate")

@@ -381,44 +381,53 @@ class RunSpec extends SparkSpec {
     cluster(Array(0f, 0f, 1f), 200 until 210, 0.05f)
       .toDF("vec_id", "embedding").write.parquet(s"$dir/vecsDrift")
 
+    val annCfg = """"vectors": "%s", "nlist": 2,
+                   | "pq": true, "pqM": 3, "pqKsub": 4""".stripMargin
     Run.execute(s, Run.parseSpec(
       s"""{"corpus": "$dir/corpus", "benchmark": "$dir/bench",
          | "out": "$dir/build", "id": "id", "text": "body",
          | "cap": 16, "formatter": "plain", "chunksPerPart": 2,
-         | "vectors": "$dir/vecs", "nlist": 2}""".stripMargin))
+         | ${annCfg.format(s"$dir/vecs")}}""".stripMargin))
     assert(s.read.parquet(s"$dir/build/ann/quantizer").count() == 2)
     assert(s.read.parquet(s"$dir/build/ann/assignment").count() == 40)
+    assert(s.read.parquet(s"$dir/build/ann/codebook").count() == 12) // m*ksub
+    assert(s.read.parquet(s"$dir/build/ann/codes").count() == 40)
     val base = s.read.parquet(s"$dir/build/ann/baseline").head()
     assert(base.getAs[Long]("n_vecs") == 40L)
+    val pqBase = s.read.parquet(s"$dir/build/ann/pq_baseline").head()
 
-    def ingest(vecs: String) = Run.execute(s, Run.parseSpec(
-      s"""{"mode": "ingest", "increment": "$dir/inc",
-         | "benchmark": "$dir/bench", "out": "$dir/build",
-         | "id": "id", "text": "body", "cap": 16,
-         | "formatter": "plain", "chunksPerPart": 2,
-         | "vectors": "$vecs", "nlist": 2}""".stripMargin))
+    def ingest(vecs: String, inc: String = "inc") =
+      Run.execute(s, Run.parseSpec(
+        s"""{"mode": "ingest", "increment": "$dir/$inc",
+           | "benchmark": "$dir/bench", "out": "$dir/build",
+           | "id": "id", "text": "body", "cap": 16,
+           | "formatter": "plain", "chunksPerPart": 2,
+           | ${annCfg.format(vecs)}}""".stripMargin))
     val m = new ObjectMapper()
-    val okDrift = m.readTree(ingest(s"$dir/vecsInc")).get("ann_drift")
+    val okSummary = m.readTree(ingest(s"$dir/vecsInc"))
+    val okDrift = okSummary.get("ann_drift")
     assert(okDrift != null && !okDrift.get("retrain").asBoolean,
       s"in-distribution vector ingest must not flag retrain: $okDrift")
+    assert(!okSummary.get("pq_drift").get("retrain").asBoolean,
+      s"in-distribution PQ ingest must not flag retrain: $okSummary")
     assert(s.read.parquet(s"$dir/build/ann/assignment").count() == 50,
       "assignment must grow by the increment")
+    assert(s.read.parquet(s"$dir/build/ann/codes").count() == 50,
+      "codes must grow by the increment")
     // a drifted vector batch trips the gate but the append still lands
     // (the warning is the cue; the freeze decision is the operator's)
     inc.select(col("id") + 100, col("body")).toDF("id", "body")
       .write.parquet(s"$dir/inc2")
-    val badDrift = m.readTree(Run.execute(s, Run.parseSpec(
-      s"""{"mode": "ingest", "increment": "$dir/inc2",
-         | "benchmark": "$dir/bench", "out": "$dir/build",
-         | "id": "id", "text": "body", "cap": 16,
-         | "formatter": "plain", "chunksPerPart": 2,
-         | "vectors": "$dir/vecsDrift", "nlist": 2}""".stripMargin)))
-      .get("ann_drift")
+    val badSummary = m.readTree(ingest(s"$dir/vecsDrift", "inc2"))
+    val badDrift = badSummary.get("ann_drift")
     assert(badDrift.get("retrain").asBoolean &&
       badDrift.get("mean_qerr").asDouble > 0.5,
       s"orthogonal vector ingest must flag retrain: $badDrift")
+    assert(badSummary.get("pq_drift").get("retrain").asBoolean,
+      s"orthogonal PQ ingest must flag retrain: $badSummary")
     assert(s.read.parquet(s"$dir/build/ann/assignment").count() == 60)
-    // baseline is never silently moved by an ingest
+    // baselines are never silently moved by an ingest
     assert(s.read.parquet(s"$dir/build/ann/baseline").head() == base)
+    assert(s.read.parquet(s"$dir/build/ann/pq_baseline").head() == pqBase)
   }
 }
