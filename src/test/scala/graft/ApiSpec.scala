@@ -301,6 +301,16 @@ class ApiSpec extends SparkSpec {
     // topK truncates identically
     assert(TextOps.tokenDivergenceSketch(s, sk(a), sk(b), topK = 2)
       .collect().map(_.toString).toSeq == exact.take(2))
+    // an empty side degrades to the other side's ½·ln2 terms — the
+    // exact operator's zero-measure convention, preserved through the
+    // bytes (a fresh build vs nothing, or a first-ever ingest)
+    val empty = Seq.empty[(Long, String)].toDF("k", "body")
+    val viaEmptySk = TextOps.tokenDivergenceSketch(s, sk(a), sk(empty))
+      .collect().map(_.toString).toSeq
+    val exactEmpty = TextOps.tokenDivergence(a, empty, "body")
+      .collect().map(_.toString).toSeq
+    assert(viaEmptySk == exactEmpty && viaEmptySk.nonEmpty,
+      s"empty-side parity: $viaEmptySk vs $exactEmpty")
   }
 
   test("ivfAppend assigns an increment against a frozen quantizer (generic frame)") {

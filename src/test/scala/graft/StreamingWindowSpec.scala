@@ -631,6 +631,16 @@ class StreamingWindowSpec extends SparkSpec {
         .head().getLong(1)
       // 13 docs, 2 exact dups planted (12=2's alpha, 21=15's epsil)
       assert(dEst == 11L, s"cursor content profile: $dEst distinct")
+      // the monitoring loop: the cursor's standing bytes feed the
+      // bytes-only drift report directly (last ingest vs the corpus) —
+      // no corpus pass, kilobytes in, a ranked report out
+      val rep = graft.operators.TextOps.tokenDivergenceSketch(s,
+        cursor.tokenSketch,
+        graft.operators.TextOps.tokenSketchBytes(df(c2), "body")
+          .head().getAs[Array[Byte]]("sk"), topK = 5)
+      assert(rep.count() == 5 && rep.columns.toSeq ==
+        Seq("tok", "n_a", "n_b", "js_contrib"),
+        s"drift report shape: ${rep.columns.toSeq}")
     } finally q.stop()
   }
 
