@@ -46,6 +46,11 @@ import graft.operators.PipelineOps
   * against the frozen quantizer and reports the measured drift row
   * (`ann_drift` in the summary; retrain=true warns loudly).
   *
+  * Maintenance modes: `"mode": "stats"` (exact stats refresh,
+  * [[executeStats]]) and `"mode": "compact"` (small-file compaction of
+  * the append-mode artifacts, [[executeCompact]]) — both leave every
+  * other artifact untouched.
+  *
   * Stage order and artifact layout (each stage consumes the PERSISTED
   * output of the one before it; with `overwrite=false` a re-run SKIPS
   * every stage whose `_SUCCESS`-marked directory already exists and
@@ -125,16 +130,19 @@ object Run {
     }
     def opt(k: String): Option[JsonNode] = Option(n.get(k))
     val mode = opt("mode").map(_.asText).getOrElse("build")
-    require(Set("build", "ingest", "stats")(mode),
-      s"mode must be build | ingest | stats, got '$mode'")
+    require(Set("build", "ingest", "stats", "compact")(mode),
+      s"mode must be build | ingest | stats | compact, got '$mode'")
     val increment = opt("increment").map(_.asText).filter(_.nonEmpty)
     require(mode != "ingest" || increment.isDefined,
       "mode 'ingest' requires an 'increment' parquet path")
     Spec(
       corpus = opt("corpus").map(_.asText)
-        .getOrElse { require(mode == "ingest",
+        .getOrElse { require(mode == "ingest" || mode == "compact",
           "spec is missing required string field 'corpus'"); "" },
-      benchmark = req("benchmark"), out = req("out"),
+      benchmark = opt("benchmark").map(_.asText)
+        .getOrElse { require(mode == "compact",
+          "spec is missing required string field 'benchmark'"); "" },
+      out = req("out"),
       id = opt("id").map(_.asText).getOrElse("doc_id"),
       text = opt("text").map(_.asText).getOrElse("text"),
       cap = opt("cap").map(_.asLong).getOrElse(4096L),
@@ -165,7 +173,76 @@ object Run {
   def execute(s: SparkSession, spec: Spec): String = spec.mode match {
     case "ingest" => executeIngest(s, spec)
     case "stats" => executeStats(s, spec)
+    case "compact" => executeCompact(s, spec)
     case _ => executeBuild(s, spec)
+  }
+
+  /** `"mode": "compact"` — maintenance for the APPEND-mode artifacts:
+    * every ingest adds one file-set to `out/manifest` and the index
+    * directories (and `out/ann/assignment` + `codes` when present), so
+    * a year of daily ingests is hundreds of tiny file-sets per
+    * directory — the classic small-files tax on every later scan.
+    * Rewrites each append-mode artifact into ~128 MB-targeted files,
+    * content-identical: the staged row count is verified BEFORE the
+    * swap, and a partial staged write refuses to replace the original.
+    * The window store is NOT touched (its part directories are already
+    * chunk-partitioned and rewritten whole by ingests), nor are the
+    * single-write stats/ann baselines. The swap (delete + move) is not
+    * atomic: on a crash between the two, the staged `<dir>__compact`
+    * holds the full verified data — move it into place to finish. */
+  private def executeCompact(s: SparkSession, spec: Spec): String = {
+    val targets = Seq("manifest", "index/hashes", "index/postings",
+      "ann/assignment", "ann/codes")
+    val results = targets.flatMap { t =>
+      val path = s"${spec.out}/$t"
+      if (!stageDone(path)) None else Some(t -> compactDir(s, path))
+    }
+    val lines = results.map { case (t, (fb, fa, rows)) =>
+      s"""{"artifact":"${esc(t)}","files_before":$fb,""" +
+        s""""files_after":$fa,"rows":$rows}"""
+    }.mkString("[", ",", "]")
+    val summary =
+      s"""{"mode":"compact","out":"${esc(spec.out)}","compacted":$lines}"""
+    Files.write(Paths.get(spec.out, "COMPACT.json"),
+      summary.getBytes(StandardCharsets.UTF_8))
+    summary
+  }
+
+  /** Compact one parquet directory; returns (files before, files
+    * after, rows). See [[executeCompact]] for the swap contract. */
+  private def compactDir(s: SparkSession,
+      path: String): (Long, Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    def dataFiles(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val st = Files.walk(p)
+      try st.iterator().asScala.filter { f =>
+        val n = f.getFileName.toString
+        Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
+      }.toVector
+      finally st.close()
+    }
+    val dir = Paths.get(path)
+    val before = dataFiles(dir)
+    val bytes = before.map(Files.size).sum
+    val target =
+      math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+    val nBefore = s.read.parquet(path).count()
+    val staging = path + "__compact"
+    s.read.parquet(path).repartition(target)
+      .write.mode("overwrite").parquet(staging)
+    val nStaged = s.read.parquet(staging).count()
+    require(nStaged == nBefore,
+      s"compaction of '$path' staged $nStaged rows != $nBefore — " +
+        s"refusing the swap; staged data left at '$staging'")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val st = Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.delete)
+      finally st.close()
+    }
+    rmTree(dir)
+    Files.move(Paths.get(staging), dir)
+    (before.size.toLong, dataFiles(dir).size.toLong, nBefore)
   }
 
   /** `"mode": "stats"` — the EXACT stats refresh the ingest scaladoc

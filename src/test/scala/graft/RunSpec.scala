@@ -429,5 +429,34 @@ class RunSpec extends SparkSpec {
     // baselines are never silently moved by an ingest
     assert(s.read.parquet(s"$dir/build/ann/baseline").head() == base)
     assert(s.read.parquet(s"$dir/build/ann/pq_baseline").head() == pqBase)
+
+    // mode=compact: the append-mode artifacts (two ingests = 3
+    // file-sets each) collapse to size-targeted files,
+    // content-identical, and the build keeps working afterwards
+    def rowsOf(t: String) = s.read.parquet(s"$dir/build/$t")
+      .collect().map(_.toString).sorted.toSeq
+    def filesOf(t: String) = new java.io.File(s"$dir/build/$t")
+      .listFiles().count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    val targets = Seq("manifest", "index/hashes", "index/postings",
+      "ann/assignment", "ann/codes")
+    val beforeRows = targets.map(t => t -> rowsOf(t)).toMap
+    val beforeFiles = targets.map(t => t -> filesOf(t)).toMap
+    assert(beforeFiles("manifest") > 1, s"fixture: $beforeFiles")
+    val compactSummary = Run.execute(s, Run.parseSpec(
+      s"""{"mode": "compact", "out": "$dir/build"}"""))
+    targets.foreach { t =>
+      assert(rowsOf(t) == beforeRows(t), s"compact changed '$t' content")
+      assert(filesOf(t) <= beforeFiles(t), s"compact grew '$t' files")
+    }
+    assert(filesOf("manifest") == 1,
+      s"tiny manifest must compact to one file, got ${filesOf("manifest")}")
+    val cj = m.readTree(compactSummary)
+    assert(cj.get("compacted").size == targets.size, compactSummary)
+    // the compacted build still ingests
+    inc.select(col("id") + 200, col("body")).toDF("id", "body")
+      .write.parquet(s"$dir/inc3")
+    ingest(s"$dir/vecsInc", "inc3")
+    assert(s.read.parquet(s"$dir/build/ann/assignment").count() == 70)
   }
 }
