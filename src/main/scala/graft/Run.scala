@@ -35,6 +35,7 @@ import graft.operators.PipelineOps
   *   "vectors": "/data/embeddings.parquet",    // optional: ANN artifacts
   *   "vecId": "vec_id", "vec": "embedding", "nlist": 16,
   *   "pq": false, "pqM": 8, "pqKsub": 16,      // optional: IVFADC codes too
+  *   "profileSource": "source",               // optional: per-source profile
   *   "overwrite": false                       // false = resume; true = rebuild
   * }
   * }}}
@@ -117,7 +118,7 @@ object Run {
       mixtureAlpha: Double, mixtureBudgetFraction: Double,
       overwrite: Boolean, mode: String, increment: Option[String],
       vectors: Option[String], vecId: String, vec: String, nlist: Int,
-      pq: Boolean, pqM: Int, pqKsub: Int)
+      pq: Boolean, pqM: Int, pqKsub: Int, profileSource: Option[String])
 
   /** Parse a spec JSON string (defaults applied here, not in consumers). */
   def parseSpec(json: String): Spec = {
@@ -163,7 +164,9 @@ object Run {
       nlist = opt("nlist").map(_.asInt).getOrElse(16),
       pq = opt("pq").exists(_.asBoolean),
       pqM = opt("pqM").map(_.asInt).getOrElse(8),
-      pqKsub = opt("pqKsub").map(_.asInt).getOrElse(16))
+      pqKsub = opt("pqKsub").map(_.asInt).getOrElse(16),
+      profileSource =
+        opt("profileSource").map(_.asText).filter(_.nonEmpty))
   }
 
   /** Execute the spec ([[executeBuild]] or [[executeIngest]] by
@@ -280,6 +283,21 @@ object Run {
           md5(col(spec.text).cast("binary")).as("h")),
         "grp", "h")
     }
+    spec.profileSource.foreach { src =>
+      rebuild(s"${spec.out}/stats/source_distinct") {
+        graft.operators.RelationalOps.distinctSketch(
+          corpus.select(col(src).cast("string").as("grp"),
+            md5(col(spec.text).cast("binary")).as("h")),
+          "grp", "h")
+      }
+      rebuild(s"${spec.out}/stats/source_len") {
+        graft.operators.RelationalOps.quantileSketch(
+          graft.operators.TextOps.tokenCounts(corpus, src, spec.text)
+            .select(col("doc_id").cast("string").as("grp"),
+              col("n_tok")),
+          "grp", "n_tok")
+      }
+    }
     val nHeavy = s.read.parquet(s"${spec.out}/stats/heavy_tokens").count()
     val summary =
       s"""{"mode":"stats","corpus":"${esc(spec.corpus)}",""" +
@@ -315,7 +333,9 @@ object Run {
       s""""mixtureBudgetFraction":${spec.mixtureBudgetFraction},""" +
       s""""vecId":"${esc(spec.vecId)}","vec":"${esc(spec.vec)}",""" +
       s""""nlist":${spec.nlist},"pq":${spec.pq},""" +
-      s""""pqM":${spec.pqM},"pqKsub":${spec.pqKsub}}"""
+      s""""pqM":${spec.pqM},"pqKsub":${spec.pqKsub},""" +
+      s""""profileSource":${spec.profileSource
+        .map(p => "\"" + esc(p) + "\"").getOrElse("null")}}"""
 
   private def buildFingerprint(spec: Spec): String =
     s"""{"corpus":"${esc(spec.corpus)}","vectors":${spec.vectors
@@ -446,6 +466,31 @@ object Run {
         corpus.select(lit("all").as("grp"),
           md5(col(spec.text).cast("binary")).as("h")),
         "grp", "h")
+    }
+
+    // 1d-bis. optional PER-SOURCE profile (`"profileSource"` names the
+    // corpus's source column): the mixture pipeline's watch table —
+    // distinct-content and length-quantile sketches keyed by source,
+    // advanced per ingest like the global profile. Per-source token
+    // sketches are deliberately omitted (|sources| × maxMapSize maps;
+    // run tokenDivergence per source pair when needed).
+    spec.profileSource.foreach { src =>
+      stage(s"${spec.out}/stats/source_distinct") {
+        graft.operators.RelationalOps.distinctSketch(
+          corpus.select(col(src).cast("string").as("grp"),
+            md5(col(spec.text).cast("binary")).as("h")),
+          "grp", "h")
+      }
+      stage(s"${spec.out}/stats/source_len") {
+        // tokenCounts keyed by the SOURCE column: one row per doc,
+        // labeled by source — exactly the (grp, n_tok) relation the
+        // per-group sketch folds, no join
+        graft.operators.RelationalOps.quantileSketch(
+          graft.operators.TextOps.tokenCounts(corpus, src, spec.text)
+            .select(col("doc_id").cast("string").as("grp"),
+              col("n_tok")),
+          "grp", "n_tok")
+      }
     }
 
     // 1e. optional ANN artifacts (`"vectors"` in the spec, r15): the
@@ -764,6 +809,34 @@ object Run {
       merged.write.mode("overwrite").parquet(dcPath)
       standing.unpersist(); merged.unpersist()
     } else warnNoProfile(dcPath)
+
+    // per-source profile advance (when the build carries one): new
+    // sources appear as new groups, existing ones merge
+    spec.profileSource.foreach { src =>
+      val sdPath = s"$out/stats/source_distinct"
+      if (stageDone(sdPath)) {
+        val standing = s.read.parquet(sdPath).localCheckpoint(true)
+        val incSd = RelationalOps.distinctSketch(
+          inc.select(col(src).cast("string").as("grp"),
+            md5(col(spec.text).cast("binary")).as("h")), "grp", "h")
+        val merged = RelationalOps.distinctSketchMerge(standing, incSd,
+          "grp").localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(sdPath)
+        standing.unpersist(); merged.unpersist()
+      } else warnNoProfile(sdPath)
+      val slPath = s"$out/stats/source_len"
+      if (stageDone(slPath)) {
+        val standing = s.read.parquet(slPath).localCheckpoint(true)
+        val incSl = RelationalOps.quantileSketch(
+          TextOps.tokenCounts(inc, src, spec.text)
+            .select(col("doc_id").cast("string").as("grp"),
+              col("n_tok")), "grp", "n_tok")
+        val merged = RelationalOps.quantileSketchMerge(standing, incSl,
+          "grp").localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(slPath)
+        standing.unpersist(); merged.unpersist()
+      } else warnNoProfile(slPath)
+    }
   }
 
   private def warnNoProfile(path: String): Unit =

@@ -249,12 +249,13 @@ class RunSpec extends SparkSpec {
     import s.implicits._
     val dir = Files.createTempDirectory("graft-run-prof").toFile
       .getAbsolutePath
-    val prior = Seq((1L, clean("alpha")), (2L, clean("beta")))
-      .toDF("id", "body")
-    val inc1 = Seq((11L, clean("gamma")), (12L, clean("alpha")))
-      .toDF("id", "body") // 12 duplicates doc 1's content
-    val inc2 = Seq((21L, clean("delta") + " extra tail tokens"))
-      .toDF("id", "body")
+    val prior = Seq((1L, clean("alpha"), "web"), (2L, clean("beta"), "web"))
+      .toDF("id", "body", "src")
+    val inc1 = Seq((11L, clean("gamma"), "web"),
+      (12L, clean("alpha"), "books")) // 12 duplicates doc 1's content
+      .toDF("id", "body", "src")
+    val inc2 = Seq((21L, clean("delta") + " extra tail tokens", "books"))
+      .toDF("id", "body", "src")
     val bench = Seq((100L, words("bench", 20).mkString(" ")))
       .toDF("id", "body")
     prior.write.parquet(s"$dir/prior")
@@ -268,21 +269,21 @@ class RunSpec extends SparkSpec {
     Run.execute(s, spec(
       s"""{"corpus": "$dir/prior", "benchmark": "$dir/bench",
          | "out": "$dir/build", "id": "id", "text": "body",
-         | "cap": 16, "formatter": "plain", "chunksPerPart": 2}"""
-        .stripMargin))
+         | "cap": 16, "formatter": "plain", "chunksPerPart": 2,
+         | "profileSource": "src"}""".stripMargin))
     val ingSummaries = Seq("inc1", "inc2").map { inc =>
       Run.execute(s, spec(
         s"""{"mode": "ingest", "increment": "$dir/$inc",
            | "benchmark": "$dir/bench", "out": "$dir/build",
            | "id": "id", "text": "body",
-           | "cap": 16, "formatter": "plain", "chunksPerPart": 2}"""
-          .stripMargin))
+           | "cap": 16, "formatter": "plain", "chunksPerPart": 2,
+           | "profileSource": "src"}""".stripMargin))
     }
     val scratchSummary = Run.execute(s, spec(
       s"""{"corpus": "$dir/union", "benchmark": "$dir/bench",
          | "out": "$dir/scratch", "id": "id", "text": "body",
-         | "cap": 16, "formatter": "plain", "chunksPerPart": 2}"""
-        .stripMargin))
+         | "cap": 16, "formatter": "plain", "chunksPerPart": 2,
+         | "profileSource": "src"}""".stripMargin))
 
     // the summary attests the advanced ON-DISK profile: the second
     // ingest's profile object equals the from-scratch build's exactly
@@ -330,6 +331,24 @@ class RunSpec extends SparkSpec {
       .head().getLong(1)
     assert(est == 4L, s"expected 4 distinct contents over 5 docs, got $est")
 
+    // the PER-SOURCE profile: a source absent from the build ("books",
+    // first seen in inc1) appears as a new group, groups merge like the
+    // global profile (advanced ≡ from-scratch), and the per-source
+    // distinct counts see the CROSS-source duplicate as distinct within
+    // "books" (doc 12 duplicates web's doc 1, not another books doc)
+    def srcD(out: String) = RelationalOps.distinctSketchEstimate(
+        s.read.parquet(s"$out/stats/source_distinct"), "grp")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(srcD(s"$dir/build") == srcD(s"$dir/scratch") &&
+      srcD(s"$dir/build") == Map("web" -> 3L, "books" -> 2L),
+      s"per-source distinct diverged: ${srcD(s"$dir/build")} vs " +
+        s"${srcD(s"$dir/scratch")}")
+    def srcL(out: String) = RelationalOps.quantileSketchEstimate(
+        s.read.parquet(s"$out/stats/source_len"), "grp", Seq(0.5))
+      .collect().map(_.toString).sorted.toSeq
+    assert(srcL(s"$dir/build") == srcL(s"$dir/scratch"),
+      s"per-source length profile diverged")
+
     // mode=stats: the EXACT refresh as its own job — stats/* rebuilt
     // from the current corpus, everything else untouched
     val manifestBefore = s.read.parquet(s"$dir/build/manifest")
@@ -338,8 +357,8 @@ class RunSpec extends SparkSpec {
       s"""{"mode": "stats", "corpus": "$dir/union",
          | "benchmark": "$dir/bench", "out": "$dir/build",
          | "id": "id", "text": "body",
-         | "cap": 16, "formatter": "plain", "chunksPerPart": 2}"""
-        .stripMargin))
+         | "cap": 16, "formatter": "plain", "chunksPerPart": 2,
+         | "profileSource": "src"}""".stripMargin))
     val heavyRefreshed = s.read
       .parquet(s"$dir/build/stats/heavy_tokens")
       .orderBy(desc("n"), col("token")).collect().map(_.toString).toSeq
