@@ -50,7 +50,7 @@ object RunDriveManual {
          | "id": "doc_id", "text": "text", "cap": 512,
          | "formatter": "span", "chunksPerPart": 64,
          | "vectors": "%s", "nlist": 16, "pq": true,
-         | "pqM": 8, "pqKsub": 16""".stripMargin
+         | "pqM": 8, "pqKsub": 16, "profileSource": "source"""".stripMargin
     drive("build",
       s"""{"corpus": "$dir/corpus", ${common.format(s"$dir/vecs")}}""")
     drive("ingest",
