@@ -237,12 +237,6 @@ object Run {
     require(nStaged == nBefore,
       s"compaction of '$path' staged $nStaged rows != $nBefore — " +
         s"refusing the swap; staged data left at '$staging'")
-    def rmTree(p: java.nio.file.Path): Unit = {
-      val st = Files.walk(p)
-      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(Files.delete)
-      finally st.close()
-    }
     rmTree(dir)
     Files.move(Paths.get(staging), dir)
     (before.size.toLong, dataFiles(dir).size.toLong, nBefore)
@@ -312,6 +306,15 @@ object Run {
     * a partial write (crash mid-stage) is clobbered and retried. */
   private def stageDone(path: String): Boolean =
     Files.exists(Paths.get(path, "_SUCCESS"))
+
+  /** Recursive delete — the destructive half of every staged swap. */
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val st = Files.walk(p)
+    try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(Files.delete)
+    finally st.close()
+  }
 
   /** Canonical fingerprint strings the resume/ingest guard compares
     * (ADVICE r14). `shape` covers every spec field that determines the
@@ -605,7 +608,17 @@ object Run {
     * dropped docs), unlike the build report's raw-token accounting.
     * Mixture sampling is a batch-build decision
     * ([[PipelineOps.trainReadyIncremental]] has no mixture stage), so an
-    * ingest spec must not set `mixtureSource`. */
+    * ingest spec must not set `mixtureSource`.
+    *
+    * Failure/retry contract (ADVICE r15): the profile advance is staged,
+    * verified, swapped, and stamped per increment ([[advanceArtifact]]) —
+    * crash-safe and retry-idempotent. The APPEND artifacts (manifest,
+    * index/hashes, index/postings, ann/assignment, ann/codes) are NOT:
+    * a failed ingest may have landed some appends, and blindly re-running
+    * it against the same out dir would double those rows. Clean the
+    * partial appends first (each append is one file-set per write —
+    * remove the files newer than the last good SUMMARY.json), or re-run
+    * against a copy of the last good out dir. */
   private def executeIngest(s: SparkSession, spec: Spec): String = {
     require(spec.mixtureSource.isEmpty,
       "mode 'ingest' does not support mixtureSource (a batch-build stage)")
@@ -762,81 +775,117 @@ object Run {
     summary
   }
 
-  /** Advance the three mergeable corpus-profile artifacts by the
-    * increment's sketches (see the build's stage 1d and the ingest
-    * call site). Each standing artifact is tiny (one row / one group);
-    * merges run at kilobyte cost on the driver or through a
-    * checkpointed frame. */
+  /** Advance the mergeable corpus-profile artifacts by the increment's
+    * sketches (see the build's stage 1d and the ingest call site). Each
+    * standing artifact is tiny (one row / one group); merges run at
+    * kilobyte cost on the driver or through a checkpointed frame.
+    *
+    * Durability (ADVICE r15): each artifact advances by a STAGED
+    * write-then-swap ([[advanceArtifact]]) — the prior in-place
+    * overwrite could destroy the standing sketch on a crash mid-write
+    * (recoverable only by a full `mode=stats` re-scan), and a blind
+    * retry of a failed ingest would double-merge the increment into any
+    * artifact that did survive. The swap plus the per-increment stamp
+    * make the profile advance both crash-safe and retry-idempotent. */
   private def advanceProfile(s: SparkSession, spec: Spec,
       inc: DataFrame): Unit = {
     val out = spec.out
+    val tag = spec.increment.getOrElse("")
     import graft.operators.{RelationalOps, TextOps}
 
     val skPath = s"$out/stats/token_sketch"
-    if (stageDone(skPath)) {
-      val standing = s.read.parquet(skPath).head().getAs[Array[Byte]]("sk")
+    if (stageDone(skPath)) advanceArtifact(s, skPath, tag) { standing =>
+      val sBytes = standing.head().getAs[Array[Byte]]("sk")
       val incSk = TextOps.tokenSketchBytes(inc, spec.text)
         .head().getAs[Array[Byte]]("sk")
       s.createDataFrame(java.util.List.of(
           org.apache.spark.sql.Row(
-            graft.functions.FreqItems.mergeBytes(standing, incSk))),
+            graft.functions.FreqItems.mergeBytes(sBytes, incSk))),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("sk",
             org.apache.spark.sql.types.BinaryType, nullable = false))))
-        .write.mode("overwrite").parquet(skPath)
     } else warnNoProfile(skPath)
 
     val lqPath = s"$out/stats/len_quantiles"
-    if (stageDone(lqPath)) {
-      val standing = s.read.parquet(lqPath).localCheckpoint(true)
-      val incLq = RelationalOps.quantileSketch(
-        TextOps.tokenCounts(inc, spec.id, spec.text)
-          .withColumn("grp", lit("all")), "grp", "n_tok")
-      val merged = RelationalOps.quantileSketchMerge(standing, incLq, "grp")
-        .localCheckpoint(true)
-      merged.write.mode("overwrite").parquet(lqPath)
-      standing.unpersist(); merged.unpersist()
+    if (stageDone(lqPath)) advanceArtifact(s, lqPath, tag) { standing =>
+      RelationalOps.quantileSketchMerge(standing,
+        RelationalOps.quantileSketch(
+          TextOps.tokenCounts(inc, spec.id, spec.text)
+            .withColumn("grp", lit("all")), "grp", "n_tok"),
+        "grp")
     } else warnNoProfile(lqPath)
 
     val dcPath = s"$out/stats/distinct_content"
-    if (stageDone(dcPath)) {
-      val standing = s.read.parquet(dcPath).localCheckpoint(true)
-      val incDc = RelationalOps.distinctSketch(
-        inc.select(lit("all").as("grp"),
-          md5(col(spec.text).cast("binary")).as("h")), "grp", "h")
-      val merged = RelationalOps.distinctSketchMerge(standing, incDc, "grp")
-        .localCheckpoint(true)
-      merged.write.mode("overwrite").parquet(dcPath)
-      standing.unpersist(); merged.unpersist()
+    if (stageDone(dcPath)) advanceArtifact(s, dcPath, tag) { standing =>
+      RelationalOps.distinctSketchMerge(standing,
+        RelationalOps.distinctSketch(
+          inc.select(lit("all").as("grp"),
+            md5(col(spec.text).cast("binary")).as("h")), "grp", "h"),
+        "grp")
     } else warnNoProfile(dcPath)
 
     // per-source profile advance (when the build carries one): new
     // sources appear as new groups, existing ones merge
     spec.profileSource.foreach { src =>
       val sdPath = s"$out/stats/source_distinct"
-      if (stageDone(sdPath)) {
-        val standing = s.read.parquet(sdPath).localCheckpoint(true)
-        val incSd = RelationalOps.distinctSketch(
-          inc.select(col(src).cast("string").as("grp"),
-            md5(col(spec.text).cast("binary")).as("h")), "grp", "h")
-        val merged = RelationalOps.distinctSketchMerge(standing, incSd,
-          "grp").localCheckpoint(true)
-        merged.write.mode("overwrite").parquet(sdPath)
-        standing.unpersist(); merged.unpersist()
+      if (stageDone(sdPath)) advanceArtifact(s, sdPath, tag) { standing =>
+        RelationalOps.distinctSketchMerge(standing,
+          RelationalOps.distinctSketch(
+            inc.select(col(src).cast("string").as("grp"),
+              md5(col(spec.text).cast("binary")).as("h")), "grp", "h"),
+          "grp")
       } else warnNoProfile(sdPath)
       val slPath = s"$out/stats/source_len"
-      if (stageDone(slPath)) {
-        val standing = s.read.parquet(slPath).localCheckpoint(true)
-        val incSl = RelationalOps.quantileSketch(
-          TextOps.tokenCounts(inc, src, spec.text)
-            .select(col("doc_id").cast("string").as("grp"),
-              col("n_tok")), "grp", "n_tok")
-        val merged = RelationalOps.quantileSketchMerge(standing, incSl,
-          "grp").localCheckpoint(true)
-        merged.write.mode("overwrite").parquet(slPath)
-        standing.unpersist(); merged.unpersist()
+      if (stageDone(slPath)) advanceArtifact(s, slPath, tag) { standing =>
+        RelationalOps.quantileSketchMerge(standing,
+          RelationalOps.quantileSketch(
+            TextOps.tokenCounts(inc, src, spec.text)
+              .select(col("doc_id").cast("string").as("grp"),
+                col("n_tok")), "grp", "n_tok"),
+          "grp")
       } else warnNoProfile(slPath)
     }
+  }
+
+  /** One staged profile-artifact advance (ADVICE r15). `merged` maps the
+    * eagerly-checkpointed standing table to the advanced table; the
+    * result lands in `<path>__advance`, is VERIFIED (readable, group
+    * count no smaller than the standing table's — a merge never loses
+    * groups), stamped with the increment path, and only then swapped
+    * into place. Crash contract (same as [[executeCompact]]'s): before
+    * the swap the original is intact and a retry redoes the merge; a
+    * crash between the delete and the move leaves the fully verified
+    * staged directory — move `<path>__advance` into place to finish.
+    * A RETRY of an ingest whose advance already swapped finds its own
+    * increment stamp and SKIPS the re-merge — the one double-merge
+    * hazard the in-place overwrite had. (Appending artifacts — manifest,
+    * indexes, ann — are NOT retry-idempotent; a failed ingest's partial
+    * appends must be cleaned before re-running, see [[executeIngest]].) */
+  private def advanceArtifact(s: SparkSession, path: String,
+      incrementTag: String)(merged: DataFrame => DataFrame): Unit = {
+    val stampName = "_advanced_from"
+    val stamp = Paths.get(path, stampName)
+    if (incrementTag.nonEmpty && Files.exists(stamp) &&
+        Files.readString(stamp) == incrementTag) {
+      System.err.println(s"[run] profile artifact '$path' was already " +
+        s"advanced by '$incrementTag' — skipping the re-merge " +
+        "(retried ingest).")
+      return
+    }
+    val standing = s.read.parquet(path).localCheckpoint(true)
+    try {
+      val nStanding = standing.count()
+      val staging = path + "__advance"
+      merged(standing).write.mode("overwrite").parquet(staging)
+      val nStaged = s.read.parquet(staging).count()
+      require(nStaged >= nStanding,
+        s"profile advance of '$path' staged $nStaged rows < standing " +
+          s"$nStanding — refusing the swap; staged data left at " +
+          s"'$staging'")
+      Files.writeString(Paths.get(staging, stampName), incrementTag)
+      rmTree(Paths.get(path))
+      Files.move(Paths.get(staging), Paths.get(path))
+    } finally standing.unpersist()
   }
 
   private def warnNoProfile(path: String): Unit =

@@ -257,13 +257,16 @@ object RelationalOps {
       .agg(call_function("kll_merge_agg_double", col("qsketch"), lit(k))
         .as("qsketch"))
 
-  /** Column label for quantile q: p50, p95, p99_9, p99_95. */
+  /** Column label for quantile q: p50, p95, p99_9, p99_95. The
+    * non-multiple-of-10 fraction is zero-padded (0.9905 → p99_05, not
+    * the p99_5 that would collide with 0.995 — ADVICE r15), while
+    * multiples of 10 keep the single-digit form. */
   private def pLabel(q: Double): String = {
     val bp = math.round(q * 10000).toInt
     val frac = bp % 100
     if (frac == 0) s"p${bp / 100}"
     else if (frac % 10 == 0) s"p${bp / 100}_${frac / 10}"
-    else s"p${bp / 100}_$frac"
+    else f"p${bp / 100}%d_$frac%02d"
   }
 
   /** Read quantile estimates off a sketch table — a pure projection of
@@ -294,10 +297,25 @@ object RelationalOps {
     * LIBRARY ENTRY POINT. */
   def sketchEdges(sketches: DataFrame, group: String,
       qs: Seq[Double]): Seq[Double] = {
+    val skRows = sketches.select(col(group), col("qsketch")).collect()
+    require(skRows.length == 1,
+      s"sketchEdges reads a single-group sketch table, got ${skRows.length} groups")
+    // an empty sketch (every value in the group NULL) serializes as its
+    // bare 8-byte preamble, and estimating it blows up inside the kll
+    // function with an opaque SparkRuntimeException — fail loudly with
+    // the cause instead (ADVICE r15). A non-empty KLL doubles sketch is
+    // at least the 16-byte single-item form.
+    require(!skRows(0).isNullAt(1) &&
+        skRows(0).getAs[Array[Byte]](1).length > 8,
+      s"sketchEdges: the sketch for group '${skRows(0).get(0)}' is " +
+        "empty (all values NULL?) — no edges can be estimated")
     val rows = quantileSketchEstimate(sketches, group, qs).collect()
-    require(rows.length == 1,
-      s"sketchEdges reads a single-group sketch table, got ${rows.length} groups")
-    qs.indices.map(i => rows(0).getDouble(i + 1)).distinct.sorted
+    qs.indices.map { i =>
+      require(!rows(0).isNullAt(i + 1),
+        s"sketchEdges: quantile ${qs(i)} estimated NULL — the sketch " +
+          s"for group '${rows(0).get(0)}' is empty (all values NULL?)")
+      rows(0).getDouble(i + 1)
+    }.distinct.sorted
   }
 
   // q_quantiles_incr: the ingest regime for order statistics — the

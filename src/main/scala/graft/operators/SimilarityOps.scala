@@ -652,7 +652,12 @@ object SimilarityOps {
     * and reset the baseline — the ivfAppend scaladoc's "caller's policy
     * decision", now with a number attached. A zero baseline (training
     * vectors sitting exactly on their centroids) reports a NULL ratio
-    * and trips on any positive batch distortion.
+    * and trips on any positive batch distortion. An EMPTY increment
+    * (zero vectors, or all-zero vectors which normalization excludes)
+    * has no distortion evidence: `mean_qerr` is NULL and `retrain` is
+    * false — nothing measured, nothing tripped (ADVICE r15: the NULL
+    * previously escaped as-is and blew up the ingest's getAs[Boolean]
+    * AFTER assignment rows had landed).
     *
     * `baseline` is [[ivfQuantizationError]] over the training corpus —
     * persist it next to the centroid table at train time.
@@ -675,8 +680,11 @@ object SimilarityOps {
         baseline.select(col("mean_qerr").as("baseline_mean"))))
       .withColumn("ratio", when(col("baseline_mean") > 0d,
         Det.r4(col("mean_qerr") / col("baseline_mean"))))
+      // coalesce: an empty increment's NULL mean_qerr must read as "no
+      // evidence" (false), never as a NULL that kills the consumer
       .withColumn("retrain",
-        col("mean_qerr") > lit(maxRatio) * col("baseline_mean"))
+        coalesce(col("mean_qerr") > lit(maxRatio) * col("baseline_mean"),
+          lit(false)))
   }
 
   /** The corpus's trained IVF quantizer, materialized once per

@@ -238,11 +238,13 @@ class ApiSpec extends SparkSpec {
       .toMap
     assert(est("x") == ((50.0, 95.0)), s"$est")
     assert(est("y")._1 == 7.0 && est("y")._2 == 9.0, s"$est")
-    // estimate columns are labeled by quantile
+    // estimate columns are labeled by quantile; single-digit basis-point
+    // fractions zero-pad so 0.9905 and 0.995 cannot collide (ADVICE r15)
     val cols = RelationalOps.quantileSketchEstimate(
       RelationalOps.quantileSketch(a, "cat", "score"), "cat",
-      Seq(0.25, 0.999)).columns.toSeq
-    assert(cols == Seq("cat", "p25", "p99_9"), s"$cols")
+      Seq(0.25, 0.999, 0.995, 0.9905, 0.9955)).columns.toSeq
+    assert(cols == Seq("cat", "p25", "p99_9", "p99_5", "p99_05", "p99_55"),
+      s"$cols")
   }
 
   test("sketchEdges feeds bucketQuotaSample: profile-derived edges without a corpus re-scan") {
@@ -279,6 +281,14 @@ class ApiSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       RelationalOps.sketchEdges(multi, "grp", Seq(0.5)))
     assert(e.getMessage.contains("single-group"), e.getMessage)
+    // an EMPTY sketch (every value NULL) estimates NULL quantiles — the
+    // failure names the problem instead of NPE-ing (ADVICE r15)
+    val allNull = RelationalOps.quantileSketch(
+      Seq(("all", Option.empty[Double]), ("all", Option.empty[Double]))
+        .toDF("grp", "v"), "grp", "v")
+    val e2 = intercept[IllegalArgumentException](
+      RelationalOps.sketchEdges(allNull, "grp", Seq(0.5)))
+    assert(e2.getMessage.contains("empty"), e2.getMessage)
   }
 
   test("tokenDivergenceSketch equals the exact report in the sketches' exact regime") {
@@ -395,6 +405,24 @@ class ApiSpec extends SparkSpec {
     assert(bad.schema.fieldNames.toSeq == Seq("n_vecs", "mean_qerr",
       "max_qerr", "baseline_mean", "ratio", "retrain"),
       s"ingest-stats row shape: ${bad.schema.fieldNames.toSeq}")
+
+    // an EMPTY increment — zero rows, or only zero vectors (which
+    // normalization excludes) — has no distortion evidence: mean_qerr
+    // is NULL and retrain must read FALSE, not NPE the ingest that
+    // calls getAs[Boolean] after its appends landed (ADVICE r15)
+    val emptyInc = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+    val none = SimilarityOps
+      .ivfDrift(emptyInc, "id", "vec", q, baseline).head()
+    assert(none.getAs[Long]("n_vecs") == 0L &&
+      none.isNullAt(none.fieldIndex("mean_qerr")) &&
+      !none.getAs[Boolean]("retrain"),
+      s"empty increment must not trip (and not NPE): $none")
+    val zeroVecs = Seq((500L, Array(0f, 0f, 0f))).toDF("id", "vec")
+    val zrow = SimilarityOps
+      .ivfDrift(zeroVecs, "id", "vec", q, baseline).head()
+    assert(zrow.getAs[Long]("n_vecs") == 0L &&
+      !zrow.getAs[Boolean]("retrain"),
+      s"all-zero-vector increment must not trip: $zrow")
   }
 
   test("pqDrift trips the re-train threshold on a drifted increment (codebook twin)") {

@@ -374,6 +374,83 @@ class RunSpec extends SparkSpec {
       "re-baselined profile must equal the from-scratch build's")
   }
 
+  test("Run profile advance is staged, stamped, and retry-idempotent (ADVICE r15)") {
+    // the in-place overwrite could destroy the standing sketch on a
+    // crash mid-write, and a retried ingest double-merged the increment
+    // into any artifact that survived. Now each advance writes to
+    // <path>__advance, verifies, swaps, and stamps the increment path —
+    // a RETRIED ingest must leave the profile exactly as the first run
+    // did (the appends double, documented; the profile must not).
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-run-retry").toFile
+      .getAbsolutePath
+    val prior = Seq((1L, clean("alpha"), "web"), (2L, clean("beta"), "web"))
+      .toDF("id", "body", "src")
+    val inc = Seq((11L, clean("gamma"), "books")).toDF("id", "body", "src")
+    val bench = Seq((100L, words("bench", 20).mkString(" ")))
+      .toDF("id", "body")
+    prior.write.parquet(s"$dir/prior")
+    inc.write.parquet(s"$dir/inc")
+    bench.write.parquet(s"$dir/bench")
+    def spec(json: String) = Run.parseSpec(json)
+    Run.execute(s, spec(
+      s"""{"corpus": "$dir/prior", "benchmark": "$dir/bench",
+         | "out": "$dir/build", "id": "id", "text": "body",
+         | "cap": 16, "formatter": "plain", "chunksPerPart": 2,
+         | "profileSource": "src"}""".stripMargin))
+    val ingestJson =
+      s"""{"mode": "ingest", "increment": "$dir/inc",
+         | "benchmark": "$dir/bench", "out": "$dir/build",
+         | "id": "id", "text": "body",
+         | "cap": 16, "formatter": "plain", "chunksPerPart": 2,
+         | "profileSource": "src"}""".stripMargin
+    val m = new ObjectMapper()
+    val first = m.readTree(Run.execute(s, spec(ingestJson)))
+
+    // the swapped-in artifacts carry the increment stamp; no staging
+    // directory lingers after the swap
+    val statsDir = new java.io.File(s"$dir/build/stats")
+    for (a <- Seq("token_sketch", "len_quantiles", "distinct_content",
+        "source_distinct", "source_len")) {
+      assert(Files.exists(
+        java.nio.file.Paths.get(s"$dir/build/stats/$a/_advanced_from")),
+        s"$a must carry the increment stamp after the swap")
+      assert(Files.readString(
+        java.nio.file.Paths.get(s"$dir/build/stats/$a/_advanced_from"))
+        == s"$dir/inc", s"$a stamp must name the increment path")
+    }
+    assert(!statsDir.listFiles().exists(_.getName.endsWith("__advance")),
+      "no staging directory may survive a successful swap")
+
+    // RETRY of the same increment: every profile artifact's bytes stay
+    // IDENTICAL (stamped skip — no double-merge), and the summary's
+    // profile object matches the first run's
+    def profileBytes(): Map[String, Seq[String]] =
+      Seq("token_sketch", "len_quantiles", "distinct_content",
+        "source_distinct", "source_len").map { a =>
+        a -> s.read.parquet(s"$dir/build/stats/$a")
+          .collect().map(_.toSeq.map {
+            case b: Array[Byte] =>
+              java.util.Base64.getEncoder.encodeToString(b)
+            case x => String.valueOf(x)
+          }.mkString("|")).sorted.toSeq
+      }.toMap
+    val bytesAfterFirst = profileBytes()
+    val retry = m.readTree(Run.execute(s, spec(ingestJson)))
+    assert(profileBytes() == bytesAfterFirst,
+      "a retried ingest must not double-merge the profile")
+    assert(retry.get("profile") == first.get("profile"),
+      s"retry profile diverged: ${retry.get("profile")} vs " +
+        s"${first.get("profile")}")
+    // (the append artifacts DO double on a blind retry — documented in
+    // executeIngest's scaladoc; the grown manifest proves the test
+    // really re-ran the ingest rather than short-circuiting)
+    assert(s.read.parquet(s"$dir/build/manifest")
+      .filter(col("doc_id") === 11L).count() > 1L,
+      "retry must have appended (the profile skip is the only idempotent leg)")
+  }
+
   test("Run maintains the ANN artifacts: build trains + baselines, ingest appends + gates drift") {
     val s = spark
     import s.implicits._
