@@ -48,9 +48,11 @@ import graft.operators.PipelineOps
   * (`ann_drift` in the summary; retrain=true warns loudly).
   *
   * Maintenance modes: `"mode": "stats"` (exact stats refresh,
-  * [[executeStats]]) and `"mode": "compact"` (small-file compaction of
-  * the append-mode artifacts, [[executeCompact]]) — both leave every
-  * other artifact untouched.
+  * [[executeStats]]), `"mode": "compact"` (small-file compaction of
+  * the append-mode artifacts, [[executeCompact]]), and
+  * `"mode": "retrain"` (rebuild the frozen ANN artifacts on the current
+  * vector corpus after a drift-gate trip, [[executeRetrain]]) — each
+  * leaves every other artifact untouched.
   *
   * Stage order and artifact layout (each stage consumes the PERSISTED
   * output of the one before it; with `overwrite=false` a re-run SKIPS
@@ -131,14 +133,18 @@ object Run {
     }
     def opt(k: String): Option[JsonNode] = Option(n.get(k))
     val mode = opt("mode").map(_.asText).getOrElse("build")
-    require(Set("build", "ingest", "stats", "compact")(mode),
-      s"mode must be build | ingest | stats | compact, got '$mode'")
+    require(Set("build", "ingest", "stats", "compact", "retrain")(mode),
+      s"mode must be build | ingest | stats | compact | retrain, got '$mode'")
     val increment = opt("increment").map(_.asText).filter(_.nonEmpty)
     require(mode != "ingest" || increment.isDefined,
       "mode 'ingest' requires an 'increment' parquet path")
+    require(mode != "retrain" ||
+        opt("vectors").map(_.asText).exists(_.nonEmpty),
+      "mode 'retrain' requires 'vectors' (the CURRENT full vector corpus)")
     Spec(
       corpus = opt("corpus").map(_.asText)
-        .getOrElse { require(mode == "ingest" || mode == "compact",
+        .getOrElse { require(
+          mode == "ingest" || mode == "compact" || mode == "retrain",
           "spec is missing required string field 'corpus'"); "" },
       benchmark = opt("benchmark").map(_.asText)
         .getOrElse { require(mode == "compact",
@@ -177,6 +183,7 @@ object Run {
     case "ingest" => executeIngest(s, spec)
     case "stats" => executeStats(s, spec)
     case "compact" => executeCompact(s, spec)
+    case "retrain" => executeRetrain(s, spec)
     case _ => executeBuild(s, spec)
   }
 
@@ -240,6 +247,111 @@ object Run {
     rmTree(dir)
     Files.move(Paths.get(staging), dir)
     (before.size.toLong, dataFiles(dir).size.toLong, nBefore)
+  }
+
+  /** `"mode": "retrain"` — the RECOVERY arm of the ANN drift gate
+    * (VERDICT r15 #2): the ingest gates DETECT a drifted frozen
+    * quantizer/codebook; this job is the scheduled response. `vectors`
+    * names the CURRENT full vector corpus (original ∪ every ingested
+    * increment — the `mode=stats` convention applied to vectors): the
+    * quantizer retrains on it, the whole corpus re-assigns, the PQ
+    * codebook (when the build carries one) retrains and re-encodes, and
+    * BOTH distortion baselines re-measure — then the entire `out/ann`
+    * directory swaps atomically from a fully-verified staging copy. The
+    * old artifacts stay intact (and searchable) until the swap; a crash
+    * before it loses nothing, a crash between the delete and the move
+    * leaves the verified `out/ann__retrain` to move into place — the
+    * [[executeCompact]] contract at directory scope. The stored build
+    * fingerprint's `vectors` field is updated to the retrain corpus, so
+    * later ingests verify against the artifacts' true provenance.
+    *
+    * After a retrain, re-ingesting the very increment that tripped the
+    * gate scores in-distribution (its cluster is now inside the trained
+    * quantizer) — RunSpec pins the full loop trip → retrain → no-trip,
+    * and rebuilt ≡ from-scratch artifact/search parity. */
+  private def executeRetrain(s: SparkSession, spec: Spec): String = {
+    require(stageDone(s"${spec.out}/ann/quantizer"),
+      s"'${spec.out}/ann' has no trained quantizer — mode 'retrain' " +
+        "rebuilds an existing ANN index (run a build with \"vectors\" first)")
+    checkIngestFingerprint(spec) // same shape rule as stats: paths may
+                                 // differ, thresholds/columns must not
+    val hasPq = stageDone(s"${spec.out}/ann/codebook")
+    require(hasPq == spec.pq,
+      s"spec pq=${spec.pq} but the build ${if (hasPq) "has" else "lacks"} " +
+        "a PQ codebook — retrain must rebuild exactly the artifacts the " +
+        "build carries")
+    val vecs = s.read.parquet(spec.vectors.get)
+    val staging = s"${spec.out}/ann__retrain"
+    if (Files.exists(Paths.get(staging))) rmTree(Paths.get(staging))
+
+    // 1. fresh quantizer on the CURRENT corpus, then re-assign + re-baseline
+    graft.operators.SimilarityOps
+      .ivfTrain(vecs, spec.vecId, spec.vec, nlist = spec.nlist)
+      .write.parquet(s"$staging/quantizer")
+    val quant = s.read.parquet(s"$staging/quantizer")
+    graft.operators.SimilarityOps
+      .ivfAppend(vecs, spec.vecId, spec.vec, quant)
+      .write.parquet(s"$staging/assignment")
+    graft.operators.SimilarityOps
+      .ivfQuantizationError(vecs, spec.vecId, spec.vec, quant)
+      .write.parquet(s"$staging/baseline")
+    // 2. the PQ artifacts, when the build carries them
+    if (spec.pq) {
+      graft.operators.PqOps.pqTrain(vecs, spec.vecId, spec.vec,
+          m = spec.pqM, ksub = spec.pqKsub)
+        .write.parquet(s"$staging/codebook")
+      val cb = s.read.parquet(s"$staging/codebook")
+      graft.operators.PqOps.pqEncode(vecs, spec.vecId, spec.vec, cb,
+          m = spec.pqM, ksub = spec.pqKsub)
+        .write.parquet(s"$staging/codes")
+      graft.operators.PqOps.pqQuantizationError(vecs, spec.vecId,
+          spec.vec, cb, m = spec.pqM, ksub = spec.pqKsub)
+        .write.parquet(s"$staging/pq_baseline")
+    }
+
+    // 3. verify the staged index is complete and consistent BEFORE any
+    // destructive step: nlist centroid rows, assignment == codes ==
+    // the corpus's assignable (non-zero) vectors, baselines measured
+    // over the same count
+    val nAssigned = s.read.parquet(s"$staging/assignment").count()
+    val nQuant = s.read.parquet(s"$staging/quantizer").count()
+    val baseRow = s.read.parquet(s"$staging/baseline").head()
+    require(nQuant == spec.nlist && nAssigned > 0 &&
+        baseRow.getAs[Long]("n_vecs") == nAssigned,
+      s"staged retrain inconsistent (quantizer $nQuant rows, assignment " +
+        s"$nAssigned, baseline over ${baseRow.getAs[Long]("n_vecs")}) — " +
+        s"refusing the swap; staged data left at '$staging'")
+    if (spec.pq) {
+      val nCodes = s.read.parquet(s"$staging/codes").count()
+      require(nCodes == nAssigned,
+        s"staged codes $nCodes != assignment $nAssigned — refusing the " +
+          s"swap; staged data left at '$staging'")
+    }
+
+    // 4. the swap, then re-point the stored fingerprint's vectors field
+    // (shape is unchanged — checked above; provenance is not)
+    rmTree(Paths.get(s"${spec.out}/ann"))
+    Files.move(Paths.get(staging), Paths.get(s"${spec.out}/ann"))
+    val fpp = fingerprintPath(spec.out)
+    if (Files.exists(fpp)) {
+      val prior = new ObjectMapper().readTree(Files.readString(fpp))
+      val priorCorpus = prior.get("corpus").asText
+      Files.writeString(fpp,
+        buildFingerprint(spec.copy(corpus = priorCorpus)))
+    }
+
+    val pqJson = if (!spec.pq) "" else {
+      val pb = s.read.parquet(s"${spec.out}/ann/pq_baseline").head()
+      s""","pq_baseline_mean":${pb.getAs[Double]("mean_qerr")}"""
+    }
+    val summary =
+      s"""{"mode":"retrain","vectors":"${esc(spec.vectors.get)}",""" +
+        s""""out":"${esc(spec.out)}","n_vecs":$nAssigned,""" +
+        s""""baseline_mean":${baseRow.getAs[Double]("mean_qerr")}""" +
+        pqJson + "}"
+    Files.write(Paths.get(spec.out, "RETRAIN.json"),
+      summary.getBytes(StandardCharsets.UTF_8))
+    summary
   }
 
   /** `"mode": "stats"` — the EXACT stats refresh the ingest scaladoc
