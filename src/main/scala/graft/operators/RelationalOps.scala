@@ -172,10 +172,22 @@ object RelationalOps {
     * equality and the ≤2% accuracy vs exact; graft.ApiSpec the generic
     * frame).
     *
+    * `lgConfigK` is the accuracy/size lever (DataSketches HLL default
+    * 12): the sketch holds coupons EXACTLY until the set-mode capacity
+    * (~2^(lgConfigK-3) keys) and only then promotes to the estimating
+    * HLL array — below that bound every estimate (and every merge of
+    * exact-mode sketches whose union stays below it) is the exact
+    * distinct count, the regime [[graft.QDef q_distinct_verify]] pins
+    * against the DuckDB oracle.
+    *
     * LIBRARY ENTRY POINT — generic over any (group, key) frame. */
-  def distinctSketch(rows: DataFrame, group: String, key: String): DataFrame =
+  def distinctSketch(rows: DataFrame, group: String, key: String,
+      lgConfigK: Int = 12): DataFrame = {
+    require(lgConfigK >= 4 && lgConfigK <= 21,
+      s"lgConfigK must be in [4, 21], got $lgConfigK")
     rows.groupBy(col(group))
-      .agg(hll_sketch_agg(col(key)).as("sketch"))
+      .agg(hll_sketch_agg(col(key), lit(lgConfigK)).as("sketch"))
+  }
 
   /** Union two [[distinctSketch]] tables (standing ∪ increment) into the
     * advanced standing table — groups present in either side survive,
@@ -338,6 +350,64 @@ object RelationalOps {
       est.columns.filter(_ != "event_type").map(c =>
         Det.r4(col(c)).as(c)): _*)
       .orderBy("event_type")
+  }
+
+  // q_distinct_verify (VERDICT r15 #3): the q_distinct_incr READ path
+  // joined to the HASH gate — in the HLL set-mode exact regime the
+  // merged estimate IS the exact distinct count, which DuckDB re-derives
+  // as COUNT(DISTINCT) over the same rows. Subset: event_id % 4 (max
+  // per-group cardinality 1456 at sf0.1) under lgConfigK=14 (set-mode
+  // capacity ~2048) — measured exact at both gate SFs; the incr split
+  // (75/25 on event_id % 16) mirrors q_distinct_incr so the verified
+  // path is sketch → merge → estimate, not a single-sketch shortcut.
+  private def distinctVerify(s: SparkSession, d: String): DataFrame = {
+    val sub = t(s, d, "events").filter(col("event_id") % 4 === 0)
+    val standing = distinctSketch(sub.filter(col("event_id") % 16 =!= 0),
+      "event_type", "user_id", lgConfigK = 14)
+    val inc = distinctSketch(sub.filter(col("event_id") % 16 === 0),
+      "event_type", "user_id", lgConfigK = 14)
+    distinctSketchEstimate(
+      distinctSketchMerge(standing, inc, "event_type"), "event_type")
+      .orderBy("event_type")
+  }
+
+  // q_quantiles_verify (VERDICT r15 #3): the q_quantiles_incr READ path
+  // joined to the hash gate — in the KLL exact regime (every item
+  // retained; k=2048 holds ~1536 items with margin, the subset's max
+  // group is 1279 at sf0.1) the merged estimate under INCLUSIVE rank
+  // semantics is the sorted item at position ceil(q·n), which DuckDB
+  // re-derives with a window rank over the same rows.
+  private def quantilesVerify(s: SparkSession, d: String): DataFrame = {
+    val sub = t(s, d, "events").filter(col("event_id") % 16 === 0)
+    val standing = quantileSketch(sub.filter(col("event_id") % 64 =!= 0),
+      "event_type", "value")
+    val inc = quantileSketch(sub.filter(col("event_id") % 64 === 0),
+      "event_type", "value")
+    val est = quantileSketchEstimate(
+      quantileSketchMerge(standing, inc, "event_type"),
+      "event_type", Seq(0.25, 0.5, 0.75, 0.95))
+    est.select(col("event_type") +:
+      est.columns.filter(_ != "event_type").map(c =>
+        Det.r4(col(c)).as(c)): _*)
+      .orderBy("event_type")
+  }
+
+  private val quantilesVerifySql: String = {
+    val legs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75",
+      0.95 -> "p95").map { case (q, label) =>
+      Det.r4Sql(s"MIN(CASE WHEN rn >= CEIL($q * n) THEN v END)") +
+        s" AS $label"
+    }.mkString(",\n ")
+    s"""WITH v AS (
+       | SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+       | WHERE event_id % 16 = 0),
+       |r AS (
+       | SELECT event_type, v,
+       |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+       |  COUNT(*) OVER (PARTITION BY event_type) AS n FROM v)
+       |SELECT event_type,
+       | $legs
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   // Top-k per group, two-phase: a single window partitioned by the group
@@ -581,7 +651,12 @@ object RelationalOps {
         | FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     QDef("q_distinct_users_approx", distinctUsersApprox, None),
     QDef("q_distinct_incr", distinctIncr, None),
+    QDef("q_distinct_verify", distinctVerify, Some(
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct_est
+        | FROM events WHERE event_id % 4 = 0
+        | GROUP BY 1 ORDER BY 1""".stripMargin)),
     QDef("q_quantiles_incr", quantilesIncr, None),
+    QDef("q_quantiles_verify", quantilesVerify, Some(quantilesVerifySql)),
     QDef("q_topk_per_group", topKPerGroup, Some(
       """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
         | SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -218,6 +218,23 @@ class ApiSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // tiny cardinalities sit in the sketch's exact regime
     assert(est == Map("x" -> 3L, "y" -> 1L, "z" -> 1L), s"$est")
+    // the lgConfigK lever WIDENS the exact regime: a cardinality past
+    // the default width's set-mode capacity estimates exactly under
+    // lgConfigK=14 (the q_distinct_verify regime) — and the merged
+    // two-ingest estimate stays exact too
+    val wide1 = (0 until 700).map(i => ("w", i.toLong)).toDF("cat", "member")
+    val wide2 = (500 until 1400).map(i => ("w", i.toLong)).toDF("cat", "member")
+    val wideEst = RelationalOps.distinctSketchEstimate(
+      RelationalOps.distinctSketchMerge(
+        RelationalOps.distinctSketch(wide1, "cat", "member", lgConfigK = 14),
+        RelationalOps.distinctSketch(wide2, "cat", "member", lgConfigK = 14),
+        "cat"), "cat")
+      .head().getLong(1)
+    assert(wideEst == 1400L,
+      s"lgConfigK=14 must hold 1400 keys exactly, got $wideEst")
+    val eLg = intercept[IllegalArgumentException](
+      RelationalOps.distinctSketch(a, "cat", "member", lgConfigK = 99))
+    assert(eLg.getMessage.contains("lgConfigK"), eLg.getMessage)
   }
 
   test("quantile sketches run on a generic frame with foreign column names") {

@@ -142,6 +142,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"sketch merge must not join:\n$p")
   }
 
+  test("q_distinct_verify / q_quantiles_verify: the oracled read paths stay join-free") {
+    // the exact-regime verify siblings must keep the incr lines' shape —
+    // sketch, merge, estimate; a join or extra corpus pass would mean
+    // the verify line measures something other than the read path
+    for (q <- Seq("q_distinct_verify", "q_quantiles_verify")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+    }
+  }
+
   test("frequentItems verify: isin literal while small, broadcast semi-join past the cap") {
     // VERDICT r14 #4 — both verify regimes pinned: a handful of
     // candidates verifies through the join-free literal plan, a
