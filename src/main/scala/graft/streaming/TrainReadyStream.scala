@@ -44,10 +44,13 @@ final class TrainReadyCursor private (
     bench: DataFrame, id: String, text: String, cap: Double,
     epoch: String, formatter: String, startRateBp: Int, meanSpan: Int,
     fimRateBp: Int, minJaccard: Double, contamN: Int,
+    profileSrc: Option[String],
     initManifest: DataFrame, initHashes: DataFrame,
     initPostings: DataFrame, initDocCount: Long,
     initTokenSketch: Array[Byte], initLenQuantiles: DataFrame,
-    initDistinctContent: DataFrame) {
+    initDistinctContent: DataFrame,
+    initSourceDistinct: Option[DataFrame],
+    initSourceLen: Option[DataFrame]) {
 
   private var manifestDf: DataFrame = initManifest
   private var hashesDf: DataFrame = initHashes
@@ -56,6 +59,8 @@ final class TrainReadyCursor private (
   private var tokenSk: Array[Byte] = initTokenSketch
   private var lenQDf: DataFrame = initLenQuantiles
   private var distCDf: DataFrame = initDistinctContent
+  private var srcDDf: Option[DataFrame] = initSourceDistinct
+  private var srcLDf: Option[DataFrame] = initSourceLen
 
   /** The standing manifest (one row per doc ever ingested: fate +
     * formatted n_tok + chunk + rank) as of the last completed ingest. */
@@ -79,12 +84,28 @@ final class TrainReadyCursor private (
     * (grp = "all") over content hashes. */
   def distinctContent: DataFrame = synchronized { distCDf }
 
+  /** The standing PER-SOURCE distinct-content profile (grp = the
+    * configured `profileSource` column's values) — `graft.Run`'s
+    * `stats/source_distinct` dimension, in-cursor (VERDICT r15 #5).
+    * None when the cursor was opened without a profileSource. */
+  def sourceDistinct: Option[DataFrame] = synchronized { srcDDf }
+
+  /** The standing PER-SOURCE length profile — `stats/source_len`'s
+    * twin: a per-source [[graft.operators.RelationalOps.quantileSketch]]
+    * table over per-doc token counts. */
+  def sourceLen: Option[DataFrame] = synchronized { srcLDf }
+
   /** Ingest one batch: fate against the standing artifacts, continue
     * the pack cursor and rank block, advance the artifacts. Returns the
     * NEW standing manifest (prior rows frozen — manifest in ≡ manifest
     * out, so ingests chain). Empty batches are a no-op. */
   def ingest(batch: DataFrame): DataFrame = synchronized {
-    val b = batch.select(col(id), col(text)).localCheckpoint(true)
+    // the checkpointed batch carries the source column only when the
+    // per-source profile is configured; the pipeline stages below see
+    // exactly (id, text) either way
+    val b = batch
+      .select((col(id) +: col(text) +: profileSrc.map(col).toSeq): _*)
+      .localCheckpoint(true)
     val n = b.count()
     if (n == 0L) { b.unpersist(); return manifestDf }
     val sc = b.sparkSession.sparkContext
@@ -99,7 +120,8 @@ final class TrainReadyCursor private (
     // sweep sound).
     val before = sc.getPersistentRDDs.keySet
     val built = PipelineOps.trainReadyIncremental(
-      manifestDf, bench.limit(0), b, bench, id, text, cap, epoch,
+      manifestDf, bench.limit(0), b.select(col(id), col(text)), bench,
+      id, text, cap, epoch,
       formatter, startRateBp, meanSpan, fimRateBp, minJaccard, contamN,
       precomputedPostings = Some(postingsDf),
       precomputedHashes = Some(hashesDf),
@@ -124,10 +146,24 @@ final class TrainReadyCursor private (
     val newDistC = graft.operators.RelationalOps.distinctSketchMerge(
       distCDf, TrainReadyCursor.contentSketch(b, text), "grp")
       .localCheckpoint(true)
+    // per-source profile advance (when configured): same group-keyed
+    // merges as graft.Run's stats/source_* artifacts — new sources
+    // appear as new groups, existing ones merge
+    val newSrcD = profileSrc.map { src =>
+      graft.operators.RelationalOps.distinctSketchMerge(
+        srcDDf.get, TrainReadyCursor.sourceContentSketch(b, src, text),
+        "grp").localCheckpoint(true)
+    }
+    val newSrcL = profileSrc.map { src =>
+      graft.operators.RelationalOps.quantileSketchMerge(
+        srcLDf.get, TrainReadyCursor.sourceLenSketch(b, src, text),
+        "grp").localCheckpoint(true)
+    }
     val pinned = sc.getPersistentRDDs
     inner.foreach(i => pinned.get(i).foreach(_.unpersist(blocking = true)))
     manifestDf.unpersist(); hashesDf.unpersist(); postingsDf.unpersist()
     lenQDf.unpersist(); distCDf.unpersist()
+    srcDDf.foreach(_.unpersist()); srcLDf.foreach(_.unpersist())
     b.unpersist()
     manifestDf = newManifest
     hashesDf = newHashes
@@ -135,6 +171,8 @@ final class TrainReadyCursor private (
     tokenSk = newTokenSk
     lenQDf = newLenQ
     distCDf = newDistC
+    srcDDf = newSrcD
+    srcLDf = newSrcL
     nPrior += n
     newManifest
   }
@@ -166,6 +204,24 @@ object TrainReadyCursor {
       d.select(lit("all").as("grp"),
         md5(col(text).cast("binary")).as("h")), "grp", "h")
 
+  /** Per-batch PER-SOURCE content-hash distinct sketch (grp = the
+    * source column's values) — `graft.Run`'s stats/source_distinct. */
+  private def sourceContentSketch(d: DataFrame, src: String,
+      text: String): DataFrame =
+    graft.operators.RelationalOps.distinctSketch(
+      d.select(col(src).cast("string").as("grp"),
+        md5(col(text).cast("binary")).as("h")), "grp", "h")
+
+  /** Per-batch PER-SOURCE length sketch — stats/source_len's shape:
+    * tokenCounts keyed by the source column gives the (grp, n_tok)
+    * relation directly, no join. */
+  private def sourceLenSketch(d: DataFrame, src: String,
+      text: String): DataFrame =
+    graft.operators.RelationalOps.quantileSketch(
+      graft.operators.TextOps.tokenCounts(d, src, text)
+        .select(col("doc_id").cast("string").as("grp"), col("n_tok")),
+      "grp", "n_tok")
+
   /** Open a cursor over a standing build: `priorManifest` is a
     * [[graft.operators.PipelineOps.trainReady]] /
     * `trainReadyIncremental` output over `priorCorpus`, built with the
@@ -175,16 +231,25 @@ object TrainReadyCursor {
     * initial build. The standing artifacts (hash table + posting index
     * + the three profile sketches over `priorCorpus`) are derived once
     * here and then advanced incrementally per ingest, never
-    * re-derived. */
+    * re-derived.
+    *
+    * `profileSource` (VERDICT r15 #5) names a source column present in
+    * BOTH `priorCorpus` and every ingested batch: the cursor then also
+    * maintains the per-source profile dimension (`graft.Run`'s
+    * stats/source_distinct + source_len), advanced per ingest by the
+    * same group-keyed bytes-merges as the global profile. */
   def apply(priorManifest: DataFrame, priorCorpus: DataFrame,
       bench: DataFrame, id: String, text: String, cap: Double = 4096.0,
       epoch: String = "ep1", formatter: String = "span",
       startRateBp: Int = 500, meanSpan: Int = 3, fimRateBp: Int = 9000,
-      minJaccard: Double = 0.1, contamN: Int = 8): TrainReadyCursor = {
-    val prior = priorCorpus.select(col(id).as("doc_id"),
-      col(text).as("text"))
+      minJaccard: Double = 0.1, contamN: Int = 8,
+      profileSource: Option[String] = None): TrainReadyCursor = {
+    val prior = priorCorpus.select(
+      (col(id).as("doc_id") +: col(text).as("text") +:
+        profileSource.map(col).toSeq): _*)
     new TrainReadyCursor(bench, id, text, cap, epoch, formatter,
       startRateBp, meanSpan, fimRateBp, minJaccard, contamN,
+      profileSrc = profileSource,
       initManifest = priorManifest
         .select("doc_id", "fate", "n_tok", "chunk", "rank")
         .localCheckpoint(true),
@@ -199,6 +264,10 @@ object TrainReadyCursor {
       initLenQuantiles = lenSketch(prior, "doc_id", "text")
         .localCheckpoint(true),
       initDistinctContent = contentSketch(prior, "text")
-        .localCheckpoint(true))
+        .localCheckpoint(true),
+      initSourceDistinct = profileSource.map(src =>
+        sourceContentSketch(prior, src, "text").localCheckpoint(true)),
+      initSourceLen = profileSource.map(src =>
+        sourceLenSketch(prior, src, "text").localCheckpoint(true)))
   }
 }
