@@ -556,6 +556,125 @@ class RunSpec extends SparkSpec {
     assert(s.read.parquet(s"$dir/build/ann/assignment").count() == 70)
   }
 
+  test("Run compact leaves every reader byte-identical and chunk-range pruning still prunes (VERDICT r15 #6)") {
+    // compact rewrites the append-mode artifacts' FILES; nothing a
+    // reader can observe may change. Pinned against an uncompacted COPY
+    // of the same build: full and chunk-range window reads, the profile
+    // sketch estimates, and — the strongest probe — a THIRD ingest run
+    // on both directories producing identical manifests and window
+    // totals (the increment's fates flow through the compacted hash
+    // table and posting index). Plus the plan pin: a chunk-range read
+    // of the store still prunes part directories after the compact.
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-run-compact").toFile
+      .getAbsolutePath
+    val prior = Seq((1L, clean("alpha"), "web"), (2L, clean("beta"), "web"),
+      (3L, clean("gamma"), "web")).toDF("id", "body", "src")
+    val inc1 = Seq((11L, clean("delta"), "books"),
+      (12L, clean("alpha"), "books")) // exact dup of doc 1 via the index
+      .toDF("id", "body", "src")
+    val inc2 = Seq((21L, clean("epsil"), "web"),
+      (22L, ("the" +: ((0 until 28).map(i => f"beta$i%02d") ++
+        Seq("zz00", "zz01", "zz02")) :+ "and").mkString(" "), "forums"))
+      .toDF("id", "body", "src") // 22 near-dups doc 2 via the postings
+    val inc3 = Seq((31L, clean("zetaa"), "web"),
+      (32L, clean("gamma"), "forums")) // exact dup of doc 3
+      .toDF("id", "body", "src")
+    val bench = Seq((100L, words("bench", 20).mkString(" ")))
+      .toDF("id", "body")
+    prior.write.parquet(s"$dir/prior")
+    inc1.write.parquet(s"$dir/inc1"); inc2.write.parquet(s"$dir/inc2")
+    inc3.write.parquet(s"$dir/inc3")
+    bench.write.parquet(s"$dir/bench")
+    def spec(out: String, json: String) = Run.parseSpec(json
+      .replace("OUT", out))
+    def buildJson = s"""{"corpus": "$dir/prior", "benchmark": "$dir/bench",
+      | "out": "OUT", "id": "id", "text": "body",
+      | "cap": 16, "formatter": "plain", "chunksPerPart": 2,
+      | "profileSource": "src"}""".stripMargin
+    def ingestJson(inc: String) =
+      s"""{"mode": "ingest", "increment": "$dir/$inc",
+         | "benchmark": "$dir/bench", "out": "OUT", "id": "id",
+         | "text": "body", "cap": 16, "formatter": "plain",
+         | "chunksPerPart": 2, "profileSource": "src"}""".stripMargin
+    Run.execute(s, spec(s"$dir/build", buildJson))
+    Run.execute(s, spec(s"$dir/build", ingestJson("inc1")))
+    Run.execute(s, spec(s"$dir/build", ingestJson("inc2")))
+
+    // uncompacted reference copy, then compact the original
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      val st = Files.walk(from)
+      try st.iterator().asScala.foreach { p =>
+        val t = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t)
+      } finally st.close()
+    }
+    copyTree(java.nio.file.Paths.get(s"$dir/build"),
+      java.nio.file.Paths.get(s"$dir/copy"))
+    Run.execute(s, Run.parseSpec(s"""{"mode": "compact", "out": "$dir/build"}"""))
+    assert(new java.io.File(s"$dir/build/manifest").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")) == 1,
+      "fixture: three file-sets must have compacted to one")
+
+    // reader parity: full window read, chunk-range read, sketch estimates
+    def windows(out: String, from: Option[Long], until: Option[Long]) =
+      PipelineOps.readWindows(s, s"$out/windows", 2L, from, until)
+        .orderBy("chunk").collect().map(_.toString).toSeq
+    assert(windows(s"$dir/build", None, None) ==
+      windows(s"$dir/copy", None, None), "full window read diverged")
+    assert(windows(s"$dir/build", Some(2L), Some(5L)) ==
+      windows(s"$dir/copy", Some(2L), Some(5L)),
+      "chunk-range window read diverged")
+    assert(windows(s"$dir/build", Some(2L), Some(5L)).nonEmpty,
+      "fixture: the probed chunk range must be non-empty")
+    import graft.operators.RelationalOps
+    def est(out: String) = (
+      RelationalOps.distinctSketchEstimate(
+        s.read.parquet(s"$out/stats/source_distinct"), "grp")
+        .collect().map(_.toString).sorted.toSeq,
+      RelationalOps.quantileSketchEstimate(
+        s.read.parquet(s"$out/stats/len_quantiles"), "grp", Seq(0.5, 0.95))
+        .collect().map(_.toString).toSeq)
+    assert(est(s"$dir/build") == est(s"$dir/copy"),
+      "sketch estimates diverged after compact")
+
+    // the strongest probe: the SAME third ingest on the compacted and
+    // uncompacted dirs yields identical manifests (fates flow through
+    // the compacted hash/posting indexes), window stores, and summaries
+    val sumCompacted = Run.execute(s, spec(s"$dir/build", ingestJson("inc3")))
+    val sumCopy = Run.execute(s, spec(s"$dir/copy", ingestJson("inc3")))
+    val m = new ObjectMapper()
+    assert(m.readTree(sumCompacted).get("increment_fates") ==
+      m.readTree(sumCopy).get("increment_fates") &&
+      m.readTree(sumCompacted).get("profile") ==
+        m.readTree(sumCopy).get("profile"),
+      s"post-compact ingest diverged:\n$sumCompacted\nvs\n$sumCopy")
+    def manifestRows(out: String) = s.read.parquet(s"$out/manifest")
+      .collect().map(_.toString).sorted.toSeq
+    assert(manifestRows(s"$dir/build") == manifestRows(s"$dir/copy"),
+      "manifests diverged after an ingest on the compacted dir")
+    assert(manifestRows(s"$dir/build")
+      .exists(_.contains("exact_dup")), "fixture: inc3 must plant a dup")
+    assert(windows(s"$dir/build", None, None) ==
+      windows(s"$dir/copy", None, None),
+      "window stores diverged after the post-compact ingest")
+
+    // plan pin: a chunk-range read of the compacted store prunes part
+    // directories (the range filter sits in PartitionFilters, not a
+    // post-scan row filter over every part)
+    val plan = PipelineOps.readWindows(s, s"$dir/build/windows", 2L,
+        fromChunk = Some(4L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("part"),
+      s"chunk-range read must prune on the part column:\n$plan")
+  }
+
   test("Run mode=retrain closes the drift loop: trip -> retrain -> re-ingest no longer trips, rebuilt == from-scratch") {
     // VERDICT r15 #2: the drift gates DETECT invalidation; this is the
     // scheduled RECOVERY. Train on two clusters, trip the gate with an
