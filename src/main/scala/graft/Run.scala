@@ -745,11 +745,11 @@ object Run {
         lit(0L)).as("t"))
       .head().getAs[Long]("t")
     val hashes = s.read.parquet(s"$out/index/hashes")
-    // df re-attached by counting rows — the raw store IS
-    // ngramPostings(prior) minus the denormalized column
+    // the RAW append-only store goes straight in: the incremental pair
+    // derivation counts the candidate docs' df itself from the raw rows
+    // (restricted scan; r16 — the prior full-index df WINDOW here was
+    // the ingest path's one corpus-sized shuffle)
     val postings = s.read.parquet(s"$out/index/postings")
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sh64")))
     val built = PipelineOps.trainReadyIncremental(
       manifest, bench.limit(0), inc, bench, spec.id, spec.text,
       cap = spec.cap.toDouble, formatter = spec.formatter,

@@ -512,8 +512,14 @@ object DedupOps {
     * collisions, never the corpus. Prior×prior pairs are historic —
     * already adjudicated by earlier ingests — and are never generated.
     *
-    * `corpusIndex` must not include the increment's ids (it is the
-    * PRE-ingest index by construction).
+    * `corpusIndex` is `(doc_id, sh64[, df])` and must not include the
+    * increment's ids (it is the PRE-ingest index by construction). A
+    * df'd index ([[ngramPostings]] / [[ngramPostingsAppend]] output)
+    * uses its column; a RAW `(doc_id, sh64)` index — the append-only
+    * artifact `graft.Run` keeps on disk — has the candidate docs' df
+    * derived in-call by counting (one restricted index scan), so the
+    * raw artifact never needs a corpus-wide df window re-attached at
+    * ingest time (r16; raw ≡ df'd pinned in graft.DedupSpec).
     *
     * LIBRARY ENTRY POINT — generic over any (id, text) frame. */
   def ngramJaccardPairsIncremental(newBatch: DataFrame, id: String,
@@ -572,8 +578,28 @@ object DedupOps {
       .unionByName(mixedPairs.select(col("db").as("doc_id")))
       .distinct()
       .join(newIds, Seq("doc_id"), "left_anti")
-    val cntPrior = corpusIndex.select("doc_id", "sh64", "df")
-      .join(priorCand, Seq("doc_id"), "leftsemi")
+    // candidate prior docs' postings WITH their corpus df. A df'd index
+    // ([[ngramPostings]]) carries it; a RAW `(doc_id, sh64)` index —
+    // the on-disk append-only artifact `graft.Run` persists — derives
+    // it HERE, restricted to the candidate docs' shingles: one
+    // semi-joined index scan + a collision-bounded aggregation, never
+    // the full-index window the raw artifact would otherwise need
+    // re-attached per ingest (r16: that window was executeIngest's one
+    // corpus-sized SHUFFLE; scans scale, shuffles don't).
+    val candWithDf =
+      if (corpusIndex.columns.contains("df"))
+        corpusIndex.select("doc_id", "sh64", "df")
+          .join(priorCand, Seq("doc_id"), "leftsemi")
+      else {
+        val candPost = corpusIndex.select("doc_id", "sh64")
+          .join(priorCand, Seq("doc_id"), "leftsemi")
+          .localCheckpoint(eager = true)
+        val dfPrior = corpusIndex.select("sh64")
+          .join(candPost.select("sh64").distinct(), Seq("sh64"), "leftsemi")
+          .groupBy("sh64").agg(count(lit(1)).as("df"))
+        candPost.join(dfPrior, Seq("sh64"))
+      }
+    val cntPrior = candWithDf
       .join(dfNew, Seq("sh64"), "left")
       .crossJoin(broadcast(capF))
       .filter(col("df") + coalesce(col("dfn"), lit(0L)) <= col("max_df"))

@@ -1896,6 +1896,19 @@ class ApiSpec extends SparkSpec {
       s"planted cross-batch / in-batch pairs missed: $got")
     assert(!got.exists(p => (p._1, p._2) == (10L, 20L)),
       "historic prior-only pair resurfaced in the increment output")
+    // the RAW on-disk index shape (doc_id, sh64 — no df column, the
+    // append-only artifact graft.Run persists): identical pairs, with
+    // the candidate docs' df counted in-call; the plan must contain no
+    // Window (the full-index df re-attachment this path exists to
+    // avoid — r16)
+    val rawIndex = DedupOps.ngramPostings(prior, "id", "body").drop("df")
+    val viaRaw = DedupOps.ngramJaccardPairsIncremental(
+      inc, "id", "body", rawIndex, corpusDocCount = 3L, minJaccard = 0.1)
+    assert(rowsOf(viaRaw) == expected,
+      s"raw-index pairs diverged: ${rowsOf(viaRaw)}\nexpected $expected")
+    val rawPlan = viaRaw.queryExecution.executedPlan.toString
+    assert(!rawPlan.contains("Window"),
+      s"raw-index path must not re-attach df via a window:\n$rawPlan")
   }
 
   test("ngramPostingsAppend equals the from-scratch union index row-for-row, and chains") {
