@@ -52,7 +52,10 @@ import graft.operators.PipelineOps
   * the append-mode artifacts, [[executeCompact]]), and
   * `"mode": "retrain"` (rebuild the frozen ANN artifacts on the current
   * vector corpus after a drift-gate trip, [[executeRetrain]]) — each
-  * leaves every other artifact untouched.
+  * leaves every other artifact untouched — plus `"mode": "audit"`
+  * ([[executeAudit]]), the read-only consistency fsck that finds the
+  * half-advanced states the failure contracts describe before an
+  * operator trusts (or ingests into) the directory.
   *
   * Stage order and artifact layout (each stage consumes the PERSISTED
   * output of the one before it; with `overwrite=false` a re-run SKIPS
@@ -133,8 +136,10 @@ object Run {
     }
     def opt(k: String): Option[JsonNode] = Option(n.get(k))
     val mode = opt("mode").map(_.asText).getOrElse("build")
-    require(Set("build", "ingest", "stats", "compact", "retrain")(mode),
-      s"mode must be build | ingest | stats | compact | retrain, got '$mode'")
+    require(
+      Set("build", "ingest", "stats", "compact", "retrain", "audit")(mode),
+      "mode must be build | ingest | stats | compact | retrain | audit, " +
+        s"got '$mode'")
     val increment = opt("increment").map(_.asText).filter(_.nonEmpty)
     require(mode != "ingest" || increment.isDefined,
       "mode 'ingest' requires an 'increment' parquet path")
@@ -144,10 +149,11 @@ object Run {
     Spec(
       corpus = opt("corpus").map(_.asText)
         .getOrElse { require(
-          mode == "ingest" || mode == "compact" || mode == "retrain",
+          mode == "ingest" || mode == "compact" || mode == "retrain" ||
+            mode == "audit",
           "spec is missing required string field 'corpus'"); "" },
       benchmark = opt("benchmark").map(_.asText)
-        .getOrElse { require(mode == "compact",
+        .getOrElse { require(mode == "compact" || mode == "audit",
           "spec is missing required string field 'benchmark'"); "" },
       out = req("out"),
       id = opt("id").map(_.asText).getOrElse("doc_id"),
@@ -184,6 +190,7 @@ object Run {
     case "stats" => executeStats(s, spec)
     case "compact" => executeCompact(s, spec)
     case "retrain" => executeRetrain(s, spec)
+    case "audit" => executeAudit(s, spec)
     case _ => executeBuild(s, spec)
   }
 
@@ -350,6 +357,333 @@ object Run {
         s""""baseline_mean":${baseRow.getAs[Double]("mean_qerr")}""" +
         pqJson + "}"
     Files.write(Paths.get(spec.out, "RETRAIN.json"),
+      summary.getBytes(StandardCharsets.UTF_8))
+    summary
+  }
+
+  /** `"mode": "audit"` — the read-only consistency fsck over a build
+    * directory, the sixth arm of the lifecycle (build / ingest / stats /
+    * compact / retrain / audit). The ingest scaladoc's failure contract
+    * says "clean the partial appends first" and every staged swap says
+    * "move the staging into place to finish" — this job is how an
+    * operator FINDS those states before trusting (or re-ingesting into)
+    * an index that a crashed job may have left half-advanced. It never
+    * writes anything except `out/AUDIT.json`.
+    *
+    * Checks, each reported as its own line (`ok` per check, `ok`
+    * overall; a check that itself errors reports as a failure with the
+    * error text, and never stops the remaining checks):
+    *   - `staging_leftover`   no `*__compact` / `*__advance` /
+    *     `ann__retrain` staging directory anywhere under `out` (each is
+    *     a verified swap the crash contract says to finish by hand)
+    *   - `stage_complete`     every artifact directory that EXISTS
+    *     carries `_SUCCESS` (a dir without one is a partial write)
+    *   - `fingerprint`        `_spec_fingerprint.json` present
+    *   - `manifest_unique`    no doc appears twice in `out/manifest`
+    *     (the signature of a blindly-retried ingest's double append)
+    *   - `hashes_count`       `index/hashes` rows == manifest rows (the
+    *     build and every ingest append exactly one hash per doc)
+    *   - `postings_docs`      every `index/postings` doc_id exists in
+    *     the manifest (no orphan shingle rows from a partial append;
+    *     the reverse direction is legitimately sparse — short docs
+    *     shingle to nothing)
+    *   - `windows_tokens`     window-store token total == the
+    *     manifest's packed token total (sum of n_tok over chunked
+    *     docs) — the packing conservation law
+    *   - `windows_chunks`     chunk ids are contiguous from 0 and every
+    *     row sits in its own part directory (`part ==
+    *     floor(chunk / chunksPerPart)`) — the layout the reader's
+    *     chunk-range pruning depends on
+    *   - `profile_stamps`     the mergeable profile artifacts'
+    *     `_advanced_from` stamps agree (mixed stamps = a crash landed
+    *     between per-artifact advances: finish or re-stage the lagging
+    *     ones before the next ingest)
+    *   - `profile_readable`   the three sketch artifacts decode and
+    *     yield estimates
+    *   - `ann_*` (when `ann/quantizer` exists) quantizer rows == the
+    *     build's nlist with lists 0..nlist-1; assignment vec_ids
+    *     unique with every list id in range; baseline present,
+    *     measured over ≥1 and ≤ assignment-count vectors; codes (when
+    *     present) row-count AND id-set equal to the assignment;
+    *     codebook rows == the build's m×ksub
+    *
+    * Shape params (chunksPerPart, nlist, pqM, pqKsub, vecId) are read
+    * from the stored build fingerprint when present — the audit judges
+    * the directory against what BUILT it, not against this spec's
+    * defaults — falling back to the spec's values for pre-fingerprint
+    * dirs. Only `out` is required in an audit spec.
+    *
+    * Cost: one scan per artifact, aggregate-only (counts, distinct
+    * counts, one anti-join per id-set comparison); nothing corpus-sized
+    * is shuffled except the postings/codes id-set comparisons, which
+    * are distinct-then-join on the id key — the audit is schedulable at
+    * the same cadence as `mode=compact`. */
+  private def executeAudit(s: SparkSession, spec: Spec): String = {
+    val out = spec.out
+    require(Files.isDirectory(Paths.get(out)),
+      s"audit target '$out' is not a directory")
+
+    // shape params from the stored fingerprint (fall back to the spec)
+    val fpNode: Option[JsonNode] = {
+      val p = fingerprintPath(out)
+      if (Files.exists(p)) Some(new ObjectMapper().readTree(Files.readString(p)))
+      else None
+    }
+    val shape = fpNode.map(_.get("shape"))
+    def shapeInt(k: String, dflt: Int): Int =
+      shape.flatMap(n => Option(n.get(k))).map(_.asInt).getOrElse(dflt)
+    def shapeLong(k: String, dflt: Long): Long =
+      shape.flatMap(n => Option(n.get(k))).map(_.asLong).getOrElse(dflt)
+    def shapeStr(k: String, dflt: String): String =
+      shape.flatMap(n => Option(n.get(k))).map(_.asText).getOrElse(dflt)
+    val chunksPerPart = shapeLong("chunksPerPart", spec.chunksPerPart)
+    val nlist = shapeInt("nlist", spec.nlist)
+    val pqM = shapeInt("pqM", spec.pqM)
+    val pqKsub = shapeInt("pqKsub", spec.pqKsub)
+    val vecId = shapeStr("vecId", spec.vecId)
+
+    val findings = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Boolean, String)]
+    def check(name: String, artifact: String)(body: => Option[String]): Unit =
+      findings += (try body match {
+        case None => (name, artifact, true, "")
+        case Some(detail) => (name, artifact, false, detail)
+      } catch {
+        case e: Exception =>
+          (name, artifact, false, s"check errored: ${e.getMessage}")
+      })
+
+    // 1. interrupted staged swaps anywhere under out
+    check("staging_leftover", ".") {
+      import scala.jdk.CollectionConverters._
+      val st = Files.walk(Paths.get(out))
+      val stray =
+        try st.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          Files.isDirectory(p) && (n.endsWith("__compact") ||
+            n.endsWith("__advance") || n == "ann__retrain")
+        }.map(p => Paths.get(out).relativize(p).toString).toVector
+        finally st.close()
+      if (stray.isEmpty) None
+      else Some(s"interrupted staged swap(s): ${stray.mkString(", ")} — " +
+        "each holds fully verified data; move it into place (or delete " +
+        "it to retry the producing job)")
+    }
+
+    // 2. every artifact directory that exists is _SUCCESS-complete
+    val knownDirs = Seq("fates", "report", "manifest", "windows",
+      "index/hashes", "index/postings", "stats/heavy_tokens",
+      "stats/token_sketch", "stats/len_quantiles", "stats/distinct_content",
+      "stats/source_distinct", "stats/source_len", "ann/quantizer",
+      "ann/assignment", "ann/baseline", "ann/codebook", "ann/codes",
+      "ann/pq_baseline")
+    check("stage_complete", ".") {
+      val partial = knownDirs.filter(d =>
+        Files.isDirectory(Paths.get(out, d)) && !stageDone(s"$out/$d"))
+      if (partial.isEmpty) None
+      else Some(s"partial (no _SUCCESS) artifact dir(s): " +
+        partial.mkString(", ") + " — a crashed write; rebuild or remove")
+    }
+
+    check("fingerprint", "_spec_fingerprint.json") {
+      if (fpNode.isDefined) None
+      else Some("no stored spec fingerprint (pre-fingerprint or foreign " +
+        "build dir) — resume/ingest shape guards cannot verify provenance")
+    }
+
+    def done(d: String) = stageDone(s"$out/$d")
+
+    // 3. manifest uniqueness (the double-appended-ingest signature)
+    if (done("manifest")) {
+      val manifest = s.read.parquet(s"$out/manifest")
+      check("manifest_unique", "manifest") {
+        val r = manifest
+          .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("d"))
+          .head()
+        val (n, d) = (r.getAs[Long]("n"), r.getAs[Long]("d"))
+        if (n == d) None
+        else Some(s"$n manifest rows over $d distinct doc_ids — " +
+          s"${n - d} duplicated row(s); a failed ingest was likely " +
+          "re-run without cleaning its partial appends")
+      }
+      // 4. one content hash per manifest doc
+      if (done("index/hashes")) check("hashes_count", "index/hashes") {
+        val nh = s.read.parquet(s"$out/index/hashes").count()
+        val nm = manifest.count()
+        if (nh == nm) None
+        else Some(s"$nh hash rows != $nm manifest rows — the hash table " +
+          "and manifest have diverged (partial append on one side)")
+      }
+      // 5. no orphan postings
+      if (done("index/postings")) check("postings_docs", "index/postings") {
+        val orphans = s.read.parquet(s"$out/index/postings")
+          .select("doc_id").distinct()
+          .join(manifest.select("doc_id"), Seq("doc_id"), "left_anti")
+          .count()
+        if (orphans == 0L) None
+        else Some(s"$orphans posting doc_id(s) missing from the " +
+          "manifest — orphan shingle rows from a partial append")
+      }
+      // 6-7. the window store vs the manifest it packed
+      if (done("windows")) {
+        val windows = PipelineOps.readWindows(s, s"$out/windows",
+          chunksPerPart)
+        check("windows_tokens", "windows") {
+          val wt = windows
+            .agg(coalesce(sum("n_tokens"), lit(0L)).as("t"))
+            .head().getAs[Long]("t")
+          val mt = manifest
+            .agg(coalesce(sum(when(col("chunk").isNotNull, col("n_tok"))),
+              lit(0L)).as("t"))
+            .head().getAs[Long]("t")
+          if (wt == mt) None
+          else Some(s"window store holds $wt tokens but the manifest " +
+            s"packed $mt — the store and manifest have diverged")
+        }
+        check("windows_chunks", "windows") {
+          // the RAW store read — readWindows projects `part` away, and
+          // this check is precisely about the physical layout
+          val r = s.read.parquet(s"$out/windows")
+            .agg(countDistinct(col("chunk")).as("d"),
+              coalesce(max(col("chunk")), lit(-1L)).as("m"),
+              coalesce(sum(when(col("part") =!=
+                floor(col("chunk") / chunksPerPart.toDouble), 1L)
+                .otherwise(0L)), lit(0L)).as("misplaced"))
+            .head()
+          val (d, m, mis) = (r.getAs[Long]("d"), r.getAs[Long]("m"),
+            r.getAs[Long]("misplaced"))
+          if (d != m + 1)
+            Some(s"chunk ids not contiguous: ${m + 1 - d} missing chunk " +
+              s"id(s) below max $m")
+          else if (mis != 0L)
+            Some(s"$mis window row(s) in the wrong part directory " +
+              s"(part != floor(chunk / $chunksPerPart)) — chunk-range " +
+              "pruning would miss them")
+          else None
+        }
+      }
+    }
+
+    // 8. profile advance coherence + readability
+    val profileDirs = Seq("stats/token_sketch", "stats/len_quantiles",
+      "stats/distinct_content", "stats/source_distinct", "stats/source_len")
+      .filter(done)
+    if (profileDirs.nonEmpty) {
+      check("profile_stamps", "stats") {
+        val stamps = profileDirs.map { d =>
+          val p = Paths.get(out, d, "_advanced_from")
+          d -> (if (Files.exists(p)) Some(Files.readString(p)) else None)
+        }
+        if (stamps.map(_._2).distinct.size <= 1) None
+        else Some("profile artifacts advanced unevenly: " +
+          stamps.map { case (d, t) =>
+            s"$d=${t.getOrElse("<build>")}" }.mkString(", ") +
+          " — a crash landed between per-artifact advances; finish the " +
+          "lagging ones (re-run the ingest: advanced artifacts skip via " +
+          "their stamp) before the next ingest")
+      }
+      check("profile_readable", "stats") {
+        import graft.operators.RelationalOps
+        val issues = scala.collection.mutable.ArrayBuffer.empty[String]
+        if (done("stats/token_sketch")) {
+          val sk = s.read.parquet(s"$out/stats/token_sketch")
+            .head().getAs[Array[Byte]]("sk")
+          val (nTok, _, _) =
+            graft.functions.FreqItems.decode(sk, Long.MaxValue)
+          if (nTok < 0) issues += "token_sketch decoded a negative stream"
+        }
+        if (done("stats/len_quantiles"))
+          RelationalOps.quantileSketchEstimate(
+            s.read.parquet(s"$out/stats/len_quantiles"), "grp", Seq(0.5))
+            .collect()
+        if (done("stats/distinct_content"))
+          RelationalOps.distinctSketchEstimate(
+            s.read.parquet(s"$out/stats/distinct_content"), "grp")
+            .collect()
+        if (issues.isEmpty) None else Some(issues.mkString("; "))
+      }
+    }
+
+    // 9. the ANN index family
+    if (done("ann/quantizer")) {
+      val quant = s.read.parquet(s"$out/ann/quantizer")
+      check("ann_quantizer", "ann/quantizer") {
+        val r = quant.agg(count(lit(1)).as("n"),
+          countDistinct(col("list")).as("d"),
+          coalesce(max(col("list")), lit(-1)).as("m")).head()
+        val (n, d, m) = (r.getAs[Long]("n"), r.getAs[Long]("d"),
+          r.getAs[Int]("m"))
+        if (n == nlist && d == n && m == nlist - 1) None
+        else Some(s"quantizer has $n rows / $d distinct lists / max " +
+          s"list $m, expected $nlist rows with lists 0..${nlist - 1}")
+      }
+      if (done("ann/assignment")) {
+        val assign = s.read.parquet(s"$out/ann/assignment")
+        check("ann_assignment", "ann/assignment") {
+          val r = assign.agg(count(lit(1)).as("n"),
+            countDistinct(col("vec_id")).as("d"),
+            coalesce(sum(when(col("l") < 0 || col("l") >= nlist, 1L)
+              .otherwise(0L)), lit(0L)).as("oor")).head()
+          val (n, d, oor) = (r.getAs[Long]("n"), r.getAs[Long]("d"),
+            r.getAs[Long]("oor"))
+          if (n != d)
+            Some(s"$n assignment rows over $d distinct vec_ids — " +
+              s"${n - d} duplicated row(s); a failed ANN ingest was " +
+              "likely re-run without cleaning its partial appends")
+          else if (oor != 0L)
+            Some(s"$oor assignment row(s) reference a list id outside " +
+              s"0..${nlist - 1} — assigned against a DIFFERENT quantizer")
+          else None
+        }
+        check("ann_baseline", "ann/baseline") {
+          if (!done("ann/baseline"))
+            Some("assignment exists but the training-distortion baseline " +
+              "is missing — the ingest drift gate cannot run")
+          else {
+            val b = s.read.parquet(s"$out/ann/baseline").head()
+            val nb = b.getAs[Long]("n_vecs")
+            val na = assign.count()
+            if (nb >= 1 && nb <= na) None
+            else Some(s"baseline measured over $nb vectors vs $na " +
+              "assigned — the baseline must cover the training corpus " +
+              "(>= 1, <= the standing assignment)")
+          }
+        }
+        if (done("ann/codes")) check("ann_codes", "ann/codes") {
+          val codes = s.read.parquet(s"$out/ann/codes")
+            .select(col(vecId).as("vec_id"))
+          val nc = codes.count()
+          val na = assign.count()
+          if (nc != na)
+            Some(s"$nc code rows != $na assignment rows — the PQ codes " +
+              "and IVF assignment have diverged (partial append on one " +
+              "side)")
+          else {
+            val unmatched = codes
+              .join(assign.select("vec_id"), Seq("vec_id"), "left_anti")
+              .count()
+            if (unmatched == 0L) None
+            else Some(s"$unmatched code row(s) for vec_ids absent from " +
+              "the assignment — encoded and assigned sets have diverged")
+          }
+        }
+      }
+      if (done("ann/codebook")) check("ann_codebook", "ann/codebook") {
+        val n = s.read.parquet(s"$out/ann/codebook").count()
+        if (n == pqM.toLong * pqKsub) None
+        else Some(s"codebook has $n rows, expected m x ksub = " +
+          s"${pqM.toLong * pqKsub}")
+      }
+    }
+
+    val ok = findings.forall(_._3)
+    val lines = findings.map { case (name, artifact, o, detail) =>
+      s"""{"check":"${esc(name)}","artifact":"${esc(artifact)}",""" +
+        s""""ok":$o,"detail":"${esc(detail)}"}"""
+    }.mkString("[", ",", "]")
+    val summary =
+      s"""{"mode":"audit","out":"${esc(out)}","ok":$ok,"checks":$lines}"""
+    Files.write(Paths.get(out, "AUDIT.json"),
       summary.getBytes(StandardCharsets.UTF_8))
     summary
   }

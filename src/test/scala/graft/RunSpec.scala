@@ -556,6 +556,157 @@ class RunSpec extends SparkSpec {
     assert(s.read.parquet(s"$dir/build/ann/assignment").count() == 70)
   }
 
+  test("Run mode=audit: clean build+ingest audits ok; each planted corruption is flagged by its own check") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-run-audit").toFile
+      .getAbsolutePath
+    def cluster(base: Array[Float], ids: Range, wiggle: Float) =
+      ids.map { i =>
+        (i.toLong, Array.tabulate(3)(j =>
+          base(j) + (if (j == (i % 3)) wiggle * (1 + i % 3) else 0f)))
+      }
+    val corpus = Seq((1L, clean("alpha")), (2L, clean("beta")))
+      .toDF("id", "body")
+    val inc = Seq((11L, clean("gamma"))).toDF("id", "body")
+    val bench = Seq((100L, words("bench", 20).mkString(" ")))
+      .toDF("id", "body")
+    corpus.write.parquet(s"$dir/corpus")
+    inc.write.parquet(s"$dir/inc")
+    bench.write.parquet(s"$dir/bench")
+    (cluster(Array(1f, 0f, 0f), 0 until 20, 0.05f) ++
+      cluster(Array(0f, 1f, 0f), 20 until 40, 0.05f))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/vecs")
+    cluster(Array(1f, 0f, 0f), 100 until 110, 0.05f)
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/vecsInc")
+
+    val annCfg = """"vectors": "%s", "nlist": 2,
+                   | "pq": true, "pqM": 3, "pqKsub": 4""".stripMargin
+    Run.execute(s, Run.parseSpec(
+      s"""{"corpus": "$dir/corpus", "benchmark": "$dir/bench",
+         | "out": "$dir/build", "id": "id", "text": "body",
+         | "cap": 16, "formatter": "plain", "chunksPerPart": 2,
+         | ${annCfg.format(s"$dir/vecs")}}""".stripMargin))
+    Run.execute(s, Run.parseSpec(
+      s"""{"mode": "ingest", "increment": "$dir/inc",
+         | "benchmark": "$dir/bench", "out": "$dir/build",
+         | "id": "id", "text": "body", "cap": 16,
+         | "formatter": "plain", "chunksPerPart": 2,
+         | ${annCfg.format(s"$dir/vecsInc")}}""".stripMargin))
+
+    val m = new ObjectMapper()
+    // only `out` is required in an audit spec — the directory is judged
+    // against ITS OWN stored fingerprint (chunksPerPart/nlist/pq here
+    // all differ from the audit spec's defaults)
+    def audit(out: String) =
+      m.readTree(Run.execute(s, Run.parseSpec(
+        s"""{"mode": "audit", "out": "$out"}""")))
+    def failed(j: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+      (0 until j.get("checks").size).map(j.get("checks").get)
+        .filter(!_.get("ok").asBoolean)
+        .map(c => c.get("check").asText -> c.get("detail").asText).toMap
+
+    // 1. the clean post-ingest directory audits ok, every family present
+    val clean1 = audit(s"$dir/build")
+    assert(clean1.get("ok").asBoolean, s"clean dir must audit ok: $clean1")
+    val names = (0 until clean1.get("checks").size)
+      .map(clean1.get("checks").get(_).get("check").asText).toSet
+    Seq("staging_leftover", "stage_complete", "fingerprint",
+      "manifest_unique", "hashes_count", "postings_docs", "windows_tokens",
+      "windows_chunks", "profile_stamps", "profile_readable",
+      "ann_quantizer", "ann_assignment", "ann_baseline", "ann_codes",
+      "ann_codebook").foreach(n =>
+      assert(names.contains(n), s"missing check '$n' in $names"))
+    // the returned summary is the written AUDIT.json, and the audit
+    // wrote NOTHING else (read-only contract)
+    assert(m.readTree(Files.readString(
+      java.nio.file.Paths.get(s"$dir/build/AUDIT.json"))) == clean1)
+    val mtimes = new java.io.File(s"$dir/build").listFiles()
+      .filter(_.getName != "AUDIT.json")
+      .map(f => f.getName -> f.lastModified()).toMap
+    audit(s"$dir/build")
+    new java.io.File(s"$dir/build").listFiles()
+      .filter(_.getName != "AUDIT.json").foreach(f =>
+        assert(f.lastModified() == mtimes(f.getName),
+          s"audit touched '${f.getName}'"))
+
+    // corruptions, each on its own COPY of the clean build
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.walk(from)
+      try st.iterator().asScala.foreach { p =>
+        val t = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      } finally st.close()
+    }
+    def corrupt(name: String)(f: String => Unit): Map[String, String] = {
+      val c = s"$dir/c_$name"
+      copyTree(java.nio.file.Paths.get(s"$dir/build"),
+        java.nio.file.Paths.get(c))
+      f(c)
+      val j = audit(c)
+      assert(!j.get("ok").asBoolean, s"'$name' corruption must fail: $j")
+      failed(j)
+    }
+
+    // 2. a blindly-retried ingest's double append → manifest_unique,
+    // plus the two balances the duplicate row throws off (the hash
+    // table count and the packed-token conservation law)
+    val dup = corrupt("dup") { c =>
+      s.read.parquet(s"$c/manifest").limit(1).write.mode("append")
+        .parquet(s"$c/manifest")
+    }
+    assert(dup.keySet ==
+      Set("manifest_unique", "hashes_count", "windows_tokens"), s"$dup")
+    assert(dup("manifest_unique").contains("1 duplicated row"), s"$dup")
+
+    // 3. an interrupted staged swap → staging_leftover names it
+    val stray = corrupt("stray") { c =>
+      Files.createDirectories(
+        java.nio.file.Paths.get(s"$c/stats/len_quantiles__advance"))
+    }
+    assert(stray.keySet == Set("staging_leftover") &&
+      stray("staging_leftover").contains("len_quantiles__advance"),
+      s"$stray")
+
+    // 4. a crashed write (missing _SUCCESS) → stage_complete names it
+    val partial = corrupt("partial") { c =>
+      assert(new java.io.File(s"$c/fates/_SUCCESS").delete())
+    }
+    assert(partial.keySet == Set("stage_complete") &&
+      partial("stage_complete").contains("fates"), s"$partial")
+
+    // 5. codes/assignment divergence (a half-landed ANN append) →
+    // ann_codes, with the row counts in the detail
+    val diverged = corrupt("codes") { c =>
+      val keep = s.read.parquet(s"$c/ann/codes").limit(30)
+        .localCheckpoint(true)
+      keep.write.mode("overwrite").parquet(s"$c/ann/codes")
+    }
+    assert(diverged.keySet == Set("ann_codes") &&
+      diverged("ann_codes").contains("30 code rows != 50"), s"$diverged")
+
+    // 6. a foreign / pre-fingerprint dir → fingerprint flags the missing
+    // provenance (and the shape params fall back to the audit spec's
+    // defaults, so param-shaped checks may legitimately also fire —
+    // only the fingerprint line is asserted here)
+    val nofp = corrupt("nofp") { c =>
+      assert(new java.io.File(s"$c/_spec_fingerprint.json").delete())
+    }
+    assert(nofp.contains("fingerprint"), s"$nofp")
+
+    // 7. uneven profile advance (stamp on one artifact only) →
+    // profile_stamps
+    val uneven = corrupt("stamps") { c =>
+      assert(new java.io.File(
+        s"$c/stats/len_quantiles/_advanced_from").delete())
+    }
+    assert(uneven.keySet == Set("profile_stamps") &&
+      uneven("profile_stamps").contains("len_quantiles"), s"$uneven")
+  }
+
   test("Run compact leaves every reader byte-identical and chunk-range pruning still prunes (VERDICT r15 #6)") {
     // compact rewrites the append-mode artifacts' FILES; nothing a
     // reader can observe may change. Pinned against an uncompacted COPY
