@@ -52,19 +52,39 @@ final class TrainReadyCursor private (
     initSourceDistinct: Option[DataFrame],
     initSourceLen: Option[DataFrame]) {
 
-  private var manifestDf: DataFrame = initManifest
-  private var hashesDf: DataFrame = initHashes
-  private var postingsDf: DataFrame = initPostings
+  // A standing artifact is a checkpointed frame PLUS the handles of the
+  // RDDs its localCheckpoint pinned: Dataset.unpersist does NOT release
+  // a localCheckpoint's pinned RDD (it only uncaches plans through the
+  // cache manager — verified on Spark 4.1), so releasing superseded
+  // artifacts through it merely drops the reference and waits for the
+  // ContextCleaner to GC the blocks — storage then floats with GC
+  // timing instead of being ∝ the artifacts. The cursor captures the
+  // pins at checkpoint time and releases them explicitly (the same
+  // discipline as [[AnnCursor]]); the single-writer synchronized block
+  // is what makes the id-delta capture sound.
+  private type Ckpt = (DataFrame, Seq[org.apache.spark.rdd.RDD[_]])
+  private def ckpt(d: DataFrame): Ckpt = {
+    val sc = d.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val c = d.localCheckpoint(true)
+    (c, (sc.getPersistentRDDs -- before).values.toSeq)
+  }
+  private def release(c: Ckpt): Unit =
+    c._2.foreach(_.unpersist(blocking = true))
+
+  private var manifestC: Ckpt = ckpt(initManifest)
+  private var hashesC: Ckpt = ckpt(initHashes)
+  private var postingsC: Ckpt = ckpt(initPostings)
   private var nPrior: Long = initDocCount
   private var tokenSk: Array[Byte] = initTokenSketch
-  private var lenQDf: DataFrame = initLenQuantiles
-  private var distCDf: DataFrame = initDistinctContent
-  private var srcDDf: Option[DataFrame] = initSourceDistinct
-  private var srcLDf: Option[DataFrame] = initSourceLen
+  private var lenQC: Ckpt = ckpt(initLenQuantiles)
+  private var distCC: Ckpt = ckpt(initDistinctContent)
+  private var srcDC: Option[Ckpt] = initSourceDistinct.map(ckpt)
+  private var srcLC: Option[Ckpt] = initSourceLen.map(ckpt)
 
   /** The standing manifest (one row per doc ever ingested: fate +
     * formatted n_tok + chunk + rank) as of the last completed ingest. */
-  def manifest: DataFrame = synchronized { manifestDf }
+  def manifest: DataFrame = synchronized { manifestC._1 }
 
   /** Docs in the standing corpus (the near-dup df cap's denominator). */
   def docCount: Long = synchronized { nPrior }
@@ -77,23 +97,23 @@ final class TrainReadyCursor private (
 
   /** The standing length profile — [[graft.operators.RelationalOps
     * .quantileSketch]] table (grp = "all") over per-doc token counts. */
-  def lenQuantiles: DataFrame = synchronized { lenQDf }
+  def lenQuantiles: DataFrame = synchronized { lenQC._1 }
 
   /** The standing distinct-content profile —
     * [[graft.operators.RelationalOps.distinctSketch]] table
     * (grp = "all") over content hashes. */
-  def distinctContent: DataFrame = synchronized { distCDf }
+  def distinctContent: DataFrame = synchronized { distCC._1 }
 
   /** The standing PER-SOURCE distinct-content profile (grp = the
     * configured `profileSource` column's values) — `graft.Run`'s
     * `stats/source_distinct` dimension, in-cursor (VERDICT r15 #5).
     * None when the cursor was opened without a profileSource. */
-  def sourceDistinct: Option[DataFrame] = synchronized { srcDDf }
+  def sourceDistinct: Option[DataFrame] = synchronized { srcDC.map(_._1) }
 
   /** The standing PER-SOURCE length profile — `stats/source_len`'s
     * twin: a per-source [[graft.operators.RelationalOps.quantileSketch]]
     * table over per-doc token counts. */
-  def sourceLen: Option[DataFrame] = synchronized { srcLDf }
+  def sourceLen: Option[DataFrame] = synchronized { srcLC.map(_._1) }
 
   /** Ingest one batch: fate against the standing artifacts, continue
     * the pack cursor and rank block, advance the artifacts. Returns the
@@ -103,11 +123,11 @@ final class TrainReadyCursor private (
     // the checkpointed batch carries the source column only when the
     // per-source profile is configured; the pipeline stages below see
     // exactly (id, text) either way
-    val b = batch
-      .select((col(id) +: col(text) +: profileSrc.map(col).toSeq): _*)
-      .localCheckpoint(true)
+    val bC = ckpt(batch
+      .select((col(id) +: col(text) +: profileSrc.map(col).toSeq): _*))
+    val b = bC._1
     val n = b.count()
-    if (n == 0L) { b.unpersist(); return manifestDf }
+    if (n == 0L) { release(bC); return manifestC._1 }
     val sc = b.sparkSession.sparkContext
     // successors first (eager), then release the superseded blocks —
     // the order that keeps every ingest's cost ∝ increment without a
@@ -120,61 +140,57 @@ final class TrainReadyCursor private (
     // sweep sound).
     val before = sc.getPersistentRDDs.keySet
     val built = PipelineOps.trainReadyIncremental(
-      manifestDf, bench.limit(0), b.select(col(id), col(text)), bench,
+      manifestC._1, bench.limit(0), b.select(col(id), col(text)), bench,
       id, text, cap, epoch,
       formatter, startRateBp, meanSpan, fimRateBp, minJaccard, contamN,
-      precomputedPostings = Some(postingsDf),
-      precomputedHashes = Some(hashesDf),
+      precomputedPostings = Some(postingsC._1),
+      precomputedHashes = Some(hashesC._1),
       priorDocCount = Some(nPrior), sorted = false)
     val inner = sc.getPersistentRDDs.keySet -- before
-    val newManifest = built.localCheckpoint(true)
-    val newHashes = hashesDf
-      .unionByName(b.select(md5(col(text).cast("binary")).as("h")))
-      .localCheckpoint(true)
-    val newPostings = DedupOps
-      .ngramPostingsAppend(postingsDf, b, id, text)
-      .localCheckpoint(true)
+    val newManifest = ckpt(built)
+    val newHashes = ckpt(hashesC._1
+      .unionByName(b.select(md5(col(text).cast("binary")).as("h"))))
+    val newPostings = ckpt(DedupOps
+      .ngramPostingsAppend(postingsC._1, b, id, text))
     // profile advance — the Run ingest's bytes-merges, in-cursor: token
     // bytes merge on the driver (kilobytes), the two 1-row sketch
     // tables through the library merge entry points
     val newTokenSk = graft.functions.FreqItems.mergeBytes(tokenSk,
       graft.operators.TextOps.tokenSketchBytes(b, text)
         .head().getAs[Array[Byte]]("sk"))
-    val newLenQ = graft.operators.RelationalOps.quantileSketchMerge(
-      lenQDf, TrainReadyCursor.lenSketch(b, id, text), "grp")
-      .localCheckpoint(true)
-    val newDistC = graft.operators.RelationalOps.distinctSketchMerge(
-      distCDf, TrainReadyCursor.contentSketch(b, text), "grp")
-      .localCheckpoint(true)
+    val newLenQ = ckpt(graft.operators.RelationalOps.quantileSketchMerge(
+      lenQC._1, TrainReadyCursor.lenSketch(b, id, text), "grp"))
+    val newDistC = ckpt(graft.operators.RelationalOps.distinctSketchMerge(
+      distCC._1, TrainReadyCursor.contentSketch(b, text), "grp"))
     // per-source profile advance (when configured): same group-keyed
     // merges as graft.Run's stats/source_* artifacts — new sources
     // appear as new groups, existing ones merge
     val newSrcD = profileSrc.map { src =>
-      graft.operators.RelationalOps.distinctSketchMerge(
-        srcDDf.get, TrainReadyCursor.sourceContentSketch(b, src, text),
-        "grp").localCheckpoint(true)
+      ckpt(graft.operators.RelationalOps.distinctSketchMerge(
+        srcDC.get._1, TrainReadyCursor.sourceContentSketch(b, src, text),
+        "grp"))
     }
     val newSrcL = profileSrc.map { src =>
-      graft.operators.RelationalOps.quantileSketchMerge(
-        srcLDf.get, TrainReadyCursor.sourceLenSketch(b, src, text),
-        "grp").localCheckpoint(true)
+      ckpt(graft.operators.RelationalOps.quantileSketchMerge(
+        srcLC.get._1, TrainReadyCursor.sourceLenSketch(b, src, text),
+        "grp"))
     }
     val pinned = sc.getPersistentRDDs
     inner.foreach(i => pinned.get(i).foreach(_.unpersist(blocking = true)))
-    manifestDf.unpersist(); hashesDf.unpersist(); postingsDf.unpersist()
-    lenQDf.unpersist(); distCDf.unpersist()
-    srcDDf.foreach(_.unpersist()); srcLDf.foreach(_.unpersist())
-    b.unpersist()
-    manifestDf = newManifest
-    hashesDf = newHashes
-    postingsDf = newPostings
+    release(manifestC); release(hashesC); release(postingsC)
+    release(lenQC); release(distCC)
+    srcDC.foreach(release); srcLC.foreach(release)
+    release(bC)
+    manifestC = newManifest
+    hashesC = newHashes
+    postingsC = newPostings
     tokenSk = newTokenSk
-    lenQDf = newLenQ
-    distCDf = newDistC
-    srcDDf = newSrcD
-    srcLDf = newSrcL
+    lenQC = newLenQ
+    distCC = newDistC
+    srcDC = newSrcD
+    srcLC = newSrcL
     nPrior += n
-    newManifest
+    newManifest._1
   }
 
   /** Wire a STREAMING `(id, text)` frame into this cursor: one
@@ -251,23 +267,18 @@ object TrainReadyCursor {
       startRateBp, meanSpan, fimRateBp, minJaccard, contamN,
       profileSrc = profileSource,
       initManifest = priorManifest
-        .select("doc_id", "fate", "n_tok", "chunk", "rank")
-        .localCheckpoint(true),
+        .select("doc_id", "fate", "n_tok", "chunk", "rank"),
       initHashes = prior
-        .select(md5(col("text").cast("binary")).as("h"))
-        .localCheckpoint(true),
-      initPostings = DedupOps.ngramPostings(prior, "doc_id", "text")
-        .localCheckpoint(true),
+        .select(md5(col("text").cast("binary")).as("h")),
+      initPostings = DedupOps.ngramPostings(prior, "doc_id", "text"),
       initDocCount = priorCorpus.count(),
       initTokenSketch = graft.operators.TextOps
         .tokenSketchBytes(prior, "text").head().getAs[Array[Byte]]("sk"),
-      initLenQuantiles = lenSketch(prior, "doc_id", "text")
-        .localCheckpoint(true),
-      initDistinctContent = contentSketch(prior, "text")
-        .localCheckpoint(true),
+      initLenQuantiles = lenSketch(prior, "doc_id", "text"),
+      initDistinctContent = contentSketch(prior, "text"),
       initSourceDistinct = profileSource.map(src =>
-        sourceContentSketch(prior, src, "text").localCheckpoint(true)),
+        sourceContentSketch(prior, src, "text")),
       initSourceLen = profileSource.map(src =>
-        sourceLenSketch(prior, src, "text").localCheckpoint(true)))
+        sourceLenSketch(prior, src, "text")))
   }
 }

@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
   *     profile bytes-merge, ann/pq drift gates)
   *   → stats (exact refresh over the grown corpus)
   *   → compact (append-artifact small-file maintenance)
+  *   → audit (read-only consistency fsck; a failed check here fails
+  *     the drive — the post-maintenance directory must audit clean)
   *
   * and prints each summary plus wall times. Run:
   * {{{
@@ -61,6 +63,13 @@ object RunDriveManual {
          | "corpus": "$dir/whole",
          | ${common.format(s"$dir/vecs")}}""".stripMargin)
     drive("compact", s"""{"mode": "compact", "out": "$dir/build"}""")
+    val t0 = System.nanoTime()
+    val audit = Run.execute(spark,
+      Run.parseSpec(s"""{"mode": "audit", "out": "$dir/build"}"""))
+    println(f"[audit] ${(System.nanoTime() - t0) / 1e9}%.1f s  $audit")
+    require(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(audit).get("ok").asBoolean,
+      s"post-lifecycle audit found inconsistencies: $audit")
     println(s"[drive] artifacts at $dir/build")
     spark.stop()
   }
