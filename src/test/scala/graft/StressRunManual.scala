@@ -61,8 +61,9 @@ object StressRunManual {
     }
 
     /** Full lifecycle at `n` docs + a fixed `incN`-doc increment;
-      * returns (build, ingest, stats, compact) walls. */
-    def lifecycle(tag: String, n: Long): (Double, Double, Double, Double) = {
+      * returns (build, ingest, stats, compact, audit) walls. */
+    def lifecycle(tag: String,
+        n: Long): (Double, Double, Double, Double, Double) = {
       val dir = Files.createTempDirectory(s"graft-stress-run-$tag")
         .toFile.getAbsolutePath
       corpus(spark, 0, n).write.parquet(s"$dir/corpus")
@@ -98,11 +99,20 @@ object StressRunManual {
            | ${common.format(s"$dir/vecs")}}""".stripMargin)))
       val c = timed(Run.execute(spark, Run.parseSpec(
         s"""{"mode": "compact", "out": "$dir/build"}""")))
-      (b, i, st, c)
+      // the fsck closes every lifecycle: the post-maintenance directory
+      // must audit clean at BOTH scales (its wall is recorded — one
+      // aggregate scan per artifact, ∝ corpus like compact)
+      var auditJson = ""
+      val a = timed { auditJson = Run.execute(spark, Run.parseSpec(
+        s"""{"mode": "audit", "out": "$dir/build"}""")); auditJson }
+      assert(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(auditJson).get("ok").asBoolean,
+        s"post-lifecycle audit found inconsistencies: $auditJson")
+      (b, i, st, c, a)
     }
 
-    val (b1, i1, s1, c1) = lifecycle("1x", base)
-    val (b10, i10, s10, c10) = lifecycle("10x", base * 10)
+    val (b1, i1, s1, c1, a1) = lifecycle("1x", base)
+    val (b10, i10, s10, c10, a10) = lifecycle("10x", base * 10)
     val rb = b10 / b1
     val ri = i10 / i1
     println(f"[stress-run] build  $b1%.1f -> $b10%.1f s (${rb}%.1fx)")
@@ -110,6 +120,7 @@ object StressRunManual {
       f"[fixed $incN-doc increment]")
     println(f"[stress-run] stats  $s1%.1f -> $s10%.1f s (${s10 / s1}%.1fx)")
     println(f"[stress-run] compact $c1%.1f -> $c10%.1f s (${c10 / c1}%.1fx)")
+    println(f"[stress-run] audit  $a1%.1f -> $a10%.1f s (${a10 / a1}%.1fx)")
     // the claim: a fixed-size ingest stays NEAR-FLAT across a 10x
     // corpus (the standing-artifact design prices ingests by the
     // increment; residual growth is index-scan volume + box noise);
