@@ -347,7 +347,7 @@ object RelationalOps {
       quantileSketchMerge(standing, inc, "event_type"),
       "event_type", Seq(0.25, 0.5, 0.75, 0.95))
     est.select(col("event_type") +:
-      est.columns.filter(_ != "event_type").map(c =>
+      est.columns.filter(_ != "event_type").toIndexedSeq.map(c =>
         Det.r4(col(c)).as(c)): _*)
       .orderBy("event_type")
   }
@@ -387,7 +387,7 @@ object RelationalOps {
       quantileSketchMerge(standing, inc, "event_type"),
       "event_type", Seq(0.25, 0.5, 0.75, 0.95))
     est.select(col("event_type") +:
-      est.columns.filter(_ != "event_type").map(c =>
+      est.columns.filter(_ != "event_type").toIndexedSeq.map(c =>
         Det.r4(col(c)).as(c)): _*)
       .orderBy("event_type")
   }

@@ -59,7 +59,8 @@ final class AnnCursor private (
     val sc = d.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val c = d.localCheckpoint(true)
-    (c, (sc.getPersistentRDDs -- before).values.toSeq)
+    (c, sc.getPersistentRDDs
+      .collect { case (i, r) if !before(i) => r }.toSeq)
   }
   private def release(pins: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
     pins.foreach(_.unpersist(blocking = true))

@@ -61,8 +61,10 @@ final class AssignmentTestInterface private[streaming] (
     lowOffset: Long,
     offsetReset: String) {
 
-  private implicit val kEnc = Encoders.product[KMessage]
-  private implicit val pEnc = Encoders.product[Processed]
+  private implicit val kEnc: org.apache.spark.sql.Encoder[KMessage] =
+    Encoders.product[KMessage]
+  private implicit val pEnc: org.apache.spark.sql.Encoder[Processed] =
+    Encoders.product[Processed]
 
   private val lock = new Object
   private var nextOffset: Long = lowOffset

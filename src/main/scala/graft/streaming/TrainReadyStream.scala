@@ -67,7 +67,8 @@ final class TrainReadyCursor private (
     val sc = d.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val c = d.localCheckpoint(true)
-    (c, (sc.getPersistentRDDs -- before).values.toSeq)
+    (c, sc.getPersistentRDDs
+      .collect { case (i, r) if !before(i) => r }.toSeq)
   }
   private def release(c: Ckpt): Unit =
     c._2.foreach(_.unpersist(blocking = true))
@@ -146,7 +147,7 @@ final class TrainReadyCursor private (
       precomputedPostings = Some(postingsC._1),
       precomputedHashes = Some(hashesC._1),
       priorDocCount = Some(nPrior), sorted = false)
-    val inner = sc.getPersistentRDDs.keySet -- before
+    val inner = sc.getPersistentRDDs.keySet.toSet.filterNot(before)
     val newManifest = ckpt(built)
     val newHashes = ckpt(hashesC._1
       .unionByName(b.select(md5(col(text).cast("binary")).as("h"))))
