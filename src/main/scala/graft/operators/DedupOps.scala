@@ -221,7 +221,11 @@ object DedupOps {
       // q_dedup_*_verify timings (which measure the verification stage)
       "_memo_minhash_sigs" -> ((s, d) => minhashSigAux(s, d)),
       "_memo_simhash_fps" -> ((s, d) => simhashFpAux(s, d)),
-      "_memo_ngram_postings" -> ((s, d) => ngramPostingsAux(s, d)))
+      "_memo_ngram_postings" -> ((s, d) => ngramPostingsAux(s, d)),
+      // standing cluster labels over the prior corpus: the persisted
+      // artifact q_dedup_clusters_incr advances (its build cost is the
+      // batch CC the incremental path exists to avoid re-paying)
+      "_memo_cc_prior" -> ((s, d) => ccPriorLabels(s, d)))
 
   private def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
     sharedNgramPairs(s, d).orderBy("da", "db")
@@ -893,9 +897,111 @@ object DedupOps {
     labels.select(col("v").as("doc_id"), col("label").as("cluster_rep"))
   }
 
+  /** INCREMENTAL cluster-label maintenance — advance a STANDING
+    * [[connectedComponents]] label table `(doc_id, cluster_rep)` by an
+    * ingest batch's near-dup pairs WITHOUT re-clustering the corpus,
+    * completing the incremental dedup family (the pair generators have
+    * been incremental since r6/r14; the cluster/canonical stage still
+    * required a corpus-wide re-label).
+    *
+    * Supernode contraction: each edge endpoint maps to its standing rep
+    * when labeled (a standing cluster acts as ONE node — its rep) and to
+    * itself when new, then [[connectedComponents]] runs over the mapped
+    * edges — a graph ∝ the INCREMENT's pairs plus the touched reps,
+    * never the corpus. Returned is the UPSERT set: fresh label rows for
+    * every member of a touched standing cluster plus every newly labeled
+    * doc. Applying it (standing rows for other docs kept as-is) yields
+    * BIT-FOR-BIT the from-scratch [[connectedComponents]] over the union
+    * edge list: a standing rep is already the min doc_id of its cluster,
+    * so the contracted component's min over {touched reps, new ids} IS
+    * the merged cluster's min over all members (DedupSpec pins merges,
+    * new clusters, previously-unlabeled standing docs joining, and a
+    * two-increment chain ≡ from-scratch; the q_dedup_clusters_incr gate
+    * line proves the applied table against the recursive-CTE oracle).
+    *
+    * Cost ∝ increment: the standing table is consumed by two hash joins
+    * keyed on doc_id / cluster_rep (label lookup, touched-member
+    * expansion — the latter ∝ touched cluster sizes), and the label
+    * propagation runs on the contracted graph. Same block-lifecycle
+    * caveat as [[connectedComponents]]: the returned frame is backed by
+    * checkpointed blocks released by a `getPersistentRDDs` sweep (or
+    * consume-and-discard in a run-and-exit job). Pair-set caveat
+    * inherited from [[ngramJaccardPairsIncremental]]: standing pairs
+    * were generated under the PRIOR df cap — a shingle whose union df
+    * crosses the cap can drop a from-scratch candidate that the standing
+    * list kept, so chained-increments ≡ from-scratch holds exactly while
+    * the cap tier is unchanged (it is clamped to [100, 1000], so tiers
+    * move only at 50k/500k-doc boundaries).
+    *
+    * LIBRARY ENTRY POINT — generic over any label table with
+    * `(doc_id, cluster_rep)` and any two-column edge relation
+    * (graft.ApiSpec exercises it on a synthetic non-corpus graph). */
+  def connectedComponentsIncremental(standingLabels: DataFrame,
+      newEdges: DataFrame, src: String, dst: String,
+      maxRounds: Int = 50): DataFrame = {
+    Seq("doc_id", "cluster_rep").foreach { c =>
+      require(standingLabels.columns.contains(c),
+        s"standing labels have no column '$c' (columns: " +
+          s"${standingLabels.columns.mkString(", ")}) — pass a " +
+          "connectedComponents output")
+    }
+    // consumed three times (two endpoint lookups, touched-member
+    // expansion, rep anti-join) — materialize once
+    val st = standingLabels.select(col("doc_id"), col("cluster_rep"))
+      .localCheckpoint(eager = true)
+    val e = newEdges.select(col(src).as("__ea"), col(dst).as("__eb"))
+    val mapped = e
+      .join(st.select(col("doc_id").as("__ea"),
+        col("cluster_rep").as("__ra")), Seq("__ea"), "left")
+      .join(st.select(col("doc_id").as("__eb"),
+        col("cluster_rep").as("__rb")), Seq("__eb"), "left")
+      .select(coalesce(col("__ra"), col("__ea")).as("__sa"),
+        coalesce(col("__rb"), col("__eb")).as("__sb"))
+    val superLabels = connectedComponents(mapped, "__sa", "__sb", maxRounds)
+      .select(col("doc_id").as("__super"), col("cluster_rep").as("__rep"))
+    // full fresh rows for every member of a touched standing cluster…
+    val touched = st
+      .join(superLabels.select(col("__super").as("cluster_rep"),
+        col("__rep")), Seq("cluster_rep"))
+      .select(col("doc_id"), col("__rep").as("cluster_rep"))
+    // …plus supernodes that are NOT standing reps: genuinely new docs
+    // and previously pair-free standing docs joining a cluster
+    val fresh = superLabels
+      .join(st.select(col("cluster_rep").as("__super")).distinct(),
+        Seq("__super"), "left_anti")
+      .select(col("__super").as("doc_id"), col("__rep").as("cluster_rep"))
+    touched.unionByName(fresh)
+  }
+
   private def dedupClusters(s: SparkSession, d: String): DataFrame =
     connectedComponents(sharedNgramPairs(s, d), "da", "db")
       .orderBy("doc_id")
+
+  /** STANDING cluster labels over the prior (90%) corpus's pair list —
+    * the persisted artifact the incremental cluster query advances.
+    * Memoized: one prior pair-build + CC run per application, reported
+    * as its own `_memo_cc_prior` bench line (the query's number then
+    * measures the INCREMENT's cost, which is the operator's claim). */
+  private[operators] def ccPriorLabels(s: SparkSession, d: String): DataFrame =
+    graft.sources.Materialize.table(s, s"cc_prior_labels:$d") {
+      connectedComponents(
+        ngramJaccardPairs(docsSpread(s, d).filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", minJaccard = 0.1), "da", "db")
+    }
+
+  /** 10%-increment binding of [[connectedComponentsIncremental]]: the
+    * increment's near-dup pairs (the q_dedup_ngram_incr path, postings-
+    * backed) advance the standing labels; the APPLIED table (untouched
+    * standing rows ∪ the upsert) is what the oracle re-derives from
+    * scratch over the union — incremental ≡ from-scratch, DuckDB-checked. */
+  private def dedupClustersIncr(s: SparkSession, d: String): DataFrame = {
+    val standing = ccPriorLabels(s, d)
+    val upsert = connectedComponentsIncremental(standing,
+      dedupNgramIncr(s, d).select("da", "db"), "da", "db")
+    standing.join(upsert.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(upsert)
+      .orderBy("doc_id")
+  }
 
   /** Canonical-document selection — the LAST step of a dedup pipeline:
     * given near-dup clusters, keep ONE representative per cluster, chosen
@@ -1223,6 +1329,25 @@ object DedupOps {
          |WHERE hamming <= 5 ORDER BY da, db""".stripMargin
     }),
     QDef("q_dedup_clusters", dedupClusters, Some {
+      val pairSql = ngramOracleSql
+      s"""WITH RECURSIVE sym AS (
+         |  SELECT da AS a, db AS b FROM ($pairSql)
+         |  UNION ALL
+         |  SELECT db, da FROM ($pairSql)),
+         |reach(v, r) AS (
+         |  SELECT DISTINCT a, a FROM sym
+         |  UNION
+         |  SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.v)
+         |SELECT v AS doc_id, min(r) AS cluster_rep FROM reach
+         | GROUP BY 1 ORDER BY 1""".stripMargin
+    }),
+    // The INCREMENTAL cluster path: Spark advances standing prior-corpus
+    // labels by the increment's pairs (supernode contraction); the oracle
+    // re-derives the ENTIRE label table from scratch over the union's
+    // pairs — the strongest possible check of incremental ≡ from-scratch,
+    // and deliberately the SAME SQL as q_dedup_clusters (equality of the
+    // applied table IS the operator's claim).
+    QDef("q_dedup_clusters_incr", dedupClustersIncr, Some {
       val pairSql = ngramOracleSql
       s"""WITH RECURSIVE sym AS (
          |  SELECT da AS a, db AS b FROM ($pairSql)

@@ -68,6 +68,49 @@ class ApiSpec extends SparkSpec {
       s"got $comps")
   }
 
+  test("connectedComponentsIncremental: applied upsert == from-scratch CC, chained across two increments") {
+    val s = spark
+    import s.implicits._
+    def cc(edges: org.apache.spark.sql.DataFrame) =
+      DedupOps.connectedComponents(edges, "u", "w")
+    def labels(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def apply(standing: org.apache.spark.sql.DataFrame,
+        upsert: org.apache.spark.sql.DataFrame) =
+      standing.join(upsert.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(upsert)
+    // standing: clusters {1,2,3} and {7,9}; docs 5 and 6 exist but are
+    // pair-free (unlabeled — exactly like the batch operator's output)
+    val prior = Seq((2L, 1L), (2L, 3L), (9L, 7L)).toDF("u", "w")
+    val standing = cc(prior).localCheckpoint(true)
+    // increment 1 plants every case at once: a cluster MERGE via a new
+    // doc (10 bridges {1,2,3} and {7,9}), a pair-free standing doc
+    // joining a cluster (5-20), and a brand-new cluster (30-31)
+    val inc1 = Seq((10L, 3L), (10L, 7L), (20L, 5L), (30L, 31L))
+      .toDF("u", "w")
+    val up1 = DedupOps.connectedComponentsIncremental(standing, inc1,
+      "u", "w")
+    // upsert contents: all five docs of the merged cluster relabeled to
+    // 1, plus the four newly labeled docs — and NOTHING else
+    assert(labels(up1) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      9L -> 1L, 10L -> 1L, 5L -> 5L, 20L -> 5L, 30L -> 30L, 31L -> 30L),
+      s"got ${labels(up1)}")
+    val applied1 = apply(standing, up1).localCheckpoint(true)
+    assert(labels(applied1) ==
+      labels(cc(prior.unionByName(inc1))), "increment 1 != from-scratch")
+    // increment 2 chains off the APPLIED table: merge the new cluster
+    // into the big one — every member of both must relabel
+    val inc2 = Seq((31L, 9L)).toDF("u", "w")
+    val up2 = DedupOps.connectedComponentsIncremental(applied1, inc2,
+      "u", "w")
+    assert(labels(apply(applied1, up2)) ==
+      labels(cc(prior.unionByName(inc1).unionByName(inc2))),
+      "increment 2 != from-scratch")
+    // empty increment: empty upsert
+    assert(DedupOps.connectedComponentsIncremental(applied1,
+      inc2.limit(0), "u", "w").isEmpty)
+  }
+
   test("knnJoin ranks planted neighbors on a generic vector frame") {
     val s = spark
     import s.implicits._

@@ -329,6 +329,19 @@ class PlanSpec extends SparkSpec {
       s"candidate pair list must not be hint-broadcast:\n$analyzed")
   }
 
+  test("q_dedup_clusters_incr: the applied-label plan never re-reads corpus text or the posting index") {
+    val p = plan("q_dedup_clusters_incr")
+    // the label-advance algebra runs over the standing label table and
+    // the increment's (eagerly materialized) pair derivation — the final
+    // plan re-scanning documents.parquet or the postings artifact would
+    // mean the incremental path still pays a corpus-sized read at apply
+    // time, which is exactly what it exists to avoid
+    assert(!p.contains("documents.parquet"),
+      s"incremental cluster apply must not re-scan corpus text:\n$p")
+    assert(!p.contains("ngram_postings"),
+      s"incremental cluster apply must not re-scan the posting index:\n$p")
+  }
+
   test("q_text_entropy is a pure projection (no shuffle before the output sort)") {
     val p = plan("q_text_entropy")
     val exchanges = "Exchange".r.findAllIn(p).length
