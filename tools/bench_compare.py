@@ -26,14 +26,30 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # parse --threshold first (both `--threshold=1.3` and `--threshold 1.3`),
+    # CONSUMING its value so the space-separated form doesn't leak into the
+    # positional file args (ADVICE r16: the value doesn't start with `--`,
+    # so the old filter kept it and the script exited with the usage text)
+    thr = 1.3
+    rest = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--threshold"):
+            if "=" in a:
+                thr = float(a.split("=", 1)[1])
+            else:
+                if i + 1 >= len(argv):
+                    sys.exit("--threshold needs a value\n" + __doc__)
+                thr = float(argv[i + 1])
+                i += 1
+        elif not a.startswith("--"):
+            rest.append(a)
+        i += 1
+    args = rest
     if len(args) != 2:
         sys.exit(__doc__)
-    thr = 1.3
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1] if "=" in a
-                        else sys.argv[sys.argv.index(a) + 1])
     old, new = load(args[0]), load(args[1])
     qo, qn = old.get("queries", {}), new.get("queries", {})
     qo = {k: v for k, v in qo.items() if isinstance(v, (int, float))}
