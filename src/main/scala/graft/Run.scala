@@ -49,13 +49,17 @@ import graft.operators.PipelineOps
   *
   * Maintenance modes: `"mode": "stats"` (exact stats refresh,
   * [[executeStats]]), `"mode": "compact"` (small-file compaction of
-  * the append-mode artifacts, [[executeCompact]]), and
-  * `"mode": "retrain"` (rebuild the frozen ANN artifacts on the current
-  * vector corpus after a drift-gate trip, [[executeRetrain]]) — each
+  * the append-mode artifacts, [[executeCompact]]), `"mode": "retrain"`
+  * (rebuild the frozen ANN artifacts on the current vector corpus after
+  * a drift-gate trip, [[executeRetrain]]), and `"mode": "recluster"`
+  * (rebuild the standing cluster-label table from the posting index
+  * after a df-cap tier crossing, [[executeRecluster]] — r17) — each
   * leaves every other artifact untouched — plus `"mode": "audit"`
   * ([[executeAudit]]), the read-only consistency fsck that finds the
   * half-advanced states the failure contracts describe before an
-  * operator trusts (or ingests into) the directory.
+  * operator trusts (or ingests into) the directory, and
+  * `"mode": "repair"` ([[executeRepair]] — r17), its write arm: each
+  * mechanically safe recovery the contracts document, executed.
   *
   * Stage order and artifact layout (each stage consumes the PERSISTED
   * output of the one before it; with `overwrite=false` a re-run SKIPS
@@ -80,10 +84,16 @@ import graft.operators.PipelineOps
   *      what is ON DISK, not what the plan promised).
   *
   * The build additionally persists the STANDING index artifacts an
-  * ingest fates against: `out/index/hashes` (content-hash table) and
+  * ingest fates against: `out/index/hashes` (content-hash table),
   * `out/index/postings` (raw `(doc_id, sh64)` shingle pairs; df is
   * re-attached at read by counting rows, so the on-disk index is
-  * append-only and every ingest write stays ∝ increment) — plus the
+  * append-only and every ingest write stays ∝ increment), and — r17 —
+  * `out/index/cluster_labels` (the near-dup cluster-label table,
+  * `(doc_id, cluster_rep)` over docs with ≥1 pair; each ingest advances
+  * it by the supernode-contraction upsert and derives the increment's
+  * near-dup fates from the same run, so after any number of ingests the
+  * standing labels equal a from-scratch re-cluster of the union
+  * bit-for-bit — RunSpec pins it across two ingests) — plus the
   * corpus-stats artifacts: `out/stats/heavy_tokens` (the exact ≥0.5%
   * token list via [[graft.operators.TextOps.frequentTokens]]'s
   * sketch-prefiltered pass: stop-list/boilerplate candidates, bounded
@@ -137,9 +147,10 @@ object Run {
     def opt(k: String): Option[JsonNode] = Option(n.get(k))
     val mode = opt("mode").map(_.asText).getOrElse("build")
     require(
-      Set("build", "ingest", "stats", "compact", "retrain", "audit")(mode),
-      "mode must be build | ingest | stats | compact | retrain | audit, " +
-        s"got '$mode'")
+      Set("build", "ingest", "stats", "compact", "retrain", "audit",
+        "recluster", "repair")(mode),
+      "mode must be build | ingest | stats | compact | retrain | audit " +
+        s"| recluster | repair, got '$mode'")
     val increment = opt("increment").map(_.asText).filter(_.nonEmpty)
     require(mode != "ingest" || increment.isDefined,
       "mode 'ingest' requires an 'increment' parquet path")
@@ -150,10 +161,11 @@ object Run {
       corpus = opt("corpus").map(_.asText)
         .getOrElse { require(
           mode == "ingest" || mode == "compact" || mode == "retrain" ||
-            mode == "audit",
+            mode == "audit" || mode == "recluster" || mode == "repair",
           "spec is missing required string field 'corpus'"); "" },
       benchmark = opt("benchmark").map(_.asText)
-        .getOrElse { require(mode == "compact" || mode == "audit",
+        .getOrElse { require(mode == "compact" || mode == "audit" ||
+          mode == "recluster" || mode == "repair",
           "spec is missing required string field 'benchmark'"); "" },
       out = req("out"),
       id = opt("id").map(_.asText).getOrElse("doc_id"),
@@ -191,6 +203,8 @@ object Run {
     case "compact" => executeCompact(s, spec)
     case "retrain" => executeRetrain(s, spec)
     case "audit" => executeAudit(s, spec)
+    case "recluster" => executeRecluster(s, spec)
+    case "repair" => executeRepair(s, spec)
     case _ => executeBuild(s, spec)
   }
 
@@ -408,10 +422,16 @@ object Run {
     *     codebook rows == the build's m×ksub
     *
     * Shape params (chunksPerPart, nlist, pqM, pqKsub, vecId) are read
-    * from the stored build fingerprint when present — the audit judges
-    * the directory against what BUILT it, not against this spec's
-    * defaults — falling back to the spec's values for pre-fingerprint
-    * dirs. Only `out` is required in an audit spec.
+    * from the stored build fingerprint — the audit judges the directory
+    * against what BUILT it, not against this spec's defaults. With NO
+    * stored fingerprint (pre-fingerprint or foreign dir), the
+    * shape-dependent checks (`windows_chunks`, `ann_quantizer`, the
+    * assignment list-range arm, `ann_codes`, `ann_codebook`) report as
+    * SKIPPED (`"skipped": true`, `ok` unaffected) instead of judging a
+    * possibly healthy directory against defaults that were never the
+    * build's (ADVICE r16) — the `fingerprint` check already flags the
+    * missing provenance, so the audit still fails overall. Only `out`
+    * is required in an audit spec.
     *
     * Cost: one scan per artifact, aggregate-only (counts, distinct
     * counts, one anti-join per id-set comparison); nothing corpus-sized
@@ -443,15 +463,26 @@ object Run {
     val vecId = shapeStr("vecId", spec.vecId)
 
     val findings = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, Boolean, String)]
+      .empty[(String, String, Boolean, String, Boolean)] // +skipped
     def check(name: String, artifact: String)(body: => Option[String]): Unit =
       findings += (try body match {
-        case None => (name, artifact, true, "")
-        case Some(detail) => (name, artifact, false, detail)
+        case None => (name, artifact, true, "", false)
+        case Some(detail) => (name, artifact, false, detail, false)
       } catch {
         case e: Exception =>
-          (name, artifact, false, s"check errored: ${e.getMessage}")
+          (name, artifact, false, s"check errored: ${e.getMessage}", false)
       })
+    // a shape-dependent check with no stored fingerprint: running it
+    // against the audit spec's defaults would judge a healthy directory
+    // corrupt (or error outright on a differing vecId column), so it
+    // reports indeterminate instead (ADVICE r16); the fingerprint check
+    // fails the audit overall either way
+    def checkShaped(name: String, artifact: String)(
+        body: => Option[String]): Unit =
+      if (fpNode.isDefined) check(name, artifact)(body)
+      else findings += ((name, artifact, true,
+        "skipped: no stored fingerprint — the build's shape params are " +
+          "unknown and the spec's defaults may not be the build's", true))
 
     // 1. interrupted staged swaps anywhere under out
     check("staging_leftover", ".") {
@@ -461,18 +492,23 @@ object Run {
         try st.iterator().asScala.filter { p =>
           val n = p.getFileName.toString
           Files.isDirectory(p) && (n.endsWith("__compact") ||
-            n.endsWith("__advance") || n == "ann__retrain")
+            n.endsWith("__advance") || n.endsWith("__recluster") ||
+            n.endsWith("__repair") || n == "ann__retrain") &&
+            // quarantined trees are already-adjudicated debris, not an
+            // interrupted swap (mode=repair moves partials there)
+            !Paths.get(out).relativize(p).toString.startsWith("_quarantine")
         }.map(p => Paths.get(out).relativize(p).toString).toVector
         finally st.close()
       if (stray.isEmpty) None
       else Some(s"interrupted staged swap(s): ${stray.mkString(", ")} — " +
         "each holds fully verified data; move it into place (or delete " +
-        "it to retry the producing job)")
+        "it to retry the producing job), or run \"mode\": \"repair\"")
     }
 
     // 2. every artifact directory that exists is _SUCCESS-complete
     val knownDirs = Seq("fates", "report", "manifest", "windows",
-      "index/hashes", "index/postings", "stats/heavy_tokens",
+      "index/hashes", "index/postings", "index/cluster_labels",
+      "stats/heavy_tokens",
       "stats/token_sketch", "stats/len_quantiles", "stats/distinct_content",
       "stats/source_distinct", "stats/source_len", "ann/quantizer",
       "ann/assignment", "ann/baseline", "ann/codebook", "ann/codes",
@@ -524,6 +560,37 @@ object Run {
         else Some(s"$orphans posting doc_id(s) missing from the " +
           "manifest — orphan shingle rows from a partial append")
       }
+      // 5b. label/manifest balance (r17): every labeled doc exists in
+      // the manifest, at most one label per doc, and every cluster rep
+      // is itself a member labeled with itself (the connectedComponents
+      // invariant an advance must preserve)
+      if (done("index/cluster_labels"))
+        check("cluster_labels", "index/cluster_labels") {
+          val labels = s.read.parquet(s"$out/index/cluster_labels")
+          val r = labels.agg(count(lit(1)).as("n"),
+            countDistinct(col("doc_id")).as("d")).head()
+          val (n, dn) = (r.getAs[Long]("n"), r.getAs[Long]("d"))
+          val orphans = labels.select("doc_id").distinct()
+            .join(manifest.select("doc_id"), Seq("doc_id"), "left_anti")
+            .count()
+          val badReps = labels.select(col("cluster_rep").as("doc_id"))
+            .distinct()
+            .join(labels.filter(col("doc_id") === col("cluster_rep"))
+              .select("doc_id"), Seq("doc_id"), "left_anti")
+            .count()
+          if (n != dn)
+            Some(s"$n label rows over $dn distinct doc_ids — " +
+              s"${n - dn} duplicated label(s); a label advance was " +
+              "applied twice outside the stamp guard")
+          else if (orphans != 0L)
+            Some(s"$orphans labeled doc_id(s) missing from the " +
+              "manifest — the label table and manifest have diverged")
+          else if (badReps != 0L)
+            Some(s"$badReps cluster rep(s) not labeled with " +
+              "themselves — not a connectedComponents output (corrupt " +
+              "or hand-edited advance)")
+          else None
+        }
       // 6-7. the window store vs the manifest it packed
       if (done("windows")) {
         val windows = PipelineOps.readWindows(s, s"$out/windows",
@@ -540,7 +607,7 @@ object Run {
           else Some(s"window store holds $wt tokens but the manifest " +
             s"packed $mt — the store and manifest have diverged")
         }
-        check("windows_chunks", "windows") {
+        checkShaped("windows_chunks", "windows") {
           // the RAW store read — readWindows projects `part` away, and
           // this check is precisely about the physical layout
           val r = s.read.parquet(s"$out/windows")
@@ -564,9 +631,12 @@ object Run {
       }
     }
 
-    // 8. profile advance coherence + readability
+    // 8. per-ingest advance coherence + readability — the staged-swap
+    // artifacts must all carry the SAME increment stamp (the label table
+    // advances through the same machinery since r17)
     val profileDirs = Seq("stats/token_sketch", "stats/len_quantiles",
-      "stats/distinct_content", "stats/source_distinct", "stats/source_len")
+      "stats/distinct_content", "stats/source_distinct", "stats/source_len",
+      "index/cluster_labels")
       .filter(done)
     if (profileDirs.nonEmpty) {
       check("profile_stamps", "stats") {
@@ -607,7 +677,7 @@ object Run {
     // 9. the ANN index family
     if (done("ann/quantizer")) {
       val quant = s.read.parquet(s"$out/ann/quantizer")
-      check("ann_quantizer", "ann/quantizer") {
+      checkShaped("ann_quantizer", "ann/quantizer") {
         val r = quant.agg(count(lit(1)).as("n"),
           countDistinct(col("list")).as("d"),
           coalesce(max(col("list")), lit(-1)).as("m")).head()
@@ -619,6 +689,9 @@ object Run {
       }
       if (done("ann/assignment")) {
         val assign = s.read.parquet(s"$out/ann/assignment")
+        // the duplicate-id arm is shape-free and always runs; the
+        // list-range arm needs the build's nlist, so without a stored
+        // fingerprint it is folded into the shape-skip set
         check("ann_assignment", "ann/assignment") {
           val r = assign.agg(count(lit(1)).as("n"),
             countDistinct(col("vec_id")).as("d"),
@@ -630,7 +703,7 @@ object Run {
             Some(s"$n assignment rows over $d distinct vec_ids — " +
               s"${n - d} duplicated row(s); a failed ANN ingest was " +
               "likely re-run without cleaning its partial appends")
-          else if (oor != 0L)
+          else if (fpNode.isDefined && oor != 0L)
             Some(s"$oor assignment row(s) reference a list id outside " +
               s"0..${nlist - 1} — assigned against a DIFFERENT quantizer")
           else None
@@ -649,7 +722,7 @@ object Run {
               "(>= 1, <= the standing assignment)")
           }
         }
-        if (done("ann/codes")) check("ann_codes", "ann/codes") {
+        if (done("ann/codes")) checkShaped("ann_codes", "ann/codes") {
           val codes = s.read.parquet(s"$out/ann/codes")
             .select(col(vecId).as("vec_id"))
           val nc = codes.count()
@@ -668,7 +741,7 @@ object Run {
           }
         }
       }
-      if (done("ann/codebook")) check("ann_codebook", "ann/codebook") {
+      if (done("ann/codebook")) checkShaped("ann_codebook", "ann/codebook") {
         val n = s.read.parquet(s"$out/ann/codebook").count()
         if (n == pqM.toLong * pqKsub) None
         else Some(s"codebook has $n rows, expected m x ksub = " +
@@ -677,13 +750,299 @@ object Run {
     }
 
     val ok = findings.forall(_._3)
-    val lines = findings.map { case (name, artifact, o, detail) =>
+    val lines = findings.map { case (name, artifact, o, detail, skip) =>
       s"""{"check":"${esc(name)}","artifact":"${esc(artifact)}",""" +
-        s""""ok":$o,"detail":"${esc(detail)}"}"""
+        s""""ok":$o,"detail":"${esc(detail)}"""" +
+        (if (skip) ""","skipped":true""" else "") + "}"
     }.mkString("[", ",", "]")
     val summary =
       s"""{"mode":"audit","out":"${esc(out)}","ok":$ok,"checks":$lines}"""
     Files.write(Paths.get(out, "AUDIT.json"),
+      summary.getBytes(StandardCharsets.UTF_8))
+    summary
+  }
+
+  /** The df-cap baseline record `out/index/_df_cap.json` (VERDICT r16
+    * #3): the doc count (and the clamp of it,
+    * [[graft.operators.DedupOps.dfCapFor]]) the standing pair-derived
+    * artifacts were last FULLY derived under — written by the build's
+    * label stage and by [[executeRecluster]], never by an ingest. The
+    * chained-increments ≡ from-scratch guarantee of the incremental
+    * dedup family holds exactly while this cap equals the current
+    * union's; every ingest compares the two and warns loudly on a
+    * crossing (the guard, [[executeIngest]]). */
+  private def dfCapPath(out: String) =
+    Paths.get(out, "index", "_df_cap.json")
+
+  private def writeDfCap(out: String, docs: Long): Unit = {
+    Files.createDirectories(Paths.get(out, "index"))
+    Files.writeString(dfCapPath(out),
+      s"""{"docs":$docs,"cap":${graft.operators.DedupOps.dfCapFor(docs)}}""")
+  }
+
+  private def readDfCapDocs(out: String): Option[Long] =
+    if (!Files.exists(dfCapPath(out))) None
+    else Some(new ObjectMapper()
+      .readTree(Files.readString(dfCapPath(out))).get("docs").asLong)
+
+  /** `"mode": "recluster"` — the RECOVERY arm of the df-cap tier guard
+    * (VERDICT r16 #3), the dedup analogue of `mode=retrain`: when
+    * ingests have moved the corpus across a cap tier (the guard in every
+    * ingest summary), the standing `index/cluster_labels` table — whose
+    * chained advances are exact only under an unchanged cap — is
+    * re-derived FROM SCRATCH under the current cap, from the persisted
+    * raw posting index (one index scan,
+    * [[graft.operators.DedupOps.ngramJaccardPairsFromPostings]] — the
+    * corpus is never re-read or re-shingled), and `_df_cap.json`
+    * re-baselines to the current doc count so the guard goes quiet
+    * until the NEXT crossing. Historical manifest FATES stay frozen by
+    * design (the frozen-prior contract: a prior doc's fate is never
+    * revisited) — the recluster re-baselines the label artifact that
+    * future ingests fate against. Staged-swap crash contract as
+    * [[executeRetrain]]: a leftover `cluster_labels__recluster` holds
+    * the fully built table — move it into place (or `mode=repair`).
+    * Only `out` is needed beyond the build's shape fields (the doc
+    * count comes off the manifest). */
+  private def executeRecluster(s: SparkSession, spec: Spec): String = {
+    checkIngestFingerprint(spec) // same shape rule: minJaccard etc. must
+                                 // match the artifacts being rebuilt
+    val out = spec.out
+    require(stageDone(s"$out/index/postings") && stageDone(s"$out/manifest"),
+      s"'$out' has no posting index + manifest — recluster rebuilds an " +
+        "existing build's label artifact")
+    val nDocs = s.read.parquet(s"$out/manifest").count()
+    val run = graft.operators.DedupOps.connectedComponentsManaged(
+      graft.operators.DedupOps.ngramJaccardPairsFromPostings(
+        s.read.parquet(s"$out/index/postings"), nDocs, spec.minJaccard),
+      "da", "db")
+    val staging = s"$out/index/cluster_labels__recluster"
+    if (Files.exists(Paths.get(staging))) rmTree(Paths.get(staging))
+    run.labels.write.parquet(staging)
+    run.release()
+    val nLabels = s.read.parquet(staging).count()
+    // carry the stats artifacts' advance stamp onto the rebuilt table so
+    // the audit's per-ingest coherence check stays meaningful (the
+    // reclustered table covers exactly the same corpus state)
+    val stampSrc = Paths.get(out, "stats/token_sketch", "_advanced_from")
+    if (Files.exists(stampSrc))
+      Files.copy(stampSrc, Paths.get(staging, "_advanced_from"))
+    // also the creation path for a pre-label (pre-r17) build dir: with
+    // no standing table the swap is just the move
+    if (Files.exists(Paths.get(s"$out/index/cluster_labels")))
+      rmTree(Paths.get(s"$out/index/cluster_labels"))
+    Files.move(Paths.get(staging), Paths.get(s"$out/index/cluster_labels"))
+    writeDfCap(out, nDocs)
+    val summary =
+      s"""{"mode":"recluster","out":"${esc(out)}","docs":$nDocs,""" +
+        s""""cap":${graft.operators.DedupOps.dfCapFor(nDocs)},""" +
+        s""""n_labels":$nLabels}"""
+    Files.write(Paths.get(out, "RECLUSTER.json"),
+      summary.getBytes(StandardCharsets.UTF_8))
+    summary
+  }
+
+  /** `"mode": "repair"` — the WRITE arm of the fsck (VERDICT r16 #4):
+    * `mode=audit` finds the half-advanced states the failure contracts
+    * describe; this job closes the loop by executing each contract's
+    * documented recovery instead of leaving it "by hand". It performs
+    * ONLY mechanically safe actions and reports everything else as
+    * `manual` with guidance:
+    *
+    *   - interrupted staged swaps (`*__compact` / `*__advance` /
+    *     `*__recluster` / `ann__retrain`): COMPLETED (staging moved into
+    *     place) when the original is gone and the staging is
+    *     `_SUCCESS`-complete — the crash landed between the delete and
+    *     the move, past verification; ROLLED BACK (staging deleted) when
+    *     the original still exists — the producing job re-runs from
+    *     intact state; QUARANTINED when the original is gone but the
+    *     staging is itself partial (nothing trustworthy remains — manual)
+    *   - `_SUCCESS`-less partial artifact directories: QUARANTINED to
+    *     `out/_quarantine/` (never deleted — the operator may forensic
+    *     them), with the producing mode named for the rebuild
+    *   - a double-appended manifest (the blindly-retried-ingest
+    *     signature): DEDUPED by a staged rewrite keeping each doc's
+    *     FIRST-append row (the one whose pack/rank offsets agree with
+    *     the prior totals — the lower rank; duplicate dropped-doc rows
+    *     are identical), verified to exactly one row per doc before the
+    *     swap
+    *   - duplicated `ann/assignment` / `ann/codes` rows (the same retry
+    *     against the frozen artifacts is deterministic, so true
+    *     double-appends are row-identical): DEDUPED via a verified
+    *     staged `distinct()`; rows that do NOT collapse to one per id
+    *     diverged for another reason — manual
+    *   - everything else the audit can flag (hash-table/manifest
+    *     imbalance, window-store divergence, baseline/codebook shape) is
+    *     NOT mechanically reversible from the artifacts alone — reported
+    *     `manual` with the applicable recovery (`mode=stats`,
+    *     `mode=retrain`, `mode=recluster`, restore-from-copy)
+    *
+    * Idempotent: a clean directory repairs to zero actions; re-running
+    * after a repair finds nothing. The test bar (RunSpec): each planted
+    * corruption → audit flags → repair → audit CLEAN, content ≡
+    * pre-crash. */
+  private def executeRepair(s: SparkSession, spec: Spec): String = {
+    import scala.jdk.CollectionConverters._
+    val out = spec.out
+    require(Files.isDirectory(Paths.get(out)),
+      s"repair target '$out' is not a directory")
+    val actions = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String)]
+    val manual = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)]
+
+    def quarantine(p: java.nio.file.Path): String = {
+      val qRoot = Paths.get(out, "_quarantine")
+      Files.createDirectories(qRoot)
+      val base = Paths.get(out).relativize(p).toString.replace("/", "__")
+      var target = qRoot.resolve(base)
+      var i = 1
+      while (Files.exists(target)) { target = qRoot.resolve(s"${base}_$i"); i += 1 }
+      Files.move(p, target)
+      Paths.get(out).relativize(target).toString
+    }
+
+    // 1. interrupted staged swaps: complete, roll back, or quarantine
+    val st = Files.walk(Paths.get(out))
+    val staged =
+      try st.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        Files.isDirectory(p) && (n.endsWith("__compact") ||
+          n.endsWith("__advance") || n.endsWith("__recluster") ||
+          n.endsWith("__repair") || n == "ann__retrain") &&
+          !Paths.get(out).relativize(p).toString.startsWith("_quarantine")
+      }.toVector
+      finally st.close()
+    staged.foreach { p =>
+      val rel = Paths.get(out).relativize(p).toString
+      val original = p.resolveSibling(
+        p.getFileName.toString
+          .replaceAll("__(compact|advance|recluster|repair|retrain)$", ""))
+      // a staged write is trustworthy only when its own markers are
+      // complete (ann__retrain is a directory TREE — its children carry
+      // the markers)
+      val verified =
+        if (p.getFileName.toString == "ann__retrain")
+          Seq("quantizer", "assignment", "baseline")
+            .forall(c => stageDone(s"$p/$c"))
+        else stageDone(p.toString)
+      if (Files.exists(original))
+        // the original survived — the crash hit before the destructive
+        // half, so the staging is superseded debris: roll back
+        { rmTree(p); actions += (("rolled_back_swap", rel,
+          s"original '${Paths.get(out).relativize(original)}' intact — " +
+            "staging deleted; re-run the producing job")) }
+      else if (verified)
+        { Files.move(p, original); actions += (("completed_swap",
+          Paths.get(out).relativize(original).toString,
+          s"moved '$rel' into place — the crash landed between the " +
+            "delete and the move, past verification")) }
+      else {
+        val q = quarantine(p)
+        manual += ((rel, s"staging incomplete AND original missing — " +
+          s"quarantined to '$q'; rebuild with the producing mode"))
+      }
+    }
+
+    // 2. partial (no _SUCCESS) artifact directories → quarantine
+    val knownDirs = Seq("fates", "report", "manifest", "windows",
+      "index/hashes", "index/postings", "index/cluster_labels",
+      "stats/heavy_tokens", "stats/token_sketch", "stats/len_quantiles",
+      "stats/distinct_content", "stats/source_distinct", "stats/source_len",
+      "ann/quantizer", "ann/assignment", "ann/baseline", "ann/codebook",
+      "ann/codes", "ann/pq_baseline")
+    knownDirs.foreach { d =>
+      val p = Paths.get(out, d)
+      if (Files.isDirectory(p) && !stageDone(p.toString)) {
+        val q = quarantine(p)
+        actions += (("quarantined_partial", d,
+          s"no _SUCCESS (crashed write) — moved to '$q'; rebuild via " +
+            (if (d.startsWith("stats/")) "\"mode\": \"stats\""
+             else if (d.startsWith("ann/")) "\"mode\": \"retrain\""
+             else if (d == "index/cluster_labels") "\"mode\": \"recluster\""
+             else "a resume build (overwrite=false rebuilds partial stages)")))
+      }
+    }
+
+    // 3. double-appended manifest → keep each doc's first-append row
+    if (stageDone(s"$out/manifest")) {
+      val manifest = s.read.parquet(s"$out/manifest")
+      val r = manifest
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("d"))
+        .head()
+      val (n, d) = (r.getAs[Long]("n"), r.getAs[Long]("d"))
+      if (n != d) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("rank").asc_nulls_last, col("chunk").asc_nulls_last)
+        val deduped = manifest.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1).drop("__rk")
+        val staging = s"$out/manifest__repair"
+        deduped.write.mode("overwrite").parquet(staging)
+        val nStaged = s.read.parquet(staging).count()
+        require(nStaged == d,
+          s"manifest dedup staged $nStaged rows != $d distinct docs — " +
+            s"refusing the swap; staged data left at '$staging'")
+        rmTree(Paths.get(s"$out/manifest"))
+        Files.move(Paths.get(staging), Paths.get(s"$out/manifest"))
+        actions += (("deduped_manifest", "manifest",
+          s"${n - d} double-appended row(s) removed (kept each doc's " +
+            "first-append row). NOTE: if the retried ingest also " +
+            "re-appended index/ann rows, those balances stay flagged " +
+            "by the audit — see its manual guidance."))
+      }
+    }
+
+    // 4. duplicated ANN appends — row-identical by determinism, so a
+    // verified distinct() reverses them; anything else is manual. The
+    // codes id column comes from the stored fingerprint when present
+    // (the audit's rule: judge the directory against what BUILT it)
+    val codesId = {
+      val p = fingerprintPath(out)
+      if (!Files.exists(p)) spec.vecId
+      else Option(new ObjectMapper().readTree(Files.readString(p))
+          .at("/shape/vecId"))
+        .filter(!_.isMissingNode).map(_.asText).getOrElse(spec.vecId)
+    }
+    Seq("ann/assignment" -> "vec_id", "ann/codes" -> codesId)
+      .foreach { case (art, idCol) =>
+        if (stageDone(s"$out/$art")) {
+          val t = s.read.parquet(s"$out/$art")
+          val r = t.agg(count(lit(1)).as("n"),
+            countDistinct(col(idCol)).as("d")).head()
+          val (n, d) = (r.getAs[Long]("n"), r.getAs[Long]("d"))
+          if (n != d) {
+            val staging = s"$out/${art}__repair"
+            t.distinct().write.mode("overwrite").parquet(staging)
+            val nStaged = s.read.parquet(staging).count()
+            if (nStaged == d) {
+              rmTree(Paths.get(s"$out/$art"))
+              Files.move(Paths.get(staging), Paths.get(s"$out/$art"))
+              actions += (("deduped_ann", art,
+                s"${n - d} double-appended row(s) removed (row-identical " +
+                  "retry appends)"))
+            } else {
+              rmTree(Paths.get(staging))
+              manual += ((art, s"$n rows over $d distinct ids do NOT " +
+                "collapse to one row per id — the duplicates differ " +
+                "(appended against different artifacts?); restore from " +
+                "a copy or rebuild with \"mode\": \"retrain\""))
+            }
+          }
+        }
+      }
+
+    val actionLines = actions.map { case (a, art, detail) =>
+      s"""{"action":"${esc(a)}","artifact":"${esc(art)}",""" +
+        s""""detail":"${esc(detail)}"}"""
+    }.mkString("[", ",", "]")
+    val manualLines = manual.map { case (art, detail) =>
+      s"""{"artifact":"${esc(art)}","detail":"${esc(detail)}"}"""
+    }.mkString("[", ",", "]")
+    val summary =
+      s"""{"mode":"repair","out":"${esc(out)}",""" +
+        s""""n_actions":${actions.size},"actions":$actionLines,""" +
+        s""""manual":$manualLines}"""
+    Files.write(Paths.get(out, "REPAIR.json"),
       summary.getBytes(StandardCharsets.UTF_8))
     summary
   }
@@ -861,10 +1220,39 @@ object Run {
     val corpus = s.read.parquet(spec.corpus)
     val bench = s.read.parquet(spec.benchmark)
 
-    // 1. curation fates — the one run of the expensive corpus indexes
+    // 0. the STANDING near-dup cluster-label table (VERDICT r16 #2) —
+    // the one pair build + propagation run of the whole build, persisted
+    // as its own artifact so every later ingest ADVANCES it (supernode
+    // contraction, [[graft.operators.DedupOps.connectedComponentsIncremental]])
+    // instead of re-clustering, and derives the increment's near-dup
+    // fates from the same run. Built through the managed handle so the
+    // propagation rounds' checkpoint blocks are freed as soon as the
+    // artifact lands. Scale note: the table holds only docs with ≥1
+    // near-dup pair — a vanishing fraction of the corpus (0.8% on the
+    // test corpus) — so the per-ingest staged rewrite below stays ∝
+    // near-dup volume, never ∝ corpus.
+    if (spec.overwrite || !stageDone(s"${spec.out}/index/cluster_labels")) {
+      val run = graft.operators.DedupOps.connectedComponentsManaged(
+        graft.operators.DedupOps.ngramJaccardPairs(
+          corpus.select(col(spec.id).as("doc_id"),
+            col(spec.text).as("text")),
+          "doc_id", "text", spec.minJaccard),
+        "da", "db")
+      run.labels.write.mode("overwrite")
+        .parquet(s"${spec.out}/index/cluster_labels")
+      run.release()
+      // the df-cap baseline the labels (and every pair-derived artifact)
+      // were just derived under — the ingest tier guard's reference
+      writeDfCap(spec.out, corpus.count())
+    }
+    val clusterLabels = s.read.parquet(s"${spec.out}/index/cluster_labels")
+
+    // 1. curation fates — the near-dup stage reads the persisted label
+    // table (stage 0), so fates and standing labels agree bit-for-bit
     stage(s"${spec.out}/fates") {
       PipelineOps.curate(corpus, bench, spec.id, spec.text,
-        spec.minJaccard, spec.contamN, scrubPii = spec.scrubPii)
+        spec.minJaccard, spec.contamN, scrubPii = spec.scrubPii,
+        precomputedLabels = Some(clusterLabels))
     }
     val fates = s.read.parquet(s"${spec.out}/fates")
       .select("doc_id", "fate")
@@ -1078,19 +1466,76 @@ object Run {
       .agg(coalesce(sum(when(col("chunk").isNotNull, col("n_tok"))),
         lit(0L)).as("t"))
       .head().getAs[Long]("t")
+    // df-cap tier guard (VERDICT r16 #3): chained ≡ from-scratch for the
+    // incremental dedup family (pairs, and therefore the standing label
+    // table) holds exactly while the corpus-relative df cap is the one
+    // the standing artifacts were derived under. Compare the baseline
+    // cap (_df_cap.json — the doc count at the last build/recluster)
+    // with the post-ingest union's; a crossing degrades silently
+    // otherwise, so it warns LOUDLY, lands in the summary, and keeps
+    // firing on every later ingest until `"mode": "recluster"`
+    // re-baselines the label artifact under the current cap.
+    val nInc = s.read.parquet(spec.increment.get).count()
+    val clusteredDocs = readDfCapDocs(out).getOrElse(nPrior)
+    val capBase = graft.operators.DedupOps.dfCapFor(clusteredDocs)
+    val capUnion = graft.operators.DedupOps.dfCapFor(nPrior + nInc)
+    val capCrossed = capBase != capUnion
+    if (capCrossed)
+      System.err.println("[run] WARNING: this ingest moves the corpus " +
+        s"across a df-cap tier (cap $capBase at the last full cluster " +
+        s"over $clusteredDocs docs -> cap $capUnion at the union's " +
+        s"${nPrior + nInc}): the standing pair/label artifacts are no " +
+        "longer exactly union-equivalent. The ingest proceeds (fates " +
+        "land under the standing artifacts); schedule " +
+        "\"mode\": \"recluster\" to re-derive index/cluster_labels from " +
+        "the posting index under the current cap and re-baseline the " +
+        "guard.")
     val hashes = s.read.parquet(s"$out/index/hashes")
     // the RAW append-only store goes straight in: the incremental pair
     // derivation counts the candidate docs' df itself from the raw rows
     // (restricted scan; r16 — the prior full-index df WINDOW here was
     // the ingest path's one corpus-sized shuffle)
     val postings = s.read.parquet(s"$out/index/postings")
+
+    // near-dup fates + the standing cluster-label advance share ONE
+    // contracted propagation run (VERDICT r16 #2): the increment's pairs
+    // advance `index/cluster_labels` via supernode contraction, and the
+    // frozen-prior fate bits are read off the same upsert
+    // ([[graft.operators.DedupOps.nearDupFromLabelUpsert]]). The pair
+    // list and the contracted run materialize EAGERLY here (checkpointed
+    // inside the CC entry point), so they read the PRE-ingest postings —
+    // the appends below never feed back into this ingest's fates. A
+    // pre-r17 build dir (no label artifact) falls back to the in-call
+    // derivation with a loud warning.
+    val labelsPath = s"$out/index/cluster_labels"
+    val labelRun: Option[graft.operators.DedupOps.CcRun] =
+      if (stageDone(labelsPath)) {
+        val pairs = graft.operators.DedupOps.ngramJaccardPairsIncremental(
+          inc.select(col(spec.id).as("doc_id"),
+            col(spec.text).as("text")),
+          "doc_id", "text", postings, nPrior, spec.minJaccard)
+        Some(graft.operators.DedupOps
+          .connectedComponentsIncrementalManaged(
+            s.read.parquet(labelsPath), pairs, "da", "db"))
+      } else {
+        System.err.println(s"[run] WARNING: '$labelsPath' absent " +
+          "(pre-label build?) — ingest fates fall back to the in-call " +
+          "derivation and the standing label table is not advanced; " +
+          "re-run the build (overwrite=false adds the missing stage) to " +
+          "create it.")
+        None
+      }
+    val nd = labelRun.map(run =>
+      graft.operators.DedupOps.nearDupFromLabelUpsert(run.labels,
+        inc.select(col(spec.id).as("doc_id"))))
     val built = PipelineOps.trainReadyIncremental(
       manifest, bench.limit(0), inc, bench, spec.id, spec.text,
       cap = spec.cap.toDouble, formatter = spec.formatter,
       minJaccard = spec.minJaccard, contamN = spec.contamN,
       precomputedPostings = Some(postings),
       precomputedHashes = Some(hashes),
-      priorDocCount = Some(nPrior), sorted = false)
+      priorDocCount = Some(nPrior), sorted = false,
+      precomputedNearDup = nd)
     // the increment's rows only — prior rows pass through the build
     // bit-identical and are ALREADY on disk. Materialized eagerly so
     // the append below never reads the path it writes.
@@ -1140,6 +1585,24 @@ object Run {
     // replaces. A pre-profile build dir (missing artifacts) is warned
     // about, not failed — ingest appends stay valid without it.
     advanceProfile(s, spec, inc)
+
+    // standing cluster-label advance (VERDICT r16 #2): apply the upsert
+    // — fresh rows for every member of a touched cluster plus every
+    // newly labeled doc; untouched standing rows pass through. Staged,
+    // verified, stamped, and swapped exactly like the profile artifacts
+    // (crash-safe, retry-idempotent); the rewrite is ∝ the label table,
+    // which holds only docs with ≥1 near-dup pair — a vanishing corpus
+    // fraction. The upsert's checkpoint blocks are released once the
+    // swap lands.
+    labelRun.foreach { run =>
+      advanceArtifact(s, labelsPath, spec.increment.getOrElse("")) {
+        standing =>
+          standing
+            .join(run.labels.select("doc_id"), Seq("doc_id"), "left_anti")
+            .unionByName(run.labels.select("doc_id", "cluster_rep"))
+      }
+      run.release()
+    }
 
     // ANN ingest (optional, r15): `"vectors"` names the INCREMENT's
     // vector parquet — append its assignment rows to the standing index
@@ -1213,7 +1676,10 @@ object Run {
         s""""chunksPerPart":${spec.chunksPerPart},""" +
         s""""increment_fates":$fateLines,""" +
         s""""n_windows":${wtot.getAs[Long]("n")},""" +
-        s""""n_window_tokens":${wtot.getAs[Long]("t")}""" +
+        s""""n_window_tokens":${wtot.getAs[Long]("t")},""" +
+        s""""df_cap":{"clustered_docs":$clusteredDocs,""" +
+        s""""base_cap":$capBase,"union_docs":${nPrior + nInc},""" +
+        s""""union_cap":$capUnion,"crossed":$capCrossed}""" +
         profileSummary(s, out).map("," + _).getOrElse("") +
         annDrift.map("," + _).getOrElse("") + "}"
     Files.write(Paths.get(out, "SUMMARY.json"),

@@ -120,6 +120,14 @@ object DedupOps {
     // the capped index (≤ one row per distinct shingle, lists ≤ cap) —
     // far smaller than the corpus at any scale.
     val grp = shingleBuckets(rows, id, text).localCheckpoint(eager = true)
+    pairsFromBuckets(grp, minJaccard)
+  }
+
+  /** The bucket→pair→Jaccard tail shared by [[ngramJaccardPairs]] and
+    * [[ngramJaccardPairsFromPostings]]: `grp` is the CAPPED per-shingle
+    * index `(sh64, df, ds)`, already checkpointed by the caller. */
+  private def pairsFromBuckets(grp: DataFrame,
+      minJaccard: Double): DataFrame = {
     val cnt = grp.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     // No broadcast hint on the candidate pair list: what exists here is
@@ -144,6 +152,41 @@ object DedupOps {
       .filter(col("jaccard") >= minJaccard)
       .select(col("da"), col("db"), Det.r4(col("jaccard")).as("jaccard"))
       .orderBy("da", "db")
+  }
+
+  /** The corpus-relative df cap at `nDocs` documents — the ONE scalar
+    * the near-dup family's union-equivalence guarantees are relative to
+    * (clamped `floor(nDocs · 0.002)` ∈ [100, 1000]; below 50k docs the
+    * cap pins at 100, above 500k at 1000, and in between it moves with
+    * the corpus). Exposed so lifecycle guards ([[graft.Run]]'s ingest
+    * tier check, r17) can detect a crossing WITHOUT re-deriving the
+    * clamp inline and drifting from the operators' definition. */
+  def dfCapFor(nDocs: Long): Long = {
+    require(nDocs >= 0, s"nDocs must be >= 0, got $nDocs")
+    math.min(1000L, math.max(100L, (nDocs.toDouble * 0.002).toLong))
+  }
+
+  /** [[ngramJaccardPairs]] re-derived from a PERSISTED raw posting index
+    * `(doc_id, sh64)` instead of the corpus — the recovery path of the
+    * df-cap tier guard (r17, `graft.Run` `"mode": "recluster"`): when
+    * ingests have moved the union size across a cap tier, the standing
+    * pair/label artifacts must be re-derived under the CURRENT cap, and
+    * the posting index already holds every (doc, shingle) row — one
+    * index scan instead of a corpus re-shingle. `nDocs` is the current
+    * corpus size (the cap's denominator; `graft.Run` reads it off the
+    * manifest). Row-for-row equal to `ngramJaccardPairs(corpus)` at the
+    * same doc count (pinned in graft.DedupSpec); any denormalized `df`
+    * column on the index is ignored — frequencies are recounted.
+    *
+    * LIBRARY ENTRY POINT — generic over any raw posting relation. */
+  def ngramJaccardPairsFromPostings(postings: DataFrame, nDocs: Long,
+      minJaccard: Double): DataFrame = {
+    val grp = postings.select(col("doc_id"), col("sh64"))
+      .groupBy("sh64")
+      .agg(count(lit(1)).as("df"), collect_list("doc_id").as("ds"))
+      .filter(col("df") <= dfCapFor(nDocs))
+      .localCheckpoint(eager = true)
+    pairsFromBuckets(grp, minJaccard)
   }
 
   /** Verbatim-span duplicate pairs: documents sharing at least `minShared`
@@ -857,44 +900,66 @@ object DedupOps {
   // similarity pair source composes the same way). Returns one row per
   // vertex with the min-id representative of its component.
   def connectedComponents(edgeList: DataFrame, src: String, dst: String,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50): DataFrame =
+    runCC(edgeList, src, dst, maxRounds)._1
+
+  /** [[connectedComponents]] returning a [[CcRun]]: the label frame PLUS
+    * the handle that frees the checkpointed blocks backing it — prefer
+    * this form in long-lived sessions (the GraphOps RankRun lifecycle:
+    * consume `labels`, then `release()`; after release the frame cannot
+    * be recomputed). The plain form leaves the final round's blocks
+    * pinned for the session (fine for run-and-exit jobs; Bench and
+    * Verify sweep `getPersistentRDDs` after each query). */
+  def connectedComponentsManaged(edgeList: DataFrame, src: String,
+      dst: String, maxRounds: Int = 50): CcRun = {
+    val (labels, ids) = runCC(edgeList, src, dst, maxRounds)
+    new CcRun(labels, edgeList.sparkSession, ids)
+  }
+
+  private def runCC(edgeList: DataFrame, src: String, dst: String,
+      maxRounds: Int): (DataFrame, Set[Int]) = {
+    val spark = edgeList.sparkSession
     val edges = edgeList.select(col(src).as("da"), col(dst).as("db"))
     // materialize the edge list once — it is consumed every propagation
     // round, and lazily it would re-execute the whole upstream query per
-    // round (and per convergence check)
-    val sym = edges.unionByName(
-      edges.select(col("db").as("da"), col("da").as("db")))
-      .localCheckpoint(eager = true)
-    var labels = sym.select(col("da").as("v")).distinct()
-      .withColumn("label", col("v"))
-      .localCheckpoint(eager = true)
+    // round (and per convergence check). Checkpoints are TRACKED (r17):
+    // Dataset.unpersist does not release a localCheckpoint's pinned RDD
+    // on Spark 4.1 (the r16 cursor finding), so superseded rounds are
+    // freed by id — without this every round's blocks stayed pinned for
+    // the session.
+    val (sym, symIds) = Pins.checkpointTracked(edges.unionByName(
+      edges.select(col("db").as("da"), col("da").as("db"))))
+    var (labels, labelIds) = Pins.checkpointTracked(
+      sym.select(col("da").as("v")).distinct()
+        .withColumn("label", col("v")))
     var converged = false
     var rounds = 0
     // min-labels advance one hop per round → rounds needed ≈ component
     // diameter. The default suits near-dup graphs (tiny cliques); callers
     // with long-chain graphs raise maxRounds to their expected diameter.
     while (!converged && rounds < maxRounds) {
-      val next = sym.join(labels, col("db") === col("v"))
-        .groupBy(col("da").as("nv")).agg(min("label").as("nbr"))
-        .join(labels, col("nv") === col("v"))
-        .select(col("v"), least(col("label"), col("nbr")).as("label"))
-        .localCheckpoint(eager = true)
+      val (next, nextIds) = Pins.checkpointTracked(
+        sym.join(labels, col("db") === col("v"))
+          .groupBy(col("da").as("nv")).agg(min("label").as("nbr"))
+          .join(labels, col("nv") === col("v"))
+          .select(col("v"), least(col("label"), col("nbr")).as("label")))
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("v"))
         .filter(col("label") =!= col("old")).count()
-      // release the superseded round's checkpointed blocks — without this
-      // every round stays pinned in block storage for the session lifetime
-      labels.unpersist()
+      // release the superseded round's checkpointed blocks by id
+      Pins.release(spark, labelIds)
       labels = next
+      labelIds = nextIds
       converged = changed == 0
       rounds += 1
     }
-    sym.unpersist()
+    Pins.release(spark, symIds)
     // wrong labels must never be returned silently — a component with
     // diameter > MaxRounds means the input is not a near-dup graph
     require(converged,
       s"label propagation did not converge in $maxRounds rounds — " +
         "component diameter exceeds maxRounds; raise it for chain-shaped graphs")
-    labels.select(col("v").as("doc_id"), col("label").as("cluster_rep"))
+    (labels.select(col("v").as("doc_id"), col("label").as("cluster_rep")),
+      labelIds)
   }
 
   /** INCREMENTAL cluster-label maintenance — advance a STANDING
@@ -924,8 +989,9 @@ object DedupOps {
     * expansion — the latter ∝ touched cluster sizes), and the label
     * propagation runs on the contracted graph. Same block-lifecycle
     * caveat as [[connectedComponents]]: the returned frame is backed by
-    * checkpointed blocks released by a `getPersistentRDDs` sweep (or
-    * consume-and-discard in a run-and-exit job). Pair-set caveat
+    * pinned checkpoint blocks — long-lived sessions should use
+    * [[connectedComponentsIncrementalManaged]] and `release()` after
+    * consuming (r17; a run-and-exit job can simply discard). Pair-set caveat
     * inherited from [[ngramJaccardPairsIncremental]]: standing pairs
     * were generated under the PRIOR df cap — a shingle whose union df
     * crosses the cap can drop a from-scratch candidate that the standing
@@ -938,7 +1004,25 @@ object DedupOps {
     * (graft.ApiSpec exercises it on a synthetic non-corpus graph). */
   def connectedComponentsIncremental(standingLabels: DataFrame,
       newEdges: DataFrame, src: String, dst: String,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50): DataFrame =
+    runCCIncremental(standingLabels, newEdges, src, dst, maxRounds)._1
+
+  /** [[connectedComponentsIncremental]] returning a [[CcRun]] — the
+    * upsert frame plus the release handle for the blocks backing it
+    * (the standing-label checkpoint and the contracted run's final
+    * round). Prefer this form in long-lived sessions; consume the
+    * upsert (write / apply / collect), then `release()`. */
+  def connectedComponentsIncrementalManaged(standingLabels: DataFrame,
+      newEdges: DataFrame, src: String, dst: String,
+      maxRounds: Int = 50): CcRun = {
+    val (out, ids) =
+      runCCIncremental(standingLabels, newEdges, src, dst, maxRounds)
+    new CcRun(out, standingLabels.sparkSession, ids)
+  }
+
+  private def runCCIncremental(standingLabels: DataFrame,
+      newEdges: DataFrame, src: String, dst: String,
+      maxRounds: Int): (DataFrame, Set[Int]) = {
     Seq("doc_id", "cluster_rep").foreach { c =>
       require(standingLabels.columns.contains(c),
         s"standing labels have no column '$c' (columns: " +
@@ -946,9 +1030,9 @@ object DedupOps {
           "connectedComponents output")
     }
     // consumed three times (two endpoint lookups, touched-member
-    // expansion, rep anti-join) — materialize once
-    val st = standingLabels.select(col("doc_id"), col("cluster_rep"))
-      .localCheckpoint(eager = true)
+    // expansion, rep anti-join) — materialize once, tracked
+    val (st, stIds) = Pins.checkpointTracked(
+      standingLabels.select(col("doc_id"), col("cluster_rep")))
     val e = newEdges.select(col(src).as("__ea"), col(dst).as("__eb"))
     val mapped = e
       .join(st.select(col("doc_id").as("__ea"),
@@ -957,7 +1041,8 @@ object DedupOps {
         col("cluster_rep").as("__rb")), Seq("__eb"), "left")
       .select(coalesce(col("__ra"), col("__ea")).as("__sa"),
         coalesce(col("__rb"), col("__eb")).as("__sb"))
-    val superLabels = connectedComponents(mapped, "__sa", "__sb", maxRounds)
+    val (superRun, superIds) = runCC(mapped, "__sa", "__sb", maxRounds)
+    val superLabels = superRun
       .select(col("doc_id").as("__super"), col("cluster_rep").as("__rep"))
     // full fresh rows for every member of a touched standing cluster…
     val touched = st
@@ -970,12 +1055,71 @@ object DedupOps {
       .join(st.select(col("cluster_rep").as("__super")).distinct(),
         Seq("__super"), "left_anti")
       .select(col("__super").as("doc_id"), col("__rep").as("cluster_rep"))
-    touched.unionByName(fresh)
+    (touched.unionByName(fresh), stIds ++ superIds)
+  }
+
+  /** The frozen-prior NEAR-DUP fate bits of an ingest batch, derived
+    * from a [[connectedComponentsIncremental]] upsert — so ONE contracted
+    * label-propagation run serves both the fate decision and the
+    * standing-label advance (VERDICT r16 #2; previously every ingest ran
+    * a second, throwaway [[connectedComponents]] over the increment's
+    * pairs just to fate them).
+    *
+    * Returns `(doc_id, nd)` — one row per increment doc that is
+    * `near_dup` under the frozen-prior rule: its post-apply cluster
+    * contains ANY prior doc (the prior doc owns the cluster; its own
+    * fate is frozen and never revisited), or it is not the min-id member
+    * of a new-only cluster. Equivalent to the in-call derivation over
+    * the increment-touching pair components (pinned in graft.ApiSpec):
+    * contraction can only MERGE mixed-pair components THROUGH a standing
+    * cluster, and such components carry a prior doc on both sides of the
+    * merge — the nd bit is unchanged; new-only components contract to
+    * themselves, so their min-id member is unchanged too.
+    *
+    * `newIds` is the increment's id set (one `doc_id` column); upsert
+    * rows outside it are the prior members the rule keys on. */
+  def nearDupFromLabelUpsert(upsert: DataFrame,
+      newIds: DataFrame): DataFrame = {
+    val members = upsert.join(
+      newIds.select(col("doc_id")).withColumn("__new", lit(true)),
+      Seq("doc_id"), "left")
+    val stats = members.groupBy("cluster_rep").agg(
+      max(when(col("__new").isNull, 1).otherwise(0)).as("has_prior"),
+      min(when(col("__new").isNotNull, col("doc_id"))).as("min_new"))
+    members.filter(col("__new").isNotNull)
+      .join(stats, Seq("cluster_rep"))
+      .filter(col("has_prior") === 1 || col("doc_id") =!= col("min_new"))
+      .select(col("doc_id"), lit(true).as("nd"))
+  }
+
+  /** A completed connected-components run plus the handle that frees the
+    * checkpointed blocks backing its frame — the GraphOps RankRun
+    * pattern for the CC family (VERDICT r16 #5): `labels` (or the
+    * incremental upsert) is backed by pinned localCheckpoint blocks
+    * that `Dataset.unpersist()` cannot free. Lifecycle: consume the
+    * frame (collect / write / count), then call [[release]]; after
+    * release the frame CANNOT be recomputed (its lineage was truncated
+    * by the checkpoints). Idempotent; releases only this run's blocks,
+    * so concurrent runs on one session are safe. */
+  final class CcRun private[operators] (val labels: DataFrame,
+      spark: SparkSession, ids: Set[Int]) {
+    /** Free the pinned blocks backing [[labels]]. Call after consuming. */
+    def release(): Unit = Pins.release(spark, ids)
   }
 
   private def dedupClusters(s: SparkSession, d: String): DataFrame =
     connectedComponents(sharedNgramPairs(s, d), "da", "db")
       .orderBy("doc_id")
+
+  // the managed rendering Bench prefers (QDef.managed): same frame, plus
+  // the CcRun release handle — the caller-facing block-free path is the
+  // one exercised under load instead of the global sweep (r17, the
+  // GraphOps qPageRankManaged pattern)
+  private def dedupClustersManaged(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
+    val run = connectedComponentsManaged(sharedNgramPairs(s, d), "da", "db")
+    (run.labels.orderBy("doc_id"), () => run.release())
+  }
 
   /** STANDING cluster labels over the prior (90%) corpus's pair list —
     * the persisted artifact the incremental cluster query advances.
@@ -1003,6 +1147,16 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  private def dedupClustersIncrManaged(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
+    val standing = ccPriorLabels(s, d)
+    val run = connectedComponentsIncrementalManaged(standing,
+      dedupNgramIncr(s, d).select("da", "db"), "da", "db")
+    (standing.join(run.labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(run.labels)
+      .orderBy("doc_id"), () => run.release())
+  }
+
   /** Canonical-document selection — the LAST step of a dedup pipeline:
     * given near-dup clusters, keep ONE representative per cluster, chosen
     * by quality (ties → smallest doc_id), and emit the keep/drop manifest
@@ -1011,8 +1165,8 @@ object DedupOps {
     * vanishing fraction of the corpus, so both the join and the per-cluster
     * window are cheap at any scale (window groups = cluster sizes, tiny
     * cliques by construction). */
-  private def dedupCanonical(s: SparkSession, d: String): DataFrame = {
-    val clusters = dedupClusters(s, d)
+  private def canonicalOver(s: SparkSession, d: String,
+      clusters: DataFrame): DataFrame = {
     val quality = TextOps.qualityScore(s, d).select(col("doc_id"), col("quality"))
     val w = Window.partitionBy("cluster_rep")
       .orderBy(desc("quality"), col("doc_id"))
@@ -1021,6 +1175,15 @@ object DedupOps {
       .select(col("doc_id"), col("cluster_rep"),
         col("quality"), (col("rk") === 1).as("keep"))
       .orderBy("doc_id")
+  }
+
+  private def dedupCanonical(s: SparkSession, d: String): DataFrame =
+    canonicalOver(s, d, dedupClusters(s, d))
+
+  private def dedupCanonicalManaged(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
+    val run = connectedComponentsManaged(sharedNgramPairs(s, d), "da", "db")
+    (canonicalOver(s, d, run.labels), () => run.release())
   }
 
   /** DuckDB CTE chain computing the n-gram Jaccard pair list over `table`
@@ -1340,7 +1503,7 @@ object DedupOps {
          |  SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.v)
          |SELECT v AS doc_id, min(r) AS cluster_rep FROM reach
          | GROUP BY 1 ORDER BY 1""".stripMargin
-    }),
+    }, managed = Some(dedupClustersManaged _)),
     // The INCREMENTAL cluster path: Spark advances standing prior-corpus
     // labels by the increment's pairs (supernode contraction); the oracle
     // re-derives the ENTIRE label table from scratch over the union's
@@ -1359,7 +1522,7 @@ object DedupOps {
          |  SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.v)
          |SELECT v AS doc_id, min(r) AS cluster_rep FROM reach
          | GROUP BY 1 ORDER BY 1""".stripMargin
-    }),
+    }, managed = Some(dedupClustersIncrManaged _)),
     QDef("q_dedup_canonical", dedupCanonical, Some {
       val pairSql = ngramOracleSql
       s"""WITH RECURSIVE sym AS (
@@ -1378,6 +1541,6 @@ object DedupOps {
          |    ORDER BY q.quality DESC, c.doc_id) = 1) AS keep
          | FROM clusters c JOIN q USING (doc_id)
          | ORDER BY c.doc_id""".stripMargin
-    })
+    }, managed = Some(dedupCanonicalManaged _))
   )
 }

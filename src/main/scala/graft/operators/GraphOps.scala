@@ -66,32 +66,12 @@ object GraphOps {
     * the persistent-RDD ids the call pinned — the handle a caller needs
     * to actually free the blocks later (`Dataset.unpersist()` cannot:
     * the blocks belong to an internal RDD the CacheManager never saw).
-    *
-    * The ids are read off the checkpointed frame's own plan: a
-    * localCheckpoint'd Dataset analyzes to a [[LogicalRDD]] leaf wrapping
-    * exactly the internal RDD the checkpoint pinned. (The first
-    * formulation diffed `getPersistentRDDs` around the call — ADVICE r9:
-    * under concurrent use of one SparkSession that diff also captures
-    * RDDs persisted by OTHER jobs in the window, and releasing someone
-    * else's checkpoint blocks fails their job irrecoverably, since
-    * localCheckpoint truncated their lineage. Reading the plan makes the
-    * attribution exact and the entry points concurrency-safe.) */
-  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val out = df.localCheckpoint(eager = true)
-    val ids = out.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
-    }.toSet
-    // pinned at Spark 4.1.2: localCheckpoint always yields a LogicalRDD
-    // leaf; an empty set here would mean silent block leaks on release
-    require(ids.nonEmpty,
-      "localCheckpoint produced no LogicalRDD leaf — cannot track blocks")
-    (out, ids)
-  }
+    * Exact plan-derived attribution, shared since r17 — see [[Pins]]. */
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) =
+    Pins.checkpointTracked(df)
 
-  private def release(spark: SparkSession, ids: Set[Int]): Unit = {
-    val persisted = spark.sparkContext.getPersistentRDDs
-    ids.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = true)))
-  }
+  private def release(spark: SparkSession, ids: Set[Int]): Unit =
+    Pins.release(spark, ids)
 
   /** PageRank by fixed-round power iteration.
     *

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Tracked-checkpoint plumbing shared by the components that hold
+  * STANDING checkpointed frames (GraphOps' RankRun, the dedup CcRun
+  * handles, both streaming cursors).
+  *
+  * Why this exists: `Dataset.unpersist()` does NOT release a
+  * `localCheckpoint`'s pinned RDD on Spark 4.1 — it only uncaches plans
+  * through the CacheManager, and the checkpoint's blocks belong to an
+  * internal RDD the CacheManager never saw (verified with a minimal
+  * probe, r16). Any component that supersedes a checkpointed artifact
+  * must therefore capture the pinned RDD ids at checkpoint time and
+  * release them BY ID, or the blocks float until the ContextCleaner
+  * happens to GC the dropped references.
+  *
+  * Attribution is EXACT, not a capture-window diff: a localCheckpoint'd
+  * Dataset analyzes to a [[org.apache.spark.sql.execution.LogicalRDD]]
+  * leaf wrapping exactly the internal RDD the checkpoint pinned, so the
+  * ids are read off the checkpointed frame's own plan (the GraphOps r9
+  * pattern). A `getPersistentRDDs` diff around the call would also
+  * capture RDDs pinned by OTHER jobs sharing the SparkContext in the
+  * window (ADVICE r16: an AnnCursor ingest running beside a
+  * TrainReadyCursor, a concurrent `Materialize.table`), and releasing a
+  * foreign localCheckpoint's blocks fails that job irrecoverably — the
+  * truncated lineage cannot recompute them.
+  *
+  * [[captureLock]] serializes the one place a window diff is still
+  * unavoidable: sweeping the INTERIOR stage pins of a composed build
+  * (`PipelineOps.trainReadyIncremental` eagerly checkpoints fate
+  * barriers and formatter intermediates that its returned plan no
+  * longer references, so they are invisible to leaf inspection). Every
+  * [[checkpointTracked]] call takes the lock too, so no tracked
+  * checkpoint can be pinned inside a concurrent sweep window. Ad-hoc
+  * UNTRACKED persists (a caller's own `localCheckpoint`/`cache` on the
+  * same SparkContext) during a cursor ingest remain unsafe — documented
+  * on both cursors.
+  */
+private[graft] object Pins {
+
+  /** JVM-global lock serializing capture-window sweeps against tracked
+    * checkpoint creation across ALL cursors and managed runs on the
+    * SparkContext (ADVICE r16 — an instance-level synchronized cannot
+    * exclude other instances). */
+  val captureLock: Object = new Object
+
+  /** Eagerly localCheckpoint `df`, returning the checkpointed frame plus
+    * the persistent-RDD ids the call pinned — read off the frame's own
+    * analyzed plan, so the attribution is exact under concurrency. */
+  def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) =
+    captureLock.synchronized {
+      val out = df.localCheckpoint(eager = true)
+      val ids = out.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }.toSet
+      // pinned at Spark 4.1.2: localCheckpoint always yields a LogicalRDD
+      // leaf; an empty set here would mean silent block leaks on release
+      require(ids.nonEmpty,
+        "localCheckpoint produced no LogicalRDD leaf — cannot track blocks")
+      (out, ids)
+    }
+
+  /** Free the tracked blocks by RDD id. Idempotent; ids already released
+    * (or never pinned) are skipped. */
+  def release(spark: SparkSession, ids: Set[Int]): Unit = {
+    val persisted = spark.sparkContext.getPersistentRDDs
+    ids.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = true)))
+  }
+}

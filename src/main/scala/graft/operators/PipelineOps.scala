@@ -1754,6 +1754,14 @@ object PipelineOps {
     * rebuilding — the frame must carry (da, db) over THIS corpus's ids.
     * Parity with the self-computed path is asserted in graft.ApiSpec.
     *
+    * `precomputedLabels` (r17): one step further — a pipeline that
+    * persists the CLUSTER-LABEL table itself (`graft.Run`'s
+    * `index/cluster_labels`, a [[DedupOps.connectedComponents]] output
+    * over this corpus's pairs) passes it and skips both the pair build
+    * and the propagation run, which also guarantees the fates and the
+    * persisted labels agree bit-for-bit. Takes precedence over
+    * `precomputedPairs`.
+    *
     * `scrubPii = true` adds the REDACTION stage a released corpus runs
     * ([[TextOps.piiScrub]]): the manifest gains `text_redacted` plus the
     * per-kind audit counts (`n_email`, `n_phone`, `n_ipv4`, `n_pii`).
@@ -1769,9 +1777,10 @@ object PipelineOps {
   def curate(corpus: DataFrame, bench: DataFrame, id: String, text: String,
       minJaccard: Double = 0.1, contamN: Int = 8,
       scrubPii: Boolean = false,
-      precomputedPairs: Option[DataFrame] = None): DataFrame = {
+      precomputedPairs: Option[DataFrame] = None,
+      precomputedLabels: Option[DataFrame] = None): DataFrame = {
     val manifest = curateFates(corpus, bench, id, text, minJaccard,
-      contamN, precomputedPairs)
+      contamN, precomputedPairs, precomputedLabels)
     val out =
       if (!scrubPii) manifest
       else manifest.join(TextOps.piiScrubCols(
@@ -1785,16 +1794,20 @@ object PipelineOps {
     * on. */
   private def curateFates(corpus: DataFrame, bench: DataFrame, id: String,
       text: String, minJaccard: Double, contamN: Int,
-      precomputedPairs: Option[DataFrame]): DataFrame = {
+      precomputedPairs: Option[DataFrame],
+      precomputedLabels: Option[DataFrame] = None): DataFrame = {
     val base = corpus.select(col(id).as("doc_id"), col(text).as("text"))
     val q = TextOps.qualityFilter(base, "doc_id", "text")
       .select(col("doc_id"), col("keep").as("q_keep"))
     val ex = base.select(col("doc_id"),
       min("doc_id").over(
         Window.partitionBy(md5(col("text").cast("binary")))).as("keep_id"))
-    val pairs = precomputedPairs.getOrElse(
-      DedupOps.ngramJaccardPairs(base, "doc_id", "text", minJaccard))
-    val cl = DedupOps.connectedComponents(pairs, "da", "db")
+    val cl = precomputedLabels
+      .map(_.select(col("doc_id"), col("cluster_rep")))
+      .getOrElse(DedupOps.connectedComponents(
+        precomputedPairs.getOrElse(
+          DedupOps.ngramJaccardPairs(base, "doc_id", "text", minJaccard)),
+        "da", "db"))
     val cont = TextOps.decontaminate(base,
         bench.select(col(id).as("doc_id"), col(text).as("text")),
         "doc_id", "text", contamN)
@@ -2112,7 +2125,12 @@ object PipelineOps {
     * `precomputedPostings` ([[DedupOps.ngramPostings]], the standing
     * inverted index) and `precomputedHashes` (the content-hash table)
     * to avoid the in-call derivation scans; the one scalar the df cap
-    * needs (the prior doc count) is read off the manifest. Packing and
+    * needs (the prior doc count) is read off the manifest. A caller
+    * maintaining a standing cluster-label artifact additionally passes
+    * `precomputedNearDup` — the `(doc_id, nd)` bits of
+    * [[DedupOps.nearDupFromLabelUpsert]] over its label-advance upsert —
+    * so the fate decision and the label advance share one contracted
+    * propagation run (r17). Packing and
     * ranking run the 256-bucket two-phase shape over the INCREMENT
     * only, with the prior totals joining as a broadcast 1-row frame.
     *
@@ -2127,7 +2145,8 @@ object PipelineOps {
       precomputedPostings: Option[DataFrame] = None,
       precomputedHashes: Option[DataFrame] = None,
       priorDocCount: Option[Long] = None,
-      sorted: Boolean = true): DataFrame = {
+      sorted: Boolean = true,
+      precomputedNearDup: Option[DataFrame] = None): DataFrame = {
     require(Set("span", "fim", "plain")(formatter),
       s"formatter must be span | fim | plain, got '$formatter'")
     val priorBase = priorCorpus.select(col(id).as("doc_id"),
@@ -2166,25 +2185,33 @@ object PipelineOps {
         precomputedHashes.getOrElse(
           priorBase.select(md5(col("text").cast("binary")).as("h"))))
       .select(col("doc_id"), (col("fate") =!= "unique").as("ex_dup"))
-    val pairs = DedupOps.ngramJaccardPairsIncremental(newBase, "doc_id",
-      "text",
-      precomputedPostings.getOrElse(
-        DedupOps.ngramPostings(priorBase, "doc_id", "text")),
-      nPrior, minJaccard)
     // frozen-prior clustering: components over the increment-touching
     // pair graph; any component holding a prior doc drops ALL its new
-    // members, a new-only component keeps its min-id rep
-    val cl = DedupOps.connectedComponents(pairs, "da", "db")
-    val comp = cl.join(
-      newBase.select("doc_id").withColumn("__new", lit(true)),
-      Seq("doc_id"), "left")
-    val compStats = comp.groupBy("cluster_rep").agg(
-      max(when(col("__new").isNull, 1).otherwise(0)).as("has_prior"),
-      min(when(col("__new").isNotNull, col("doc_id"))).as("min_new"))
-    val nd = comp.filter(col("__new").isNotNull)
-      .join(compStats, Seq("cluster_rep"))
-      .filter(col("has_prior") === 1 || col("doc_id") =!= col("min_new"))
-      .select(col("doc_id"), lit(true).as("nd"))
+    // members, a new-only component keeps its min-id rep. A caller that
+    // maintains a STANDING cluster-label artifact (graft.Run, the
+    // streaming cursor — r17) passes the bits through
+    // `precomputedNearDup` ([[DedupOps.nearDupFromLabelUpsert]] over its
+    // label-advance upsert), so ONE contracted propagation run serves
+    // both the fates and the artifact; the in-call derivation below is
+    // the self-contained default (equivalence pinned in graft.ApiSpec).
+    val nd = precomputedNearDup.getOrElse {
+      val pairs = DedupOps.ngramJaccardPairsIncremental(newBase, "doc_id",
+        "text",
+        precomputedPostings.getOrElse(
+          DedupOps.ngramPostings(priorBase, "doc_id", "text")),
+        nPrior, minJaccard)
+      val cl = DedupOps.connectedComponents(pairs, "da", "db")
+      val comp = cl.join(
+        newBase.select("doc_id").withColumn("__new", lit(true)),
+        Seq("doc_id"), "left")
+      val compStats = comp.groupBy("cluster_rep").agg(
+        max(when(col("__new").isNull, 1).otherwise(0)).as("has_prior"),
+        min(when(col("__new").isNotNull, col("doc_id"))).as("min_new"))
+      comp.filter(col("__new").isNotNull)
+        .join(compStats, Seq("cluster_rep"))
+        .filter(col("has_prior") === 1 || col("doc_id") =!= col("min_new"))
+        .select(col("doc_id"), lit(true).as("nd"))
+    }
     val cont = TextOps.decontaminate(newBase,
         bench.select(col(id).as("doc_id"), col(text).as("text")),
         "doc_id", "text", contamN)
@@ -2287,10 +2314,30 @@ object PipelineOps {
     val prior = sp.filter(col("split") === "train" && incrPriorFilter)
     val inc = sp.filter(col("split") === "train" && !incrPriorFilter)
     val be = sp.filter(col("split") =!= "train")
-    trainReadyIncremental(trainReadyIncrPrior(s, d), prior, inc, be,
-      "doc_id", "text",
+    // the production ingest shape since r17 (graft.Run / the streaming
+    // cursor): ONE contracted propagation run against the STANDING
+    // cluster-label artifact both fates the increment and yields the
+    // label-advance upsert — the unchanged DuckDB oracle (a from-scratch
+    // frozen-prior re-derivation) proves the shared-run fate path end to
+    // end. The upsert run's blocks release as soon as the build's fate
+    // barrier has consumed the bits (it is eagerly checkpointed inside
+    // the call).
+    val run = DedupOps.connectedComponentsIncrementalManaged(
+      trainReadyIncrLabels(s, d),
+      DedupOps.ngramJaccardPairsIncremental(
+        inc.select(col("doc_id"), col("text")), "doc_id", "text",
+        trainReadyIncrPostings(s, d),
+        trainReadyIncrPrior(s, d).count(), minJaccard = 0.1),
+      "da", "db")
+    val nd = DedupOps.nearDupFromLabelUpsert(run.labels,
+      inc.select(col("doc_id")))
+    val out = trainReadyIncremental(trainReadyIncrPrior(s, d), prior, inc,
+      be, "doc_id", "text",
       precomputedPostings = Some(trainReadyIncrPostings(s, d)),
-      precomputedHashes = Some(trainReadyIncrHashes(s, d)))
+      precomputedHashes = Some(trainReadyIncrHashes(s, d)),
+      precomputedNearDup = Some(nd))
+    run.release()
+    out
   }
 
   /** The standing 75%-corpus content-hash table
@@ -2325,6 +2372,20 @@ object PipelineOps {
         "doc_id", "text")
     }
 
+  /** The standing 75%-corpus near-dup cluster-label table — `graft.Run`'s
+    * `index/cluster_labels` artifact for the q_train_ready_incr split
+    * (r17), materialized once per application. */
+  private[operators] def trainReadyIncrLabels(s: SparkSession,
+      d: String): DataFrame =
+    graft.sources.Materialize.table(s, s"train_ready_labels:$d") {
+      DedupOps.connectedComponents(
+        DedupOps.ngramJaccardPairs(
+          TextOps.splitAssign(s, d)
+            .filter(col("split") === "train" && incrPriorFilter),
+          "doc_id", "text", minJaccard = 0.1),
+        "da", "db")
+    }
+
   /** Bench accounting hook (see [[DedupOps.memoBuilds]]). The fate
     * manifest consumes the pair list, so the pairs memo is listed first
     * (Bench times them in order — the fates line then measures the
@@ -2336,7 +2397,8 @@ object PipelineOps {
       "_memo_curate_fates" -> ((s, d) => curateFateManifest(s, d)),
       "_memo_incr_prior" -> ((s, d) => trainReadyIncrPrior(s, d)),
       "_memo_incr_postings" -> ((s, d) => trainReadyIncrPostings(s, d)),
-      "_memo_incr_hashes" -> ((s, d) => trainReadyIncrHashes(s, d)))
+      "_memo_incr_hashes" -> ((s, d) => trainReadyIncrHashes(s, d)),
+      "_memo_incr_labels" -> ((s, d) => trainReadyIncrLabels(s, d)))
 
   // q_curate: curate the train split against the held-out splits —
   // the same deterministic md5 split q_decontaminate uses. The near-dup

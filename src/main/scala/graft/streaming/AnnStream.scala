@@ -48,26 +48,23 @@ final class AnnCursor private (
     pqCfg: Option[(DataFrame, DataFrame, Int, Int)], // codebook, baseline, m, ksub
     initAssignment: DataFrame, initCodes: Option[DataFrame]) {
 
-  // Checkpoint with the pinned-RDD handles captured: Dataset.unpersist
-  // does NOT release a localCheckpoint's pinned RDD (it only uncaches
-  // plans via the cache manager — verified on Spark 4.1), so a cursor
-  // relying on it would leak one pinned block-set per ingest until the
-  // ContextCleaner happens to GC the dropped references. The cursor is
-  // single-writer (synchronized), which makes the id-delta capture
-  // sound.
-  private def ckpt(d: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-    val sc = d.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val c = d.localCheckpoint(true)
-    (c, sc.getPersistentRDDs
-      .collect { case (i, r) if !before(i) => r }.toSeq)
-  }
-  private def release(pins: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
-    pins.foreach(_.unpersist(blocking = true))
+  // Checkpoint with the pinned-RDD ids captured: Dataset.unpersist does
+  // NOT release a localCheckpoint's pinned RDD (it only uncaches plans
+  // via the cache manager — verified on Spark 4.1), so a cursor relying
+  // on it would leak one pinned block-set per ingest until the
+  // ContextCleaner happens to GC the dropped references. Attribution is
+  // EXACT — ids read off the checkpointed frame's own plan (ADVICE r16:
+  // the earlier getPersistentRDDs diff could capture a FOREIGN
+  // localCheckpoint pinned concurrently — another cursor's, a
+  // Materialize.table's — and releasing it fails that job
+  // irrecoverably). See [[graft.operators.Pins]].
+  private def ckpt(d: DataFrame): (DataFrame, Set[Int]) =
+    graft.operators.Pins.checkpointTracked(d)
+  private def release(pins: Set[Int]): Unit =
+    graft.operators.Pins.release(quantizer.sparkSession, pins)
 
   private var (assignmentDf, assignmentPins) = ckpt(initAssignment)
-  private var codesState
-      : Option[(DataFrame, Seq[org.apache.spark.rdd.RDD[_]])] =
+  private var codesState: Option[(DataFrame, Set[Int])] =
     initCodes.map(ckpt)
   private var lastDriftRow: Option[Row] = None
   private var lastPqDriftRow: Option[Row] = None

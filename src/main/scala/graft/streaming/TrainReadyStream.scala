@@ -26,8 +26,10 @@ import graft.operators.{DedupOps, PipelineOps}
   * graft.StreamingWindowSpec against the planted-fates fixture).
   *
   * State discipline: the cursor holds exactly the standing artifacts
-  * `graft.Run` persists — manifest, hash table, posting index (as
-  * eagerly-checkpointed frames), the prior doc count (one long), and
+  * `graft.Run` persists — manifest, hash table, posting index, near-dup
+  * cluster-label table (as eagerly-checkpointed frames; the label table
+  * advances per ingest by the same contracted upsert that fates the
+  * batch — VERDICT r16 #2), the prior doc count (one long), and
   * the corpus PROFILE (r15: the three mergeable sketch artifacts —
   * token frequent-items bytes held driver-side at kilobyte size,
   * length-KLL and content-HLL as 1-row checkpointed frames). Every
@@ -46,36 +48,38 @@ final class TrainReadyCursor private (
     fimRateBp: Int, minJaccard: Double, contamN: Int,
     profileSrc: Option[String],
     initManifest: DataFrame, initHashes: DataFrame,
-    initPostings: DataFrame, initDocCount: Long,
+    initPostings: DataFrame, initClusterLabels: DataFrame,
+    initDocCount: Long,
     initTokenSketch: Array[Byte], initLenQuantiles: DataFrame,
     initDistinctContent: DataFrame,
     initSourceDistinct: Option[DataFrame],
     initSourceLen: Option[DataFrame]) {
 
-  // A standing artifact is a checkpointed frame PLUS the handles of the
+  // A standing artifact is a checkpointed frame PLUS the ids of the
   // RDDs its localCheckpoint pinned: Dataset.unpersist does NOT release
   // a localCheckpoint's pinned RDD (it only uncaches plans through the
   // cache manager — verified on Spark 4.1), so releasing superseded
   // artifacts through it merely drops the reference and waits for the
   // ContextCleaner to GC the blocks — storage then floats with GC
-  // timing instead of being ∝ the artifacts. The cursor captures the
-  // pins at checkpoint time and releases them explicitly (the same
-  // discipline as [[AnnCursor]]); the single-writer synchronized block
-  // is what makes the id-delta capture sound.
-  private type Ckpt = (DataFrame, Seq[org.apache.spark.rdd.RDD[_]])
-  private def ckpt(d: DataFrame): Ckpt = {
-    val sc = d.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val c = d.localCheckpoint(true)
-    (c, sc.getPersistentRDDs
-      .collect { case (i, r) if !before(i) => r }.toSeq)
-  }
+  // timing instead of being ∝ the artifacts. Ids are read off the
+  // checkpointed frame's own plan (ADVICE r16: the earlier
+  // getPersistentRDDs diff could capture a FOREIGN checkpoint pinned in
+  // the window by another cursor or job, whose release fails that job
+  // irrecoverably); the one remaining window diff — the interior stage
+  // pins of trainReadyIncremental, invisible to leaf inspection — runs
+  // under the JVM-global [[graft.operators.Pins.captureLock]], which
+  // every tracked checkpoint also takes. Ad-hoc UNTRACKED persists on
+  // the same SparkContext during an ingest remain unsafe.
+  private type Ckpt = (DataFrame, Set[Int])
+  private def ckpt(d: DataFrame): Ckpt =
+    graft.operators.Pins.checkpointTracked(d)
   private def release(c: Ckpt): Unit =
-    c._2.foreach(_.unpersist(blocking = true))
+    graft.operators.Pins.release(bench.sparkSession, c._2)
 
   private var manifestC: Ckpt = ckpt(initManifest)
   private var hashesC: Ckpt = ckpt(initHashes)
   private var postingsC: Ckpt = ckpt(initPostings)
+  private var labelsC: Ckpt = ckpt(initClusterLabels)
   private var nPrior: Long = initDocCount
   private var tokenSk: Array[Byte] = initTokenSketch
   private var lenQC: Ckpt = ckpt(initLenQuantiles)
@@ -89,6 +93,15 @@ final class TrainReadyCursor private (
 
   /** Docs in the standing corpus (the near-dup df cap's denominator). */
   def docCount: Long = synchronized { nPrior }
+
+  /** The STANDING near-dup cluster-label table `(doc_id, cluster_rep)` —
+    * `graft.Run`'s `index/cluster_labels` artifact, in-cursor (VERDICT
+    * r16 #2): advanced per ingest by the supernode-contraction upsert
+    * whose run also fates the batch, so after any number of ingests it
+    * equals a from-scratch [[graft.operators.DedupOps.connectedComponents]]
+    * over the union's pairs bit-for-bit (pinned in
+    * graft.StreamingWindowSpec). */
+  def clusterLabels: DataFrame = synchronized { labelsC._1 }
 
   /** The standing token profile — serialized frequent-items bytes over
     * every token ever delivered (decode with
@@ -135,24 +148,51 @@ final class TrainReadyCursor private (
     // window where the standing state is unmaterialized. The composed
     // build pins stage intermediates during construction (the fate
     // barrier, the formatted token counts, the CC edge rounds); those
-    // are swept by id delta below, so pinned storage is ∝ the three
-    // artifacts, never ∝ the number of ingests (the cursor is
-    // single-writer — synchronized — which is what makes the id-delta
-    // sweep sound).
-    val before = sc.getPersistentRDDs.keySet
-    val built = PipelineOps.trainReadyIncremental(
-      manifestC._1, bench.limit(0), b.select(col(id), col(text)), bench,
-      id, text, cap, epoch,
-      formatter, startRateBp, meanSpan, fimRateBp, minJaccard, contamN,
-      precomputedPostings = Some(postingsC._1),
-      precomputedHashes = Some(hashesC._1),
-      priorDocCount = Some(nPrior), sorted = false)
-    val inner = sc.getPersistentRDDs.keySet.toSet.filterNot(before)
+    // are invisible to plan-leaf inspection (the returned plan no
+    // longer references them), so they are swept by id delta — under
+    // the JVM-global capture lock, which excludes every TRACKED
+    // checkpoint (other cursors, managed graph/CC runs) from the
+    // window (ADVICE r16: the instance-level synchronized could not).
+    //
+    // Near-dup fates + the standing-label advance share ONE contracted
+    // propagation run (VERDICT r16 #2, mirroring graft.Run's ingest):
+    // the batch's pairs against the standing postings advance the label
+    // state, and the frozen-prior fate bits are read off the upsert.
+    // The run materializes eagerly (checkpointed inside the entry
+    // point) BEFORE the build window below, so its pins sit outside the
+    // window's id delta.
+    val labelRun = DedupOps.connectedComponentsIncrementalManaged(
+      labelsC._1,
+      DedupOps.ngramJaccardPairsIncremental(
+        b.select(col(id).as("doc_id"), col(text).as("text")),
+        "doc_id", "text", postingsC._1, nPrior, minJaccard),
+      "da", "db")
+    val nd = DedupOps.nearDupFromLabelUpsert(labelRun.labels,
+      b.select(col(id).as("doc_id")))
+    val inner = graft.operators.Pins.captureLock.synchronized {
+      val before = sc.getPersistentRDDs.keySet
+      PipelineOps.trainReadyIncremental(
+        manifestC._1, bench.limit(0), b.select(col(id), col(text)), bench,
+        id, text, cap, epoch,
+        formatter, startRateBp, meanSpan, fimRateBp, minJaccard, contamN,
+        precomputedPostings = Some(postingsC._1),
+        precomputedHashes = Some(hashesC._1),
+        priorDocCount = Some(nPrior), sorted = false,
+        precomputedNearDup = Some(nd)) ->
+        sc.getPersistentRDDs.keySet.toSet.filterNot(before)
+    }
+    val built = inner._1
     val newManifest = ckpt(built)
     val newHashes = ckpt(hashesC._1
       .unionByName(b.select(md5(col(text).cast("binary")).as("h"))))
     val newPostings = ckpt(DedupOps
       .ngramPostingsAppend(postingsC._1, b, id, text))
+    // standing-label advance: untouched rows ∪ the upsert — the same
+    // apply graft.Run stages to index/cluster_labels
+    val newLabels = ckpt(labelsC._1
+      .join(labelRun.labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(labelRun.labels.select("doc_id", "cluster_rep")))
+    labelRun.release()
     // profile advance — the Run ingest's bytes-merges, in-cursor: token
     // bytes merge on the driver (kilobytes), the two 1-row sketch
     // tables through the library merge entry points
@@ -177,14 +217,16 @@ final class TrainReadyCursor private (
         "grp"))
     }
     val pinned = sc.getPersistentRDDs
-    inner.foreach(i => pinned.get(i).foreach(_.unpersist(blocking = true)))
+    inner._2.foreach(i =>
+      pinned.get(i).foreach(_.unpersist(blocking = true)))
     release(manifestC); release(hashesC); release(postingsC)
-    release(lenQC); release(distCC)
+    release(labelsC); release(lenQC); release(distCC)
     srcDC.foreach(release); srcLC.foreach(release)
     release(bC)
     manifestC = newManifest
     hashesC = newHashes
     postingsC = newPostings
+    labelsC = newLabels
     tokenSk = newTokenSk
     lenQC = newLenQ
     distCC = newDistC
@@ -272,6 +314,9 @@ object TrainReadyCursor {
       initHashes = prior
         .select(md5(col("text").cast("binary")).as("h")),
       initPostings = DedupOps.ngramPostings(prior, "doc_id", "text"),
+      initClusterLabels = DedupOps.connectedComponents(
+        DedupOps.ngramJaccardPairs(prior, "doc_id", "text", minJaccard),
+        "da", "db"),
       initDocCount = priorCorpus.count(),
       initTokenSketch = graft.operators.TextOps
         .tokenSketchBytes(prior, "text").head().getAs[Array[Byte]]("sk"),

@@ -2059,6 +2059,89 @@ class ApiSpec extends SparkSpec {
         s"dropped doc ${r._1} carries pack/order values")
   }
 
+  test("trainReadyIncremental precomputedNearDup (shared contracted run) == the in-call derivation (r17)") {
+    // the production ingest shape (graft.Run / the streaming cursor):
+    // the near-dup fate bits come from nearDupFromLabelUpsert over the
+    // SAME contracted run that advances the standing label table — this
+    // pins its equivalence to the self-contained in-call derivation on
+    // the planted fixture, across two chained increments (so the second
+    // runs against ADVANCED labels, covering the touched-standing-
+    // cluster, fresh-prior-endpoint, and new-only-cluster arms)
+    val s = spark
+    import s.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => f"$prefix$i%02d")
+    def clean(prefix: String): String =
+      ("the" +: words(prefix, 31) :+ "and").mkString(" ")
+    def nearDupOf(prefix: String, tail: String): String =
+      ("the" +: (words(prefix, 28) ++ words(tail, 3)) :+ "and").mkString(" ")
+    val c0 = Seq(
+      (2L, clean("alpha")), (4L, clean("beta")), (7L, clean("delta")))
+      .toDF("id", "body")
+    val bench = Seq(
+      (100L, (words("bench", 5) ++ words("gamma", 8) ++ words("bench2", 5))
+        .mkString(" ")))
+      .toDF("id", "body")
+    val c1 = Seq(
+      (11L, "too short"), (12L, clean("alpha")),
+      (13L, nearDupOf("beta", "zz")), (14L, clean("gamma")),
+      (15L, clean("epsil"))).toDF("id", "body")
+    val c2 = Seq(
+      (21L, clean("epsil")), (22L, nearDupOf("delta", "xx")),
+      (23L, clean("zetaa")), (24L, clean("eta")),
+      (25L, nearDupOf("eta", "yy")),
+      (26L, nearDupOf("beta", "qq"))) // touches the STANDING {4,13} cluster
+      .toDF("id", "body")
+    val cap = 40.0
+    def doc(f: org.apache.spark.sql.DataFrame) =
+      f.select(col("id").as("doc_id"), col("body").as("text"))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+
+    val m0 = PipelineOps.trainReady(c0, bench, "id", "body", cap = cap)
+    val labels0 = DedupOps.connectedComponents(
+      DedupOps.ngramJaccardPairs(doc(c0), "doc_id", "text", 0.1),
+      "da", "db")
+    val run1 = DedupOps.connectedComponentsIncrementalManaged(labels0,
+      DedupOps.ngramJaccardPairsIncremental(doc(c1), "doc_id", "text",
+        DedupOps.ngramPostings(doc(c0), "doc_id", "text"), 3L, 0.1),
+      "da", "db")
+    val nd1 = DedupOps.nearDupFromLabelUpsert(run1.labels,
+      doc(c1).select("doc_id"))
+    val shared1 = PipelineOps.trainReadyIncremental(m0, c0, c1, bench,
+      "id", "body", cap = cap, precomputedNearDup = Some(nd1))
+    val plain1 = PipelineOps.trainReadyIncremental(m0, c0, c1, bench,
+      "id", "body", cap = cap)
+    assert(rowsOf(shared1) == rowsOf(plain1),
+      "shared-run fates diverged from the in-call derivation (inc 1)")
+
+    // advance the labels by the upsert, then the second increment runs
+    // against the ADVANCED standing table — the Run/cursor chain shape
+    val labels1 = labels0
+      .join(run1.labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(run1.labels.select("doc_id", "cluster_rep"))
+      .localCheckpoint(true)
+    run1.release()
+    val prior1 = c0.unionByName(c1)
+    val run2 = DedupOps.connectedComponentsIncrementalManaged(labels1,
+      DedupOps.ngramJaccardPairsIncremental(doc(c2), "doc_id", "text",
+        DedupOps.ngramPostings(doc(prior1), "doc_id", "text"), 8L, 0.1),
+      "da", "db")
+    val nd2 = DedupOps.nearDupFromLabelUpsert(run2.labels,
+      doc(c2).select("doc_id"))
+    val m1 = plain1.localCheckpoint(true)
+    val shared2 = PipelineOps.trainReadyIncremental(m1, prior1, c2, bench,
+      "id", "body", cap = cap, precomputedNearDup = Some(nd2))
+    val plain2 = PipelineOps.trainReadyIncremental(m1, prior1, c2, bench,
+      "id", "body", cap = cap)
+    assert(rowsOf(shared2) == rowsOf(plain2),
+      "shared-run fates diverged from the in-call derivation (inc 2)")
+    // and the planted doc 26 really exercised the touched-cluster arm
+    assert(shared2.filter(col("doc_id") === 26L).head().getString(1) ==
+      "near_dup", "doc 26 should be near_dup via the standing cluster")
+    run2.release()
+  }
+
   test("trainReadyIncremental rejects a partial prior manifest (VERDICT r13 #2)") {
     val s = spark
     import s.implicits._

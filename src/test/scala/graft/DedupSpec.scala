@@ -163,4 +163,58 @@ class DedupSpec extends SparkSpec {
     assert((got - ((1L, 10L)) - ((11L, 12L)) - ((2L, 10L))).isEmpty,
       s"unexpected pairs: $got")
   }
+
+  test("ngramJaccardPairsFromPostings == ngramJaccardPairs at the same doc count (r17 recluster path)") {
+    // the mode=recluster recovery re-derives pairs from the persisted
+    // raw posting index instead of re-shingling the corpus — row-for-row
+    // parity on the real test table (denormalized df on the index is
+    // recounted, not trusted)
+    val sess = spark
+    val rows = sess.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val direct = DedupOps.ngramJaccardPairs(rows, "doc_id", "text", 0.1)
+      .collect().map(_.toString).toSeq
+    val viaIndex = DedupOps.ngramJaccardPairsFromPostings(
+      DedupOps.ngramPostings(rows, "doc_id", "text"), rows.count(), 0.1)
+      .collect().map(_.toString).toSeq
+    assert(direct.nonEmpty, "fixture produced no pairs — test is vacuous")
+    assert(viaIndex == direct,
+      "postings-derived pairs diverged from the corpus derivation")
+  }
+
+  test("managed CC handles free every pinned block on release (VERDICT r16 #5)") {
+    val sess = spark
+    import sess.implicits._
+    // delta-based, not count-based: the shared session's OTHER pinned
+    // RDDs can be GC'd by the ContextCleaner mid-test, so only the ids
+    // this test created may be asserted on
+    val before = sess.sparkContext.getPersistentRDDs.keySet.toSet
+    def leakedSince(): Set[Int] =
+      sess.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    val run = DedupOps.connectedComponentsManaged(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b"), "a", "b")
+    val labels = run.labels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L), s"labels: $labels")
+    assert(leakedSince().nonEmpty,
+      "managed run should hold its final round pinned while live")
+    run.release()
+    assert(leakedSince().isEmpty,
+      s"release() left blocks pinned: ${leakedSince()}")
+    run.release() // idempotent
+    // the incremental form: standing checkpoint + contracted run both
+    // released through the one handle
+    val standing = Seq((1L, 1L), (2L, 1L), (3L, 1L))
+      .toDF("doc_id", "cluster_rep")
+    val run2 = DedupOps.connectedComponentsIncrementalManaged(standing,
+      Seq((3L, 5L)).toDF("a", "b"), "a", "b")
+    val upsert = run2.labels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(upsert == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L),
+      s"upsert: $upsert")
+    run2.release()
+    assert(leakedSince().isEmpty,
+      s"incremental release() left blocks pinned: ${leakedSince()}")
+  }
 }

@@ -612,10 +612,10 @@ class RunSpec extends SparkSpec {
     val names = (0 until clean1.get("checks").size)
       .map(clean1.get("checks").get(_).get("check").asText).toSet
     Seq("staging_leftover", "stage_complete", "fingerprint",
-      "manifest_unique", "hashes_count", "postings_docs", "windows_tokens",
-      "windows_chunks", "profile_stamps", "profile_readable",
-      "ann_quantizer", "ann_assignment", "ann_baseline", "ann_codes",
-      "ann_codebook").foreach(n =>
+      "manifest_unique", "hashes_count", "postings_docs", "cluster_labels",
+      "windows_tokens", "windows_chunks", "profile_stamps",
+      "profile_readable", "ann_quantizer", "ann_assignment", "ann_baseline",
+      "ann_codes", "ann_codebook").foreach(n =>
       assert(names.contains(n), s"missing check '$n' in $names"))
     // the returned summary is the written AUDIT.json, and the audit
     // wrote NOTHING else (read-only contract)
@@ -689,13 +689,26 @@ class RunSpec extends SparkSpec {
       diverged("ann_codes").contains("30 code rows != 50"), s"$diverged")
 
     // 6. a foreign / pre-fingerprint dir → fingerprint flags the missing
-    // provenance (and the shape params fall back to the audit spec's
-    // defaults, so param-shaped checks may legitimately also fire —
-    // only the fingerprint line is asserted here)
-    val nofp = corrupt("nofp") { c =>
+    // provenance, and the shape-dependent checks report SKIPPED instead
+    // of judging the (healthy) directory against the audit spec's
+    // defaults (ADVICE r16) — so the failure set is EXACTLY the
+    // fingerprint line
+    val nofpJson = {
+      val c = s"$dir/c_nofp"
+      copyTree(java.nio.file.Paths.get(s"$dir/build"),
+        java.nio.file.Paths.get(c))
       assert(new java.io.File(s"$c/_spec_fingerprint.json").delete())
+      val j = audit(c)
+      assert(!j.get("ok").asBoolean, s"nofp corruption must fail: $j")
+      j
     }
-    assert(nofp.contains("fingerprint"), s"$nofp")
+    assert(failed(nofpJson).keySet == Set("fingerprint"), s"$nofpJson")
+    val skipped = (0 until nofpJson.get("checks").size)
+      .map(nofpJson.get("checks").get)
+      .filter(c => c.has("skipped") && c.get("skipped").asBoolean)
+      .map(_.get("check").asText).toSet
+    assert(skipped == Set("windows_chunks", "ann_quantizer", "ann_codes",
+      "ann_codebook"), s"skipped set: $skipped")
 
     // 7. uneven profile advance (stamp on one artifact only) →
     // profile_stamps
@@ -824,6 +837,299 @@ class RunSpec extends SparkSpec {
       plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
         .contains("part"),
       s"chunk-range read must prune on the part column:\n$plan")
+  }
+
+  test("Run standing cluster labels: build persists, ingests advance, two ingests == from-scratch re-cluster (VERDICT r16 #2)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-run-labels").toFile
+      .getAbsolutePath
+    def nearDupOf(prefix: String, tail: String): String =
+      ("the" +: (words(prefix, 28) ++ words(tail, 3)) :+ "and").mkString(" ")
+    // prior corpus WITH a near-dup pair, so the build's label table is
+    // non-empty from the start
+    val prior = Seq((1L, clean("alpha")), (2L, clean("beta")),
+      (3L, nearDupOf("beta", "zz"))).toDF("id", "body")
+    // inc1: one doc joins the STANDING {2,3} cluster, one clean
+    val inc1 = Seq((11L, nearDupOf("beta", "qq")), (12L, clean("delta")))
+      .toDF("id", "body")
+    // inc2: a new-only in-batch cluster, plus a doc joining the (now
+    // 3-member) standing cluster through the PREVIOUS increment's member
+    val inc2 = Seq((21L, clean("eta")), (22L, nearDupOf("eta", "yy")),
+      (23L, nearDupOf("beta", "qx"))).toDF("id", "body")
+    val bench = Seq((100L, words("bench", 20).mkString(" ")))
+      .toDF("id", "body")
+    prior.write.parquet(s"$dir/prior")
+    inc1.write.parquet(s"$dir/inc1"); inc2.write.parquet(s"$dir/inc2")
+    bench.write.parquet(s"$dir/bench")
+    def json(mode: String, extra: String) =
+      s"""{$extra "benchmark": "$dir/bench", "out": "$dir/build",
+         | "id": "id", "text": "body", "cap": 16,
+         | "formatter": "plain", "chunksPerPart": 2, "mode": "$mode"}"""
+        .stripMargin
+    Run.execute(s, Run.parseSpec(json("build",
+      s""""corpus": "$dir/prior",""")))
+    def labels() = s.read.parquet(s"$dir/build/index/cluster_labels")
+      .collect().map(_.toString).sorted.toSeq
+    def scratch(c: org.apache.spark.sql.DataFrame) =
+      graft.operators.DedupOps.connectedComponents(
+        graft.operators.DedupOps.ngramJaccardPairs(
+          c.select(col("id").as("doc_id"), col("body").as("text")),
+          "doc_id", "text", 0.1), "da", "db")
+        .collect().map(_.toString).sorted.toSeq
+    // build: persisted labels == from-scratch CC, and the near_dup fate
+    // agrees with them bit-for-bit (doc 3 dropped, rep 2 kept)
+    assert(labels() == scratch(prior), "build labels != from-scratch")
+    val fates0 = s.read.parquet(s"$dir/build/fates")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fates0(2L) == "kept" && fates0(3L) == "near_dup", s"$fates0")
+
+    Run.execute(s, Run.parseSpec(json("ingest",
+      s""""increment": "$dir/inc1",""")))
+    assert(labels() == scratch(prior.unionByName(inc1)),
+      "labels after ingest 1 != from-scratch over the union")
+    Run.execute(s, Run.parseSpec(json("ingest",
+      s""""increment": "$dir/inc2",""")))
+    assert(labels() == scratch(
+      prior.unionByName(inc1).unionByName(inc2)),
+      "labels after ingest 2 != from-scratch over the union")
+    // frozen-prior fates landed off the SAME contracted runs: joiners of
+    // the standing cluster drop, the new-only cluster keeps its rep
+    val m = s.read.parquet(s"$dir/build/manifest")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(11L) == "near_dup" && m(12L) == "kept" &&
+      m(21L) == "kept" && m(22L) == "near_dup" && m(23L) == "near_dup",
+      s"ingest fates diverged: $m")
+    // the post-ingest directory audits clean (cluster_labels balance +
+    // the shared advance stamp included)
+    val audit = new ObjectMapper().readTree(Run.execute(s,
+      Run.parseSpec(s"""{"mode": "audit", "out": "$dir/build"}""")))
+    assert(audit.get("ok").asBoolean, s"audit failed: $audit")
+    // planted corruption: an orphan label row -> the cluster_labels
+    // check flags it
+    Seq((999L, 999L)).toDF("doc_id", "cluster_rep")
+      .write.mode("append").parquet(s"$dir/build/index/cluster_labels")
+    val bad = new ObjectMapper().readTree(Run.execute(s,
+      Run.parseSpec(s"""{"mode": "audit", "out": "$dir/build"}""")))
+    assert(!bad.get("ok").asBoolean)
+    val failedChecks = (0 until bad.get("checks").size)
+      .map(bad.get("checks").get)
+      .filter(!_.get("ok").asBoolean)
+      .map(_.get("check").asText).toSet
+    assert(failedChecks == Set("cluster_labels"), s"$failedChecks")
+  }
+
+  test("Run df-cap tier guard: a 50k-crossing ingest flags until mode=recluster re-baselines == from-scratch (VERDICT r16 #3)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-run-tier").toFile
+      .getAbsolutePath
+    def nearDupOf(prefix: String, tail: String): String =
+      ("the" +: (words(prefix, 28) ++ words(tail, 3)) :+ "and").mkString(" ")
+    // a REAL crossing: 49,702 prior docs (cap clamps at 100) + a 900-doc
+    // increment -> 50,602 union (cap floor(101.2) = 101). Filler docs are
+    // 4 unique tokens each so the pair index stays trivial; the planted
+    // beta cluster is what the label artifact must keep exact across the
+    // crossing and the recluster.
+    val prior = ((0 until 49700).map(i =>
+      (i.toLong, s"w${i}a w${i}b w${i}c w${i}d")) ++
+      Seq((60001L, clean("beta")), (60002L, nearDupOf("beta", "zz"))))
+      .toDF("id", "body")
+    val inc = ((0 until 899).map(i =>
+      (70000L + i, s"x${i}a x${i}b x${i}c x${i}d")) ++
+      Seq((79000L, nearDupOf("beta", "qq")))).toDF("id", "body")
+    val inc2 = Seq((80001L, clean("theta")), (80002L, clean("iota")))
+      .toDF("id", "body")
+    val inc3 = Seq((80011L, clean("kappa")), (80012L, clean("mu")))
+      .toDF("id", "body")
+    val bench = Seq((100L, words("bench", 20).mkString(" ")))
+      .toDF("id", "body")
+    prior.write.parquet(s"$dir/prior")
+    inc.write.parquet(s"$dir/inc"); inc2.write.parquet(s"$dir/inc2")
+    inc3.write.parquet(s"$dir/inc3")
+    bench.write.parquet(s"$dir/bench")
+    val m = new ObjectMapper()
+    def run(json: String) = m.readTree(Run.execute(s, Run.parseSpec(json)))
+    def base(mode: String, extra: String) =
+      s"""{$extra "benchmark": "$dir/bench", "out": "$dir/build",
+         | "id": "id", "text": "body", "cap": 64,
+         | "formatter": "plain", "mode": "$mode"}""".stripMargin
+    run(base("build", s""""corpus": "$dir/prior","""))
+    // the build recorded its cap baseline
+    val cap0 = m.readTree(Files.readString(
+      java.nio.file.Paths.get(s"$dir/build/index/_df_cap.json")))
+    assert(cap0.get("docs").asLong == 49702L &&
+      cap0.get("cap").asLong == 100L, s"$cap0")
+
+    // the crossing ingest flags (summary + the baseline stays put)
+    val s1 = run(base("ingest", s""""increment": "$dir/inc","""))
+    val g1 = s1.get("df_cap")
+    assert(g1.get("crossed").asBoolean &&
+      g1.get("base_cap").asLong == 100L &&
+      g1.get("union_cap").asLong == 101L &&
+      g1.get("union_docs").asLong == 50602L, s"$g1")
+    // a LATER ingest still flags — the degradation persists until the
+    // recovery runs, it is not a one-shot warning
+    val s2 = run(base("ingest", s""""increment": "$dir/inc2","""))
+    assert(s2.get("df_cap").get("crossed").asBoolean, s"${s2.get("df_cap")}")
+
+    // recovery: recluster re-derives the labels from the posting index
+    // under the CURRENT cap and re-baselines the guard
+    val rc = run(base("recluster", ""))
+    assert(rc.get("docs").asLong == 50604L && rc.get("cap").asLong == 101L,
+      s"$rc")
+    val scratch = graft.operators.DedupOps.connectedComponents(
+      graft.operators.DedupOps.ngramJaccardPairs(
+        prior.unionByName(inc).unionByName(inc2)
+          .select(col("id").as("doc_id"), col("body").as("text")),
+        "doc_id", "text", 0.1), "da", "db")
+      .collect().map(_.toString).sorted.toSeq
+    assert(s.read.parquet(s"$dir/build/index/cluster_labels")
+      .collect().map(_.toString).sorted.toSeq == scratch,
+      "reclustered labels != from-scratch under the union cap")
+    // the guard is quiet again, and the post-recluster directory audits
+    // clean (stamp carried onto the rebuilt table)
+    val s3 = run(base("ingest", s""""increment": "$dir/inc3","""))
+    assert(!s3.get("df_cap").get("crossed").asBoolean,
+      s"${s3.get("df_cap")}")
+    val audit = run(s"""{"mode": "audit", "out": "$dir/build"}""")
+    assert(audit.get("ok").asBoolean, s"$audit")
+  }
+
+  test("Run mode=repair: planted corruption -> audit flags -> repair -> audit clean, content == pre-crash (VERDICT r16 #4)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-run-repair").toFile
+      .getAbsolutePath
+    def cluster(base: Array[Float], ids: Range, wiggle: Float) =
+      ids.map { i =>
+        (i.toLong, Array.tabulate(3)(j =>
+          base(j) + (if (j == (i % 3)) wiggle * (1 + i % 3) else 0f)))
+      }
+    val corpus = Seq((1L, clean("alpha")), (2L, clean("beta")))
+      .toDF("id", "body")
+    val inc = Seq((11L, clean("gamma"))).toDF("id", "body")
+    val bench = Seq((100L, words("bench", 20).mkString(" ")))
+      .toDF("id", "body")
+    corpus.write.parquet(s"$dir/corpus")
+    inc.write.parquet(s"$dir/inc")
+    bench.write.parquet(s"$dir/bench")
+    (cluster(Array(1f, 0f, 0f), 0 until 20, 0.05f) ++
+      cluster(Array(0f, 1f, 0f), 20 until 40, 0.05f))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/vecs")
+    cluster(Array(1f, 0f, 0f), 100 until 110, 0.05f)
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/vecsInc")
+    val m = new ObjectMapper()
+    def exec(json: String) = m.readTree(Run.execute(s, Run.parseSpec(json)))
+    exec(s"""{"corpus": "$dir/corpus", "benchmark": "$dir/bench",
+      | "out": "$dir/build", "id": "id", "text": "body", "cap": 16,
+      | "formatter": "plain", "chunksPerPart": 2,
+      | "vectors": "$dir/vecs", "nlist": 2}""".stripMargin)
+    exec(s"""{"mode": "ingest", "increment": "$dir/inc",
+      | "benchmark": "$dir/bench", "out": "$dir/build", "id": "id",
+      | "text": "body", "cap": 16, "formatter": "plain",
+      | "chunksPerPart": 2, "vectors": "$dir/vecsInc",
+      | "nlist": 2}""".stripMargin)
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.walk(from)
+      try st.iterator().asScala.foreach { p =>
+        val t = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      } finally st.close()
+    }
+    def snap(c: String, art: String): Seq[String] =
+      s.read.parquet(s"$c/$art").collect().map(_.toString).sorted.toSeq
+    def auditOk(c: String): Boolean =
+      exec(s"""{"mode": "audit", "out": "$c"}""").get("ok").asBoolean
+    def repair(c: String) = exec(s"""{"mode": "repair", "out": "$c"}""")
+
+    // 0. a clean directory repairs to ZERO actions and stays clean
+    assert(auditOk(s"$dir/build"))
+    val r0 = repair(s"$dir/build")
+    assert(r0.get("n_actions").asInt == 0 && r0.get("manual").size == 0,
+      s"$r0")
+    assert(auditOk(s"$dir/build"), "repair dirtied a clean dir")
+
+    def planted(name: String)(corrupt: String => Unit)(
+        expectAction: String): String = {
+      val c = s"$dir/r_$name"
+      copyTree(java.nio.file.Paths.get(s"$dir/build"),
+        java.nio.file.Paths.get(c))
+      corrupt(c)
+      assert(!auditOk(c), s"'$name' corruption must fail the audit")
+      val r = repair(c)
+      val acts = (0 until r.get("actions").size).map(r.get("actions").get)
+        .map(_.get("action").asText)
+      assert(acts.contains(expectAction), s"'$name': $r")
+      assert(auditOk(c), s"'$name' not clean after repair")
+      c
+    }
+
+    // 1. double-appended manifest rows (one identical, one with the
+    // second-append's shifted rank) -> deduped, first-append rows kept
+    val preManifest = snap(s"$dir/build", "manifest")
+    val c1 = planted("dup") { c =>
+      val t = s.read.parquet(s"$c/manifest").localCheckpoint(true)
+      t.limit(1).write.mode("append").parquet(s"$c/manifest")
+      t.filter(col("rank").isNotNull).limit(1)
+        .withColumn("rank", col("rank") + lit(100L))
+        .write.mode("append").parquet(s"$c/manifest")
+    }("deduped_manifest")
+    assert(snap(c1, "manifest") == preManifest,
+      "repaired manifest != pre-crash rows")
+
+    // 2. crash between delete and move of a staged profile advance ->
+    // the swap completes, estimates equal pre-crash
+    val preLq = graft.operators.RelationalOps.quantileSketchEstimate(
+      s.read.parquet(s"$dir/build/stats/len_quantiles"), "grp", Seq(0.5))
+      .collect().map(_.toString).toSeq
+    val c2 = planted("swapgap") { c =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$c/stats/len_quantiles"),
+        java.nio.file.Paths.get(s"$c/stats/len_quantiles__advance"))
+    }("completed_swap")
+    assert(graft.operators.RelationalOps.quantileSketchEstimate(
+      s.read.parquet(s"$c2/stats/len_quantiles"), "grp", Seq(0.5))
+      .collect().map(_.toString).toSeq == preLq,
+      "completed swap changed the sketch")
+
+    // 3. superseded staging beside an intact original -> rolled back
+    val c3 = planted("stale") { c =>
+      copyTree(java.nio.file.Paths.get(s"$c/stats/len_quantiles"),
+        java.nio.file.Paths.get(s"$c/stats/len_quantiles__advance"))
+    }("rolled_back_swap")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"$c3/stats/len_quantiles__advance")))
+
+    // 4. a partial (no _SUCCESS) write -> quarantined, data preserved
+    val c4 = planted("partial") { c =>
+      assert(new java.io.File(s"$c/fates/_SUCCESS").delete())
+    }("quarantined_partial")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$c4/fates")) &&
+      java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$c4/_quarantine/fates")),
+      "partial dir not quarantined with data preserved")
+
+    // 5. a double-appended ANN assignment (row-identical retry) ->
+    // deduped back to exactly the pre-crash relation
+    val preAssign = snap(s"$dir/build", "ann/assignment")
+    val c5 = planted("annDup") { c =>
+      s.read.parquet(s"$c/ann/assignment").localCheckpoint(true)
+        .write.mode("append").parquet(s"$c/ann/assignment")
+    }("deduped_ann")
+    assert(snap(c5, "ann/assignment") == preAssign,
+      "repaired assignment != pre-crash rows")
+
+    // repair is idempotent: a second pass on every repaired copy is a
+    // no-op
+    Seq(c1, c2, c3, c4, c5).foreach { c =>
+      val again = repair(c)
+      assert(again.get("n_actions").asInt == 0, s"second repair acted: $again")
+    }
   }
 
   test("Run mode=retrain closes the drift loop: trip -> retrain -> re-ingest no longer trips, rebuilt == from-scratch") {

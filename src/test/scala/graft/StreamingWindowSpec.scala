@@ -631,6 +631,21 @@ class StreamingWindowSpec extends SparkSpec {
         .head().getLong(1)
       // 13 docs, 2 exact dups planted (12=2's alpha, 21=15's epsil)
       assert(dEst == 11L, s"cursor content profile: $dEst distinct")
+      // the standing cluster-label table advanced with the corpus
+      // (VERDICT r16 #2): after both micro-batches it equals a
+      // from-scratch connectedComponents over the union's pairs
+      // bit-for-bit — the Run ingest's index/cluster_labels guarantee,
+      // in-cursor (and since the cursor fates FROM the same upsert, this
+      // also re-proves the shared-run fate path against the manifest
+      // parity asserted above)
+      val scratch = graft.operators.DedupOps.connectedComponents(
+        graft.operators.DedupOps.ngramJaccardPairs(
+          whole.select(col("id").as("doc_id"), col("body").as("text")),
+          "doc_id", "text", 0.1),
+        "da", "db")
+      assert(cursor.clusterLabels.collect().map(_.toString).sorted.toSeq ==
+        scratch.collect().map(_.toString).sorted.toSeq,
+        "cursor standing labels diverged from a from-scratch re-cluster")
       // the monitoring loop: the cursor's standing bytes feed the
       // bytes-only drift report directly (last ingest vs the corpus) —
       // no corpus pass, kilobytes in, a ranked report out
