@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   *   build (fates/report/manifest/windows/index/stats/ann+pq)
   *   → ingest (manifest append, window-store advance, index append,
   *     profile bytes-merge, ann/pq drift gates)
+  *   → recluster (tier-guard recovery: the label table re-derived from
+  *     the posting index under the grown corpus's cap)
   *   → stats (exact refresh over the grown corpus)
   *   → compact (append-artifact small-file maintenance)
+  *   → repair (must be a NO-OP on the healthy directory)
   *   → audit (read-only consistency fsck; a failed check here fails
   *     the drive — the post-maintenance directory must audit clean)
   *
@@ -58,11 +61,25 @@ object RunDriveManual {
     drive("ingest",
       s"""{"mode": "ingest", "increment": "$dir/inc",
          | ${common.format(s"$dir/vecsInc")}}""".stripMargin)
+    // the tier guard's recovery arm: re-derive the standing label table
+    // from the posting index under the grown corpus's cap (an sf0.1
+    // corpus sits mid-band, so the 10% ingest above crossed a tier and
+    // the ingest summary flagged it)
+    drive("recluster",
+      s"""{"mode": "recluster",
+         | ${common.format(s"$dir/vecs")}}""".stripMargin)
     drive("stats",
       s"""{"mode": "stats",
          | "corpus": "$dir/whole",
          | ${common.format(s"$dir/vecs")}}""".stripMargin)
     drive("compact", s"""{"mode": "compact", "out": "$dir/build"}""")
+    // repair on a healthy post-maintenance directory is a no-op
+    val repair = Run.execute(spark,
+      Run.parseSpec(s"""{"mode": "repair", "out": "$dir/build"}"""))
+    println(s"[repair] $repair")
+    require(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(repair).get("n_actions").asInt == 0,
+      s"repair acted on a clean directory: $repair")
     val t0 = System.nanoTime()
     val audit = Run.execute(spark,
       Run.parseSpec(s"""{"mode": "audit", "out": "$dir/build"}"""))

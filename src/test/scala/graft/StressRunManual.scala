@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
 /** One-off SCALING drive of the full `graft.Run` lifecycle (VERDICT r15
   * #4): the sf0.1 drive (RunDriveManual) is one data point; this main
   * generates a synthetic corpus at 1× and 10× and runs
-  * build → ingest → stats → compact at BOTH scales with the SAME
-  * fixed-size increment, to separate the costs that must scale with the
+  * build → ingest → recluster → stats → compact → audit at BOTH scales
+  * with the SAME fixed-size increment, to separate the costs that must
+  * scale with the
   * corpus (build, stats) from the ones that must scale with the
   * increment (ingest — the whole point of the standing-artifact
   * design). A near-flat ingest wall across the 10× corpus growth is the
@@ -61,9 +62,9 @@ object StressRunManual {
     }
 
     /** Full lifecycle at `n` docs + a fixed `incN`-doc increment;
-      * returns (build, ingest, stats, compact, audit) walls. */
+      * returns (build, ingest, recluster, stats, compact, audit) walls. */
     def lifecycle(tag: String,
-        n: Long): (Double, Double, Double, Double, Double) = {
+        n: Long): (Double, Double, Double, Double, Double, Double) = {
       val dir = Files.createTempDirectory(s"graft-stress-run-$tag")
         .toFile.getAbsolutePath
       corpus(spark, 0, n).write.parquet(s"$dir/corpus")
@@ -94,6 +95,20 @@ object StressRunManual {
       val i = timed(Run.execute(spark, Run.parseSpec(
         s"""{"mode": "ingest", "increment": "$dir/inc",
            | ${common.format(s"$dir/vecsInc")}}""".stripMargin)))
+      // a 60k-band corpus crosses a df-cap tier on almost every ingest
+      // (the cap moves with the corpus between 50k and 500k docs), so
+      // the tier guard's recovery is part of this drive: recluster
+      // re-derives the standing label table from the posting index —
+      // corpus-proportional (one index scan + the pair/CC build), the
+      // stats/compact maintenance band, and the guard must be quiet
+      // afterwards
+      var reclusterJson = ""
+      val rc = timed { reclusterJson = Run.execute(spark, Run.parseSpec(
+        s"""{"mode": "recluster", ${common.format(s"$dir/vecs")}}"""));
+        reclusterJson }
+      assert(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(reclusterJson).get("docs").asLong == n + incN,
+        s"recluster did not cover the union: $reclusterJson")
       val st = timed(Run.execute(spark, Run.parseSpec(
         s"""{"mode": "stats", "corpus": "$dir/whole",
            | ${common.format(s"$dir/vecs")}}""".stripMargin)))
@@ -108,16 +123,17 @@ object StressRunManual {
       assert(new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(auditJson).get("ok").asBoolean,
         s"post-lifecycle audit found inconsistencies: $auditJson")
-      (b, i, st, c, a)
+      (b, i, rc, st, c, a)
     }
 
-    val (b1, i1, s1, c1, a1) = lifecycle("1x", base)
-    val (b10, i10, s10, c10, a10) = lifecycle("10x", base * 10)
+    val (b1, i1, r1, s1, c1, a1) = lifecycle("1x", base)
+    val (b10, i10, r10, s10, c10, a10) = lifecycle("10x", base * 10)
     val rb = b10 / b1
     val ri = i10 / i1
     println(f"[stress-run] build  $b1%.1f -> $b10%.1f s (${rb}%.1fx)")
     println(f"[stress-run] ingest $i1%.1f -> $i10%.1f s (${ri}%.1fx)  " +
       f"[fixed $incN-doc increment]")
+    println(f"[stress-run] recluster $r1%.1f -> $r10%.1f s (${r10 / r1}%.1fx)")
     println(f"[stress-run] stats  $s1%.1f -> $s10%.1f s (${s10 / s1}%.1fx)")
     println(f"[stress-run] compact $c1%.1f -> $c10%.1f s (${c10 / c1}%.1fx)")
     println(f"[stress-run] audit  $a1%.1f -> $a10%.1f s (${a10 / a1}%.1fx)")
