@@ -1061,8 +1061,22 @@ object Run {
   private def executeStats(s: SparkSession, spec: Spec): String = {
     checkIngestFingerprint(spec) // shape-only comparison, same as ingest
     val corpus = s.read.parquet(spec.corpus)
-    def rebuild(path: String)(build: => DataFrame): Unit =
+    // an exact refresh covers at least everything the last increment
+    // advance did, so the rebuilt artifacts CARRY the standing advance
+    // stamp forward (the pre-refresh artifacts are stamp-coherent, so
+    // any one of them is the source) — otherwise a stats refresh after
+    // an ingest would wipe the stats stamps while index/cluster_labels
+    // keeps its own, and the audit's coherence check would flag a
+    // healthy directory (found by the r17 sf0.1 lifecycle drive)
+    val stamp: Option[String] = {
+      val p = Paths.get(spec.out, "stats/token_sketch", "_advanced_from")
+      if (Files.exists(p)) Some(Files.readString(p)) else None
+    }
+    def rebuild(path: String)(build: => DataFrame): Unit = {
       build.write.mode("overwrite").parquet(path)
+      stamp.foreach(t =>
+        Files.writeString(Paths.get(path, "_advanced_from"), t))
+    }
     rebuild(s"${spec.out}/stats/heavy_tokens") {
       graft.operators.TextOps.frequentTokens(corpus, spec.text,
         minShare = 0.005)

@@ -62,9 +62,11 @@ object RunDriveManual {
       s"""{"mode": "ingest", "increment": "$dir/inc",
          | ${common.format(s"$dir/vecsInc")}}""".stripMargin)
     // the tier guard's recovery arm: re-derive the standing label table
-    // from the posting index under the grown corpus's cap (an sf0.1
-    // corpus sits mid-band, so the 10% ingest above crossed a tier and
-    // the ingest summary flagged it)
+    // from the posting index under the grown corpus's cap (at sf0.1 the
+    // cap is clamp-pinned at 100, so the guard stays quiet here — the
+    // crossing case is StressRunManual's 60k-band corpus and the
+    // planted RunSpec test; this drive proves the arm's wall and that
+    // the rebuilt table keeps the directory audit-clean)
     drive("recluster",
       s"""{"mode": "recluster",
          | ${common.format(s"$dir/vecs")}}""".stripMargin)

@@ -905,6 +905,18 @@ class RunSpec extends SparkSpec {
     val audit = new ObjectMapper().readTree(Run.execute(s,
       Run.parseSpec(s"""{"mode": "audit", "out": "$dir/build"}""")))
     assert(audit.get("ok").asBoolean, s"audit failed: $audit")
+    // a stats refresh AFTER ingests must carry the advance stamp onto
+    // the rebuilt artifacts — otherwise the wiped stats stamps diverge
+    // from the label table's and the coherence check flags a healthy
+    // directory (found by the r17 sf0.1 lifecycle drive)
+    prior.unionByName(inc1).unionByName(inc2)
+      .write.parquet(s"$dir/whole")
+    Run.execute(s, Run.parseSpec(json("stats",
+      s""""corpus": "$dir/whole",""")))
+    val audit2 = new ObjectMapper().readTree(Run.execute(s,
+      Run.parseSpec(s"""{"mode": "audit", "out": "$dir/build"}""")))
+    assert(audit2.get("ok").asBoolean,
+      s"audit failed after a stats refresh: $audit2")
     // planted corruption: an orphan label row -> the cluster_labels
     // check flags it
     Seq((999L, 999L)).toDF("doc_id", "cluster_rep")
