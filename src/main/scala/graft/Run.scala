@@ -560,7 +560,23 @@ object Run {
         else Some(s"$orphans posting doc_id(s) missing from the " +
           "manifest — orphan shingle rows from a partial append")
       }
-      // 5b. label/manifest balance (r17): every labeled doc exists in
+      // 5b. duplicate postings (r17): the shingle kernel emits a per-doc
+      // SET, so the raw index holds at most one row per (doc, shingle)
+      // by construction — duplicates are a double-appended ingest, and
+      // they silently inflate every df the readers re-count from rows
+      if (done("index/postings"))
+        check("postings_unique", "index/postings") {
+          val r = s.read.parquet(s"$out/index/postings")
+            .agg(count(lit(1)).as("n"),
+              countDistinct(col("doc_id"), col("sh64")).as("d")).head()
+          val (n, dn) = (r.getAs[Long]("n"), r.getAs[Long]("d"))
+          if (n == dn) None
+          else Some(s"$n posting rows over $dn distinct (doc, shingle) " +
+            s"pairs — ${n - dn} double-appended row(s) inflating the " +
+            "re-counted dfs; a failed ingest was likely re-run without " +
+            "cleaning its partial appends")
+        }
+      // 5c. label/manifest balance (r17): every labeled doc exists in
       // the manifest, at most one label per doc, and every cluster rep
       // is itself a member labeled with itself (the connectedComponents
       // invariant an advance must preserve)
@@ -865,11 +881,11 @@ object Run {
     *     the prior totals — the lower rank; duplicate dropped-doc rows
     *     are identical), verified to exactly one row per doc before the
     *     swap
-    *   - duplicated `ann/assignment` / `ann/codes` rows (the same retry
-    *     against the frozen artifacts is deterministic, so true
-    *     double-appends are row-identical): DEDUPED via a verified
-    *     staged `distinct()`; rows that do NOT collapse to one per id
-    *     diverged for another reason — manual
+    *   - duplicated `ann/assignment` / `ann/codes` / `index/postings`
+    *     rows (the same retry against the frozen artifacts/kernels is
+    *     deterministic, so true double-appends are row-identical):
+    *     DEDUPED via a verified staged `distinct()`; rows that do NOT
+    *     collapse to one per key diverged for another reason — manual
     *   - everything else the audit can flag (hash-table/manifest
     *     imbalance, window-store divergence, baseline/codebook shape) is
     *     NOT mechanically reversible from the artifacts alone — reported
@@ -992,10 +1008,12 @@ object Run {
       }
     }
 
-    // 4. duplicated ANN appends — row-identical by determinism, so a
-    // verified distinct() reverses them; anything else is manual. The
-    // codes id column comes from the stored fingerprint when present
-    // (the audit's rule: judge the directory against what BUILT it)
+    // 4. duplicated appends on the key-unique artifacts — row-identical
+    // by determinism (a retry against the same frozen artifacts/kernels
+    // computes the same rows), so a verified distinct() reverses them;
+    // anything else is manual. The codes id column comes from the
+    // stored fingerprint when present (the audit's rule: judge the
+    // directory against what BUILT it).
     val codesId = {
       val p = fingerprintPath(out)
       if (!Files.exists(p)) spec.vecId
@@ -1003,12 +1021,20 @@ object Run {
           .at("/shape/vecId"))
         .filter(!_.isMissingNode).map(_.asText).getOrElse(spec.vecId)
     }
-    Seq("ann/assignment" -> "vec_id", "ann/codes" -> codesId)
-      .foreach { case (art, idCol) =>
+    Seq(
+      ("ann/assignment", Seq("vec_id"), "deduped_ann",
+        "restore from a copy or rebuild with \"mode\": \"retrain\""),
+      ("ann/codes", Seq(codesId), "deduped_ann",
+        "restore from a copy or rebuild with \"mode\": \"retrain\""),
+      ("index/postings", Seq("doc_id", "sh64"), "deduped_postings",
+        "restore from a copy, or rebuild the index with an " +
+          "overwrite build over the full corpus"))
+      .foreach { case (art, keys, actionName, recovery) =>
         if (stageDone(s"$out/$art")) {
           val t = s.read.parquet(s"$out/$art")
           val r = t.agg(count(lit(1)).as("n"),
-            countDistinct(col(idCol)).as("d")).head()
+            countDistinct(col(keys.head), keys.tail.map(col): _*).as("d"))
+            .head()
           val (n, d) = (r.getAs[Long]("n"), r.getAs[Long]("d"))
           if (n != d) {
             val staging = s"$out/${art}__repair"
@@ -1017,15 +1043,14 @@ object Run {
             if (nStaged == d) {
               rmTree(Paths.get(s"$out/$art"))
               Files.move(Paths.get(staging), Paths.get(s"$out/$art"))
-              actions += (("deduped_ann", art,
+              actions += ((actionName, art,
                 s"${n - d} double-appended row(s) removed (row-identical " +
                   "retry appends)"))
             } else {
               rmTree(Paths.get(staging))
-              manual += ((art, s"$n rows over $d distinct ids do NOT " +
-                "collapse to one row per id — the duplicates differ " +
-                "(appended against different artifacts?); restore from " +
-                "a copy or rebuild with \"mode\": \"retrain\""))
+              manual += ((art, s"$n rows over $d distinct keys do NOT " +
+                "collapse to one row per key — the duplicates differ " +
+                s"(appended against different artifacts?); $recovery"))
             }
           }
         }

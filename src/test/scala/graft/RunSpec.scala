@@ -612,8 +612,8 @@ class RunSpec extends SparkSpec {
     val names = (0 until clean1.get("checks").size)
       .map(clean1.get("checks").get(_).get("check").asText).toSet
     Seq("staging_leftover", "stage_complete", "fingerprint",
-      "manifest_unique", "hashes_count", "postings_docs", "cluster_labels",
-      "windows_tokens", "windows_chunks", "profile_stamps",
+      "manifest_unique", "hashes_count", "postings_docs", "postings_unique",
+      "cluster_labels", "windows_tokens", "windows_chunks", "profile_stamps",
       "profile_readable", "ann_quantizer", "ann_assignment", "ann_baseline",
       "ann_codes", "ann_codebook").foreach(n =>
       assert(names.contains(n), s"missing check '$n' in $names"))
@@ -1136,9 +1136,19 @@ class RunSpec extends SparkSpec {
     assert(snap(c5, "ann/assignment") == preAssign,
       "repaired assignment != pre-crash rows")
 
+    // 6. a double-appended posting index (df-inflating, r17's
+    // postings_unique check) -> deduped back to the pre-crash relation
+    val prePost = snap(s"$dir/build", "index/postings")
+    val c6 = planted("postDup") { c =>
+      s.read.parquet(s"$c/index/postings").localCheckpoint(true)
+        .write.mode("append").parquet(s"$c/index/postings")
+    }("deduped_postings")
+    assert(snap(c6, "index/postings") == prePost,
+      "repaired postings != pre-crash rows")
+
     // repair is idempotent: a second pass on every repaired copy is a
     // no-op
-    Seq(c1, c2, c3, c4, c5).foreach { c =>
+    Seq(c1, c2, c3, c4, c5, c6).foreach { c =>
       val again = repair(c)
       assert(again.get("n_actions").asInt == 0, s"second repair acted: $again")
     }
