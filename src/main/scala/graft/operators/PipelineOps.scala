@@ -2322,12 +2322,15 @@ object PipelineOps {
     // end. The upsert run's blocks release as soon as the build's fate
     // barrier has consumed the bits (it is eagerly checkpointed inside
     // the call).
+    val nPrior = trainReadyIncrPrior(s, d).count() // one count action,
+      // shared by the pair derivation's union cap and the build's
+      // explicit priorDocCount attestation (saves the in-call
+      // manifest+corpus equality counts per rep)
     val run = DedupOps.connectedComponentsIncrementalManaged(
       trainReadyIncrLabels(s, d),
       DedupOps.ngramJaccardPairsIncremental(
         inc.select(col("doc_id"), col("text")), "doc_id", "text",
-        trainReadyIncrPostings(s, d),
-        trainReadyIncrPrior(s, d).count(), minJaccard = 0.1),
+        trainReadyIncrPostings(s, d), nPrior, minJaccard = 0.1),
       "da", "db")
     val nd = DedupOps.nearDupFromLabelUpsert(run.labels,
       inc.select(col("doc_id")))
@@ -2335,7 +2338,8 @@ object PipelineOps {
       be, "doc_id", "text",
       precomputedPostings = Some(trainReadyIncrPostings(s, d)),
       precomputedHashes = Some(trainReadyIncrHashes(s, d)),
-      precomputedNearDup = Some(nd))
+      precomputedNearDup = Some(nd),
+      priorDocCount = Some(nPrior))
     run.release()
     out
   }
