@@ -435,9 +435,14 @@ object Run {
     *
     * Cost: one scan per artifact, aggregate-only (counts, distinct
     * counts, one anti-join per id-set comparison); nothing corpus-sized
-    * is shuffled except the postings/codes id-set comparisons, which
-    * are distinct-then-join on the id key — the audit is schedulable at
-    * the same cadence as `mode=compact`. */
+    * is shuffled except the postings/codes id-set comparisons
+    * (distinct-then-join on the id key, heavily combinable) and the
+    * `postings_unique` distinct over `(doc_id, sh64)` — the one
+    * index-row-sized exchange here, hash-only columns, accepted because
+    * duplicate postings silently corrupt every later re-counted df
+    * (r17); measured at the stats/compact maintenance band (22 s at
+    * 600k docs). The audit is schedulable at the same cadence as
+    * `mode=compact`. */
   private def executeAudit(s: SparkSession, spec: Spec): String = {
     val out = spec.out
     require(Files.isDirectory(Paths.get(out)),
@@ -947,11 +952,26 @@ object Run {
         { rmTree(p); actions += (("rolled_back_swap", rel,
           s"original '${Paths.get(out).relativize(original)}' intact — " +
             "staging deleted; re-run the producing job")) }
-      else if (verified)
-        { Files.move(p, original); actions += (("completed_swap",
+      else if (verified) {
+        Files.move(p, original)
+        // a completed RECLUSTER swap must also re-baseline the tier
+        // guard (executeRecluster writes _df_cap.json after its move, so
+        // a crash between the two leaves the guard firing on a directory
+        // whose labels are current — r17 self-review): the rebuilt table
+        // covers the manifest as of the recluster, and no ingest can
+        // have advanced it since (the label dir was missing, which every
+        // ingest warns about loudly)
+        val extra =
+          if (p.getFileName.toString == "cluster_labels__recluster" &&
+              stageDone(s"$out/manifest")) {
+            writeDfCap(out, s.read.parquet(s"$out/manifest").count())
+            "; _df_cap.json re-baselined to the manifest"
+          } else ""
+        actions += (("completed_swap",
           Paths.get(out).relativize(original).toString,
           s"moved '$rel' into place — the crash landed between the " +
-            "delete and the move, past verification")) }
+            s"delete and the move, past verification$extra"))
+      }
       else {
         val q = quarantine(p)
         manual += ((rel, s"staging incomplete AND original missing — " +
@@ -1054,6 +1074,48 @@ object Run {
             }
           }
         }
+      }
+
+    // close the loop (the scaladoc's promise): whatever the audit still
+    // flags AFTER the mechanical arms is genuinely non-reversible from
+    // the artifacts alone — surface each residual failure as a manual
+    // entry carrying the applicable recovery, so REPAIR.json alone tells
+    // the operator everything left to do (the audit also re-lands
+    // out/AUDIT.json reflecting the post-repair state)
+    val residual = new ObjectMapper().readTree(executeAudit(s, spec))
+    val resChecks = residual.get("checks")
+    (0 until resChecks.size).map(resChecks.get)
+      .filter(!_.get("ok").asBoolean).foreach { c =>
+        val name = c.get("check").asText
+        val recovery = name match {
+          case "hashes_count" =>
+            "the hash table cannot be rebuilt from the manifest (it " +
+              "needs the texts) — restore from a copy, or rebuild the " +
+              "indexes with an overwrite build over the full corpus"
+          case "windows_tokens" | "windows_chunks" =>
+            "the window store diverged — restore from a copy, or " +
+              "rebuild with an overwrite build"
+          case n if n.startsWith("ann_") =>
+            "rebuild the ANN artifacts with \"mode\": \"retrain\" on " +
+              "the current vector corpus"
+          case n if n.startsWith("profile_") =>
+            "re-run the failed ingest (advanced artifacts skip via " +
+              "their stamp), or refresh with \"mode\": \"stats\""
+          case "cluster_labels" =>
+            "rebuild the label table with \"mode\": \"recluster\""
+          case "postings_docs" | "postings_unique" =>
+            "restore from a copy, or rebuild the indexes with an " +
+              "overwrite build over the full corpus"
+          case "manifest_unique" =>
+            "duplicates did not collapse to one row per doc — restore " +
+              "the manifest from a copy"
+          case "fingerprint" =>
+            "no stored provenance — re-stamp by re-running the " +
+              "original build spec, or verify provenance out-of-band"
+          case _ => "see the audit detail"
+        }
+        manual += ((s"$name (${c.get("artifact").asText})",
+          s"${c.get("detail").asText} -> $recovery"))
       }
 
     val actionLines = actions.map { case (a, art, detail) =>
@@ -1514,7 +1576,7 @@ object Run {
     // otherwise, so it warns LOUDLY, lands in the summary, and keeps
     // firing on every later ingest until `"mode": "recluster"`
     // re-baselines the label artifact under the current cap.
-    val nInc = s.read.parquet(spec.increment.get).count()
+    val nInc = inc.count()
     val clusteredDocs = readDfCapDocs(out).getOrElse(nPrior)
     val capBase = graft.operators.DedupOps.dfCapFor(clusteredDocs)
     val capUnion = graft.operators.DedupOps.dfCapFor(nPrior + nInc)

@@ -26,7 +26,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * foreign localCheckpoint's blocks fails that job irrecoverably — the
   * truncated lineage cannot recompute them.
   *
-  * [[captureLock]] serializes the one place a window diff is still
+  * [[sweepWindow]] serializes the one place a window diff is still
   * unavoidable: sweeping the INTERIOR stage pins of a composed build
   * (`PipelineOps.trainReadyIncremental` eagerly checkpoints fate
   * barriers and formatter intermediates that its returned plan no
@@ -39,17 +39,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] object Pins {
 
-  /** JVM-global lock serializing capture-window sweeps against tracked
-    * checkpoint creation across ALL cursors and managed runs on the
-    * SparkContext (ADVICE r16 — an instance-level synchronized cannot
-    * exclude other instances). */
-  val captureLock: Object = new Object
+  /** JVM-global read-write lock: capture-window SWEEPS (the one place an
+    * id-delta diff is unavoidable) take the WRITE side, tracked
+    * checkpoint creation takes the READ side — so no tracked checkpoint
+    * can be pinned inside a concurrent sweep window (ADVICE r16 — an
+    * instance-level synchronized cannot exclude other instances), while
+    * independent tracked checkpoints (two managed graph runs, a cursor
+    * beside an ad-hoc CC) still run concurrently instead of serializing
+    * the whole JVM behind one monitor. Reentrant for the sweep holder:
+    * a write-lock owner may take the read lock, so the tracked
+    * checkpoints INSIDE a cursor's own window proceed. */
+  private val rw = new java.util.concurrent.locks.ReentrantReadWriteLock
+
+  /** Run `body` as a capture-window sweep: exclusive against every
+    * tracked checkpoint in the JVM (and other sweeps). */
+  def sweepWindow[T](body: => T): T = {
+    rw.writeLock().lock()
+    try body finally rw.writeLock().unlock()
+  }
 
   /** Eagerly localCheckpoint `df`, returning the checkpointed frame plus
     * the persistent-RDD ids the call pinned — read off the frame's own
     * analyzed plan, so the attribution is exact under concurrency. */
-  def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) =
-    captureLock.synchronized {
+  def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    rw.readLock().lock()
+    try {
       val out = df.localCheckpoint(eager = true)
       val ids = out.queryExecution.analyzed.collect {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
@@ -59,7 +73,8 @@ private[graft] object Pins {
       require(ids.nonEmpty,
         "localCheckpoint produced no LogicalRDD leaf — cannot track blocks")
       (out, ids)
-    }
+    } finally rw.readLock().unlock()
+  }
 
   /** Free the tracked blocks by RDD id. Idempotent; ids already released
     * (or never pinned) are skipped. */

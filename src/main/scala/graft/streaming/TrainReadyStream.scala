@@ -66,10 +66,11 @@ final class TrainReadyCursor private (
   // getPersistentRDDs diff could capture a FOREIGN checkpoint pinned in
   // the window by another cursor or job, whose release fails that job
   // irrecoverably); the one remaining window diff — the interior stage
-  // pins of trainReadyIncremental, invisible to leaf inspection — runs
-  // under the JVM-global [[graft.operators.Pins.captureLock]], which
-  // every tracked checkpoint also takes. Ad-hoc UNTRACKED persists on
-  // the same SparkContext during an ingest remain unsafe.
+  // pins of the pair derivation and trainReadyIncremental, invisible to
+  // leaf inspection — runs under the JVM-global
+  // [[graft.operators.Pins.sweepWindow]] write lock, which every
+  // tracked checkpoint excludes via its read side. Ad-hoc UNTRACKED
+  // persists on the same SparkContext during an ingest remain unsafe.
   private type Ckpt = (DataFrame, Set[Int])
   private def ckpt(d: DataFrame): Ckpt =
     graft.operators.Pins.checkpointTracked(d)
@@ -158,41 +159,47 @@ final class TrainReadyCursor private (
     // propagation run (VERDICT r16 #2, mirroring graft.Run's ingest):
     // the batch's pairs against the standing postings advance the label
     // state, and the frozen-prior fate bits are read off the upsert.
-    // The run materializes eagerly (checkpointed inside the entry
-    // point) BEFORE the build window below, so its pins sit outside the
-    // window's id delta.
-    val labelRun = DedupOps.connectedComponentsIncrementalManaged(
-      labelsC._1,
-      DedupOps.ngramJaccardPairsIncremental(
-        b.select(col(id).as("doc_id"), col(text).as("text")),
-        "doc_id", "text", postingsC._1, nPrior, minJaccard),
-      "da", "db")
-    val nd = DedupOps.nearDupFromLabelUpsert(labelRun.labels,
-      b.select(col(id).as("doc_id")))
-    val inner = graft.operators.Pins.captureLock.synchronized {
+    // The pair derivation and the contracted run live INSIDE the sweep
+    // window: the pair kernel eagerly checkpoints interior frames
+    // (increment postings, hot-union buckets) that are invisible to the
+    // returned plan's leaves and released by nothing else — outside the
+    // window they would pin one block-set per ingest for the session
+    // (caught by the r17 self-review). The upsert run's own tracked
+    // blocks land in the same delta; releasing them through the sweep
+    // AFTER the successor checkpoints below makes the managed handle's
+    // release() redundant here (release-by-id is idempotent).
+    val (labelRun, built, innerIds) = graft.operators.Pins.sweepWindow {
       val before = sc.getPersistentRDDs.keySet
-      PipelineOps.trainReadyIncremental(
+      val run = DedupOps.connectedComponentsIncrementalManaged(
+        labelsC._1,
+        DedupOps.ngramJaccardPairsIncremental(
+          b.select(col(id).as("doc_id"), col(text).as("text")),
+          "doc_id", "text", postingsC._1, nPrior, minJaccard),
+        "da", "db")
+      val nd = DedupOps.nearDupFromLabelUpsert(run.labels,
+        b.select(col(id).as("doc_id")))
+      val bm = PipelineOps.trainReadyIncremental(
         manifestC._1, bench.limit(0), b.select(col(id), col(text)), bench,
         id, text, cap, epoch,
         formatter, startRateBp, meanSpan, fimRateBp, minJaccard, contamN,
         precomputedPostings = Some(postingsC._1),
         precomputedHashes = Some(hashesC._1),
         priorDocCount = Some(nPrior), sorted = false,
-        precomputedNearDup = Some(nd)) ->
-        sc.getPersistentRDDs.keySet.toSet.filterNot(before)
+        precomputedNearDup = Some(nd))
+      (run, bm, sc.getPersistentRDDs.keySet.toSet.filterNot(before))
     }
-    val built = inner._1
     val newManifest = ckpt(built)
     val newHashes = ckpt(hashesC._1
       .unionByName(b.select(md5(col(text).cast("binary")).as("h"))))
     val newPostings = ckpt(DedupOps
       .ngramPostingsAppend(postingsC._1, b, id, text))
     // standing-label advance: untouched rows ∪ the upsert — the same
-    // apply graft.Run stages to index/cluster_labels
+    // apply graft.Run stages to index/cluster_labels (the upsert's
+    // blocks are released by the window sweep below, after this
+    // checkpoint has materialized)
     val newLabels = ckpt(labelsC._1
       .join(labelRun.labels.select("doc_id"), Seq("doc_id"), "left_anti")
       .unionByName(labelRun.labels.select("doc_id", "cluster_rep")))
-    labelRun.release()
     // profile advance — the Run ingest's bytes-merges, in-cursor: token
     // bytes merge on the driver (kilobytes), the two 1-row sketch
     // tables through the library merge entry points
@@ -217,8 +224,9 @@ final class TrainReadyCursor private (
         "grp"))
     }
     val pinned = sc.getPersistentRDDs
-    inner._2.foreach(i =>
+    innerIds.foreach(i =>
       pinned.get(i).foreach(_.unpersist(blocking = true)))
+    labelRun.release() // subset of innerIds — idempotent belt-and-braces
     release(manifestC); release(hashesC); release(postingsC)
     release(labelsC); release(lenQC); release(distCC)
     srcDC.foreach(release); srcLC.foreach(release)
@@ -306,7 +314,15 @@ object TrainReadyCursor {
     val prior = priorCorpus.select(
       (col(id).as("doc_id") +: col(text).as("text") +:
         profileSource.map(col).toSeq): _*)
-    new TrainReadyCursor(bench, id, text, cap, epoch, formatter,
+    // bootstrap through the MANAGED run so the prior corpus's
+    // propagation blocks free once the constructor's own checkpoint of
+    // the label table has materialized (the plain form would pin them
+    // for the session — the exact leak CcRun exists to prevent)
+    val ccRun = DedupOps.connectedComponentsManaged(
+      DedupOps.ngramJaccardPairs(prior, "doc_id", "text", minJaccard),
+      "da", "db")
+    val cursor = new TrainReadyCursor(bench, id, text, cap, epoch,
+      formatter,
       startRateBp, meanSpan, fimRateBp, minJaccard, contamN,
       profileSrc = profileSource,
       initManifest = priorManifest
@@ -314,9 +330,7 @@ object TrainReadyCursor {
       initHashes = prior
         .select(md5(col("text").cast("binary")).as("h")),
       initPostings = DedupOps.ngramPostings(prior, "doc_id", "text"),
-      initClusterLabels = DedupOps.connectedComponents(
-        DedupOps.ngramJaccardPairs(prior, "doc_id", "text", minJaccard),
-        "da", "db"),
+      initClusterLabels = ccRun.labels,
       initDocCount = priorCorpus.count(),
       initTokenSketch = graft.operators.TextOps
         .tokenSketchBytes(prior, "text").head().getAs[Array[Byte]]("sk"),
@@ -326,5 +340,7 @@ object TrainReadyCursor {
         sourceContentSketch(prior, src, "text")),
       initSourceLen = profileSource.map(src =>
         sourceLenSketch(prior, src, "text")))
+    ccRun.release() // the constructor's eager ckpt re-materialized them
+    cursor
   }
 }

@@ -36,15 +36,22 @@ def main():
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--threshold"):
+        if a == "--threshold" or a.startswith("--threshold="):
             if "=" in a:
-                thr = float(a.split("=", 1)[1])
+                raw = a.split("=", 1)[1]
             else:
                 if i + 1 >= len(argv):
                     sys.exit("--threshold needs a value\n" + __doc__)
-                thr = float(argv[i + 1])
+                raw = argv[i + 1]
                 i += 1
-        elif not a.startswith("--"):
+            try:
+                thr = float(raw)
+            except ValueError:
+                sys.exit(f"--threshold needs a number, got {raw!r}\n"
+                         + __doc__)
+        elif a.startswith("--"):
+            sys.exit(f"unknown flag {a!r}\n" + __doc__)
+        else:
             rest.append(a)
         i += 1
     args = rest
