@@ -133,7 +133,8 @@ object Run {
       mixtureAlpha: Double, mixtureBudgetFraction: Double,
       overwrite: Boolean, mode: String, increment: Option[String],
       vectors: Option[String], vecId: String, vec: String, nlist: Int,
-      pq: Boolean, pqM: Int, pqKsub: Int, profileSource: Option[String])
+      pq: Boolean, pqM: Int, pqKsub: Int, profileSource: Option[String],
+      failAt: Option[String])
 
   /** Parse a spec JSON string (defaults applied here, not in consumers). */
   def parseSpec(json: String): Spec = {
@@ -190,8 +191,28 @@ object Run {
       pqM = opt("pqM").map(_.asInt).getOrElse(8),
       pqKsub = opt("pqKsub").map(_.asInt).getOrElse(16),
       profileSource =
-        opt("profileSource").map(_.asText).filter(_.nonEmpty))
+        opt("profileSource").map(_.asText).filter(_.nonEmpty),
+      failAt = opt("failAt").map(_.asText).filter(_.nonEmpty))
   }
+
+  /** Thrown by [[faultPoint]] — distinguishable from a real failure so
+    * the crash-contract tests assert they killed the run at the intended
+    * seam and nothing else. */
+  final class InjectedFault(point: String) extends RuntimeException(
+    s"[fault-injection] planted crash at '$point'")
+
+  /** Fault-injection hook (VERDICT r17 #4): a spec carrying
+    * `"failAt": "<point>"` aborts the run AT that named seam — after the
+    * journal write, between appends, after a staging write, between the
+    * destructive delete and the move of a staged swap, between
+    * per-artifact profile advances. Each seam is a distinct crash state
+    * the failure contracts describe; RunSpec loops over every point and
+    * proves the full recovery chain (crash → audit flags → repair →
+    * audit clean → the retried job chains correctly) against the REAL
+    * interrupted states instead of hand-planted approximations. No-op
+    * (and dead-code-free: one Option comparison) in production specs. */
+  private def faultPoint(spec: Spec, point: String): Unit =
+    if (spec.failAt.contains(point)) throw new InjectedFault(point)
 
   /** Execute the spec ([[executeBuild]] or [[executeIngest]] by
     * `spec.mode`); returns the SUMMARY.json content (also written to
@@ -847,11 +868,23 @@ object Run {
     val stampSrc = Paths.get(out, "stats/token_sketch", "_advanced_from")
     if (Files.exists(stampSrc))
       Files.copy(stampSrc, Paths.get(staging, "_advanced_from"))
+    // the doc count this staging was derived under, persisted INSIDE the
+    // staging (ADVICE r17): when a crash lands between the delete and
+    // the move, mode=repair completes the swap — and must re-baseline
+    // the tier guard to THIS count, not the manifest's at repair time
+    // (an ingest may have run in the window; it warned about the missing
+    // label dir but appended to the manifest, so the rebuilt labels do
+    // not cover it — repair compares and reports manual on a mismatch).
+    Files.writeString(Paths.get(staging, "_recluster_docs"),
+      nDocs.toString)
+    faultPoint(spec, "recluster:staged")
     // also the creation path for a pre-label (pre-r17) build dir: with
     // no standing table the swap is just the move
     if (Files.exists(Paths.get(s"$out/index/cluster_labels")))
       rmTree(Paths.get(s"$out/index/cluster_labels"))
+    faultPoint(spec, "recluster:swap")
     Files.move(Paths.get(staging), Paths.get(s"$out/index/cluster_labels"))
+    faultPoint(spec, "recluster:before_dfcap")
     writeDfCap(out, nDocs)
     val summary =
       s"""{"mode":"recluster","out":"${esc(out)}","docs":$nDocs,""" +
@@ -957,15 +990,37 @@ object Run {
         // a completed RECLUSTER swap must also re-baseline the tier
         // guard (executeRecluster writes _df_cap.json after its move, so
         // a crash between the two leaves the guard firing on a directory
-        // whose labels are current — r17 self-review): the rebuilt table
-        // covers the manifest as of the recluster, and no ingest can
-        // have advanced it since (the label dir was missing, which every
-        // ingest warns about loudly)
+        // whose labels are current — r17 self-review). The baseline is
+        // the staging's own _recluster_docs marker — the doc count the
+        // table was DERIVED under — never the manifest at repair time:
+        // an ingest run inside the crash window warns about the missing
+        // label dir yet appends to the manifest, and the rebuilt labels
+        // do not cover those docs (ADVICE r17), so a count mismatch is
+        // reported manual with the recovery named instead of silencing
+        // the guard against a baseline the labels don't honor.
         val extra =
           if (p.getFileName.toString == "cluster_labels__recluster" &&
               stageDone(s"$out/manifest")) {
-            writeDfCap(out, s.read.parquet(s"$out/manifest").count())
-            "; _df_cap.json re-baselined to the manifest"
+            val nManifest = s.read.parquet(s"$out/manifest").count()
+            val marker = Paths.get(original.toString, "_recluster_docs")
+            val derivedUnder =
+              if (Files.exists(marker))
+                Files.readString(marker).trim.toLong
+              else nManifest // pre-marker staging: the pre-r18 behavior
+            if (nManifest > derivedUnder) {
+              manual += (("index/cluster_labels",
+                s"the completed recluster was derived under " +
+                  s"$derivedUnder docs but the manifest now holds " +
+                  s"$nManifest — an ingest ran between the recluster " +
+                  "crash and this repair, and the rebuilt labels do not " +
+                  "cover it; re-run \"mode\": \"recluster\""))
+              "; _df_cap.json NOT re-baselined (manifest advanced past " +
+                "the recluster — see the manual entry)"
+            } else {
+              writeDfCap(out, derivedUnder)
+              s"; _df_cap.json re-baselined to $derivedUnder docs (the " +
+                "staging's derivation count)"
+            }
           } else ""
         actions += (("completed_swap",
           Paths.get(out).relativize(original).toString,
@@ -1333,6 +1388,34 @@ object Run {
     // test corpus) — so the per-ingest staged rewrite below stays ∝
     // near-dup volume, never ∝ corpus.
     if (spec.overwrite || !stageDone(s"${spec.out}/index/cluster_labels")) {
+      // Deriving labels from spec.corpus is only union-equivalent while
+      // the corpus IS the union: on a resume build over a directory that
+      // has already taken ingests (manifest larger than the corpus — the
+      // pre-r17 upgrade path), a from-corpus rebuild would silently omit
+      // every cluster among previously-ingested docs (prior↔prior pairs
+      // are never re-derived by later ingests) AND re-baseline the tier
+      // guard to a stale count — refuse and point at the recovery that
+      // covers all ingested docs (ADVICE r17).
+      val nCorpus = corpus.count()
+      if (!spec.overwrite && stageDone(s"${spec.out}/manifest")) {
+        val nManifest = s.read.parquet(s"${spec.out}/manifest").count()
+        require(nManifest <= nCorpus,
+          s"'${spec.out}' has a manifest of $nManifest docs but the spec " +
+            s"corpus holds only $nCorpus — this directory has taken " +
+            "ingests, so a from-corpus label build would omit clusters " +
+            "among previously-ingested docs. Run \"mode\": \"recluster\" " +
+            "instead: it derives index/cluster_labels from the posting " +
+            "index, which covers every ingested doc.")
+      }
+      // the df-cap baseline the labels (and every pair-derived artifact)
+      // are about to be derived under — the ingest tier guard's
+      // reference. Written BEFORE the labels parquet (ADVICE r17): a
+      // crash between the two leaves a baseline without labels (the
+      // resume build redoes this stage and rewrites both), never labels
+      // without a baseline (which no resume would repair — stage 0 is
+      // skipped once the labels are _SUCCESS-complete).
+      writeDfCap(spec.out, nCorpus)
+      faultPoint(spec, "build:after_dfcap")
       val run = graft.operators.DedupOps.connectedComponentsManaged(
         graft.operators.DedupOps.ngramJaccardPairs(
           corpus.select(col(spec.id).as("doc_id"),
@@ -1342,9 +1425,6 @@ object Run {
       run.labels.write.mode("overwrite")
         .parquet(s"${spec.out}/index/cluster_labels")
       run.release()
-      // the df-cap baseline the labels (and every pair-derived artifact)
-      // were just derived under — the ingest tier guard's reference
-      writeDfCap(spec.out, corpus.count())
     }
     val clusterLabels = s.read.parquet(s"${spec.out}/index/cluster_labels")
 
@@ -1622,8 +1702,11 @@ object Run {
         System.err.println(s"[run] WARNING: '$labelsPath' absent " +
           "(pre-label build?) — ingest fates fall back to the in-call " +
           "derivation and the standing label table is not advanced; " +
-          "re-run the build (overwrite=false adds the missing stage) to " +
-          "create it.")
+          "run \"mode\": \"recluster\" to create it — it derives the " +
+          "table from the posting index, which covers every ingested " +
+          "doc (a resume build would derive from the ORIGINAL corpus " +
+          "and silently omit clusters among previously-ingested docs — " +
+          "ADVICE r17; build stage 0 now refuses that path).")
         None
       }
     val nd = labelRun.map(run =>

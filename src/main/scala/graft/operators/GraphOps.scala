@@ -73,6 +73,41 @@ object GraphOps {
   private def release(spark: SparkSession, ids: Set[Int]): Unit =
     Pins.release(spark, ids)
 
+  /** The stationary INFLUENCE RELATION of an edge list — one row per
+    * edge row `(src, dst, w = 1/outdeg(src))`, the relation every
+    * power-iteration round joins against. It depends only on the edge
+    * list, never on damping/seeds/round count, so it is the natural
+    * SHARED PREFIX of every rank computation over one graph (uniform
+    * PageRank, personalized PageRank, the deltas diagnostic): build it
+    * once (or persist it — `_memo_influence` in the bench), pass it to
+    * the entry points via their `influence` parameter, and each run
+    * skips the per-run outdeg aggregation + join AND never re-scans the
+    * edge list (the node set is recovered from the influence rows
+    * themselves — every edge row is present, so the endpoint union is
+    * identical). Results are bit-identical either way: `w` is the same
+    * `1.0/count` double, a parquet round-trip of doubles is exact, and
+    * every consumer is order-independent (GraphSpec pins the parity on
+    * both variants). Parallel edges keep one row each — their weight
+    * duplication is semantic ([[pageRank]] walk semantics).
+    *
+    * LIBRARY ENTRY POINT — generic over any two-column edge relation.
+    * VERDICT r17 #6. */
+  def influenceRelation(edgeList: DataFrame, src: String,
+      dst: String): DataFrame = {
+    Seq(src, dst).foreach { c =>
+      require(edgeList.columns.contains(c),
+        s"edge list has no column '$c' (columns: " +
+          s"${edgeList.columns.mkString(", ")})")
+    }
+    require(src != "w" && dst != "w",
+      "influenceRelation reserves the output column name 'w'")
+    val edges = edgeList.select(col(src).as("__s"), col(dst).as("__d"))
+    val outdeg = edges.groupBy("__s").agg(count(lit(1)).as("__od"))
+    edges.join(outdeg, "__s")
+      .select(col("__s").as(src), col("__d").as(dst),
+        (lit(1.0) / col("__od")).as("w"))
+  }
+
   /** PageRank by fixed-round power iteration.
     *
     * Walk semantics: from a node, follow one of its outgoing edges
@@ -116,17 +151,19 @@ object GraphOps {
     * synthetic graphs against a sequential reference).
     */
   def pageRank(edgeList: DataFrame, src: String, dst: String,
-      damping: Double = 0.85, iters: Int = 10): DataFrame =
+      damping: Double = 0.85, iters: Int = 10,
+      influence: Option[DataFrame] = None): DataFrame =
     runPageRank(edgeList, src, dst, damping, iters,
-      prefs = None, trackDeltas = false)._1
+      prefs = None, trackDeltas = false, preInfl = influence)._1
 
   /** [[pageRank]] returning a [[RankRun]]: the rank frame PLUS the handle
     * that frees the checkpointed blocks backing it. Prefer this form in
     * long-lived sessions — see [[RankRun]] for the lifecycle. */
   def pageRankManaged(edgeList: DataFrame, src: String, dst: String,
-      damping: Double = 0.85, iters: Int = 10): RankRun = {
+      damping: Double = 0.85, iters: Int = 10,
+      influence: Option[DataFrame] = None): RankRun = {
     val (out, _, ids) = runPageRank(edgeList, src, dst, damping, iters,
-      prefs = None, trackDeltas = false)
+      prefs = None, trackDeltas = false, preInfl = influence)
     new RankRun(out, edgeList.sparkSession, ids)
   }
 
@@ -150,26 +187,30 @@ object GraphOps {
     * plain [[pageRank]]. */
   def personalizedPageRank(edgeList: DataFrame, src: String, dst: String,
       prefs: DataFrame, prefNode: String, prefWeight: String,
-      damping: Double = 0.85, iters: Int = 10): DataFrame = {
+      damping: Double = 0.85, iters: Int = 10,
+      influence: Option[DataFrame] = None): DataFrame = {
     Seq(prefNode, prefWeight).foreach { c =>
       require(prefs.columns.contains(c),
         s"prefs has no column '$c' (columns: ${prefs.columns.mkString(", ")})")
     }
     runPageRank(edgeList, src, dst, damping, iters,
-      prefs = Some((prefs, prefNode, prefWeight)), trackDeltas = false)._1
+      prefs = Some((prefs, prefNode, prefWeight)), trackDeltas = false,
+      preInfl = influence)._1
   }
 
   /** [[personalizedPageRank]] returning a [[RankRun]] — see
     * [[pageRankManaged]]. */
   def personalizedPageRankManaged(edgeList: DataFrame, src: String,
       dst: String, prefs: DataFrame, prefNode: String, prefWeight: String,
-      damping: Double = 0.85, iters: Int = 10): RankRun = {
+      damping: Double = 0.85, iters: Int = 10,
+      influence: Option[DataFrame] = None): RankRun = {
     Seq(prefNode, prefWeight).foreach { c =>
       require(prefs.columns.contains(c),
         s"prefs has no column '$c' (columns: ${prefs.columns.mkString(", ")})")
     }
     val (out, _, ids) = runPageRank(edgeList, src, dst, damping, iters,
-      prefs = Some((prefs, prefNode, prefWeight)), trackDeltas = false)
+      prefs = Some((prefs, prefNode, prefWeight)), trackDeltas = false,
+      preInfl = influence)
     new RankRun(out, edgeList.sparkSession, ids)
   }
 
@@ -185,16 +226,19 @@ object GraphOps {
     * ranks are bit-identical to [[pageRank]]'s (checkpoint cadence never
     * affects values; GraphSpec pins both). */
   def pageRankDeltas(edgeList: DataFrame, src: String, dst: String,
-      damping: Double = 0.85, iters: Int = 10): (DataFrame, Seq[Double]) = {
+      damping: Double = 0.85, iters: Int = 10,
+      influence: Option[DataFrame] = None): (DataFrame, Seq[Double]) = {
     val (out, deltas, _) = runPageRank(edgeList, src, dst, damping, iters,
-      prefs = None, trackDeltas = true)
+      prefs = None, trackDeltas = true, preInfl = influence)
     (out, deltas)
   }
 
   private def runPageRank(edgeList: DataFrame, src: String, dst: String,
       damping: Double, iters: Int,
       prefs: Option[(DataFrame, String, String)],
-      trackDeltas: Boolean): (DataFrame, Seq[Double], Set[Int]) = {
+      trackDeltas: Boolean,
+      preInfl: Option[DataFrame] = None)
+      : (DataFrame, Seq[Double], Set[Int]) = {
     require(damping > 0 && damping < 1,
       s"damping must be in (0, 1), got $damping")
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -203,18 +247,38 @@ object GraphOps {
         s"edge list has no column '$c' (columns: " +
           s"${edgeList.columns.mkString(", ")})")
     }
+    preInfl.foreach { pi =>
+      Seq(src, dst, "w").foreach { c =>
+        require(pi.columns.contains(c),
+          s"influence relation has no column '$c' (columns: " +
+            s"${pi.columns.mkString(", ")}) — build it with " +
+            "influenceRelation(edges, src, dst)")
+      }
+    }
     val spark = edgeList.sparkSession
-    val edges = edgeList.select(col(src).as("__s"), col(dst).as("__d"))
+    // The per-edge weighted relation (__s, __d, __w = 1/outdeg(__s)) —
+    // either the caller's precomputed [[influenceRelation]] (the shared
+    // prefix: skips the outdeg agg + join AND the edge-list scan — the
+    // node set is recovered from the influence rows, identical because
+    // every edge row is present) or derived here from the edge list.
+    val weighted = preInfl match {
+      case Some(pi) => pi.select(col(src).as("__s"), col(dst).as("__d"),
+        col("w").cast("double").as("__w"))
+      case None =>
+        val edges = edgeList.select(col(src).as("__s"), col(dst).as("__d"))
+        edges.join(edges.groupBy("__s").agg(count(lit(1)).as("__od")),
+            "__s")
+          .select(col("__s"), col("__d"), (lit(1.0) / col("__od")).as("__w"))
+    }
     // The V-row node set is consumed three times (count, rank init,
     // in-link-free frame) — checkpoint the E-row distinct once instead of
     // recomputing it per consumer (~1.5s × 2 of pure setup waste at
     // sf0.1), and release its blocks as soon as the three consumers have
     // materialized.
     val (nodes, nodesIds) = checkpointTracked(
-      edges.select(col("__s").as("__v"))
-        .unionByName(edges.select(col("__d").as("__v")))
+      weighted.select(col("__s").as("__v"))
+        .unionByName(weighted.select(col("__d").as("__v")))
         .distinct())
-    val outdeg = edges.groupBy("__s").agg(count(lit(1)).as("__od"))
     val n = nodes.count().toDouble
     // Personalized teleport: p(v) normalized over the NONNEGATIVE pref
     // mass landing on actual graph nodes. `pNorm` is the V-row normalized
@@ -246,26 +310,26 @@ object GraphOps {
         .select(col("__v"),
           (coalesce(col("__pw"), lit(0.0)) / lit(tot)).as("__p"))
     }
-    // influence = edge weights 1/outdeg. Built and shuffled ONCE:
-    // hash-partitioned on the round join key and checkpointed, consumed
-    // every round. Personalized runs additionally ANNOTATE each edge with
-    // the DESTINATION's teleport term `__td = (1-d)·p(dst)` — functionally
-    // dependent on `__d`, so the per-round aggregate recovers it with a
-    // `max` in the same pass and no round ever joins a teleport frame
-    // (the first formulation broadcast a V-row teleport table every
-    // round; a stationary per-edge column costs one setup join instead).
-    val inflBase = edges.join(outdeg, "__s")
-      .select(col("__s"), col("__d"), (lit(1.0) / col("__od")).as("__w"))
+    // influence = edge weights 1/outdeg. Built (or read) and shuffled
+    // ONCE: hash-partitioned on the round join key and checkpointed,
+    // consumed every round. Personalized runs additionally ANNOTATE each
+    // edge with the DESTINATION's teleport term `__td = (1-d)·p(dst)` —
+    // functionally dependent on `__d`, so the per-round aggregate
+    // recovers it with a `max` in the same pass and no round ever joins
+    // a teleport frame (the first formulation broadcast a V-row teleport
+    // table every round; a stationary per-edge column costs one setup
+    // join instead).
     val (infl, inflIds) = checkpointTracked((pNorm match {
-      case Some(nm) => inflBase.join(
+      case Some(nm) => weighted.join(
         nm.select(col("__v").as("__d"),
           (col("__p") * lit(1 - damping)).as("__td")), Seq("__d"))
-      case None => inflBase
+      case None => weighted
     }).repartition(col("__s")))
     // In-link-free nodes: constant teleport-only rank from round 1 on
     // (Scaladoc) — empty on symmetrized graphs, ≤V rows on any graph.
     // Checkpointed once, unioned lazily onto every round's aggregate.
-    val antiIn = nodes.join(edges.select(col("__d").as("__v")).distinct(),
+    val antiIn = nodes.join(
+      weighted.select(col("__d").as("__v")).distinct(),
       Seq("__v"), "left_anti")
     val (noInbound, noInboundIds) = checkpointTracked(pNorm match {
       case Some(nm) => antiIn.join(nm, Seq("__v"))
@@ -383,9 +447,27 @@ object GraphOps {
       op.unionByName(op.select(col("d").as("s"), col("s").as("d")))
     }
 
-  /** Bench accounting hook (see [[DedupOps.memoBuilds]]). */
+  /** The co-purchase graph's stationary influence relation, materialized
+    * once per application (VERDICT r17 #6 — the shared prefix of BOTH
+    * graph queries and the deltas diagnostic): each rank run then reads
+    * one small parquet instead of re-running the outdeg aggregation +
+    * join and re-scanning the edge memo for its node set. Reported as
+    * `_memo_influence` in the bench so the one-time build is priced on
+    * its own line. Bit-parity with the in-run derivation is pinned in
+    * GraphSpec. */
+  private[operators] def coPurchaseInfluence(s: SparkSession,
+      d: String): DataFrame =
+    graft.sources.Materialize.table(s, s"copurchase_infl:$d") {
+      influenceRelation(coPurchase(s, d), "s", "d")
+    }
+
+  /** Bench accounting hook (see [[DedupOps.memoBuilds]]). Order matters:
+    * the influence memo consumes the copurchase memo, so the edge build
+    * is priced on `_memo_copurchase` and only the outdeg+join delta on
+    * `_memo_influence`. */
   def memoBuilds: Seq[(String, (SparkSession, String) => DataFrame)] =
-    Seq("_memo_copurchase" -> ((s, d) => coPurchase(s, d)))
+    Seq("_memo_copurchase" -> ((s, d) => coPurchase(s, d)),
+      "_memo_influence" -> ((s, d) => coPurchaseInfluence(s, d)))
 
   /** r9 rounding + presentation order shared by the plain and managed
     * renderings of both graph queries. */
@@ -394,7 +476,8 @@ object GraphOps {
       .orderBy("node")
 
   private def qPageRank(s: SparkSession, d: String): DataFrame =
-    present(pageRank(coPurchase(s, d), "s", "d", damping = 0.85, iters = 10))
+    present(pageRank(coPurchase(s, d), "s", "d", damping = 0.85, iters = 10,
+      influence = Some(coPurchaseInfluence(s, d))))
 
   // The managed rendering Bench prefers (QDef.managed): same frame, plus
   // the RankRun release handle — the caller-facing block-free path is
@@ -402,7 +485,8 @@ object GraphOps {
   private def qPageRankManaged(s: SparkSession, d: String)
       : (DataFrame, () => Unit) = {
     val run = pageRankManaged(coPurchase(s, d), "s", "d",
-      damping = 0.85, iters = 10)
+      damping = 0.85, iters = 10,
+      influence = Some(coPurchaseInfluence(s, d)))
     (present(run.ranks), () => run.release())
   }
 
@@ -419,12 +503,14 @@ object GraphOps {
 
   private def qPersonalizedPageRank(s: SparkSession, d: String): DataFrame =
     present(personalizedPageRank(coPurchase(s, d), "s", "d",
-      pprSeeds(s, d), "seed", "w", damping = 0.85, iters = 10))
+      pprSeeds(s, d), "seed", "w", damping = 0.85, iters = 10,
+      influence = Some(coPurchaseInfluence(s, d))))
 
   private def qPersonalizedPageRankManaged(s: SparkSession, d: String)
       : (DataFrame, () => Unit) = {
     val run = personalizedPageRankManaged(coPurchase(s, d), "s", "d",
-      pprSeeds(s, d), "seed", "w", damping = 0.85, iters = 10)
+      pprSeeds(s, d), "seed", "w", damping = 0.85, iters = 10,
+      influence = Some(coPurchaseInfluence(s, d)))
     (present(run.ranks), () => run.release())
   }
 

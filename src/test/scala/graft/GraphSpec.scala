@@ -237,6 +237,51 @@ class GraphSpec extends SparkSpec {
     assert(e3.getMessage.contains("iters"))
   }
 
+  test("precomputed influenceRelation: parquet round-trip is bit-identical for pageRank, ppr, and deltas (VERDICT r17 #6)") {
+    // the shared-prefix memo contract: a rank run fed the persisted
+    // influence relation must be BIT-identical to the in-run derivation
+    // — w is the same 1.0/count double, parquet round-trips doubles
+    // exactly, and every consumer is order-independent. Exercised
+    // through a real parquet round-trip (the memo's storage), on a
+    // graph with a sink, a multi-edge, and a teleport-only node so the
+    // in-link-free frame and parallel-edge weighting are both covered.
+    val s = spark
+    import s.implicits._
+    val edges = (directed ++ Seq("a" -> "b")) // parallel edge
+      .toDF("from", "to")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-infl").toFile.getAbsolutePath
+    GraphOps.influenceRelation(edges, "from", "to")
+      .write.parquet(s"$dir/infl")
+    val infl = s.read.parquet(s"$dir/infl")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getDouble(1)))
+        .sortBy(_._1).toSeq
+    assert(rows(GraphOps.pageRank(edges, "from", "to",
+        influence = Some(infl))) ==
+      rows(GraphOps.pageRank(edges, "from", "to")),
+      "pageRank with precomputed influence diverged")
+    val prefs = Seq(("a", 1.0), ("d", 2.0)).toDF("n", "wt")
+    assert(rows(GraphOps.personalizedPageRank(edges, "from", "to",
+        prefs, "n", "wt", influence = Some(infl))) ==
+      rows(GraphOps.personalizedPageRank(edges, "from", "to",
+        prefs, "n", "wt")),
+      "personalizedPageRank with precomputed influence diverged")
+    val (dPlain, deltasPlain) = GraphOps.pageRankDeltas(edges, "from", "to")
+    val (dMemo, deltasMemo) = GraphOps.pageRankDeltas(edges, "from", "to",
+      influence = Some(infl))
+    assert(rows(dMemo) == rows(dPlain) && deltasMemo == deltasPlain,
+      "pageRankDeltas with precomputed influence diverged")
+    // guards: a malformed influence frame names its missing column
+    val e1 = intercept[IllegalArgumentException](GraphOps.pageRank(
+      edges, "from", "to", influence = Some(infl.drop("w"))))
+    assert(e1.getMessage.contains("no column 'w'"))
+    val e2 = intercept[IllegalArgumentException](
+      GraphOps.influenceRelation(edges.withColumnRenamed("from", "w"),
+        "w", "to"))
+    assert(e2.getMessage.contains("reserves"))
+  }
+
   test("managedQueries renderings are bit-identical to the plain builds Verify dumps") {
     // Bench times the managed rendering while Verify (the correctness
     // gate) dumps the plain build — if they ever diverged, the measured
