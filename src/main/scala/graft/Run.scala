@@ -247,7 +247,7 @@ object Run {
       "ann/assignment", "ann/codes")
     val results = targets.flatMap { t =>
       val path = s"${spec.out}/$t"
-      if (!stageDone(path)) None else Some(t -> compactDir(s, path))
+      if (!stageDone(path)) None else Some(t -> compactDir(s, spec, t, path))
     }
     val lines = results.map { case (t, (fb, fa, rows)) =>
       s"""{"artifact":"${esc(t)}","files_before":$fb,""" +
@@ -262,7 +262,7 @@ object Run {
 
   /** Compact one parquet directory; returns (files before, files
     * after, rows). See [[executeCompact]] for the swap contract. */
-  private def compactDir(s: SparkSession,
+  private def compactDir(s: SparkSession, spec: Spec, artifact: String,
       path: String): (Long, Long, Long) = {
     import scala.jdk.CollectionConverters._
     def dataFiles(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
@@ -286,7 +286,9 @@ object Run {
     require(nStaged == nBefore,
       s"compaction of '$path' staged $nStaged rows != $nBefore — " +
         s"refusing the swap; staged data left at '$staging'")
+    faultPoint(spec, s"compact:staged:$artifact")
     rmTree(dir)
+    faultPoint(spec, s"compact:swap:$artifact")
     Files.move(Paths.get(staging), dir)
     (before.size.toLong, dataFiles(dir).size.toLong, nBefore)
   }
@@ -372,7 +374,9 @@ object Run {
 
     // 4. the swap, then re-point the stored fingerprint's vectors field
     // (shape is unchanged — checked above; provenance is not)
+    faultPoint(spec, "retrain:staged")
     rmTree(Paths.get(s"${spec.out}/ann"))
+    faultPoint(spec, "retrain:swap")
     Files.move(Paths.get(staging), Paths.get(s"${spec.out}/ann"))
     val fpp = fingerprintPath(spec.out)
     if (Files.exists(fpp)) {
@@ -529,6 +533,37 @@ object Run {
       else Some(s"interrupted staged swap(s): ${stray.mkString(", ")} — " +
         "each holds fully verified data; move it into place (or delete " +
         "it to retry the producing job), or run \"mode\": \"repair\"")
+    }
+
+    // 1b. a pending ingest journal = a crashed ingest (its appends are
+    // partial and its rewrite artifacts may be half-advanced); a backup
+    // dir WITHOUT the journal is setup debris from a crash before any
+    // mutation — both are mode=repair's arm 0
+    check("ingest_pending", JournalName) {
+      if (Files.exists(Paths.get(out, JournalName)))
+        Some("a crashed ingest left its journal — run \"mode\": " +
+          "\"repair\" to roll the partial ingest back to the " +
+          "pre-ingest state, then re-run the ingest")
+      else if (Files.exists(Paths.get(out, BackupName)))
+        Some(s"leftover '$BackupName' with no journal (crash during " +
+          "journal setup; nothing was mutated) — \"mode\": \"repair\" " +
+          "removes it")
+      else None
+    }
+
+    // 1c. a label table with no df-cap baseline cannot be tier-guarded:
+    // every ingest would silently re-baseline to its own prior count
+    // (readDfCapDocs fallback) and cumulative cap crossings go
+    // undetected — exactly the degradation the guard exists to catch
+    // (ADVICE r17; build stage 0 now writes the baseline FIRST, so this
+    // state only arises from a pre-r18 crash or manual deletion)
+    check("df_cap_baseline", "index/_df_cap.json") {
+      if (stageDone(s"$out/index/cluster_labels") &&
+          !Files.exists(dfCapPath(out)))
+        Some("index/cluster_labels present with no index/_df_cap.json " +
+          "baseline — the ingest tier guard is blind; run \"mode\": " +
+          "\"recluster\" to re-derive the labels and re-baseline")
+      else None
     }
 
     // 2. every artifact directory that exists is _SUCCESS-complete
@@ -955,6 +990,72 @@ object Run {
       Paths.get(out).relativize(target).toString
     }
 
+    // 0. a crashed ingest's journal: mechanical rollback to the exact
+    // pre-ingest state (VERDICT r17 #4) — unrecorded files in the
+    // append artifacts are the crashed ingest's partial appends
+    // (deleted), the replaced window parts and rewrite artifacts are
+    // restored from the journal's backups, and any __advance staging of
+    // a journal-covered artifact is superseded debris (the restore wins
+    // — dropped here so arm 1 never adjudicates it against the restored
+    // original). Runs FIRST: every later arm must see the rolled-back
+    // state, not the crash state.
+    val journalP = Paths.get(out, JournalName)
+    val backupP = Paths.get(out, BackupName)
+    if (Files.exists(journalP)) {
+      val j = new ObjectMapper().readTree(Files.readString(journalP))
+      val partIdxLo = j.get("partIdx").asLong
+      val files = j.get("files")
+      var deleted = 0
+      files.fieldNames().forEachRemaining { a =>
+        val arr = files.get(a)
+        val keep = (0 until arr.size).map(arr.get(_).asText).toSet
+        val dir = Paths.get(out, a)
+        listFileNames(dir).filterNot(keep).foreach { f =>
+          Files.delete(dir.resolve(f)); deleted += 1
+        }
+        // a crash MID-write also leaves the committer's _temporary tree
+        val tmp = dir.resolve("_temporary")
+        if (Files.exists(tmp)) rmTree(tmp)
+      }
+      val windows = Paths.get(out, "windows")
+      if (Files.isDirectory(windows)) {
+        windowPartsFrom(out, partIdxLo)
+          .foreach(p => rmTree(windows.resolve(p)))
+        val tmp = windows.resolve("_temporary")
+        if (Files.exists(tmp)) rmTree(tmp)
+      }
+      val wb = backupP.resolve("windows_parts")
+      listDirNames(wb).foreach(p =>
+        copyTree(wb.resolve(p), windows.resolve(p)))
+      ingestRewriteArtifacts.foreach { a =>
+        val b = backupP.resolve(a.replace("/", "__"))
+        val cur = Paths.get(out, a)
+        val stagingA = Paths.get(out, a + "__advance")
+        if (Files.isDirectory(b)) {
+          if (Files.exists(stagingA)) rmTree(stagingA)
+          if (Files.exists(cur)) rmTree(cur)
+          copyTree(b, cur)
+        }
+      }
+      val increment = Option(j.get("increment")).map(_.asText).getOrElse("")
+      Files.delete(journalP)
+      if (Files.exists(backupP)) rmTree(backupP)
+      actions += (("rolled_back_ingest", JournalName,
+        s"a crashed ingest of '$increment' was rolled back to the " +
+          s"pre-ingest state ($deleted partial append file(s) deleted, " +
+          "replaced window parts and rewrite artifacts restored from " +
+          "the journal's backups) — re-run the ingest; it will land as " +
+          "if the crash never happened"))
+    } else if (Files.exists(backupP)) {
+      // backup without journal: the crash hit DURING journal setup —
+      // backups precede the journal file, which precedes any mutation,
+      // so the directory itself is untouched and the backup is debris
+      rmTree(backupP)
+      actions += (("removed_backup_debris", BackupName,
+        "leftover ingest backup with no journal (crash during journal " +
+          "setup — nothing was mutated); deleted"))
+    }
+
     // 1. interrupted staged swaps: complete, roll back, or quarantine
     val st = Files.walk(Paths.get(out))
     val staged =
@@ -1158,6 +1259,11 @@ object Run {
               "their stamp), or refresh with \"mode\": \"stats\""
           case "cluster_labels" =>
             "rebuild the label table with \"mode\": \"recluster\""
+          case "df_cap_baseline" =>
+            "the doc count the labels were derived under is not " +
+              "recoverable from the artifacts — \"mode\": \"recluster\" " +
+              "re-derives the labels under the current cap and " +
+              "re-baselines the tier guard"
           case "postings_docs" | "postings_unique" =>
             "restore from a copy, or rebuild the indexes with an " +
               "overwrite build over the full corpus"
@@ -1609,6 +1715,129 @@ object Run {
     summary
   }
 
+  // ---- crash-safe ingest journal (VERDICT r17 #4) -------------------
+  //
+  // The append artifacts (manifest, indexes, ann) were the one part of
+  // the lifecycle a crash left NON-retryable: "clean the partial appends
+  // first" was an instruction to the operator, not a mechanical
+  // recovery. The journal closes that: before its FIRST mutation, an
+  // ingest records the append artifacts' exact file inventories, backs
+  // up the small rewrite artifacts (profile sketches + label table —
+  // the label advance already rewrites the whole table per ingest, so
+  // the copy is the same order of cost) and the window part directories
+  // the boundary overwrite will replace, and only then mutates. The
+  // journal file is written LAST (journal-present implies backups
+  // complete) and deleted FIRST on success (journal-absent implies the
+  // ingest committed; a leftover backup dir alone is debris). A crash
+  // anywhere in between leaves `_ingest_pending.json`, which
+  // `mode=audit` flags and `mode=repair` rolls back MECHANICALLY:
+  // unrecorded files in the append artifacts are deleted, the replaced
+  // window parts and rewrite artifacts are restored byte-for-byte, and
+  // the directory is again exactly its pre-ingest self — the retried
+  // ingest then lands as if the crash never happened (RunSpec loops
+  // fault injections over every seam and pins retried ≡ uninterrupted).
+
+  private val JournalName = "_ingest_pending.json"
+  private val BackupName = "_ingest_backup"
+
+  /** The artifacts an ingest APPENDS to (rolled back by file
+    * inventory). */
+  private val ingestAppendArtifacts =
+    Seq("manifest", "index/hashes", "index/postings",
+      "ann/assignment", "ann/codes")
+
+  /** The artifacts an ingest REWRITES via staged swap (rolled back by
+    * full pre-ingest backup — each is small: kilobyte sketch bytes, or
+    * the near-dup label table whose per-ingest advance already rewrites
+    * it whole). */
+  private val ingestRewriteArtifacts =
+    Seq("stats/token_sketch", "stats/len_quantiles",
+      "stats/distinct_content", "stats/source_distinct",
+      "stats/source_len", "index/cluster_labels")
+
+  /** Top-level regular-file names of `dir` (empty when absent). The
+    * append artifacts are flat parquet directories, so one level is the
+    * whole inventory; underscore markers (_SUCCESS) are recorded too —
+    * append rewrites them under the SAME name, so they survive the
+    * unrecorded-file rollback. */
+  private def listFileNames(dir: java.nio.file.Path): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val st = Files.list(dir)
+      try st.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(_.getFileName.toString).toVector
+      finally st.close()
+    }
+  }
+
+  private def listDirNames(dir: java.nio.file.Path): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val st = Files.list(dir)
+      try st.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toVector
+      finally st.close()
+    }
+  }
+
+  private def copyTree(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val st = Files.walk(src)
+    try st.iterator().asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else {
+        Files.createDirectories(t.getParent)
+        Files.copy(p, t)
+      }
+    } finally st.close()
+  }
+
+  /** Window part dirs the boundary overwrite may REPLACE — partition
+    * values are PART INDICES (`floor(chunk / chunksPerPart)`, see
+    * [[PipelineOps.writeWindows]]), so the threshold is the boundary's
+    * part index, not a chunk number. */
+  private def windowPartsFrom(out: String, partIdxLo: Long): Seq[String] =
+    listDirNames(Paths.get(out, "windows"))
+      .filter(_.startsWith("part="))
+      .filter(_.stripPrefix("part=").toLong >= partIdxLo)
+
+  /** Write the pre-mutation journal: backups first, journal file LAST. */
+  private def writeIngestJournal(spec: Spec, partIdxLo: Long): Unit = {
+    val out = spec.out
+    val backup = Paths.get(out, BackupName)
+    // debris from a crash DURING a previous journal setup (no journal
+    // file was written, so no mutation happened) — replace it
+    if (Files.exists(backup)) rmTree(backup)
+    ingestRewriteArtifacts
+      .filter(a => Files.isDirectory(Paths.get(out, a)))
+      .foreach(a => copyTree(Paths.get(out, a),
+        backup.resolve(a.replace("/", "__"))))
+    val parts = windowPartsFrom(out, partIdxLo)
+    parts.foreach(p => copyTree(Paths.get(out, "windows", p),
+      backup.resolve("windows_parts").resolve(p)))
+    val files = ingestAppendArtifacts.map { a =>
+      s""""${esc(a)}":[${listFileNames(Paths.get(out, a))
+        .map(f => s""""${esc(f)}"""").mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(out, JournalName),
+      s"""{"increment":"${esc(spec.increment.getOrElse(""))}",""" +
+        s""""partIdx":$partIdxLo,""" +
+        s""""parts":[${parts.map(p => s""""${esc(p)}"""").mkString(",")}],""" +
+        s""""files":$files}""")
+  }
+
+  /** Commit point: journal file first (its absence marks the ingest
+    * committed), then the backups. */
+  private def clearIngestJournal(out: String): Unit = {
+    Files.deleteIfExists(Paths.get(out, JournalName))
+    val backup = Paths.get(out, BackupName)
+    if (Files.exists(backup)) rmTree(backup)
+  }
+
   /** Ingest an increment into an existing [[executeBuild]] directory —
     * the daily-ingest twin: new docs are fated against the PERSISTED
     * artifacts only (prior manifest + hash table + raw postings; the
@@ -1625,15 +1854,20 @@ object Run {
     * ([[PipelineOps.trainReadyIncremental]] has no mixture stage), so an
     * ingest spec must not set `mixtureSource`.
     *
-    * Failure/retry contract (ADVICE r15): the profile advance is staged,
-    * verified, swapped, and stamped per increment ([[advanceArtifact]]) —
-    * crash-safe and retry-idempotent. The APPEND artifacts (manifest,
-    * index/hashes, index/postings, ann/assignment, ann/codes) are NOT:
-    * a failed ingest may have landed some appends, and blindly re-running
-    * it against the same out dir would double those rows. Clean the
-    * partial appends first (each append is one file-set per write —
-    * remove the files newer than the last good SUMMARY.json), or re-run
-    * against a copy of the last good out dir. */
+    * Failure/retry contract (ADVICE r15, closed mechanically in r18):
+    * the profile advance is staged, verified, swapped, and stamped per
+    * increment ([[advanceArtifact]]) — crash-safe and retry-idempotent.
+    * The APPEND artifacts (manifest, index/hashes, index/postings,
+    * ann/assignment, ann/codes) and the window boundary overwrite are
+    * covered by the PRE-MUTATION JOURNAL (`_ingest_pending.json` +
+    * `_ingest_backup/`, VERDICT r17 #4): a crash at ANY point after the
+    * journal lands is rolled back byte-exact by `"mode": "repair"`
+    * (partial appends deleted by file inventory, replaced window parts
+    * and rewrite artifacts restored from backup), after which re-running
+    * the SAME ingest lands as if the crash never happened — RunSpec
+    * fault-injects every seam and pins retried ≡ uninterrupted. Never
+    * re-run a crashed ingest against an un-repaired directory: the
+    * journal's presence fails `mode=audit` until the rollback runs. */
   private def executeIngest(s: SparkSession, spec: Spec): String = {
     require(spec.mixtureSource.isEmpty,
       "mode 'ingest' does not support mixtureSource (a batch-build stage)")
@@ -1727,7 +1961,19 @@ object Run {
       .join(inc.select(col(spec.id).as("doc_id")), Seq("doc_id"),
         "left_semi")
       .localCheckpoint(true)
+
+    // the crash-safe journal: inventories + backups land BEFORE the
+    // first mutation (everything above is read-only — the label run and
+    // incRows are eager checkpoints over PRE-ingest state), so from here
+    // to [[clearIngestJournal]] any crash is mechanically rolled back by
+    // mode=repair and the ingest retried clean.
+    val boundary = priorTok / spec.cap
+    val partLo = boundary / spec.chunksPerPart * spec.chunksPerPart
+    writeIngestJournal(spec, boundary / spec.chunksPerPart)
+    faultPoint(spec, "ingest:after_journal")
+
     incRows.write.mode("append").parquet(s"$out/manifest")
+    faultPoint(spec, "ingest:after_manifest_append")
 
     // window store: the increment's formatted streams continue the
     // pack cursor; only the boundary part is read (then checkpointed,
@@ -1736,8 +1982,6 @@ object Run {
       .select(col(spec.id).as("doc_id"), col(spec.text).as("text"))
       .join(incRows.filter(col("chunk").isNotNull).select("doc_id"),
         Seq("doc_id"), "left_semi")
-    val boundary = priorTok / spec.cap
-    val partLo = boundary / spec.chunksPerPart * spec.chunksPerPart
     val region = PipelineOps.readWindows(s, s"$out/windows",
         spec.chunksPerPart, fromChunk = Some(partLo))
       .localCheckpoint(true)
@@ -1748,10 +1992,12 @@ object Run {
         "doc_id", "t", spec.cap, sorted = false,
         priorTokens = Some(priorTok)),
       s"$out/windows", boundary, spec.chunksPerPart)
+    faultPoint(spec, "ingest:after_windows")
 
     // index advance — append-only
     inc.select(md5(col(spec.text).cast("binary")).as("h"))
       .write.mode("append").parquet(s"$out/index/hashes")
+    faultPoint(spec, "ingest:mid_index_append")
     inc.select(col(spec.id).as("doc_id"),
         explode(graft.functions.TextKernels.shingleSet64(col(spec.text)))
           .as("sh64"))
@@ -1778,8 +2024,9 @@ object Run {
     // which holds only docs with ≥1 near-dup pair — a vanishing corpus
     // fraction. The upsert's checkpoint blocks are released once the
     // swap lands.
+    faultPoint(spec, "ingest:before_label_advance")
     labelRun.foreach { run =>
-      advanceArtifact(s, labelsPath, spec.increment.getOrElse("")) {
+      advanceArtifact(s, spec, labelsPath, spec.increment.getOrElse("")) {
         standing =>
           standing
             .join(run.labels.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -1800,6 +2047,7 @@ object Run {
       graft.operators.SimilarityOps
         .ivfAppend(vecs, spec.vecId, spec.vec, quant)
         .write.mode("append").parquet(s"$out/ann/assignment")
+      faultPoint(spec, "ingest:after_ann_append")
       val drift = graft.operators.SimilarityOps.ivfDrift(vecs, spec.vecId,
         spec.vec, quant, s.read.parquet(s"$out/ann/baseline")).head()
       if (drift.getAs[Boolean]("retrain"))
@@ -1866,6 +2114,10 @@ object Run {
         s""""union_cap":$capUnion,"crossed":$capCrossed}""" +
         profileSummary(s, out).map("," + _).getOrElse("") +
         annDrift.map("," + _).getOrElse("") + "}"
+    // commit: every artifact advanced — retract the journal BEFORE the
+    // summary lands, so a directory with a SUMMARY for this increment
+    // never also carries a pending journal
+    clearIngestJournal(out)
     Files.write(Paths.get(out, "SUMMARY.json"),
       summary.getBytes(StandardCharsets.UTF_8))
     summary
@@ -1890,7 +2142,7 @@ object Run {
     import graft.operators.{RelationalOps, TextOps}
 
     val skPath = s"$out/stats/token_sketch"
-    if (stageDone(skPath)) advanceArtifact(s, skPath, tag) { standing =>
+    if (stageDone(skPath)) advanceArtifact(s, spec, skPath, tag) { standing =>
       val sBytes = standing.head().getAs[Array[Byte]]("sk")
       val incSk = TextOps.tokenSketchBytes(inc, spec.text)
         .head().getAs[Array[Byte]]("sk")
@@ -1901,9 +2153,12 @@ object Run {
           org.apache.spark.sql.types.StructField("sk",
             org.apache.spark.sql.types.BinaryType, nullable = false))))
     } else warnNoProfile(skPath)
+    // "between per-artifact profile advances" — the half-advanced state
+    // the profile_stamps audit check describes
+    faultPoint(spec, "ingest:mid_profile_advance")
 
     val lqPath = s"$out/stats/len_quantiles"
-    if (stageDone(lqPath)) advanceArtifact(s, lqPath, tag) { standing =>
+    if (stageDone(lqPath)) advanceArtifact(s, spec, lqPath, tag) { standing =>
       RelationalOps.quantileSketchMerge(standing,
         RelationalOps.quantileSketch(
           TextOps.tokenCounts(inc, spec.id, spec.text)
@@ -1912,7 +2167,7 @@ object Run {
     } else warnNoProfile(lqPath)
 
     val dcPath = s"$out/stats/distinct_content"
-    if (stageDone(dcPath)) advanceArtifact(s, dcPath, tag) { standing =>
+    if (stageDone(dcPath)) advanceArtifact(s, spec, dcPath, tag) { standing =>
       RelationalOps.distinctSketchMerge(standing,
         RelationalOps.distinctSketch(
           inc.select(lit("all").as("grp"),
@@ -1924,7 +2179,7 @@ object Run {
     // sources appear as new groups, existing ones merge
     spec.profileSource.foreach { src =>
       val sdPath = s"$out/stats/source_distinct"
-      if (stageDone(sdPath)) advanceArtifact(s, sdPath, tag) { standing =>
+      if (stageDone(sdPath)) advanceArtifact(s, spec, sdPath, tag) { standing =>
         RelationalOps.distinctSketchMerge(standing,
           RelationalOps.distinctSketch(
             inc.select(col(src).cast("string").as("grp"),
@@ -1932,7 +2187,7 @@ object Run {
           "grp")
       } else warnNoProfile(sdPath)
       val slPath = s"$out/stats/source_len"
-      if (stageDone(slPath)) advanceArtifact(s, slPath, tag) { standing =>
+      if (stageDone(slPath)) advanceArtifact(s, spec, slPath, tag) { standing =>
         RelationalOps.quantileSketchMerge(standing,
           RelationalOps.quantileSketch(
             TextOps.tokenCounts(inc, src, spec.text)
@@ -1957,10 +2212,11 @@ object Run {
     * hazard the in-place overwrite had. (Appending artifacts — manifest,
     * indexes, ann — are NOT retry-idempotent; a failed ingest's partial
     * appends must be cleaned before re-running, see [[executeIngest]].) */
-  private def advanceArtifact(s: SparkSession, path: String,
+  private def advanceArtifact(s: SparkSession, spec: Spec, path: String,
       incrementTag: String)(merged: DataFrame => DataFrame): Unit = {
     val stampName = "_advanced_from"
     val stamp = Paths.get(path, stampName)
+    val rel = path.stripPrefix(spec.out).stripPrefix("/")
     if (incrementTag.nonEmpty && Files.exists(stamp) &&
         Files.readString(stamp) == incrementTag) {
       System.err.println(s"[run] profile artifact '$path' was already " +
@@ -1979,7 +2235,9 @@ object Run {
           s"$nStanding — refusing the swap; staged data left at " +
           s"'$staging'")
       Files.writeString(Paths.get(staging, stampName), incrementTag)
+      faultPoint(spec, s"advance:staged:$rel")
       rmTree(Paths.get(path))
+      faultPoint(spec, s"advance:swap:$rel")
       Files.move(Paths.get(staging), Paths.get(path))
     } finally standing.unpersist()
   }

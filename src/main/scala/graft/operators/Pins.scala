@@ -52,7 +52,20 @@ private[graft] object Pins {
   private val rw = new java.util.concurrent.locks.ReentrantReadWriteLock
 
   /** Run `body` as a capture-window sweep: exclusive against every
-    * tracked checkpoint in the JVM (and other sweeps). */
+    * tracked checkpoint in the JVM (and other sweeps).
+    *
+    * STALL SCOPE (ADVICE r17): the write lock is held for the FULL
+    * duration of `body` — and the cursors pass their entire composed
+    * ingest build as the body (pair derivation + contracted CC run +
+    * trainReadyIncremental), minutes of work at scale. For that whole
+    * window every tracked checkpoint JVM-wide BLOCKS: other cursors'
+    * ingests, managed CC/graph runs, any GraphOps RankRun sharing the
+    * SparkContext. This is a deliberate trade — the alternative (track
+    * interior pins at their checkpoint sites) would thread a collector
+    * through every eager checkpoint inside the composed build's call
+    * tree. Schedule concurrent cursor/graph work on one JVM with this
+    * serialization in mind; the per-ingest stall is bounded by one
+    * increment's build, never by corpus size. */
   def sweepWindow[T](body: => T): T = {
     rw.writeLock().lock()
     try body finally rw.writeLock().unlock()

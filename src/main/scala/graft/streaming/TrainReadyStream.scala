@@ -49,7 +49,7 @@ final class TrainReadyCursor private (
     profileSrc: Option[String],
     initManifest: DataFrame, initHashes: DataFrame,
     initPostings: DataFrame, initClusterLabels: DataFrame,
-    initDocCount: Long,
+    initDocCount: Long, initClusteredDocs: Long,
     initTokenSketch: Array[Byte], initLenQuantiles: DataFrame,
     initDistinctContent: DataFrame,
     initSourceDistinct: Option[DataFrame],
@@ -82,6 +82,13 @@ final class TrainReadyCursor private (
   private var postingsC: Ckpt = ckpt(initPostings)
   private var labelsC: Ckpt = ckpt(initClusterLabels)
   private var nPrior: Long = initDocCount
+  // the df-cap tier guard's baseline (VERDICT r17 #2 — graft.Run's
+  // `_df_cap.json`, in-cursor): the doc count the standing label table
+  // was last FULLY derived under. Never advanced by an ingest — only a
+  // re-cluster (close → mode=recluster → reopen, or a fresh apply())
+  // re-baselines it.
+  private val clusteredDocs: Long = initClusteredDocs
+  private var crossed: Boolean = false
   private var tokenSk: Array[Byte] = initTokenSketch
   private var lenQC: Ckpt = ckpt(initLenQuantiles)
   private var distCC: Ckpt = ckpt(initDistinctContent)
@@ -94,6 +101,23 @@ final class TrainReadyCursor private (
 
   /** Docs in the standing corpus (the near-dup df cap's denominator). */
   def docCount: Long = synchronized { nPrior }
+
+  /** The doc count the standing label table was last FULLY derived
+    * under — the tier guard's baseline (graft.Run's `_df_cap.json`
+    * docs field, in-cursor). */
+  def clusteredDocCount: Long = clusteredDocs
+
+  /** TRUE once any ingest has moved the corpus across a df-cap tier
+    * relative to [[clusteredDocCount]] (VERDICT r17 #2): the standing
+    * pair/label artifacts are then no longer exactly union-equivalent,
+    * and every later ingest keeps the flag up (it is the operator's
+    * cue, not a one-shot event). Recovery: stop the stream, re-derive
+    * the labels under the current cap — `mode=recluster` when the
+    * cursor mirrors a Run directory, then [[TrainReadyCursor.overRun]]
+    * to reopen (StreamingWindowSpec pins reopen ≡ from-scratch labels);
+    * or a fresh [[TrainReadyCursor.apply]] over the delivered corpus,
+    * whose constructor re-clusters from scratch. */
+  def capTierCrossed: Boolean = synchronized { crossed }
 
   /** The STANDING near-dup cluster-label table `(doc_id, cluster_rep)` —
     * `graft.Run`'s `index/cluster_labels` artifact, in-cursor (VERDICT
@@ -133,7 +157,15 @@ final class TrainReadyCursor private (
   /** Ingest one batch: fate against the standing artifacts, continue
     * the pack cursor and rank block, advance the artifacts. Returns the
     * NEW standing manifest (prior rows frozen — manifest in ≡ manifest
-    * out, so ingests chain). Empty batches are a no-op. */
+    * out, so ingests chain). Empty batches are a no-op.
+    *
+    * CONCURRENCY (ADVICE r17): the composed build runs inside
+    * [[graft.operators.Pins.sweepWindow]], which holds the JVM-global
+    * capture lock's WRITE side for the whole build — every tracked
+    * checkpoint elsewhere in the JVM (other cursors, managed CC/graph
+    * runs) blocks until this ingest's build completes. One cursor
+    * ingest at a time is the intended deployment shape; see the
+    * sweepWindow scaladoc for the full stall scope. */
   def ingest(batch: DataFrame): DataFrame = synchronized {
     // the checkpointed batch carries the source column only when the
     // per-source profile is configured; the pipeline stages below see
@@ -143,6 +175,26 @@ final class TrainReadyCursor private (
     val b = bC._1
     val n = b.count()
     if (n == 0L) { release(bC); return manifestC._1 }
+    // df-cap tier guard (VERDICT r17 #2 — graft.Run's executeIngest
+    // guard, in-cursor): chained ≡ from-scratch for the standing label
+    // table holds exactly while the corpus-relative df cap equals the
+    // one the table was derived under. A long-lived cursor crossing
+    // 50k/500k docs would otherwise degrade the artifact silently —
+    // warn loudly, latch [[capTierCrossed]], keep ingesting (fates
+    // still land under the standing artifacts, same as Run).
+    val capBase = DedupOps.dfCapFor(clusteredDocs)
+    val capUnion = DedupOps.dfCapFor(nPrior + n)
+    if (capBase != capUnion) {
+      crossed = true
+      System.err.println("[cursor] WARNING: this ingest moves the " +
+        s"corpus across a df-cap tier (cap $capBase at the last full " +
+        s"cluster over $clusteredDocs docs -> cap $capUnion at the " +
+        s"union's ${nPrior + n}): the standing pair/label artifacts " +
+        "are no longer exactly union-equivalent. The cursor proceeds " +
+        "(fates land under the standing artifacts); stop the stream " +
+        "and re-cluster under the current cap (mode=recluster + " +
+        "overRun reopen, or a fresh apply()) — see capTierCrossed.")
+    }
     val sc = b.sparkSession.sparkContext
     // successors first (eager), then release the superseded blocks —
     // the order that keeps every ingest's cost ∝ increment without a
@@ -321,6 +373,7 @@ object TrainReadyCursor {
     val ccRun = DedupOps.connectedComponentsManaged(
       DedupOps.ngramJaccardPairs(prior, "doc_id", "text", minJaccard),
       "da", "db")
+    val nPrior = priorCorpus.count()
     val cursor = new TrainReadyCursor(bench, id, text, cap, epoch,
       formatter,
       startRateBp, meanSpan, fimRateBp, minJaccard, contamN,
@@ -331,7 +384,10 @@ object TrainReadyCursor {
         .select(md5(col("text").cast("binary")).as("h")),
       initPostings = DedupOps.ngramPostings(prior, "doc_id", "text"),
       initClusterLabels = ccRun.labels,
-      initDocCount = priorCorpus.count(),
+      initDocCount = nPrior,
+      // the labels above are derived from scratch over the prior corpus
+      // right here, so the tier baseline IS the prior count
+      initClusteredDocs = nPrior,
       initTokenSketch = graft.operators.TextOps
         .tokenSketchBytes(prior, "text").head().getAs[Array[Byte]]("sk"),
       initLenQuantiles = lenSketch(prior, "doc_id", "text"),
@@ -342,5 +398,95 @@ object TrainReadyCursor {
         sourceLenSketch(prior, src, "text")))
     ccRun.release() // the constructor's eager ckpt re-materialized them
     cursor
+  }
+
+  /** Open a cursor OVER A `graft.Run` BUILD DIRECTORY — the streaming
+    * continuation of the batch lifecycle: every standing artifact
+    * bootstraps from the persisted build/ingest state (manifest, hash
+    * table, posting index, the r17 `index/cluster_labels` table, the
+    * three profile sketches, the per-source dimension when configured)
+    * instead of being re-derived, so opening over a 100 TB build costs
+    * parquet scans of the artifacts, never a corpus pass or a
+    * re-cluster. The df-cap tier baseline comes from the build's
+    * `index/_df_cap.json` (VERDICT r17 #2) — so a cursor opened over a
+    * directory whose ingests already crossed a tier flags on its FIRST
+    * ingest, exactly like `Run.executeIngest` would.
+    *
+    * Same-config rule (as [[apply]]): cap/formatter/rates/minJaccard/
+    * contamN must be the ones the directory was built with (the batch
+    * incremental's contract — the stored `_spec_fingerprint.json`
+    * records them).
+    *
+    * The cursor advances IN-MEMORY state only; it never writes back to
+    * `out`. The recovery handoff on a tier crossing is therefore:
+    * ingest the same batches into the directory (`mode=ingest` — the
+    * batch twin), stop the cursor, run `mode=recluster`, and reopen
+    * with `overRun` — StreamingWindowSpec pins reopened labels ≡
+    * from-scratch over the full ingested union. */
+  def overRun(out: String, bench: DataFrame, id: String = "doc_id",
+      text: String = "text", cap: Double = 4096.0,
+      epoch: String = "ep1", formatter: String = "span",
+      startRateBp: Int = 500, meanSpan: Int = 3, fimRateBp: Int = 9000,
+      minJaccard: Double = 0.1, contamN: Int = 8,
+      profileSource: Option[String] = None): TrainReadyCursor = {
+    val s = bench.sparkSession
+    import java.nio.file.{Files, Paths}
+    def done(art: String): Boolean =
+      Files.exists(Paths.get(out, art, "_SUCCESS"))
+    Seq("manifest", "index/hashes", "index/postings",
+      "index/cluster_labels", "stats/token_sketch", "stats/len_quantiles",
+      "stats/distinct_content").foreach { a =>
+      require(done(a), s"'$out/$a' is missing or incomplete — overRun " +
+        "opens a completed graft.Run build directory (for a pre-label " +
+        "directory run \"mode\": \"recluster\" first; it creates " +
+        "index/cluster_labels from the posting index)")
+    }
+    profileSource.foreach { _ =>
+      Seq("stats/source_distinct", "stats/source_len").foreach(a =>
+        require(done(a), s"'$out/$a' is missing — the build was not " +
+          "run with a profileSource; open without one or re-run " +
+          "\"mode\": \"stats\" with the source configured"))
+    }
+    val manifest = s.read.parquet(s"$out/manifest")
+    val nDocs = manifest.count()
+    val capPath = Paths.get(out, "index", "_df_cap.json")
+    val clusteredDocs =
+      if (Files.exists(capPath))
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(Files.readString(capPath)).get("docs").asLong
+      else {
+        System.err.println(s"[cursor] WARNING: '$out' has no " +
+          "index/_df_cap.json baseline (pre-r17 build?) — the tier " +
+          "guard baselines to the CURRENT manifest count; run " +
+          "\"mode\": \"recluster\" to create the real baseline.")
+        nDocs
+      }
+    new TrainReadyCursor(bench, id, text, cap, epoch, formatter,
+      startRateBp, meanSpan, fimRateBp, minJaccard, contamN,
+      profileSrc = profileSource,
+      initManifest = manifest
+        .select("doc_id", "fate", "n_tok", "chunk", "rank"),
+      initHashes = s.read.parquet(s"$out/index/hashes"),
+      // Run persists the RAW append-only store (doc_id, sh64); the
+      // cursor's in-memory index carries the denormalized df (the
+      // ngramPostings shape its append/pair kernels consume) — re-count
+      // it here once, the same index-wide pass a from-scratch apply()
+      // pays inside ngramPostings
+      initPostings = s.read.parquet(s"$out/index/postings")
+        .select("doc_id", "sh64")
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("sh64"))),
+      initClusterLabels = s.read.parquet(s"$out/index/cluster_labels")
+        .select("doc_id", "cluster_rep"),
+      initDocCount = nDocs,
+      initClusteredDocs = clusteredDocs,
+      initTokenSketch = s.read.parquet(s"$out/stats/token_sketch")
+        .head().getAs[Array[Byte]]("sk"),
+      initLenQuantiles = s.read.parquet(s"$out/stats/len_quantiles"),
+      initDistinctContent = s.read.parquet(s"$out/stats/distinct_content"),
+      initSourceDistinct = profileSource.map(_ =>
+        s.read.parquet(s"$out/stats/source_distinct")),
+      initSourceLen = profileSource.map(_ =>
+        s.read.parquet(s"$out/stats/source_len")))
   }
 }

@@ -1290,4 +1290,308 @@ class RunSpec extends SparkSpec {
     assert(e2.getMessage.contains("shape") ||
       e2.getMessage.contains("codebook"), e2.getMessage)
   }
+
+  test("Run fault injection (ingest): crash at every seam -> audit flags -> repair rolls back -> retried ingest == uninterrupted (VERDICT r17 #4)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-run-fault").toFile
+      .getAbsolutePath
+    def nearDupOf(prefix: String, tail: String): String =
+      ("the" +: (words(prefix, 28) ++ words(tail, 3)) :+ "and").mkString(" ")
+    def cluster(base: Array[Float], ids: Range, wiggle: Float) =
+      ids.map { i =>
+        (i.toLong, Array.tabulate(3)(j =>
+          base(j) + (if (j == (i % 3)) wiggle * (1 + i % 3) else 0f)))
+      }
+    // a corpus with a real near-dup cluster (the label advance must have
+    // work to do), sources (per-source profile), and vectors (ann
+    // appends) — so every journal-covered artifact actually mutates
+    val corpus = Seq(
+      (1L, clean("alpha"), "web"), (2L, clean("beta"), "web"),
+      (3L, nearDupOf("beta", "zz"), "books"), (4L, clean("gamma"), "web"))
+      .toDF("id", "body", "src")
+    val inc = Seq(
+      (11L, nearDupOf("beta", "qq"), "web"), // touches the beta cluster
+      (12L, clean("delta"), "forums"))
+      .toDF("id", "body", "src")
+    val bench = Seq((100L, words("bench", 20).mkString(" ")))
+      .toDF("id", "body")
+    corpus.write.parquet(s"$dir/corpus")
+    inc.write.parquet(s"$dir/inc")
+    bench.write.parquet(s"$dir/bench")
+    cluster(Array(1f, 0f, 0f), 0 until 20, 0.05f)
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/vecs")
+    cluster(Array(1f, 0f, 0f), 100 until 110, 0.05f)
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/vecsInc")
+    val m = new ObjectMapper()
+    def exec(json: String) = m.readTree(Run.execute(s, Run.parseSpec(json)))
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.walk(from)
+      try st.iterator().asScala.foreach { p =>
+        val t = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      } finally st.close()
+    }
+    exec(s"""{"corpus": "$dir/corpus", "benchmark": "$dir/bench",
+      | "out": "$dir/base", "id": "id", "text": "body", "cap": 16,
+      | "formatter": "plain", "chunksPerPart": 2,
+      | "vectors": "$dir/vecs", "nlist": 2,
+      | "profileSource": "src"}""".stripMargin)
+    def ingestJson(out: String, failAt: String) =
+      s"""{"mode": "ingest", "increment": "$dir/inc",
+         | "benchmark": "$dir/bench", "out": "$out", "id": "id",
+         | "text": "body", "cap": 16, "formatter": "plain",
+         | "chunksPerPart": 2, "vectors": "$dir/vecsInc", "nlist": 2,
+         | "profileSource": "src"${
+        if (failAt.isEmpty) "" else s""", "failAt": "$failAt""""
+      }}""".stripMargin
+    // the golden run: the same ingest, uninterrupted
+    copyTree(java.nio.file.Paths.get(s"$dir/base"),
+      java.nio.file.Paths.get(s"$dir/golden"))
+    exec(ingestJson(s"$dir/golden", ""))
+    def rows(c: String, art: String): Seq[String] =
+      s.read.parquet(s"$c/$art").collect().map(_.toString).sorted.toSeq
+    def estimates(c: String): Seq[String] = {
+      import graft.operators.RelationalOps
+      RelationalOps.quantileSketchEstimate(
+          s.read.parquet(s"$c/stats/len_quantiles"), "grp", Seq(0.5, 0.9))
+        .collect().map(_.toString).sorted.toSeq ++
+      RelationalOps.distinctSketchEstimate(
+          s.read.parquet(s"$c/stats/distinct_content"), "grp")
+        .collect().map(_.toString).sorted.toSeq ++
+      RelationalOps.distinctSketchEstimate(
+          s.read.parquet(s"$c/stats/source_distinct"), "grp")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val arts = Seq("manifest", "index/hashes", "index/postings",
+      "index/cluster_labels", "windows", "ann/assignment")
+    val golden = arts.map(a => a -> rows(s"$dir/golden", a)).toMap
+    val goldenEst = estimates(s"$dir/golden")
+    def auditOk(c: String): Boolean =
+      exec(s"""{"mode": "audit", "out": "$c"}""").get("ok").asBoolean
+
+    // every seam of the ingest path, in execution order — including the
+    // staged-swap interior seams of a profile advance and of the label
+    // advance (after staging write / between delete and move)
+    val seams = Seq(
+      "ingest:after_journal",
+      "ingest:after_manifest_append",
+      "ingest:after_windows",
+      "ingest:mid_index_append",
+      "ingest:mid_profile_advance",
+      "advance:staged:stats/len_quantiles",
+      "advance:swap:stats/distinct_content",
+      "advance:staged:stats/source_distinct",
+      "ingest:before_label_advance",
+      "advance:staged:index/cluster_labels",
+      "advance:swap:index/cluster_labels",
+      "ingest:after_ann_append")
+    seams.foreach { seam =>
+      val c = s"$dir/f_${seam.replaceAll("[^a-zA-Z0-9]", "_")}"
+      copyTree(java.nio.file.Paths.get(s"$dir/base"),
+        java.nio.file.Paths.get(c))
+      val e = intercept[Run.InjectedFault](
+        Run.execute(s, Run.parseSpec(ingestJson(c, seam))))
+      assert(e.getMessage.contains(seam), s"$seam: ${e.getMessage}")
+      // the journal is pending -> the audit must flag the crash
+      assert(!auditOk(c), s"$seam: audit passed on a crashed ingest")
+      val r = exec(s"""{"mode": "repair", "out": "$c"}""")
+      val acts = (0 until r.get("actions").size).map(r.get("actions").get)
+        .map(_.get("action").asText)
+      assert(acts.contains("rolled_back_ingest"), s"$seam: $r")
+      assert(auditOk(c), s"$seam: audit failed after repair")
+      // rolled back == the pre-ingest directory, then the retried
+      // ingest lands exactly the uninterrupted result
+      arts.foreach(a => assert(rows(c, a) == rows(s"$dir/base", a),
+        s"$seam: '$a' not restored to pre-ingest state"))
+      exec(ingestJson(c, ""))
+      arts.foreach(a => assert(rows(c, a) == golden(a),
+        s"$seam: retried ingest diverged from uninterrupted on '$a'"))
+      assert(estimates(c) == goldenEst,
+        s"$seam: retried profile estimates diverged")
+      assert(auditOk(c), s"$seam: audit failed after the retried ingest")
+    }
+  }
+
+  test("Run fault injection (recluster/retrain/compact/build): staged-swap seams crash -> repair resolves -> retried job completes (VERDICT r17 #4)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-run-fault2").toFile
+      .getAbsolutePath
+    def nearDupOf(prefix: String, tail: String): String =
+      ("the" +: (words(prefix, 28) ++ words(tail, 3)) :+ "and").mkString(" ")
+    def cluster(base: Array[Float], ids: Range, wiggle: Float) =
+      ids.map { i =>
+        (i.toLong, Array.tabulate(3)(j =>
+          base(j) + (if (j == (i % 3)) wiggle * (1 + i % 3) else 0f)))
+      }
+    val corpus = Seq(
+      (1L, clean("alpha")), (2L, clean("beta")),
+      (3L, nearDupOf("beta", "zz"))).toDF("id", "body")
+    val bench = Seq((100L, words("bench", 20).mkString(" ")))
+      .toDF("id", "body")
+    corpus.write.parquet(s"$dir/corpus")
+    bench.write.parquet(s"$dir/bench")
+    cluster(Array(1f, 0f, 0f), 0 until 20, 0.05f)
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/vecs")
+    val m = new ObjectMapper()
+    def exec(json: String) = m.readTree(Run.execute(s, Run.parseSpec(json)))
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.walk(from)
+      try st.iterator().asScala.foreach { p =>
+        val t = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      } finally st.close()
+    }
+    def base(mode: String, out: String, extra: String) =
+      s"""{$extra "benchmark": "$dir/bench", "out": "$out",
+         | "id": "id", "text": "body", "cap": 16, "formatter": "plain",
+         | "chunksPerPart": 2, "mode": "$mode"}""".stripMargin
+    exec(base("build", s"$dir/build",
+      s""""corpus": "$dir/corpus", "vectors": "$dir/vecs", "nlist": 2,"""))
+    def auditOk(c: String): Boolean =
+      exec(s"""{"mode": "audit", "out": "$c"}""").get("ok").asBoolean
+    def rows(c: String, art: String): Seq[String] =
+      s.read.parquet(s"$c/$art").collect().map(_.toString).sorted.toSeq
+
+    // driver: copy the build, crash the job at the seam, repair, retry,
+    // then the target artifact matches the uninterrupted run's
+    def drill(name: String, seam: String, jobJson: String => String,
+        expectAction: String, art: String, auditFlags: Boolean = true)
+        : Unit = {
+      val c = s"$dir/g_$name"
+      copyTree(java.nio.file.Paths.get(s"$dir/build"),
+        java.nio.file.Paths.get(c))
+      val g = s"$dir/g_${name}_golden"
+      copyTree(java.nio.file.Paths.get(s"$dir/build"),
+        java.nio.file.Paths.get(g))
+      exec(jobJson(g)) // uninterrupted
+      val e = intercept[Run.InjectedFault](
+        Run.execute(s, Run.parseSpec(
+          jobJson(c).dropRight(1) + s""", "failAt": "$seam"}""")))
+      assert(e.getMessage.contains(seam), s"$name: ${e.getMessage}")
+      if (auditFlags)
+        assert(!auditOk(c), s"$name: audit passed on the crash state")
+      val r = exec(s"""{"mode": "repair", "out": "$c"}""")
+      val acts = (0 until r.get("actions").size).map(r.get("actions").get)
+        .map(_.get("action").asText)
+      if (expectAction.nonEmpty)
+        assert(acts.contains(expectAction), s"$name: $r")
+      assert(auditOk(c), s"$name: audit failed after repair")
+      exec(jobJson(c)) // the retried job (idempotent over the repaired state)
+      assert(rows(c, art) == rows(g, art),
+        s"$name: retried job diverged from uninterrupted on '$art'")
+      assert(auditOk(c), s"$name: audit failed after the retried job")
+    }
+
+    def reclusterJson(out: String) = base("recluster", out,
+      """"nlist": 2,""")
+    // staged: original intact -> repair rolls the staging back
+    drill("rc_staged", "recluster:staged", reclusterJson,
+      "rolled_back_swap", "index/cluster_labels")
+    // swap gap: original deleted -> repair completes the swap and
+    // re-baselines from the staging's _recluster_docs marker
+    drill("rc_swap", "recluster:swap", reclusterJson,
+      "completed_swap", "index/cluster_labels")
+    // before_dfcap: the move landed, only the re-baseline is missing —
+    // invisible to the audit (the stale baseline only over-fires the
+    // tier guard, the safe direction); the retried job rewrites it
+    drill("rc_dfcap", "recluster:before_dfcap", reclusterJson,
+      "", "index/cluster_labels", auditFlags = false)
+
+    def retrainJson(out: String) = base("retrain", out,
+      s""""vectors": "$dir/vecs", "nlist": 2,""")
+    drill("rt_staged", "retrain:staged", retrainJson,
+      "rolled_back_swap", "ann/assignment")
+    drill("rt_swap", "retrain:swap", retrainJson,
+      "completed_swap", "ann/assignment")
+
+    def compactJson(out: String) = base("compact", out, """"nlist": 2,""")
+    drill("cp_staged", "compact:staged:manifest", compactJson,
+      "rolled_back_swap", "manifest")
+    drill("cp_swap", "compact:swap:manifest", compactJson,
+      "completed_swap", "manifest")
+
+    // build seam: crash between the df-cap baseline write and the label
+    // write — the resume build (same spec, overwrite=false) redoes stage
+    // 0 and rewrites BOTH, landing the golden build exactly
+    val bj = base("build", s"$dir/g_build",
+      s""""corpus": "$dir/corpus", "vectors": "$dir/vecs", "nlist": 2,""")
+    val e = intercept[Run.InjectedFault](Run.execute(s, Run.parseSpec(
+      bj.dropRight(1) + s""", "failAt": "build:after_dfcap"}""")))
+    assert(e.getMessage.contains("build:after_dfcap"))
+    assert(Files.exists(java.nio.file.Paths.get(
+        s"$dir/g_build/index/_df_cap.json")) &&
+      !Files.exists(java.nio.file.Paths.get(
+        s"$dir/g_build/index/cluster_labels/_SUCCESS")),
+      "the seam must land between the baseline and the labels")
+    exec(bj) // resume
+    assert(rows(s"$dir/g_build", "index/cluster_labels") ==
+      rows(s"$dir/build", "index/cluster_labels"),
+      "resumed build labels diverged")
+    assert(auditOk(s"$dir/g_build"), "resumed build failed the audit")
+  }
+
+  test("Run build stage 0 refuses a from-corpus label rebuild on an already-ingested directory (ADVICE r17)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-run-stale").toFile
+      .getAbsolutePath
+    val corpus = Seq((1L, clean("alpha")), (2L, clean("beta")))
+      .toDF("id", "body")
+    val inc = Seq((11L, clean("gamma"))).toDF("id", "body")
+    val bench = Seq((100L, words("bench", 20).mkString(" ")))
+      .toDF("id", "body")
+    corpus.write.parquet(s"$dir/corpus")
+    inc.write.parquet(s"$dir/inc")
+    bench.write.parquet(s"$dir/bench")
+    val m = new ObjectMapper()
+    def exec(json: String) = m.readTree(Run.execute(s, Run.parseSpec(json)))
+    def buildJson = s"""{"corpus": "$dir/corpus",
+      | "benchmark": "$dir/bench", "out": "$dir/build", "id": "id",
+      | "text": "body", "cap": 16, "formatter": "plain",
+      | "chunksPerPart": 2}""".stripMargin
+    exec(buildJson)
+    exec(s"""{"mode": "ingest", "increment": "$dir/inc",
+      | "benchmark": "$dir/bench", "out": "$dir/build", "id": "id",
+      | "text": "body", "cap": 16, "formatter": "plain",
+      | "chunksPerPart": 2}""".stripMargin)
+    // simulate the pre-r17 upgrade path: the label artifact is missing
+    // but the manifest already holds ingested docs — a resume build
+    // would re-derive labels from the ORIGINAL corpus and silently omit
+    // prior<->prior clusters among ingested docs
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.walk(p)
+      try st.iterator().asScala.toVector.reverseIterator
+        .foreach(java.nio.file.Files.delete)
+      finally st.close()
+    }
+    rmTree(java.nio.file.Paths.get(s"$dir/build/index/cluster_labels"))
+    val e = intercept[IllegalArgumentException](
+      Run.execute(s, Run.parseSpec(buildJson)))
+    assert(e.getMessage.contains("recluster") &&
+      e.getMessage.contains("taken ingests"), e.getMessage)
+    // the recovery the refusal names actually works: recluster derives
+    // from the posting index (covers ALL ingested docs) and the next
+    // resume build is a no-op pass over completed stages
+    exec(s"""{"mode": "recluster", "benchmark": "$dir/bench",
+      | "out": "$dir/build", "id": "id", "text": "body", "cap": 16,
+      | "formatter": "plain", "chunksPerPart": 2}""".stripMargin)
+    val scratch = graft.operators.DedupOps.connectedComponents(
+      graft.operators.DedupOps.ngramJaccardPairs(
+        corpus.unionByName(inc)
+          .select(col("id").as("doc_id"), col("body").as("text")),
+        "doc_id", "text", 0.1), "da", "db")
+      .collect().map(_.toString).sorted.toSeq
+    assert(s.read.parquet(s"$dir/build/index/cluster_labels")
+      .collect().map(_.toString).sorted.toSeq == scratch,
+      "reclustered labels != from-scratch over the full ingested union")
+  }
 }

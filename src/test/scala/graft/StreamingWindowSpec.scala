@@ -862,4 +862,90 @@ class StreamingWindowSpec extends SparkSpec {
         s"planted heavy hitters missing: ${cm.keySet}")
     } finally q.stop()
   }
+
+  test("cursor df-cap tier guard: a real 50k crossing flags; close -> recluster -> overRun reopen == from-scratch labels (VERDICT r17 #2)") {
+    val s = spark
+    import s.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => f"$prefix$i%02d")
+    def clean(prefix: String): String =
+      ("the" +: words(prefix, 31) :+ "and").mkString(" ")
+    def nearDupOf(prefix: String, tail: String): String =
+      ("the" +: (words(prefix, 28) ++ words(tail, 3)) :+ "and").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cursor-tier")
+      .toFile.getAbsolutePath
+    // a REAL crossing (the RunSpec tier fixture): 49,702 prior docs (cap
+    // clamps at 100) + a 900-doc batch -> 50,602 union (cap 101). The
+    // 4-token fillers produce no 8-gram shingles, so the pair machinery
+    // only ever sees the planted beta cluster.
+    val prior = ((0 until 49700).map(i =>
+      (i.toLong, s"w${i}a w${i}b w${i}c w${i}d")) ++
+      Seq((60001L, clean("beta")), (60002L, nearDupOf("beta", "zz"))))
+      .toDF("id", "body")
+    val batch1 = ((0 until 899).map(i =>
+      (70000L + i, s"x${i}a x${i}b x${i}c x${i}d")) ++
+      Seq((79000L, nearDupOf("beta", "qq")))).toDF("id", "body")
+    val batch2 = Seq((80001L, nearDupOf("beta", "vv")),
+      (80002L, clean("theta"))).toDF("id", "body")
+    val bench = Seq((100L, words("bench", 20).mkString(" ")))
+      .toDF("id", "body")
+    prior.write.parquet(s"$dir/prior")
+    batch1.write.parquet(s"$dir/b1")
+    bench.write.parquet(s"$dir/bench")
+    def exec(json: String): Unit = { Run.execute(s, Run.parseSpec(json)); () }
+    def spec(mode: String, extra: String) =
+      s"""{$extra "benchmark": "$dir/bench", "out": "$dir/build",
+         | "id": "id", "text": "body", "cap": 64,
+         | "formatter": "plain", "mode": "$mode"}""".stripMargin
+    exec(spec("build", s""""corpus": "$dir/prior","""))
+
+    // open the streaming continuation over the build directory: the
+    // tier baseline bootstraps from index/_df_cap.json
+    val cursor = graft.streaming.TrainReadyCursor.overRun(
+      s"$dir/build", bench, id = "id", text = "body", cap = 64.0,
+      formatter = "plain")
+    assert(cursor.clusteredDocCount == 49702L && !cursor.capTierCrossed,
+      s"baseline must come from _df_cap.json: ${cursor.clusteredDocCount}")
+    assert(cursor.docCount == 49702L)
+    // the crossing batch flags — and the flag LATCHES (it is the
+    // operator's standing cue, not a one-shot warning)
+    cursor.ingest(batch1.toDF("id", "body"))
+    assert(cursor.capTierCrossed,
+      "a 50k-crossing ingest must latch capTierCrossed")
+    assert(cursor.docCount == 50602L)
+
+    // recovery handoff: the same batch goes into the DIRECTORY through
+    // the batch twin (the cursor advances in-memory state only), the
+    // cursor is closed, recluster re-derives the labels from the
+    // posting index under the current cap, and a REOPENED cursor
+    // bootstraps the rebuilt table + fresh baseline
+    exec(spec("ingest", s""""increment": "$dir/b1","""))
+    exec(spec("recluster", ""))
+    val reopened = graft.streaming.TrainReadyCursor.overRun(
+      s"$dir/build", bench, id = "id", text = "body", cap = 64.0,
+      formatter = "plain")
+    assert(reopened.clusteredDocCount == 50602L && !reopened.capTierCrossed,
+      s"recluster must re-baseline: ${reopened.clusteredDocCount}")
+    // reopen parity: the reopened standing labels == a from-scratch
+    // connectedComponents over the full ingested union's pairs
+    val union = prior.unionByName(batch1)
+    def scratchLabels(corpus: org.apache.spark.sql.DataFrame) =
+      graft.operators.DedupOps.connectedComponents(
+        graft.operators.DedupOps.ngramJaccardPairs(
+          corpus.select(col("id").as("doc_id"), col("body").as("text")),
+          "doc_id", "text", 0.1), "da", "db")
+        .collect().map(_.toString).sorted.toSeq
+    assert(reopened.clusterLabels.collect().map(_.toString).sorted.toSeq ==
+      scratchLabels(union),
+      "reopened labels != from-scratch over the ingested union")
+    // and the reopened cursor CONTINUES correctly: a small next batch
+    // stays under the re-baselined cap (quiet guard) and its label
+    // advance still equals from-scratch over everything delivered
+    reopened.ingest(batch2.toDF("id", "body"))
+    assert(!reopened.capTierCrossed,
+      "the re-baselined guard must stay quiet under the same tier")
+    assert(reopened.clusterLabels.collect().map(_.toString).sorted.toSeq ==
+      scratchLabels(union.unionByName(batch2)),
+      "post-reopen label advance diverged from from-scratch")
+  }
 }

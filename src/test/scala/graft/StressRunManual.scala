@@ -126,30 +126,46 @@ object StressRunManual {
       (b, i, rc, st, c, a)
     }
 
-    val (b1, i1, r1, s1, c1, a1) = lifecycle("1x", base)
-    val (b10, i10, r10, s10, c10, a10) = lifecycle("10x", base * 10)
-    val rb = b10 / b1
-    val ri = i10 / i1
-    println(f"[stress-run] build  $b1%.1f -> $b10%.1f s (${rb}%.1fx)")
-    println(f"[stress-run] ingest $i1%.1f -> $i10%.1f s (${ri}%.1fx)  " +
-      f"[fixed $incN-doc increment]")
-    println(f"[stress-run] recluster $r1%.1f -> $r10%.1f s (${r10 / r1}%.1fx)")
-    println(f"[stress-run] stats  $s1%.1f -> $s10%.1f s (${s10 / s1}%.1fx)")
-    println(f"[stress-run] compact $c1%.1f -> $c10%.1f s (${c10 / c1}%.1fx)")
-    println(f"[stress-run] audit  $a1%.1f -> $a10%.1f s (${a10 / a1}%.1fx)")
-    // the claim: a fixed-size ingest stays NEAR-FLAT across a 10x
-    // corpus (the standing-artifact design prices ingests by the
-    // increment; residual growth is index-scan volume + box noise);
-    // when the build has left its constants-dominated regime (rb >= 2),
-    // the ingest's growth must also sit far below it
-    assert(ri < 2.0,
-      f"ingest wall tracks the corpus ($ri%.1fx across a 10x corpus) — " +
-        "a corpus-proportional ingest term")
-    assert(rb < 2.0 || ri < rb / 2.0,
-      f"ingest growth ($ri%.1fx) does not separate from the build's " +
-        f"(${rb}%.1fx)")
+    // the SCALE LADDER (VERDICT r17 #5): default 1x,10x; set
+    // SPARK_GRAFT_STRESS_RUN_SCALES=1,10,100 for the decade-deeper
+    // 6M-doc rung (100x of the 60k base). Every consecutive rung pair
+    // must satisfy the same separation claims — the flat-ingest and
+    // sublinear-recluster story has to hold for ANOTHER decade, not
+    // just the first one.
+    val scales = sys.env.getOrElse("SPARK_GRAFT_STRESS_RUN_SCALES", "1,10")
+      .split(",").map(_.trim.toLong).toSeq
+    require(scales.size >= 2 && scales == scales.sorted,
+      s"SPARK_GRAFT_STRESS_RUN_SCALES must be >=2 ascending ints: $scales")
+    val walls = scales.map(m =>
+      m -> lifecycle(s"${m}x", base * m))
+    walls.zip(walls.tail).foreach { case ((mA, wA), (mB, wB)) =>
+      val step = mB / mA
+      val (b1, i1, r1, s1, c1, a1) = wA
+      val (b10, i10, r10, s10, c10, a10) = wB
+      val rb = b10 / b1
+      val ri = i10 / i1
+      println(f"[stress-run] == rung ${mA}x -> ${mB}x (${step}x docs) ==")
+      println(f"[stress-run] build  $b1%.1f -> $b10%.1f s (${rb}%.1fx)")
+      println(f"[stress-run] ingest $i1%.1f -> $i10%.1f s (${ri}%.1fx)  " +
+        f"[fixed $incN-doc increment]")
+      println(f"[stress-run] recluster $r1%.1f -> $r10%.1f s (${r10 / r1}%.1fx)")
+      println(f"[stress-run] stats  $s1%.1f -> $s10%.1f s (${s10 / s1}%.1fx)")
+      println(f"[stress-run] compact $c1%.1f -> $c10%.1f s (${c10 / c1}%.1fx)")
+      println(f"[stress-run] audit  $a1%.1f -> $a10%.1f s (${a10 / a1}%.1fx)")
+      // the claim, per rung: a fixed-size ingest stays NEAR-FLAT across
+      // the corpus growth (the standing-artifact design prices ingests
+      // by the increment; residual growth is index-scan volume + box
+      // noise); when the build has left its constants-dominated regime
+      // (rb >= 2), the ingest's growth must also sit far below it
+      assert(ri < 2.0,
+        f"ingest wall tracks the corpus ($ri%.1fx across a ${step}x " +
+          "corpus) — a corpus-proportional ingest term")
+      assert(rb < 2.0 || ri < rb / 2.0,
+        f"ingest growth ($ri%.1fx) does not separate from the build's " +
+          f"(${rb}%.1fx)")
+    }
     println("[stress-run] PASS: ingest scales with the increment, " +
-      "build with the corpus")
+      s"build with the corpus, across ${scales.mkString("/")}x")
     spark.stop()
   }
 }
