@@ -937,6 +937,14 @@ object Run {
     * ONLY mechanically safe actions and reports everything else as
     * `manual` with guidance:
     *
+    *   - a pending ingest journal (`_ingest_pending.json`, r18): the
+    *     crashed ingest is ROLLED BACK byte-exact — unrecorded files in
+    *     the append artifacts deleted, the replaced window parts and
+    *     rewrite artifacts restored from the journal's backups — after
+    *     which the SAME ingest re-runs as if the crash never happened
+    *     (ingest itself refuses to run over a pending journal); an
+    *     orphan `_ingest_backup` without the journal is setup debris
+    *     from a crash before any mutation — deleted
     *   - interrupted staged swaps (`*__compact` / `*__advance` /
     *     `*__recluster` / `ann__retrain`): COMPLETED (staging moved into
     *     place) when the original is gone and the staging is
@@ -1871,6 +1879,15 @@ object Run {
   private def executeIngest(s: SparkSession, spec: Spec): String = {
     require(spec.mixtureSource.isEmpty,
       "mode 'ingest' does not support mixtureSource (a batch-build stage)")
+    // a pending journal marks a CRASHED ingest whose partial appends are
+    // still on disk — re-running over them would double rows AND
+    // overwrite the journal's pre-ingest record with the crash state,
+    // destroying the rollback. Refuse; the recovery is one repair away.
+    require(!Files.exists(Paths.get(spec.out, JournalName)),
+      s"'${spec.out}' carries a pending ingest journal ($JournalName) — " +
+        "a previous ingest crashed mid-write. Run \"mode\": \"repair\" " +
+        "to roll it back to the pre-ingest state, then re-run this " +
+        "ingest.")
     checkIngestFingerprint(spec)
     val out = spec.out
     val inc = s.read.parquet(spec.increment.get)

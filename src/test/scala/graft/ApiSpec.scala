@@ -3046,4 +3046,20 @@ class ApiSpec extends SparkSpec {
     assert(got == Map(2L -> "changed", 3L -> "changed",
       4L -> "added", 5L -> "removed"), s"got $got")
   }
+
+  test("influenceRelation is column-parameterized and weights parallel edges with multiplicity") {
+    // the r18 shared-prefix entry point on an arbitrary frame: one row
+    // per EDGE ROW (parallel edges keep one row each — their duplicate
+    // weight is pageRank's multiplicity semantics), w = 1/outdeg(src)
+    val s = spark
+    import s.implicits._
+    val edges = Seq(("u", "v"), ("u", "v"), ("u", "w"), ("w", "u"))
+      .toDF("frm", "dst")
+    val got = graft.operators.GraphOps
+      .influenceRelation(edges, "frm", "dst")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(got == Seq(("u", "v", 1.0 / 3), ("u", "v", 1.0 / 3),
+      ("u", "w", 1.0 / 3), ("w", "u", 1.0)), s"got $got")
+  }
 }

@@ -1396,8 +1396,14 @@ class RunSpec extends SparkSpec {
       val e = intercept[Run.InjectedFault](
         Run.execute(s, Run.parseSpec(ingestJson(c, seam))))
       assert(e.getMessage.contains(seam), s"$seam: ${e.getMessage}")
-      // the journal is pending -> the audit must flag the crash
+      // the journal is pending -> the audit must flag the crash, and a
+      // blind re-run (no repair) must REFUSE rather than double-append
+      // over the partial state and destroy the rollback record
       assert(!auditOk(c), s"$seam: audit passed on a crashed ingest")
+      val eRefuse = intercept[IllegalArgumentException](
+        Run.execute(s, Run.parseSpec(ingestJson(c, ""))))
+      assert(eRefuse.getMessage.contains("pending ingest journal"),
+        s"$seam: ${eRefuse.getMessage}")
       val r = exec(s"""{"mode": "repair", "out": "$c"}""")
       val acts = (0 until r.get("actions").size).map(r.get("actions").get)
         .map(_.get("action").asText)

@@ -19,8 +19,13 @@ import org.apache.spark.sql.functions._
   *
   * Run: `SPARK_GRAFT_CPUS=32 sbt "Test/runMain graft.StressRunManual"`
   * (env: SPARK_GRAFT_STRESS_RUN_DOCS overrides the 1× corpus size,
-  * default 15,000 docs; the increment is fixed at 1,500 docs at both
-  * scales; embeddings are 8-dim, one per doc).
+  * default 60,000 docs; the increment is fixed at 1,500 docs at every
+  * scale; embeddings are 8-dim, one per doc;
+  * SPARK_GRAFT_STRESS_RUN_SCALES — default "1,10" — sets the ladder,
+  * e.g. "1,10,100" adds the 6M-doc decade; shuffle partitions scale
+  * with the rung (~50k docs/task) so every rung runs the 1× memory
+  * profile inside the default 8g heap — see the note at the
+  * lifecycle head for the two measured failure modes this avoids).
   */
 object StressRunManual {
 
@@ -65,6 +70,17 @@ object StressRunManual {
       * returns (build, ingest, recluster, stats, compact, audit) walls. */
     def lifecycle(tag: String,
         n: Long): (Double, Double, Double, Double, Double, Double) = {
+      // Size the shuffle grid to the rung (the 100 TB rule: partitions
+      // sized so per-task working sets fit executor memory at the
+      // target scale): the 32-partition default that fits the 8g
+      // bench-tuned heap at 60k docs overflows it at 6M (measured r18:
+      // UNABLE_TO_ACQUIRE_MEMORY in the build's pack sort), and
+      // "fixing" it by raising the heap to 48g trades the OOM for G1
+      // mixed-collection stalls that inflate the 10x ingest 2.5x (the
+      // build.sbt -Xmx comment's exact pathology). ~50k docs per task
+      // keeps every rung at the 1x memory profile.
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(cpus.toInt, (n / 50000L).toInt).toString)
       val dir = Files.createTempDirectory(s"graft-stress-run-$tag")
         .toFile.getAbsolutePath
       corpus(spark, 0, n).write.parquet(s"$dir/corpus")
