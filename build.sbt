@@ -37,4 +37,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // while at 8g collections stay small and frequent. Don't "fix" GC noise
   // by raising this again without re-measuring the full run.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // OOM forensics (VERDICT r18 #1b): the r18 driver bench died with
+  // Spark's exit code 52 (SparkUncaughtExceptionHandler on an
+  // OutOfMemoryError) and left nothing to attribute the spike to. A
+  // heap dump at the moment of death names the allocation.
+  "-XX:+HeapDumpOnOutOfMemoryError",
+  "-XX:HeapDumpPath=/tmp",
 )

@@ -34,6 +34,13 @@ import org.apache.spark.sql.SparkSession
   *    drifted 17-44% on unchanged code, within the box's documented load
   *    noise; the spread column lets a reader separate noise from
   *    regression without re-running.
+  *  - r19 flushes the file JSON after EVERY completed query (atomic
+  *    tmp+rename, `"partial":true` until the final write) and prints a
+  *    `[bench] running: <name>` marker before each timed section — the
+  *    r18 driver run OOM'd mid-suite (JVM exit 52) and its artifact
+  *    carried zero data because the JSON was written only at the end.
+  *    A crashed run now keeps every completed measurement and names its
+  *    in-flight query in the output tail.
   *
   * KNOWN-HARMLESS WARNs: the bench tail prints `WARN WindowExec: No
   * Partition Defined` three times — these come from provably BOUNDED
@@ -159,6 +166,11 @@ object Bench {
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Boolean) = {
       var cleanup: () => Unit = () => ()
+      // Crash attribution (VERDICT r18 #1a): the r18 driver run died
+      // with exit 52 and nothing named the in-flight query — the marker
+      // lands in the captured tail BEFORE the timed section, so a
+      // crashed run always names its killer.
+      System.err.println(s"[bench] running: $name")
       val t0 = System.nanoTime()
       val ok =
         try {
@@ -217,13 +229,6 @@ object Bench {
             "one, its first rep pays the build (add the _memo_ name to " +
             "BENCH_ONLY for comparable numbers)")
     }
-    val memoResults = memoBuilds
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        val sec = timeOne(name, fn)._1
-        (name, sec, Seq(sec))
-      }
-
     // r7: when a query's raw runs disagree by more than SPREAD_GATE
     // (max/min over successful reps), the median is sitting on noise —
     // take extra reps (up to maxReps total) before reporting it. The
@@ -236,6 +241,76 @@ object Bench {
       val ok = runs.filter(_ > 0)
       if (ok.length < 2) 1.0 else ok.max / ok.min
     }
+
+    // ---- crash-proof artifact (VERDICT r18 #1a) -----------------------
+    // The r18 driver run OOM'd ~169s in (JVM exit 52) and its artifact
+    // carried ZERO data, because the file JSON was written only at the
+    // end. Every completed query now flushes the FULL file JSON so far
+    // (medians, raw runs, spread, state ledger) via an atomic
+    // tmp+rename, tagged "partial":true until the final write — a
+    // crashed run keeps every completed measurement, and the
+    // `[bench] running:` marker above names the in-flight query.
+    val resultsBuf = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Seq[Double])]
+
+    def render(tot: Double, anchorTotal: Double, anchorN: Int,
+        qs: Seq[(String, Double)], extra: String = ""): String = {
+      val failedJson =
+        failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val m = qs.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", if (extra.isEmpty) "}" else "," + extra + "}")
+      s"""{"metric":"total","value":$tot,"unit":"sec","anchor_total":$anchorTotal,"anchor_n":$anchorN,"queries":$m,"sf":"$sfDir","reps":$reps,"failed":$failedJson}"""
+    }
+
+    // Full precision, every query + raw runs → file (committed numbers
+    // live here; "queries" holds the medians). "spread" = max/min over a
+    // query's successful reps — the reader's noise-vs-regression signal:
+    // a median drift smaller than the spread is not evidence of anything.
+    // "state" = per-query (max pinned-RDD count observed before the
+    // release barrier, post-release heap MB) — the reader's tool for
+    // attributing a suite-vs-isolated median gap to leaked blocks vs box
+    // load without re-running.
+    def fileJson(results: Seq[(String, Double, Seq[Double])],
+        guardPart: String, partial: Boolean): String = {
+      val medians = results.map { case (n, m, _) => n -> m }
+      val total = medians.collect { case (_, v) if v >= 0 => v }.sum
+      val anchorOk = medians.filter { case (n, v) =>
+        anchorQueries.contains(n) && v >= 0 }
+      val anchorTotal = math.round(anchorOk.map(_._2).sum * 100) / 100.0
+      val runsJson = results.map { case (k, _, rs) =>
+        "\"" + k + "\":" + rs.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val spreadJson = results.collect {
+        case (k, _, rs) if rs.count(_ > 0) >= 2 =>
+          "\"" + k + "\":" + math.round(spreadOf(rs) * 100) / 100.0
+      }.mkString("{", ",", "}")
+      val stateJson = stateLedger.map { case (k, (pinned, heap)) =>
+        "\"" + k + "\":{\"pinned\":" + pinned + ",\"heapMB\":" + heap + "}"
+      }.mkString("{", ",", "}")
+      val partialPart = if (partial) ""","partial":true""" else ""
+      render(total, anchorTotal, anchorOk.length, medians).dropRight(1) +
+        s""","spread":$spreadJson,"runs":$runsJson,"state":$stateJson$guardPart$partialPart}"""
+    }
+
+    def writeAtomic(content: String): Unit = {
+      val tmp = Paths.get(outPath + ".tmp")
+      Files.writeString(tmp, content)
+      Files.move(tmp, Paths.get(outPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    def flushPartial(): Unit =
+      writeAtomic(fileJson(resultsBuf.toSeq, "", partial = true))
+
+    val memoResults = memoBuilds
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val sec = timeOne(name, fn)._1
+        resultsBuf += ((name, sec, Seq(sec)))
+        flushPartial()
+        (name, sec, Seq(sec))
+      }
 
     // (name, median, all runs). Median = lower median for even rep counts
     // (an actual measurement, not an average of two).
@@ -264,45 +339,60 @@ object Bench {
         val med =
           if (failed.contains(name) || ok.isEmpty) -1.0
           else ok.sorted.apply((ok.length - 1) / 2)
+        resultsBuf += ((name, med, runs))
+        flushPartial()
         (name, med, runs)
       }
-    // Suite-state regression guard (r10): q_graph_pagerank ran 1.0× →
-    // 1.7× → 4.5× its isolated floor across r6-r8 before the r9
-    // suite-hygiene fixes (post-query cache clear, pinned-block ledger,
-    // checkpoint-release rework) put it back at 1.0× — and nothing in the
-    // bench artifact said so until a human re-ran it isolated. Guard: one
-    // extra TAIL rep after the whole suite (blocks released, heap GC'd —
-    // the in-JVM approximation of an isolated run). A healthy suite has
-    // median ≈ tail; a relapse shows median ≫ tail and fails LOUDLY here
-    // instead of surfacing as next round's mystery. Nonfatal (box load
-    // can push either number), but the ratio is first-class in the file
-    // JSON and the warning is unmissable in the run log.
-    val GuardQuery = "q_graph_pagerank"
+    // Suite-state regression guard (r10, widened r19): q_graph_pagerank
+    // ran 1.0× → 1.7× → 4.5× its isolated floor across r6-r8 before the
+    // r9 suite-hygiene fixes (post-query cache clear, pinned-block
+    // ledger, checkpoint-release rework) put it back at 1.0× — and
+    // nothing in the bench artifact said so until a human re-ran it
+    // isolated. Guard: one extra TAIL rep per guarded query after the
+    // whole suite (blocks released, heap GC'd — the in-JVM approximation
+    // of an isolated run). A healthy suite has median ≈ tail; a relapse
+    // shows median ≫ tail and fails LOUDLY here instead of surfacing as
+    // next round's mystery. Nonfatal (box load can push either number),
+    // but the ratios are first-class in the file JSON and the warning is
+    // unmissable in the run log. r19 (VERDICT r18 #5): the guard set
+    // grew from the one graph query to the two heaviest incremental
+    // lines — a suite-state relapse on the incremental family
+    // (checkpoint-heavy, the most block-lifecycle-sensitive code in the
+    // suite) previously had no tripwire at all.
+    val GuardQueries =
+      Seq("q_graph_pagerank", "q_train_ready_incr", "q_dedup_clusters_incr")
     val GuardRatio = 1.5
-    val guardJson = queryResults
-      .find { case (n, m, _) => n == GuardQuery && m > 0 }
-      .flatMap { case (_, med, _) =>
-        SparkEntry.queries.get(GuardQuery).map { fn =>
-          // The tail rep is DIAGNOSTIC ONLY: it must not poison the
-          // run's `failed` array / exit code (every measured number is
-          // already valid) nor clobber the query's in-suite state-ledger
-          // entry (the guard's own warning points readers at it).
-          val failedBefore = failed
-          val ledgerBefore = stateLedger.get(GuardQuery)
-          val tail = timeOne(GuardQuery, fn)._1
-          failed = failedBefore
-          ledgerBefore.foreach(stateLedger(GuardQuery) = _)
-          val ratio =
-            if (tail > 0) math.round(med / tail * 100) / 100.0 else -1.0
-          if (ratio > GuardRatio)
-            System.err.println(f"[bench] SUITE-STATE REGRESSION: " +
-              f"$GuardQuery in-suite median ${med}%.2fs is $ratio%.2fx its " +
-              f"post-suite tail rep ${tail}%.2fs (gate ${GuardRatio}%.1fx) — " +
-              "suite state (pinned blocks / heap) is contaminating timings " +
-              "again; see the \"state\" ledger and VERDICT r8-r9 history")
-          s""""suite_state_guard":{"query":"$GuardQuery","suite_median":$med,"tail_rep":$tail,"ratio":$ratio,"gate":$GuardRatio}"""
+    val guardEntries = GuardQueries.flatMap { gq =>
+      queryResults
+        .find { case (n, m, _) => n == gq && m > 0 }
+        .flatMap { case (_, med, _) =>
+          SparkEntry.queries.get(gq).map { fn =>
+            // The tail rep is DIAGNOSTIC ONLY: it must not poison the
+            // run's `failed` array / exit code (every measured number is
+            // already valid) nor clobber the query's in-suite
+            // state-ledger entry (the guard's own warning points readers
+            // at it).
+            val failedBefore = failed
+            val ledgerBefore = stateLedger.get(gq)
+            val tail = timeOne(gq, fn)._1
+            failed = failedBefore
+            ledgerBefore.foreach(stateLedger(gq) = _)
+            val ratio =
+              if (tail > 0) math.round(med / tail * 100) / 100.0 else -1.0
+            if (ratio > GuardRatio)
+              System.err.println(f"[bench] SUITE-STATE REGRESSION: " +
+                f"$gq in-suite median ${med}%.2fs is $ratio%.2fx its " +
+                f"post-suite tail rep ${tail}%.2fs (gate ${GuardRatio}%.1fx) — " +
+                "suite state (pinned blocks / heap) is contaminating timings " +
+                "again; see the \"state\" ledger and VERDICT r8-r9 history")
+            s""""$gq":{"suite_median":$med,"tail_rep":$tail,"ratio":$ratio}"""
+          }
         }
-      }
+    }
+    val guardPart =
+      if (guardEntries.isEmpty) ""
+      else s""","suite_state_guard":{"gate":$GuardRatio,"queries":${
+        guardEntries.mkString("{", ",", "}")}}"""
     val results = memoResults ++ queryResults
     val medians = results.map { case (n, m, _) => n -> m }
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
@@ -316,34 +406,7 @@ object Bench {
     val anchorOk = medians.filter { case (n, v) =>
       anchorQueries.contains(n) && v >= 0 }
     val anchorTotal = math.round(anchorOk.map(_._2).sum * 100) / 100.0
-    val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def render(tot: Double, qs: Seq[(String, Double)], extra: String = ""): String = {
-      val m = qs.map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{", ",", if (extra.isEmpty) "}" else "," + extra + "}")
-      s"""{"metric":"total","value":$tot,"unit":"sec","anchor_total":$anchorTotal,"anchor_n":${anchorOk.length},"queries":$m,"sf":"$sfDir","reps":$reps,"failed":$failedJson}"""
-    }
-    // Full precision, every query + raw runs → file (committed numbers
-    // live here; "queries" holds the medians). "spread" = max/min over a
-    // query's successful reps — the reader's noise-vs-regression signal:
-    // a median drift smaller than the spread is not evidence of anything.
-    val runsJson = results.map { case (k, _, rs) =>
-      "\"" + k + "\":" + rs.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val spreadJson = results.collect {
-      case (k, _, rs) if rs.count(_ > 0) >= 2 =>
-        "\"" + k + "\":" + math.round(spreadOf(rs) * 100) / 100.0
-    }.mkString("{", ",", "}")
-    // "state" = per-query (max pinned-RDD count observed before the
-    // release barrier, post-release heap MB) — the reader's tool for
-    // attributing a suite-vs-isolated median gap to leaked blocks vs box
-    // load without re-running.
-    val stateJson = stateLedger.map { case (k, (pinned, heap)) =>
-      "\"" + k + "\":{\"pinned\":" + pinned + ",\"heapMB\":" + heap + "}"
-    }.mkString("{", ",", "}")
-    val guardPart = guardJson.map("," + _).getOrElse("")
-    val fileLine = render(total, medians).dropRight(1) +
-      s""","spread":$spreadJson,"runs":$runsJson,"state":$stateJson$guardPart}"""
-    Files.writeString(Paths.get(outPath), fileLine)
+    writeAtomic(fileJson(results, guardPart, partial = false))
     spark.stop()
     // Stdout: the driver keeps only the LAST 2000 chars of the run's output
     // and parses the JSON line out of that tail; sbt appends its own
@@ -357,12 +420,13 @@ object Bench {
     var keep = medians.map { case (k, v) => k -> r2(v) }.sortBy(-_._2)
     var omitted = 0
     var omittedSec = 0.0
-    var line = render(r2(total), keep)
+    var line = render(r2(total), anchorTotal, anchorOk.length, keep)
     while (line.length > maxLen && keep.nonEmpty) {
       omitted += 1
       omittedSec = r2(omittedSec + math.max(0.0, keep.last._2))
       keep = keep.init
-      line = render(r2(total), keep, s""""_other":$omittedSec,"_omitted":$omitted""")
+      line = render(r2(total), anchorTotal, anchorOk.length, keep,
+        s""""_other":$omittedSec,"_omitted":$omitted""")
     }
     println(line)
     if (failed.nonEmpty) sys.exit(2)

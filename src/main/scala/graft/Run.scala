@@ -1045,6 +1045,17 @@ object Run {
           copyTree(b, cur)
         }
       }
+      // SUMMARY.json (ADVICE r18): the commit order is SUMMARY-then-
+      // journal-retract, so a journal-covered crash may have landed the
+      // NEW summary — restore the backed-up pre-ingest one (or drop the
+      // crash-written one if the directory had none, which only a
+      // foreign pre-SUMMARY dir could produce).
+      val summaryB = backupP.resolve("SUMMARY.json")
+      val summaryCur = Paths.get(out, "SUMMARY.json")
+      if (Files.isRegularFile(summaryB))
+        Files.copy(summaryB, summaryCur,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else Files.deleteIfExists(summaryCur)
       val increment = Option(j.get("increment")).map(_.asText).getOrElse("")
       Files.delete(journalP)
       if (Files.exists(backupP)) rmTree(backupP)
@@ -1732,11 +1743,14 @@ object Run {
   // ingest records the append artifacts' exact file inventories, backs
   // up the small rewrite artifacts (profile sketches + label table —
   // the label advance already rewrites the whole table per ingest, so
-  // the copy is the same order of cost) and the window part directories
-  // the boundary overwrite will replace, and only then mutates. The
-  // journal file is written LAST (journal-present implies backups
-  // complete) and deleted FIRST on success (journal-absent implies the
-  // ingest committed; a leftover backup dir alone is debris). A crash
+  // the copy is the same order of cost), the pre-ingest SUMMARY.json
+  // (ADVICE r18 — the summary write sits INSIDE the journal's span, see
+  // the commit-order comment in executeIngest) and the window part
+  // directories the boundary overwrite will replace, and only then
+  // mutates. The journal file is written LAST (journal-present implies
+  // backups complete) and deleted FIRST on success (journal-absent
+  // implies the ingest committed; a leftover backup dir alone is
+  // debris). A crash
   // anywhere in between leaves `_ingest_pending.json`, which
   // `mode=audit` flags and `mode=repair` rolls back MECHANICALLY:
   // unrecorded files in the append artifacts are deleted, the replaced
@@ -1807,11 +1821,17 @@ object Run {
   /** Window part dirs the boundary overwrite may REPLACE — partition
     * values are PART INDICES (`floor(chunk / chunksPerPart)`, see
     * [[PipelineOps.writeWindows]]), so the threshold is the boundary's
-    * part index, not a chunk number. */
+    * part index, not a chunk number. Non-numeric `part=` names (e.g. a
+    * Hive `__HIVE_DEFAULT_PARTITION__` dir, or foreign debris) are
+    * SKIPPED rather than thrown on (ADVICE r18): this runs inside
+    * repair's rollback too, where an unhandled NumberFormatException
+    * would abort the rollback MID-restore — strictly worse than leaving
+    * one odd directory alone. The store's own writer only ever emits
+    * numeric indices, so a skipped name is never ours to roll back. */
   private def windowPartsFrom(out: String, partIdxLo: Long): Seq[String] =
     listDirNames(Paths.get(out, "windows"))
       .filter(_.startsWith("part="))
-      .filter(_.stripPrefix("part=").toLong >= partIdxLo)
+      .filter(_.stripPrefix("part=").toLongOption.exists(_ >= partIdxLo))
 
   /** Write the pre-mutation journal: backups first, journal file LAST. */
   private def writeIngestJournal(spec: Spec, partIdxLo: Long): Unit = {
@@ -1820,6 +1840,16 @@ object Run {
     // debris from a crash DURING a previous journal setup (no journal
     // file was written, so no mutation happened) — replace it
     if (Files.exists(backup)) rmTree(backup)
+    // SUMMARY.json rides in the backup set (ADVICE r18): the commit
+    // point is now SUMMARY-then-journal-retract, so the journal's
+    // rollback must be able to restore the PRE-ingest summary — without
+    // it, a repair would leave the new appends rolled back under a
+    // summary describing state that no longer exists.
+    val summaryP = Paths.get(out, "SUMMARY.json")
+    if (Files.isRegularFile(summaryP)) {
+      Files.createDirectories(backup)
+      Files.copy(summaryP, backup.resolve("SUMMARY.json"))
+    }
     ingestRewriteArtifacts
       .filter(a => Files.isDirectory(Paths.get(out, a)))
       .foreach(a => copyTree(Paths.get(out, a),
@@ -2131,12 +2161,22 @@ object Run {
         s""""union_cap":$capUnion,"crossed":$capCrossed}""" +
         profileSummary(s, out).map("," + _).getOrElse("") +
         annDrift.map("," + _).getOrElse("") + "}"
-    // commit: every artifact advanced — retract the journal BEFORE the
-    // summary lands, so a directory with a SUMMARY for this increment
-    // never also carries a pending journal
-    clearIngestJournal(out)
+    // commit: every artifact advanced — the new SUMMARY lands FIRST,
+    // the journal is retracted LAST (ADVICE r18). The previous order
+    // (retract, then write SUMMARY) left a narrow window where a crash
+    // produced a fully-committed ingest with NO journal and a STALE
+    // summary: a blind re-run of the same ingest then passed the
+    // pending-journal guard and double-appended every append artifact.
+    // With this order the journal's presence covers the WHOLE mutation
+    // span including the summary write — a crash anywhere before the
+    // retract is rolled back by mode=repair (which restores the
+    // pre-ingest SUMMARY from the journal's backup set), and a
+    // journal-free directory is always a fully-committed one whose
+    // SUMMARY matches its artifacts.
     Files.write(Paths.get(out, "SUMMARY.json"),
       summary.getBytes(StandardCharsets.UTF_8))
+    faultPoint(spec, "ingest:after_summary")
+    clearIngestJournal(out)
     summary
   }
 

@@ -71,6 +71,29 @@ private[graft] object Pins {
     try body finally rw.writeLock().unlock()
   }
 
+  /** Thread-local id collector backing [[collectTracked]] — test-only
+    * observation, never control flow. */
+  private val collector =
+    new ThreadLocal[scala.collection.mutable.Set[Int]]
+
+  /** TEST HOOK (VERDICT r18 #2): run `body` recording every RDD id that
+    * [[checkpointTracked]] pins ON THIS THREAD, returning the body's
+    * result plus the recorded ids. GraphSpec's managed-release assertion
+    * uses this to check that a managed run's OWN pins are gone after
+    * `release()` — the previous global `getPersistentRDDs.size`
+    * before/after comparison raced the ContextCleaner's async cleanup of
+    * NEIGHBOR suites' blocks in the shared session and produced the
+    * suite's only flaky failure in six rounds. Thread-local, so a
+    * concurrent job's checkpoints (an AnnCursor ingest beside the test)
+    * are never misattributed to the collected run. */
+  private[graft] def collectTracked[T](body: => T): (T, Set[Int]) = {
+    val s = scala.collection.mutable.Set.empty[Int]
+    val prev = collector.get
+    collector.set(s)
+    try { val r = body; (r, s.toSet) }
+    finally { if (prev == null) collector.remove() else collector.set(prev) }
+  }
+
   /** Eagerly localCheckpoint `df`, returning the checkpointed frame plus
     * the persistent-RDD ids the call pinned — read off the frame's own
     * analyzed plan, so the attribution is exact under concurrency. */
@@ -85,6 +108,7 @@ private[graft] object Pins {
       // leaf; an empty set here would mean silent block leaks on release
       require(ids.nonEmpty,
         "localCheckpoint produced no LogicalRDD leaf — cannot track blocks")
+      Option(collector.get).foreach(_ ++= ids)
       (out, ids)
     } finally rw.readLock().unlock()
   }

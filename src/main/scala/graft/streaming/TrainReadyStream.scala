@@ -53,7 +53,8 @@ final class TrainReadyCursor private (
     initTokenSketch: Array[Byte], initLenQuantiles: DataFrame,
     initDistinctContent: DataFrame,
     initSourceDistinct: Option[DataFrame],
-    initSourceLen: Option[DataFrame]) {
+    initSourceLen: Option[DataFrame],
+    initCapTierCrossed: Boolean = false) {
 
   // A standing artifact is a checkpointed frame PLUS the ids of the
   // RDDs its localCheckpoint pinned: Dataset.unpersist does NOT release
@@ -88,7 +89,11 @@ final class TrainReadyCursor private (
   // re-cluster (close → mode=recluster → reopen, or a fresh apply())
   // re-baselines it.
   private val clusteredDocs: Long = initClusteredDocs
-  private var crossed: Boolean = false
+  // may start TRUE (ADVICE r18): overRun latches it when the directory
+  // carries no `_df_cap.json` baseline — the guard cannot prove no tier
+  // was crossed before the open, so the operator cue stays up instead
+  // of being silently re-baselined to the current count.
+  private var crossed: Boolean = initCapTierCrossed
   private var tokenSk: Array[Byte] = initTokenSketch
   private var lenQC: Ckpt = ckpt(initLenQuantiles)
   private var distCC: Ckpt = ckpt(initDistinctContent)
@@ -414,8 +419,15 @@ object TrainReadyCursor {
     *
     * Same-config rule (as [[apply]]): cap/formatter/rates/minJaccard/
     * contamN must be the ones the directory was built with (the batch
-    * incremental's contract — the stored `_spec_fingerprint.json`
-    * records them).
+    * incremental's contract). ENFORCED since r19 (ADVICE r18): the
+    * passed id/text/cap/formatter/minJaccard/contamN are validated
+    * against the stored `_spec_fingerprint.json` and a mismatch fails
+    * fast, mirroring `Run.executeIngest`'s checkIngestFingerprint; a
+    * pre-fingerprint directory opens with a loud warning. A directory
+    * with no `index/_df_cap.json` tier baseline opens with
+    * [[TrainReadyCursor.capTierCrossed]] LATCHED TRUE (the guard cannot
+    * rule out an already-crossed tier) — run `mode=recluster` to create
+    * the baseline and reopen clean.
     *
     * The cursor advances IN-MEMORY state only; it never writes back to
     * `out`. The recovery handoff on a tier crossing is therefore:
@@ -447,18 +459,61 @@ object TrainReadyCursor {
           "run with a profileSource; open without one or re-run " +
           "\"mode\": \"stats\" with the source configured"))
     }
+    // Same-config rule, ENFORCED (ADVICE r18): the scaladoc has always
+    // stated that cap/formatter/minJaccard/contamN must be the ones the
+    // directory was built with, but nothing checked — a reopen with a
+    // mismatched cap or formatter silently corrupted the continuation
+    // semantics that Run.executeIngest's checkIngestFingerprint refuses.
+    // Validate against the stored `_spec_fingerprint.json` (the shape
+    // node records every one of these); a pre-fingerprint directory gets
+    // the same loud warning as the batch ingest path.
+    val fpPath = Paths.get(out, "_spec_fingerprint.json")
+    if (Files.exists(fpPath)) {
+      val shape = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readString(fpPath)).get("shape")
+      def fail(field: String, disk: Any, passed: Any): Nothing =
+        throw new IllegalArgumentException(
+          s"overRun($out): '$field' differs from the build that wrote " +
+            s"this directory (on disk: $disk, passed: $passed) — a " +
+            "cursor must continue the standing artifacts under the SAME " +
+            "config they were built with (the batch incremental's " +
+            "contract; see _spec_fingerprint.json).")
+      if (shape.get("id").asText != id) fail("id", shape.get("id").asText, id)
+      if (shape.get("text").asText != text)
+        fail("text", shape.get("text").asText, text)
+      if (shape.get("cap").asDouble != cap)
+        fail("cap", shape.get("cap").asDouble, cap)
+      if (shape.get("formatter").asText != formatter)
+        fail("formatter", shape.get("formatter").asText, formatter)
+      if (shape.get("minJaccard").asDouble != minJaccard)
+        fail("minJaccard", shape.get("minJaccard").asDouble, minJaccard)
+      if (shape.get("contamN").asInt != contamN)
+        fail("contamN", shape.get("contamN").asInt, contamN)
+    } else
+      System.err.println(s"[cursor] WARNING: '$out' has no spec " +
+        "fingerprint (built before fingerprinting?) — cannot verify " +
+        "this cursor's cap/formatter/thresholds match the build's.")
     val manifest = s.read.parquet(s"$out/manifest")
     val nDocs = manifest.count()
     val capPath = Paths.get(out, "index", "_df_cap.json")
+    // Missing baseline (ADVICE r18): the guard cannot prove the
+    // directory's past ingests never crossed a tier — previously it
+    // silently baselined to the CURRENT count, exactly the blind state
+    // the batch side's `df_cap_baseline` audit check refuses. Keep the
+    // open working (pre-r17 dirs are legitimate) but LATCH the crossing
+    // flag so the operator cue survives; mode=recluster creates the real
+    // baseline and clears the condition on reopen.
+    val capMissing = !Files.exists(capPath)
     val clusteredDocs =
-      if (Files.exists(capPath))
+      if (!capMissing)
         new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(Files.readString(capPath)).get("docs").asLong
       else {
         System.err.println(s"[cursor] WARNING: '$out' has no " +
           "index/_df_cap.json baseline (pre-r17 build?) — the tier " +
-          "guard baselines to the CURRENT manifest count; run " +
-          "\"mode\": \"recluster\" to create the real baseline.")
+          "guard cannot rule out an already-crossed tier, so " +
+          "capTierCrossed starts TRUE; run \"mode\": \"recluster\" to " +
+          "create the real baseline and reopen.")
         nDocs
       }
     new TrainReadyCursor(bench, id, text, cap, epoch, formatter,
@@ -487,6 +542,7 @@ object TrainReadyCursor {
       initSourceDistinct = profileSource.map(_ =>
         s.read.parquet(s"$out/stats/source_distinct")),
       initSourceLen = profileSource.map(_ =>
-        s.read.parquet(s"$out/stats/source_len")))
+        s.read.parquet(s"$out/stats/source_len")),
+      initCapTierCrossed = capMissing)
   }
 }

@@ -293,14 +293,31 @@ class GraphSpec extends SparkSpec {
     assert(Set("q_graph_pagerank", "q_graph_ppr").subsetOf(managed.keySet),
       s"graph queries missing from managed inventory: ${managed.keySet}")
     managed.foreach { case (name, mfn) =>
+      // the plain build runs FIRST so any shared memo (Materialize
+      // parquet) is already on disk — a memo built inside the collect
+      // window below would attribute ITS pins to the managed run
       val plain = SparkEntry.queries(name)(spark, sf).collect().toSeq
-      val before = spark.sparkContext.getPersistentRDDs.size
-      val (frame, release) = mfn(spark, sf)
+      // Pin accounting is ID-BASED (VERDICT r18 #2): the run's own
+      // tracked checkpoint ids — recorded by Pins at checkpoint time —
+      // must all be unpinned after release(). The previous global
+      // `getPersistentRDDs.size` before/after comparison raced the
+      // ContextCleaner's async cleanup of EARLIER suites' blocks in the
+      // shared session (the suite's only flaky failure in six rounds:
+      // it could not distinguish "this run leaked" from
+      // "suite-neighborhood state moved").
+      val ((frame, release), trackedIds) =
+        graft.operators.Pins.collectTracked(mfn(spark, sf))
+      assert(trackedIds.nonEmpty,
+        s"$name: managed run recorded no tracked checkpoints — the " +
+          "release-path assertion below would be vacuous")
       val got = frame.collect().toSeq
       assert(got == plain, s"$name: managed rendering diverged")
       release()
-      assert(spark.sparkContext.getPersistentRDDs.size <= before,
-        s"$name: release() left blocks pinned")
+      val leftover =
+        trackedIds.intersect(spark.sparkContext.getPersistentRDDs.keySet)
+      assert(leftover.isEmpty,
+        s"$name: release() left this run's own blocks pinned " +
+          s"(rdd ids ${leftover.toSeq.sorted.mkString(", ")})")
     }
   }
 }

@@ -1388,7 +1388,12 @@ class RunSpec extends SparkSpec {
       "ingest:before_label_advance",
       "advance:staged:index/cluster_labels",
       "advance:swap:index/cluster_labels",
-      "ingest:after_ann_append")
+      "ingest:after_ann_append",
+      // ADVICE r18: the SUMMARY write now sits INSIDE the journal span
+      // (SUMMARY lands, then the journal retracts) — a crash between
+      // the two must roll back like any other seam, restoring the
+      // pre-ingest SUMMARY from the journal's backup set
+      "ingest:after_summary")
     seams.foreach { seam =>
       val c = s"$dir/f_${seam.replaceAll("[^a-zA-Z0-9]", "_")}"
       copyTree(java.nio.file.Paths.get(s"$dir/base"),
@@ -1413,9 +1418,22 @@ class RunSpec extends SparkSpec {
       // ingest lands exactly the uninterrupted result
       arts.foreach(a => assert(rows(c, a) == rows(s"$dir/base", a),
         s"$seam: '$a' not restored to pre-ingest state"))
+      // the SUMMARY is part of the rollback contract (ADVICE r18): a
+      // repaired directory must carry the PRE-ingest summary, never the
+      // crashed ingest's (the after_summary seam crashes with the new
+      // one already on disk)
+      def summaryOf(c: String): String =
+        java.nio.file.Files.readString(
+          java.nio.file.Paths.get(c, "SUMMARY.json"))
+      assert(summaryOf(c) == summaryOf(s"$dir/base"),
+        s"$seam: SUMMARY.json not restored to the pre-ingest summary")
       exec(ingestJson(c, ""))
       arts.foreach(a => assert(rows(c, a) == golden(a),
         s"$seam: retried ingest diverged from uninterrupted on '$a'"))
+      // the ingest summary embeds its own out path — normalize it
+      assert(summaryOf(c).replace(c, "OUT") ==
+        summaryOf(s"$dir/golden").replace(s"$dir/golden", "OUT"),
+        s"$seam: retried ingest's SUMMARY diverged from uninterrupted")
       assert(estimates(c) == goldenEst,
         s"$seam: retried profile estimates diverged")
       assert(auditOk(c), s"$seam: audit failed after the retried ingest")

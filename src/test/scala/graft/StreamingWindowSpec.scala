@@ -948,4 +948,48 @@ class StreamingWindowSpec extends SparkSpec {
       scratchLabels(union.unionByName(batch2)),
       "post-reopen label advance diverged from from-scratch")
   }
+
+  test("overRun enforces the same-config rule and latches the tier flag on a missing baseline (ADVICE r18)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cursor-fp")
+      .toFile.getAbsolutePath
+    // docs long/clean enough to survive curation (the tier-guard test's
+    // doc shape) — an all-dropped corpus would leave a window-less build
+    val corpus = (0 until 40)
+      .map(i => (i.toLong,
+        ("the" +: (0 until 31).map(w => f"w$i%02dv$w%02d") :+ "and")
+          .mkString(" ")))
+      .toDF("id", "body")
+    val bench = Seq((100L,
+      (0 until 20).map(w => s"bench$w").mkString(" "))).toDF("id", "body")
+    corpus.write.parquet(s"$dir/corpus")
+    bench.write.parquet(s"$dir/bench")
+    Run.execute(s, Run.parseSpec(
+      s"""{"corpus": "$dir/corpus", "benchmark": "$dir/bench",
+         | "out": "$dir/build", "id": "id", "text": "body",
+         | "cap": 64, "formatter": "plain"}""".stripMargin))
+    // a mismatched reopen must FAIL FAST naming the offending field —
+    // previously it silently corrupted the continuation semantics the
+    // batch ingest's fingerprint check refuses
+    def open(cap: Double = 64.0, formatter: String = "plain",
+        minJaccard: Double = 0.1) =
+      graft.streaming.TrainReadyCursor.overRun(s"$dir/build", bench,
+        id = "id", text = "body", cap = cap, formatter = formatter,
+        minJaccard = minJaccard)
+    val eCap = intercept[IllegalArgumentException](open(cap = 4096.0))
+    assert(eCap.getMessage.contains("'cap'"), eCap.getMessage)
+    val eFmt = intercept[IllegalArgumentException](open(formatter = "span"))
+    assert(eFmt.getMessage.contains("'formatter'"), eFmt.getMessage)
+    val eMj = intercept[IllegalArgumentException](open(minJaccard = 0.5))
+    assert(eMj.getMessage.contains("'minJaccard'"), eMj.getMessage)
+    // the matching config still opens, with the baseline honored
+    assert(!open().capTierCrossed)
+    // a directory with NO _df_cap.json cannot prove no tier was ever
+    // crossed — the cue must LATCH, not silently re-baseline
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/build", "index", "_df_cap.json"))
+    assert(open().capTierCrossed,
+      "a missing _df_cap.json baseline must latch capTierCrossed")
+  }
 }
