@@ -54,13 +54,26 @@ object GraphOps {
     * which a long-lived session sharing the SparkSession cannot do
     * safely. */
   final class RankRun private[operators] (val ranks: DataFrame,
-      spark: SparkSession, ids: Set[Int]) {
-    /** Free the pinned blocks backing [[ranks]]. Call after consuming. */
-    def release(): Unit = GraphOps.release(spark, ids)
+      spark: SparkSession, ids: Set[Int], cached: Seq[DataFrame]) {
+    /** Free the pinned blocks backing [[ranks]]. Call after consuming.
+      * Checkpoint blocks release by RDD id; the cached stationary
+      * influence relation (r19 — a CacheManager-visible `persist`, NOT a
+      * localCheckpoint, so the round join sees its hash partitioning)
+      * releases through `Dataset.unpersist`, which DOES work for
+      * caches. */
+    def release(): Unit = {
+      GraphOps.release(spark, ids)
+      cached.foreach(_.unpersist(blocking = true))
+    }
   }
 
-  /** Rounds of lazy join+agg lineage between eager checkpoint barriers. */
-  private val CkptEvery = 3
+  /** Rounds of lazy join+agg lineage between eager checkpoint barriers.
+    * r19: 3 → 5, measured with the shuffled-hash round (DrillGraph,
+    * 4 alternating reps under load: ckpt5 10.2-12.9 s vs ckpt10
+    * 12.5-20.3 s vs the shipped broadcast/ckpt3 13.0-31.8 s) — one
+    * barrier per 10-round run instead of three, while the lazy span
+    * stays ≤ 4 rounds of join+agg lineage. */
+  private val CkptEvery = 5
 
   /** Eagerly localCheckpoint `df`, returning the checkpointed frame plus
     * the persistent-RDD ids the call pinned — the handle a caller needs
@@ -125,11 +138,13 @@ object GraphOps {
     * count (no convergence test) keeps the whole computation expressible
     * as a DuckDB recursive CTE for the oracle. A node with no in-links
     * receives only the teleport term, so its rank is the CONSTANT
-    * `(1-d)/n` in every round ≥ 1 — those nodes live in a one-time
-    * checkpointed constant frame unioned onto each round's aggregate
-    * (replacing r7's V zero-weight self-rows, which re-flowed every node
-    * through the join AND the decimal aggregation every round purely to
-    * keep it present as a destination).
+    * `(1-d)/n` in every round ≥ 1 — those nodes ride the stationary
+    * influence relation as zero-weight SELF-edges (r19; ≤V extra rows,
+    * zero on symmetrized graphs), so the round's aggregation emits their
+    * constant row itself and no per-round union exists. This is NOT
+    * r7's all-nodes self-row scheme (which re-flowed every node through
+    * the join and the decimal aggregation each round): only the
+    * in-link-free slice gets a self-edge.
     *
     * The one driver-side scalar is the node count (the `1/n` teleport
     * share); everything else is executor-side.
@@ -162,9 +177,9 @@ object GraphOps {
   def pageRankManaged(edgeList: DataFrame, src: String, dst: String,
       damping: Double = 0.85, iters: Int = 10,
       influence: Option[DataFrame] = None): RankRun = {
-    val (out, _, ids) = runPageRank(edgeList, src, dst, damping, iters,
-      prefs = None, trackDeltas = false, preInfl = influence)
-    new RankRun(out, edgeList.sparkSession, ids)
+    val (out, _, ids, cached) = runPageRank(edgeList, src, dst, damping,
+      iters, prefs = None, trackDeltas = false, preInfl = influence)
+    new RankRun(out, edgeList.sparkSession, ids, cached)
   }
 
   /** Personalized PageRank: the teleport lands on a weighted SEED SET
@@ -208,10 +223,10 @@ object GraphOps {
       require(prefs.columns.contains(c),
         s"prefs has no column '$c' (columns: ${prefs.columns.mkString(", ")})")
     }
-    val (out, _, ids) = runPageRank(edgeList, src, dst, damping, iters,
-      prefs = Some((prefs, prefNode, prefWeight)), trackDeltas = false,
-      preInfl = influence)
-    new RankRun(out, edgeList.sparkSession, ids)
+    val (out, _, ids, cached) = runPageRank(edgeList, src, dst, damping,
+      iters, prefs = Some((prefs, prefNode, prefWeight)),
+      trackDeltas = false, preInfl = influence)
+    new RankRun(out, edgeList.sparkSession, ids, cached)
   }
 
   /** [[pageRank]] plus per-round L1 movement `‖r_k - r_(k-1)‖₁` — the
@@ -228,8 +243,8 @@ object GraphOps {
   def pageRankDeltas(edgeList: DataFrame, src: String, dst: String,
       damping: Double = 0.85, iters: Int = 10,
       influence: Option[DataFrame] = None): (DataFrame, Seq[Double]) = {
-    val (out, deltas, _) = runPageRank(edgeList, src, dst, damping, iters,
-      prefs = None, trackDeltas = true, preInfl = influence)
+    val (out, deltas, _, _) = runPageRank(edgeList, src, dst, damping,
+      iters, prefs = None, trackDeltas = true, preInfl = influence)
     (out, deltas)
   }
 
@@ -238,7 +253,7 @@ object GraphOps {
       prefs: Option[(DataFrame, String, String)],
       trackDeltas: Boolean,
       preInfl: Option[DataFrame] = None)
-      : (DataFrame, Seq[Double], Set[Int]) = {
+      : (DataFrame, Seq[Double], Set[Int], Seq[DataFrame]) = {
     require(damping > 0 && damping < 1,
       s"damping must be in (0, 1), got $damping")
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -319,24 +334,44 @@ object GraphOps {
     // a teleport frame (the first formulation broadcast a V-row teleport
     // table every round; a stationary per-edge column costs one setup
     // join instead).
-    val (infl, inflIds) = checkpointTracked((pNorm match {
-      case Some(nm) => weighted.join(
-        nm.select(col("__v").as("__d"),
-          (col("__p") * lit(1 - damping)).as("__td")), Seq("__d"))
-      case None => weighted
-    }).repartition(col("__s")))
-    // In-link-free nodes: constant teleport-only rank from round 1 on
-    // (Scaladoc) — empty on symmetrized graphs, ≤V rows on any graph.
-    // Checkpointed once, unioned lazily onto every round's aggregate.
+    //
+    // In-link-free nodes ride the SAME relation as zero-weight
+    // self-edges (r19 — the oracle's own `infl` formulation): the
+    // round's aggregation then emits their constant teleport row itself
+    // (acc = r·0 → (1-d)/n + d·0, bit-identical to the old unioned
+    // constant; the personalized term rides the annotation like every
+    // other edge), so the per-round union of the old `noInbound`
+    // constant frame disappears and every round is exactly ONE join +
+    // ONE aggregation. Empty on symmetrized graphs, ≤V extra rows on
+    // any graph. The repartition pins an EXPLICIT partition count so
+    // AQE cannot coalesce it into a partitioning the checkpointed
+    // relation no longer reports — the round join then sees a stable
+    // HashPartitioning on the join key across all rounds.
     val antiIn = nodes.join(
       weighted.select(col("__d").as("__v")).distinct(),
       Seq("__v"), "left_anti")
-    val (noInbound, noInboundIds) = checkpointTracked(pNorm match {
-      case Some(nm) => antiIn.join(nm, Seq("__v"))
-        .select(col("__v"), (col("__p") * lit(1 - damping)).as("__r"))
-      case None => antiIn
-        .select(col("__v"), (lit(1 - damping) / lit(n)).as("__r"))
-    })
+    val selfEdges = antiIn.select(col("__v").as("__s"),
+      col("__v").as("__d"), lit(0.0).as("__w"))
+    val allEdges = weighted.unionByName(selfEdges)
+    val nShuffle = spark.sessionState.conf.numShufflePartitions
+    // CACHED, not checkpointed (r19): `Dataset.localCheckpoint` on Spark
+    // 4.1 reports UnknownPartitioning to downstream plans (probed —
+    // ProbePart/PlanSpec history), so a checkpointed relation was
+    // re-exchanged by the round join EVERY round; a CacheManager persist
+    // keeps the plan (and its HashPartitioning on the join key) visible,
+    // so the E-row side of all ten rounds stays put and only the V-row
+    // rank frame moves. Spills to disk past memory (the default level);
+    // unpersist WORKS for caches, so release is via the frame itself.
+    val infl = (pNorm match {
+      case Some(nm) => allEdges.join(
+        nm.select(col("__v").as("__d"),
+          (col("__p") * lit(1 - damping)).as("__td")), Seq("__d"))
+      case None => allEdges
+    }).repartition(nShuffle, col("__s")).persist()
+    // materialize the cache NOW: its lineage reads the nodes checkpoint
+    // (self-edges, teleport annotation), whose blocks are released a few
+    // lines down — and unlike the old eager checkpoint, `persist` is lazy
+    infl.count()
     // init: uniform 1/n, or the normalized preference vector (the
     // standard personalized power-iteration start — taken from pNorm
     // directly so the init doubles are the exact division an oracle
@@ -349,10 +384,10 @@ object GraphOps {
     val deltas = scala.collection.mutable.ArrayBuffer.empty[Double]
     var round = 0
     while (round < iters) {
-      val next = (pNorm match {
+      val next = pNorm match {
         case Some(_) => iterationRoundPersonalized(infl, ranks, damping)
         case None => iterationRound(infl, ranks, damping, n)
-      }).unionByName(noInbound)
+      }
       round += 1
       if (trackDeltas) {
         // diagnostics cadence: materialize EVERY round; the L1 movement
@@ -377,12 +412,12 @@ object GraphOps {
       } else ranks = next
     }
     val out = ranks.select(col("__v").as("node"), col("__r").as("rank"))
-    // infl/noInbound/last-barrier blocks stay pinned until the caller has
-    // consumed `out` (they back its lineage). Their ids ride along so the
-    // managed entry points can hand the caller a release handle; the
-    // unmanaged ones rely on Bench's release barrier (or any
-    // getPersistentRDDs sweep) after the action.
-    (out, deltas.toSeq, inflIds ++ noInboundIds ++ ranksIds)
+    // The cached influence relation and the last barrier's blocks stay
+    // pinned until the caller has consumed `out` (they back its lineage).
+    // They ride along so the managed entry points can hand the caller a
+    // release handle; the unmanaged ones rely on Bench's release barrier
+    // (clearCache + getPersistentRDDs sweep) after the action.
+    (out, deltas.toSeq, ranksIds, Seq(infl))
   }
 
   /** One power-iteration round:
@@ -392,15 +427,22 @@ object GraphOps {
     *
     * Extracted so PlanSpec can pin the round's physical plan (the
     * checkpoints in the loop truncate lineage, so the plan is invisible
-    * from the operator's result): V-row rank frame broadcast against the
-    * stationary influence relation (no per-round edge shuffle at rank
-    * frames below the broadcast threshold; beyond it, the join falls
-    * back to SMJ on the key `infl` is already partitioned by), partial
-    * decimal aggregation map-side, one exchange on the destination key.
+    * from the operator's result): SHUFFLED-HASH join of the V-row rank
+    * frame (build side) against the stationary influence relation —
+    * r19, replacing the per-round broadcast: a broadcast rebuilt every
+    * round collects the V-row frame to the driver ten times per run
+    * (and past the threshold degraded to a per-round SORT-merge), while
+    * the hash build of an already co-partitioned V-row slice is
+    * executor-side, driver-free, and sort-free at every scale. Measured
+    * on the bench graph (DrillGraph, alternating reps under load):
+    * 10.2-12.9 s vs the broadcast loop's 13.0-31.8 s, and the spread
+    * tightens because no per-round driver collect rides the box load.
+    * Partial decimal aggregation stays map-side; one exchange on the
+    * destination key per round.
     */
   private[graft] def iterationRound(infl: DataFrame, ranks: DataFrame,
       damping: Double, n: Double): DataFrame =
-    infl.join(ranks, col("__s") === col("__v"))
+    infl.join(ranks.hint("shuffle_hash"), col("__s") === col("__v"))
       .groupBy(col("__d"))
       .agg(sum((col("__r") * col("__w")).cast(DecimalType(38, 18)))
         .as("__acc"))
@@ -416,7 +458,7 @@ object GraphOps {
     * exchange, no teleport frame in the loop. */
   private[graft] def iterationRoundPersonalized(infl: DataFrame,
       ranks: DataFrame, damping: Double): DataFrame =
-    infl.join(ranks, col("__s") === col("__v"))
+    infl.join(ranks.hint("shuffle_hash"), col("__s") === col("__v"))
       .groupBy(col("__d"))
       .agg(sum((col("__r") * col("__w")).cast(DecimalType(38, 18)))
         .as("__acc"), max(col("__td")).as("__t"))

@@ -2,7 +2,6 @@ package graft.sources
 
 import java.nio.file.Files
 import java.util.concurrent.ConcurrentHashMap
-import java.util.function.{Function => JFunction}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -49,14 +48,28 @@ object Materialize {
     // but a new application must not trust another's files (different
     // conf, different data dir lifetimes are encoded in the key).
     val full = s.sparkContext.applicationId + "/" + key
-    val path = done.computeIfAbsent(full, new JFunction[String, String] {
-      override def apply(k: String): String = {
+    // NOT computeIfAbsent (r19): memo builds NEST — curateFateManifest
+    // builds through curatePairs, coPurchaseInfluence through coPurchase —
+    // and a nested computeIfAbsent on one ConcurrentHashMap throws
+    // IllegalStateException("Recursive update") whenever the two keys
+    // land in the same hash bin. The keys embed the per-run applicationId,
+    // so the collision was a per-run lottery: the inherited
+    // CORRECTNESS_LOCAL.json carried exactly this failure on
+    // q_train_ready_epochs. Double-checked build under the object
+    // monitor instead — reentrant, so nested builds on one thread are
+    // fine; builds are one-time per key, so serializing them is
+    // irrelevant next to the build cost; the path is a pure function of
+    // the key, so publishing after the parquet write keeps every reader
+    // on a fully-written table.
+    if (!done.containsKey(full)) this.synchronized {
+      if (!done.containsKey(full)) {
         val p = root + "/" +
-          java.util.UUID.nameUUIDFromBytes(k.getBytes("UTF-8")).toString
+          java.util.UUID.nameUUIDFromBytes(full.getBytes("UTF-8")).toString
         build.write.mode("overwrite").parquet(p)
-        p
+        done.put(full, p)
+        ()
       }
-    })
-    s.read.parquet(path)
+    }
+    s.read.parquet(done.get(full))
   }
 }

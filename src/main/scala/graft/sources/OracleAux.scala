@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.util.concurrent.ConcurrentHashMap
-import java.util.function.{Function => JFunction}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -78,18 +77,29 @@ object OracleAux {
   private val written = new ConcurrentHashMap[String, String]()
 
   /** Write `build` to `<Root>/<sf-basename>/<name>` (once per JVM and
-    * application) and return a read-back frame of the written bytes. */
+    * application) and return a read-back frame of the written bytes.
+    *
+    * NOT computeIfAbsent (r19): aux builds NEST — pq_adc_codes builds
+    * through the shared pq_adc_codebook aux — and a nested
+    * computeIfAbsent on one ConcurrentHashMap throws
+    * IllegalStateException("Recursive update") whenever the keys land in
+    * the same hash bin (the keys embed the per-run applicationId, so the
+    * collision is a per-run lottery — the Materialize twin of this bug
+    * was caught in the inherited CORRECTNESS_LOCAL.json). Double-checked
+    * build under the object monitor: reentrant for nested builds,
+    * one-time per key. */
   def table(s: SparkSession, sfDir: String, name: String)
       (build: => DataFrame): DataFrame = {
     val sf = new java.io.File(sfDir).getName
     val key = s.sparkContext.applicationId + "/" + sf + "/" + name
-    val path = written.computeIfAbsent(key, new JFunction[String, String] {
-      override def apply(k: String): String = {
+    if (!written.containsKey(key)) this.synchronized {
+      if (!written.containsKey(key)) {
         val p = s"$Root/$sf/$name"
         build.write.mode("overwrite").parquet(p)
-        p
+        written.put(key, p)
+        ()
       }
-    })
-    s.read.parquet(path)
+    }
+    s.read.parquet(written.get(key))
   }
 }
