@@ -938,16 +938,21 @@ object DedupOps {
     // diameter. The default suits near-dup graphs (tiny cliques); callers
     // with long-chain graphs raise maxRounds to their expected diameter.
     while (!converged && rounds < maxRounds) {
+      // the round's second join already carries the OLD label (it feeds
+      // `least`), so the did-this-vertex-move bit is computed IN the same
+      // pass (`nbr < label` ⟺ least(label, nbr) ≠ label) and the
+      // convergence check is a column scan of the just-checkpointed V-row
+      // frame — r19, replacing a third V-row hash join + count per round
       val (next, nextIds) = Pins.checkpointTracked(
         sym.join(labels, col("db") === col("v"))
           .groupBy(col("da").as("nv")).agg(min("label").as("nbr"))
           .join(labels, col("nv") === col("v"))
-          .select(col("v"), least(col("label"), col("nbr")).as("label")))
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("v"))
-        .filter(col("label") =!= col("old")).count()
+          .select(col("v"), least(col("label"), col("nbr")).as("label"),
+            (col("nbr") < col("label")).as("__chg")))
+      val changed = next.filter(col("__chg")).count()
       // release the superseded round's checkpointed blocks by id
       Pins.release(spark, labelIds)
-      labels = next
+      labels = next.select("v", "label")
       labelIds = nextIds
       converged = changed == 0
       rounds += 1
