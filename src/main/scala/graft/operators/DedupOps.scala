@@ -929,11 +929,19 @@ object DedupOps {
     // the session.
     val (sym, symIds) = Pins.checkpointTracked(edges.unionByName(
       edges.select(col("db").as("da"), col("da").as("db"))))
-    var (labels, labelIds) = Pins.checkpointTracked(
-      sym.select(col("da").as("v")).distinct()
-        .withColumn("label", col("v")))
-    var converged = false
-    var rounds = 0
+    // Round 1 FUSED into initialization (r19): every vertex's initial
+    // label is itself, so the first round's neighbor-min is just
+    // min(db) per da over the symmetrized edges and the "old label" is
+    // the vertex id — no V-row identity frame to checkpoint, no V-row
+    // join. Identical to running the generic round against identity
+    // labels (sym is symmetrized, so distinct(da) IS the vertex set).
+    var (labelsCk, labelIds) = Pins.checkpointTracked(
+      sym.groupBy(col("da").as("v")).agg(min("db").as("nbr"))
+        .select(col("v"), least(col("v"), col("nbr")).as("label"),
+          (col("nbr") < col("v")).as("__chg")))
+    var labels = labelsCk.select("v", "label")
+    var converged = labelsCk.filter(col("__chg")).count() == 0
+    var rounds = 1
     // min-labels advance one hop per round → rounds needed ≈ component
     // diameter. The default suits near-dup graphs (tiny cliques); callers
     // with long-chain graphs raise maxRounds to their expected diameter.

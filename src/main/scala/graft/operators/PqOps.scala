@@ -293,18 +293,26 @@ object PqOps {
         Seq("l", "sh"))
 
     // each vb lives in exactly one list, so a (va, vb) candidate appears
-    // at most once across the nprobe probes — no dedup aggregation needed
+    // at most once across the nprobe probes — no dedup aggregation needed.
+    // The query vector is CONSUMED by the ADC projection inside the probe
+    // join's pipeline and dropped before the ranking exchange (r19, guide
+    // §2.3 "project before the exchange"): the window shuffle carries
+    // (va, vb, adc) triples — 24 bytes/candidate — instead of duplicating
+    // the query embedding onto every candidate row; the shortlist
+    // survivors (refineFactor·k per query, not C·nprobe/nlist) rejoin the
+    // raw vectors for the exact re-rank.
     val wAdc = Window.partitionBy("va").orderBy(desc("adc"), col("vb"))
     val shortlist = probes
       .join(indexed, joinKeys)
       .filter(col("va") =!= col("vb"))
-      .select(col("va"), col("ea"), col("vb"),
+      .select(col("va"), col("vb"),
         PqKernels.pqAdcDot(col("codes"), col("ea"), bcCb).as("adc"))
       .withColumn("rk", row_number().over(wAdc))
       .filter(col("rk") <= refineFactor * k)
 
     val wCos = Window.partitionBy("va").orderBy(desc("cos"), col("vb"))
     shortlist
+      .join(ne.select(col("vec_id").as("va"), col("ne").as("ea")), Seq("va"))
       .join(ne.select(col("vec_id").as("vb"), col("ne").as("eb")), Seq("vb"))
       .select(col("va"), col("vb"), Det.r4(dotf(col("ea"), col("eb"))).as("cos"))
       .withColumn("rk", row_number().over(wCos))
@@ -421,17 +429,23 @@ object PqOps {
         Seq("l", "sh"))
 
     // each vb lives in exactly one list, so a (va, vb) candidate appears
-    // at most once across the nprobe probes — no dedup aggregation needed
+    // at most once across the nprobe probes — no dedup aggregation needed.
+    // Same r19 §2.3 projection as [[ivfPqKnnJoin]]: the query vector is
+    // consumed by the ADC projection inside the probe join's pipeline and
+    // dropped before the ranking exchange; only the shortlist survivors
+    // rejoin the raw query vectors for the exact re-rank.
     val wAdc = Window.partitionBy("va").orderBy(desc("adc"), col("vb"))
     val shortlist = probes
       .join(indexed, joinKeys)
-      .select(col("va"), col("ea"), col("vb"),
+      .select(col("va"), col("vb"),
         PqKernels.pqAdcDot(col("codes"), col("ea"), bcCb).as("adc"))
       .withColumn("rk", row_number().over(wAdc))
       .filter(col("rk") <= refineFactor * k)
 
     val wCos = Window.partitionBy("va").orderBy(desc("cos"), col("vb"))
     shortlist
+      .join(SimilarityOps.normalizedVecs(queries, id, vec)
+        .select(col("vec_id").as("va"), col("ne").as("ea")), Seq("va"))
       .join(cne.select(col("vec_id").as("vb"), col("ne").as("eb")),
         Seq("vb"))
       .select(col("va"), col("vb"),
