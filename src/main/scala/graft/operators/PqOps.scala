@@ -525,11 +525,23 @@ object PqOps {
         "(x, y) -> x * y), CAST(0 AS DECIMAL(30,12)), " +
         "(acc, v) -> CAST(acc + CAST(v AS DECIMAL(30,12)) AS DECIMAL(30,12)))")
     val w = Window.partitionBy("va").orderBy(desc("adc_dec"), col("vb"))
-    probes.crossJoin(codes).filter(col("va") =!= col("vb"))
-      .select(col("va"), col("vb"), col("ea"),
+    // FAISS's precomputed ADC table (r19, guide §1.2): the decimal term
+    // depends only on (probe, sub, code) — never the candidate — so it is
+    // evaluated ONCE per LUT cell (probes × m × ksub = 8,192 rows) instead
+    // of once per (probe, candidate, sub) (probes × corpus × m ≈ 32× more
+    // here, corpus-proportional at scale). The candidate pass then joins
+    // its exploded codes against the broadcast LUT and decimal-sums the
+    // SAME values in the same exact (order-independent) arithmetic, so the
+    // cross-engine result is bit-identical to the per-pair derivation.
+    val lut = probes.crossJoin(cb)
+      .select(col("va"), col("ea"), col("csub").as("sub"),
+        col("ccode").as("bcode"), col("centroid"))
+      .select(col("va"), col("sub"), col("bcode"), term.as("t"))
+    probes.select(col("va")).crossJoin(codes)
+      .filter(col("va") =!= col("vb"))
+      .select(col("va"), col("vb"),
         posexplode(col("codes")).as(Seq("sub", "bcode")))
-      .join(cb, col("sub") === col("csub") && col("bcode") === col("ccode"))
-      .select(col("va"), col("vb"), term.as("t"))
+      .join(broadcast(lut), Seq("va", "sub", "bcode"))
       .groupBy("va", "vb").agg(sum(col("t")).as("adc_dec"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= AdcTopK)
