@@ -482,10 +482,20 @@ object GraphOps {
     * aggregation, exact-decimal rank sums). */
   private[operators] def coPurchase(s: SparkSession, d: String): DataFrame =
     graft.sources.Materialize.table(s, s"copurchase:$d") {
+      // r19 (guide §2.3): dedup the LONG key pair first, build the
+      // prefixed node strings after. (orderkey, partkey) ↔ the prefixed
+      // string pair is a bijection, so distinct-then-concat emits exactly
+      // the same edge set as concat-then-distinct — but the distinct's
+      // exchange now carries two 8-byte longs instead of two ~10-byte
+      // strings, its hash/compare work is on longs, and the concat runs
+      // once per DISTINCT pair (post-shuffle, parallel) rather than once
+      // per lineitem row on the scan task. Consumers are order-insensitive
+      // (node-set distinct, outdeg aggregation, exact-decimal rank sums —
+      // see the memo scaladoc above).
       val op = Tables(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
         .select(concat(lit("o:"), col("l_orderkey").cast("string")).as("s"),
           concat(lit("p:"), col("l_partkey").cast("string")).as("d"))
-        .distinct()
       op.unionByName(op.select(col("d").as("s"), col("s").as("d")))
     }
 

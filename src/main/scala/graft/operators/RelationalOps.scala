@@ -592,6 +592,12 @@ object RelationalOps {
   // to string identically in both engines; the ns-timestamp and double
   // columns have engine-specific string renderings and stay out of the
   // oracle-checked binding).
+  // r19 negative result (kept as shipped): spreading the scan before the
+  // profile (repartition on event_id) measured 1.49→1.59 s isolated — the
+  // Expand+sort-aggregate chain on the single-row-group bench scan is NOT
+  // the line's bottleneck (the multi-distinct cascade's exchanges and
+  // per-stage constants are), so the extra exchange only added cost. A
+  // library caller's scan brings its own parallelism at corpus scale.
   private def profileEvents(s: SparkSession, d: String): DataFrame =
     profile(t(s, d, "events").select("event_id", "user_id", "event_type", "props"))
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.{Det, QDef}
 import graft.sources.Tables
@@ -109,10 +110,21 @@ object TextOps {
   // decimal accumulator so the mean is partitioning-independent.
   // LIBRARY ENTRY POINT — generic over any corpus (id + text columns).
   def lmScore(rows: DataFrame, id: String, text: String): DataFrame = {
-    val tok = rows
+    // r19 (guide §2.3 "aggregate before you shuffle"): the raw token
+    // stream never crosses an exchange — it is reduced map-side to
+    // distinct (doc, tok, count) rows, and the frequency join + the
+    // per-doc sum operate on those pairs. A token occurring c times in a
+    // doc contributes c·dec₆(surprisal) to the doc's decimal sum, which is
+    // EXACTLY the decimal accumulator's value over c per-token rows
+    // (decimal × integer is exact at the same scale), so the output is
+    // bit-identical to the per-token formulation at any parallelism. At
+    // corpus scale this caps the tok-keyed shuffle at the distinct-pair
+    // count (Heaps-law sublinear) instead of the token count.
+    val tokc = rows
       .select(col(id).as("doc_id"), col(text).as("text"))
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
     // The total derives from the frequency table, not a third aggregation
     // over the corpus. The freq subtree still evaluates once per consumer
     // (exchange reuse does not fire here — verified on the final AQE
@@ -121,14 +133,19 @@ object TextOps {
     // by ~1.7× (the materialization barrier serializes stages that
     // otherwise overlap). At true corpus scale, persist `freq` (a
     // vocab-sized table) explicitly to bound tokenization to two passes.
-    val freq = tok.groupBy("tok").agg(count(lit(1)).as("n"))
+    val freq = tokc.groupBy("tok").agg(sum("c").as("n"))
     val total = freq.agg(sum("n").as("n_total"))
-    tok.join(freq, Seq("tok"))
+    tokc.join(freq, Seq("tok"))
       .crossJoin(broadcast(total))
       .withColumn("surprisal", -log2(col("n") / col("n_total")))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tok"),
-        Det.dsum(col("surprisal")).as("sum_surprisal"))
+      .agg(sum("c").as("n_tok"),
+        // ≡ Det.dsum over the per-token rows: dec₆ cast first, then the
+        // exact decimal multiply by the count — DECIMAL(18,6)×DECIMAL(18,0)
+        // → DECIMAL(37,6), no precision clipping, no rounding.
+        sum(col("surprisal").cast(DecimalType(18, 6)) *
+          col("c").cast(DecimalType(18, 0))).cast("double")
+          .as("sum_surprisal"))
       .select(col("doc_id"), col("n_tok"),
         Det.r4(col("sum_surprisal") / col("n_tok")).as("mean_surprisal"))
       .orderBy("doc_id")
@@ -157,6 +174,14 @@ object TextOps {
   // verdict, a hand-curated id list membership).
   def importanceWeights(rows: DataFrame, id: String, text: String,
       target: Column): DataFrame = {
+    // r19 negative result (kept as shipped): the lmScore-style map-side
+    // (doc, is_t, tok, count) reduction measured 1.56→1.91 s isolated —
+    // the pair aggregation re-evaluates once per consumer (join left,
+    // freq, totals; same no-exchange-reuse plan as lmScore) and its cost
+    // here outweighs the pair dedup's shuffle savings at bench scale. At
+    // corpus scale the right move is the lmScore note's: persist the
+    // vocab-sized freq table, then the pair reduction bounds the token
+    // shuffle exactly as in lmScore.
     val tok = rows
       .select(col(id).as("doc_id"), target.as("is_t"), col(text).as("text"))
       .repartition(col("doc_id"))
