@@ -145,25 +145,16 @@ object AnalyticOps {
   private def corrStats(s: SparkSession, d: String): DataFrame = {
     val x = col("l_quantity")
     val y = col("l_extendedprice")
-    // Spread the scan before the moment sums when — and only when — the
-    // scan itself cannot feed every core (r19, guide §1.2/§2.5): five
+    // Spread the scan before the moment sums (r19, guide §1.2/§2.5): five
     // decimal accumulations cost ~3µs/row, and the partial aggregate runs
     // at the SCAN's parallelism — on the bench's one-row-group parquet
-    // that is ONE task doing every row serially (isolated 2.09→1.35 s
-    // with the spread). The condition is derived from the input layout,
-    // not a local constant: a corpus-scale table scans in thousands of
-    // splits, the branch is not taken, and no repartition of the base
-    // data is ever paid there. Hash-spreading on the high-cardinality
-    // order key caps at the session's shuffle parallelism (set from the
-    // core count). The decimal sums are order-independent (Det), so the
-    // result is bit-identical under any spread.
-    val base = t(s, d, "lineitem")
-      .select(col("l_orderkey"), x, y, col("l_returnflag"))
-    val spread =
-      if (base.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
-        base.repartition(col("l_orderkey"))
-      else base
-    spread
+    // that is ONE task doing every row serially (isolated 2.09→1.07 s
+    // with the spread). Input-layout-conditional; keyed on the
+    // near-unique price column the query already reads, so the scan
+    // stays three columns wide. Decimal sums are order-independent
+    // (Det), so the result is bit-identical under any spread.
+    Tables.spreadIfNarrow(s,
+      t(s, d, "lineitem").select(x, y, col("l_returnflag")), y)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         Det.dsum(x).as("sx"), Det.dsum(y).as("sy"),

@@ -31,9 +31,14 @@ object RelationalOps {
 
   // G5: hash aggregate, TPC-H Q1 shape on lineitem. Partial (map-side)
   // aggregation reduces each scan partition to ~6 groups before the shuffle.
+  // r19: input-layout-conditionally spread on the near-unique price column
+  // (already read — the column-prune pin holds) so the three decimal sums
+  // don't run serially on a one-row-group scan; see Tables.spreadIfNarrow.
   private def aggHash(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+    Tables.spreadIfNarrow(s,
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02"))),
+      col("l_extendedprice"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         Det.dsum(col("l_quantity")).as("sum_qty"),

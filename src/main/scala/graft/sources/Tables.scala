@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
@@ -31,6 +31,25 @@ object Tables {
     "events" -> Seq("ts"),
     "lineitem" -> Seq("l_shipdate"),
     "orders" -> Seq("o_orderdate"))
+
+  /** Hash-spread `df` on `key` when — and only when — its scan cannot
+    * feed the session's cores (r19, optimization guide §1.2/§2.5): a
+    * partial aggregate (or any other per-row-expensive stage-1 work) runs
+    * at the SCAN's parallelism, and a small/one-row-group parquet input
+    * collapses that to a single task regardless of core count. The
+    * condition is derived from the INPUT LAYOUT, not a local constant: a
+    * corpus-scale table scans in thousands of splits, the branch is not
+    * taken, and no repartition of base data is ever paid there. `key`
+    * must be high-cardinality (guide §2.5 — a low-cardinality key leaves
+    * partitions empty under hash collisions) and should be a column the
+    * consumer already reads, so the spread never widens the scan.
+    * Callers must be order-insensitive (exact-decimal sums, counts,
+    * min/max — the Det contract), which makes the spread bit-invisible
+    * in results. */
+  def spreadIfNarrow(s: SparkSession, df: DataFrame, key: Column): DataFrame =
+    if (df.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+      df.repartition(key)
+    else df
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Set lazily only if the session builder didn't — avoids mutating the
