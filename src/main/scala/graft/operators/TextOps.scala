@@ -78,6 +78,10 @@ object TextOps {
 
   // Quality scoring: length / punctuation / stopword-density ratios →
   // composite score. Integer counts + single divisions → bit-deterministic.
+  // r19 negative result: a doc_id spread before the regex projection
+  // measured 1.07→1.18 s isolated — at sf0.1 the five regexes cost ~0.3 s
+  // serially, below the exchange's own overhead (contrast q_corr_stats,
+  // where 1.9 s of serial decimal work made the same spread a 2× win).
   private[operators] def qualityScore(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(
       col("doc_id"),
