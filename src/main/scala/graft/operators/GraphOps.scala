@@ -510,7 +510,19 @@ object GraphOps {
   private[operators] def coPurchaseInfluence(s: SparkSession,
       d: String): DataFrame =
     graft.sources.Materialize.table(s, s"copurchase_infl:$d") {
-      influenceRelation(coPurchase(s, d), "s", "d")
+      // r19: the build's stage-1 cost (edge scan + outdeg partial
+      // aggregate + the join-side exchange feed) runs at the edge memo's
+      // SCAN parallelism, which is an accident of how the memo's writer
+      // partitioned it (the long-pair distinct halved the exchange bytes
+      // → AQE coalesced to half the files → the build lost half its
+      // parallelism, measured +1.1 s). Spread on the near-unique edge
+      // pair — NOT on `s` alone, which would put a hub's whole edge list
+      // in one partition — conditional on the scan being narrower than
+      // the session's cores (ProbeInfl: 2.08 s unspread vs 0.98 s spread
+      // vs 0.91 s for the 20-file pre-r19 layout).
+      val edges = graft.sources.Tables.spreadIfNarrow(
+        s, coPurchase(s, d), col("s"), col("d"))
+      influenceRelation(edges, "s", "d")
     }
 
   /** Bench accounting hook (see [[DedupOps.memoBuilds]]). Order matters:

@@ -46,9 +46,9 @@ object Tables {
     * Callers must be order-insensitive (exact-decimal sums, counts,
     * min/max — the Det contract), which makes the spread bit-invisible
     * in results. */
-  def spreadIfNarrow(s: SparkSession, df: DataFrame, key: Column): DataFrame =
+  def spreadIfNarrow(s: SparkSession, df: DataFrame, key: Column*): DataFrame =
     if (df.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
-      df.repartition(key)
+      df.repartition(key: _*)
     else df
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
