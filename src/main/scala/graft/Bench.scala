@@ -11,7 +11,9 @@ import org.apache.spark.sql.SparkSession
   * drop final sorts/projections the way a bare `count()` allows. Failures
   * are loud: a failed query records `-1` AND the process exits non-zero, so
   * a broken query can never improve the bench. The JSON line goes to stdout
-  * and to `SPARK_GRAFT_BENCH_OUT` (default `BENCH_LAST.json` in cwd) —
+  * and to `SPARK_GRAFT_BENCH_OUT` (default `BENCH_LAST_c<cpus>.json` in
+  * cwd — CPU-count-stamped so runs at different core counts never
+  * clobber each other's raw runs) —
   * round 1's stdout-only output got mangled by sbt log prefixes.
   *
   * MEASUREMENT METHODOLOGY (changed round 4/5 — don't compare raw numbers
@@ -89,7 +91,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    // The default out-path is CPU-count-stamped (r20, VERDICT r19 #2):
+    // the r19 driver ran the bench at two core counts back to back and
+    // the second run OVERWROTE the first's file JSON (both defaulted to
+    // BENCH_LAST.json), destroying the c32 raw runs/spread exactly when a
+    // c32 anomaly needed adjudicating. Runs at different core counts now
+    // never collide unless the caller explicitly points them at one path.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"BENCH_LAST_c$cpus.json")
     val reps = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = Sessions.local(cpus)

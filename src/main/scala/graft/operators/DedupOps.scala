@@ -1042,10 +1042,18 @@ object DedupOps {
           s"${standingLabels.columns.mkString(", ")}) — pass a " +
           "connectedComponents output")
     }
-    // consumed three times (two endpoint lookups, touched-member
-    // expansion, rep anti-join) — materialize once, tracked
-    val (st, stIds) = Pins.checkpointTracked(
-      standingLabels.select(col("doc_id"), col("cluster_rep")))
+    // consumed four times (two endpoint lookups, touched-member
+    // expansion, rep anti-join) — materialize once, tracked. EXCEPT when
+    // the standing table is already a bare file scan (the production
+    // shape: a persisted label artifact / Materialize memo): re-executing
+    // a columnar scan per consumer is cheaper than the checkpoint's own
+    // driver action + V-row block copy, so scan-only inputs skip the
+    // barrier (r20; Pins.scanOnly is conservative — any computed frame
+    // keeps it).
+    val stSel = standingLabels.select(col("doc_id"), col("cluster_rep"))
+    val (st, stIds) =
+      if (Pins.scanOnly(stSel)) (stSel, Set.empty[Int])
+      else Pins.checkpointTracked(stSel)
     val e = newEdges.select(col(src).as("__ea"), col(dst).as("__eb"))
     val mapped = e
       .join(st.select(col("doc_id").as("__ea"),

@@ -113,6 +113,30 @@ private[graft] object Pins {
     } finally rw.readLock().unlock()
   }
 
+  /** True when `df` re-executes as a pure columnar file scan — its
+    * optimized plan is a leaf relation under projections/filters only
+    * (no join, aggregate, window, or exchange above the scan). An eager
+    * localCheckpoint exists to bound RE-EXECUTION of expensive upstream
+    * compute; for a scan-only frame it is pure overhead: one extra
+    * driver action plus a block-manager copy of bytes parquet already
+    * holds (r20 — the incremental CC's standing labels are a
+    * [[graft.sources.Materialize]] parquet memo in every
+    * production-shaped caller, and the checkpoint charged every ingest
+    * one action + a V-row copy for nothing). Conservative: anything but
+    * Project/Filter over a relation leaf reports false, so a computed
+    * frame keeps its barrier. */
+  private[graft] def scanOnly(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+    def walk(p: LogicalPlan): Boolean = p match {
+      case pr: Project => walk(pr.child)
+      case f: Filter => walk(f.child)
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        true
+      case _ => false
+    }
+    walk(df.queryExecution.optimizedPlan)
+  }
+
   /** Free the tracked blocks by RDD id. Idempotent; ids already released
     * (or never pinned) are skipped. */
   def release(spark: SparkSession, ids: Set[Int]): Unit = {

@@ -1208,11 +1208,13 @@ object PipelineOps {
     * attribute every token to (document, pass).
     *
     * Stage costs at 100 TB: curation via `precomputedFates` is a scan;
-    * the formatter subtree runs twice per action (the documented
-    * [[trainReadyExamples]] shape — once into the slim checkpointed
-    * per-doc mass table, once into the stream join); the allocation is
-    * windows over the source table; the repeat join is one broadcast;
-    * packing shuffles each training token exactly once.
+    * the formatter subtree runs ONCE per build — its output is
+    * storage-materialized (DISK_ONLY, r20; the in-session form of
+    * "production materializes formatter output to storage") and both
+    * consumers (the slim checkpointed per-doc mass table, the stream
+    * join) read the materialized blocks; the allocation is windows over
+    * the source table; the repeat join is one broadcast; packing
+    * shuffles each training token exactly once.
     *
     * LIBRARY ENTRY POINT — generic over any (id, text, source) corpus
     * and (id, text) benchmark. */
@@ -1229,8 +1231,15 @@ object PipelineOps {
     val (_, keptDocs) = curateKeptDocs(corpus, bench, id, text,
       minJaccard, contamN, precomputedPairs, precomputedFates,
       None, 0.3, 0.5)
+    // The formatter stream is consumed TWICE per action (the slim mass
+    // checkpoint below + the repeat-stream join) — storage-materialize it
+    // to LOCAL DISK so the regex formatter runs once per build (r20,
+    // guide §6: production materializes formatter output to storage; a
+    // DISK_ONLY persist is that shape in-session — token arrays never
+    // occupy executor MEMORY, which this design refuses). Blocks are
+    // freed by any getPersistentRDDs sweep (Bench/Verify, per query).
     val fmt = formattedToks(keptDocs, formatter, startRateBp, meanSpan,
-      fimRateBp)
+      fimRateBp).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // slim (doc, source, mass, bucket) relation — checkpointed so the
     // allocation's consumption never re-runs the formatter
     val base = fmt
@@ -2000,11 +2009,12 @@ object PipelineOps {
     * with cap 4096.0 passes 4096 here).
     *
     * Shape at 100 TB: curation/mixture keep their audited shapes; the
-    * formatter subtree runs twice per action (once eagerly into the
-    * slim 16-byte/doc token-count checkpoint, once into the window
-    * join) — a production run materializes the formatter output to
-    * storage first and feeds it through the same core, which consumes
-    * the token relation exactly once.
+    * formatter subtree runs ONCE per build — its output is
+    * storage-materialized (DISK_ONLY, r20) and the core's two
+    * consumptions (the 16-byte/doc token-count checkpoint, the window
+    * join) read the materialized blocks; a production run materializes
+    * the same output to shared storage and feeds it through the same
+    * core.
     *
     * LIBRARY ENTRY POINT — generic over any (id, text) corpus/bench
     * pair. */
@@ -2023,8 +2033,13 @@ object PipelineOps {
     val (_, keptDocs) = curateKeptDocs(corpus, bench, id, text,
       minJaccard, contamN, precomputedPairs, precomputedFates,
       mixtureSource, mixtureAlpha, mixtureBudgetFraction)
+    // Same storage-materialization as [[trainReadyEpochs]] (r20): the
+    // core consumes the formatted stream twice (n_tok checkpoint + spans
+    // join); a DISK_ONLY persist runs the formatter once per build
+    // without holding token arrays in executor memory.
     val w = packExamplesCore(
-      formattedToks(keptDocs, formatter, startRateBp, meanSpan, fimRateBp),
+      formattedToks(keptDocs, formatter, startRateBp, meanSpan, fimRateBp)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY),
       cap)
     if (sorted) w.orderBy("chunk") else w
   }
@@ -2146,7 +2161,8 @@ object PipelineOps {
       precomputedHashes: Option[DataFrame] = None,
       priorDocCount: Option[Long] = None,
       sorted: Boolean = true,
-      precomputedNearDup: Option[DataFrame] = None): DataFrame = {
+      precomputedNearDup: Option[DataFrame] = None,
+      precomputedBenchGrams: Option[DataFrame] = None): DataFrame = {
     require(Set("span", "fim", "plain")(formatter),
       s"formatter must be span | fim | plain, got '$formatter'")
     val priorBase = priorCorpus.select(col(id).as("doc_id"),
@@ -2212,9 +2228,16 @@ object PipelineOps {
         .filter(col("has_prior") === 1 || col("doc_id") =!= col("min_new"))
         .select(col("doc_id"), lit(true).as("nd"))
     }
+    // `precomputedBenchGrams` is [[TextOps.decontaminationIndex]]'s
+    // persisted artifact (r20): an ingest-shaped caller decontaminates
+    // every increment against the SAME benchmark release, so re-shingling
+    // the benchmark per ingest is exactly the standing-artifact cost the
+    // other precomputed* parameters already avoid. Result-identical
+    // either way — the gram set is the same and the verify join is exact.
     val cont = TextOps.decontaminate(newBase,
         bench.select(col(id).as("doc_id"), col(text).as("text")),
-        "doc_id", "text", contamN)
+        "doc_id", "text", contamN,
+        precomputedGrams = precomputedBenchGrams)
       .select(col("doc_id"), lit(true).as("contaminated"))
     // slim (doc_id, fate) barrier — same reasoning as trainReady's
     val newFates = newBase.select("doc_id")
@@ -2339,10 +2362,25 @@ object PipelineOps {
       precomputedPostings = Some(trainReadyIncrPostings(s, d)),
       precomputedHashes = Some(trainReadyIncrHashes(s, d)),
       precomputedNearDup = Some(nd),
-      priorDocCount = Some(nPrior))
+      priorDocCount = Some(nPrior),
+      precomputedBenchGrams = Some(trainReadyIncrBenchGrams(s, d)))
     run.release()
     out
   }
+
+  /** The standing benchmark decontamination-gram table
+    * ([[TextOps.decontaminationIndex]]'s artifact — "write it once per
+    * benchmark release"), materialized once per application: every
+    * ingest decontaminates against the SAME benchmark, so the per-rep
+    * benchmark re-shingle was standing-artifact cost, like the prior
+    * manifest/postings/hashes/labels above (r20). */
+  private[graft] def trainReadyIncrBenchGrams(s: SparkSession,
+      d: String): DataFrame =
+    graft.sources.Materialize.table(s, s"train_ready_benchgrams:$d") {
+      TextOps.decontaminationIndex(
+        TextOps.splitAssign(s, d).filter(col("split") =!= "train"),
+        "text", 8)
+    }
 
   /** The standing 75%-corpus content-hash table
     * ([[DedupOps.exactDedupIncremental]]'s artifact interface),
@@ -2402,7 +2440,8 @@ object PipelineOps {
       "_memo_incr_prior" -> ((s, d) => trainReadyIncrPrior(s, d)),
       "_memo_incr_postings" -> ((s, d) => trainReadyIncrPostings(s, d)),
       "_memo_incr_hashes" -> ((s, d) => trainReadyIncrHashes(s, d)),
-      "_memo_incr_labels" -> ((s, d) => trainReadyIncrLabels(s, d)))
+      "_memo_incr_labels" -> ((s, d) => trainReadyIncrLabels(s, d)),
+      "_memo_incr_benchgrams" -> ((s, d) => trainReadyIncrBenchGrams(s, d)))
 
   // q_curate: curate the train split against the held-out splits —
   // the same deterministic md5 split q_decontaminate uses. The near-dup

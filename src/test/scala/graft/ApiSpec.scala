@@ -2142,6 +2142,50 @@ class ApiSpec extends SparkSpec {
     run2.release()
   }
 
+  test("trainReadyIncremental precomputedBenchGrams (standing decontamination index) == in-call benchmark shingle (r20)") {
+    // the r20 standing-artifact pass-through: the benchmark gram table
+    // is persisted once per benchmark release and fed back per ingest —
+    // fates (including the contaminated arm: doc 14 shares gamma 8-gram
+    // runs with the bench doc) must be byte-identical to the in-call
+    // benchmark re-shingle, including when the artifact round-trips
+    // through parquet (the Materialize memo shape the binding uses)
+    val s = spark
+    import s.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (0 until n).map(i => f"$prefix$i%02d")
+    def clean(prefix: String): String =
+      ("the" +: words(prefix, 31) :+ "and").mkString(" ")
+    val c0 = Seq(
+      (2L, clean("alpha")), (4L, clean("beta")), (7L, clean("delta")))
+      .toDF("id", "body")
+    val bench = Seq(
+      (100L, (words("bench", 5) ++ words("gamma", 12) ++ words("bench2", 5))
+        .mkString(" ")))
+      .toDF("id", "body")
+    val c1 = Seq(
+      (11L, "too short"), (12L, clean("alpha")),
+      (14L, clean("gamma")), (15L, clean("epsil"))).toDF("id", "body")
+    val cap = 40.0
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val m0 = PipelineOps.trainReady(c0, bench, "id", "body", cap = cap)
+      .localCheckpoint(true)
+    val plain = PipelineOps.trainReadyIncremental(m0, c0, c1, bench,
+      "id", "body", cap = cap)
+    val grams = TextOps.decontaminationIndex(
+      bench.select(col("body").as("text")), "text", 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("benchgrams-").toString
+    grams.write.mode("overwrite").parquet(dir)
+    val viaArtifact = PipelineOps.trainReadyIncremental(m0, c0, c1, bench,
+      "id", "body", cap = cap,
+      precomputedBenchGrams = Some(s.read.parquet(dir)))
+    assert(rowsOf(viaArtifact) == rowsOf(plain),
+      "standing-gram fates diverged from the in-call benchmark shingle")
+    assert(plain.filter(col("doc_id") === 14L).head().getString(1) ==
+      "contaminated", "doc 14 should be contaminated — the arm is vacuous")
+  }
+
   test("trainReadyIncremental rejects a partial prior manifest (VERDICT r13 #2)") {
     val s = spark
     import s.implicits._

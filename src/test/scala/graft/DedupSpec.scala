@@ -217,4 +217,47 @@ class DedupSpec extends SparkSpec {
     assert(leakedSince().isEmpty,
       s"incremental release() left blocks pinned: ${leakedSince()}")
   }
+
+  test("incremental CC: parquet-backed standing labels skip the checkpoint barrier, upsert unchanged (r20)") {
+    val sess = spark
+    import sess.implicits._
+    // the production shape: the standing label table is a persisted
+    // artifact (a bare scan) — r20 skips its eager checkpoint (the
+    // barrier bounded re-execution of computed frames; a columnar scan
+    // re-executes cheaper than the barrier's own action + V-row copy).
+    // Pin: scan-only detection fires for the parquet frame, not for a
+    // computed one; the upsert is identical either way; release leaves
+    // nothing pinned on both paths.
+    val standing = Seq((1L, 1L), (2L, 1L), (3L, 1L))
+      .toDF("doc_id", "cluster_rep")
+    val dir = java.nio.file.Files
+      .createTempDirectory("cc-standing-").toString
+    standing.write.mode("overwrite").parquet(dir)
+    val scanned = sess.read.parquet(dir)
+    assert(graft.operators.Pins.scanOnly(
+      scanned.select(col("doc_id"), col("cluster_rep"))),
+      "parquet standing labels must be detected scan-only")
+    assert(!graft.operators.Pins.scanOnly(
+      standing.groupBy("cluster_rep")
+        .agg(org.apache.spark.sql.functions.min("doc_id").as("doc_id"))),
+      "a computed frame must keep its barrier")
+    val edges = Seq((3L, 5L)).toDF("a", "b")
+    val before = sess.sparkContext.getPersistentRDDs.keySet.toSet
+    def leaked(): Set[Int] =
+      sess.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    val runScan = DedupOps.connectedComponentsIncrementalManaged(
+      scanned, edges, "a", "b")
+    val upScan = runScan.labels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    runScan.release()
+    assert(leaked().isEmpty, s"scan-only release left blocks: ${leaked()}")
+    val runMem = DedupOps.connectedComponentsIncrementalManaged(
+      standing, edges, "a", "b")
+    val upMem = runMem.labels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    runMem.release()
+    assert(upScan == upMem && upScan ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L),
+      s"scan-only upsert diverged: $upScan vs $upMem")
+  }
 }
